@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query dumped by graft.Verify: register the sfDir parquet tables as
+DuckDB views, run the oracle SQL, load the Spark parquet result, sort columns
+by name and rows by value, and compare cell-by-cell (exact for ints/strings,
+tight tolerance report for floats so near-misses are visible).
+"""
+import json, sys, glob, math
+import duckdb
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in idx) for r in rows]
+    return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t)), [cols[i] for i in idx]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall()
+            gcols = [d[0] for d in con.description]
+            exp = con.execute(oracle[name]).fetchall()
+            ecols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        g, gc = canon(got, gcols)
+        e, ec = canon(exp, ecols)
+        if gc != ec:
+            print(f"FAIL {name}: cols spark={gc} oracle={ec}"); n_fail += 1; continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)}"); n_fail += 1; continue
+        bad = None
+        for i, (rg, re_) in enumerate(zip(g, e)):
+            for j, (a, b) in enumerate(zip(rg, re_)):
+                if a == b: continue
+                if isinstance(a, float) and isinstance(b, float):
+                    if (math.isnan(a) and math.isnan(b)) or a == b: continue
+                    bad = (i, ec[j], a, b, "float-mismatch"); break
+                bad = (i, ec[j], a, b, "mismatch"); break
+            if bad: break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r} ({bad[4]})")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
