@@ -1,0 +1,73 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY.md S11-S15).
+  *
+  * The reference's transmit path (/root/reference/redcap-etl.py:223-292)
+  * POSTs 50k-row JSON envelopes sequentially and hard-aborts on failure.
+  * Distributed replacement: rows are enveloped per partition (deterministic
+  * chunk ids from the partition index), delivery runs in
+  * `foreachPartition` so a task failure retries only its own chunks, and
+  * the chunk-1 "carries transforms + metadata" special case
+  * (redcap-etl.py:244-248) becomes a separate header document — ordered
+  * sinks don't distribute.
+  */
+object Sinks {
+
+  /** NDJSON file sink (S11; redcap-etl.py:216-221): one JSON doc per line. */
+  def ndjson(df: DataFrame, path: String, mode: SaveMode = SaveMode.Append): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Single-file CSV with header (S13/S14; redcap-etl.py:397). */
+  def csvSingle(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Keyed JSON (S15; ipynb cell 13): `{key: {row...}}` per line. */
+  def keyedJson(df: DataFrame, keyCol: String): DataFrame = {
+    val payload = struct(df.columns.filter(_ != keyCol).map(col): _*)
+    df.select(to_json(map(col(keyCol).cast("string"), payload)).as("doc"))
+  }
+
+  /** Envelope rows into ≤`chunkRows`-sized JSON documents
+    * `{"chunk_number":n,"redcap_records":[...]}` (S12;
+    * redcap-etl.py:225-248). Chunk ids are `partitionId * chunksPerPartition
+    * + localIndex` — unique and deterministic without any global
+    * coordination (no driver-side collect, no global row numbering). */
+  def envelopes(df: DataFrame, chunkRows: Int = 50000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val json = df.select(to_json(struct(df.columns.map(col): _*)).as("j")).as[String]
+    json.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      it.grouped(chunkRows).zipWithIndex.map { case (chunk, i) =>
+        val id = pid * 1000000L + i
+        chunk.mkString(s"""{"chunk_number":$id,"redcap_records":[""", ",", "]}")
+      }
+    }.toDF("envelope")
+  }
+
+  /** Transmit: deliver each envelope via `post` (an HTTP POST in
+    * production). Runs inside `foreachPartition`; a thrown exception fails
+    * the task → Spark retries that partition → job aborts after max
+    * retries, matching the reference's abort-on-non-2xx (:276-282). */
+  def transmit(envelopes: DataFrame, post: String => Unit): Unit =
+    envelopes.foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach(r => post(r.getString(0)))
+    }
+
+  /** The header document replacing the chunk-1 special case: transform
+    * records + metadata travel once, not inside the first data chunk. */
+  def headerDocument(transformRecords: Option[DataFrame], metadata: Option[DataFrame]): String = {
+    def arr(df: Option[DataFrame]): String = df match {
+      case None => "[]"
+      case Some(d) =>
+        // header payloads are control-plane sized (transform dictionary,
+        // REDCap metadata) — the one place collect() is legitimate.
+        d.select(to_json(struct(d.columns.map(col): _*))).collect()
+          .map(_.getString(0)).mkString("[", ",", "]")
+    }
+    s"""{"chunk_number":0,"transforms":${arr(transformRecords)},"metadata":${arr(metadata)}}"""
+  }
+}
