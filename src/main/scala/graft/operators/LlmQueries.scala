@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+
+/** Training-data pipeline operators under the correctness gate (north-star
+  * EXT): dedup family, similarity search, text analysis, multimodal
+  * metadata. Where an approximation is engine-specific (MinHash/SimHash
+  * bands use Spark's xxhash64; LSH buckets), the query has no SQL oracle —
+  * the driver records rows>0 and the ScalaTest specs assert semantics
+  * (planted duplicates found, recall vs brute force).
+  */
+object LlmQueries {
+
+  private val normSql =
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val toksSql = s"string_split($normSql, ' ')"
+
+  // ---------------------------------------------------------------- q40
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.exact(Tables.documents(s, d)).orderBy($"keep_id")
+  }
+  private val q40Sql =
+    s"""SELECT min(doc_id) AS keep_id, COUNT(*) AS n_dups
+       |FROM documents GROUP BY $normSql ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  // MinHash-LSH duplicate pairs (no oracle: banding uses xxhash64).
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.minhashDuplicatePairs(Tables.documents(s, d), threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ---------------------------------------------------------------- q42
+  // Exact word-3-gram Jaccard on consecutive-id pairs — the verification
+  // kernel of the dedup family, oracle-checked.
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"doc_id", Dedup.shingles($"text").as("sh"))
+    val a = sh.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = sh.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select($"id_a", $"id_b", Dedup.jaccard($"sh_a", $"sh_b").as("j"))
+      .orderBy($"id_a")
+  }
+  private val q42Sql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len($toksSql) - 2, 1) + 1),
+       |    i -> concat_ws(' ', ($toksSql)[i], ($toksSql)[i+1], ($toksSql)[i+2]))) AS sh
+       |  FROM documents)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+       |       ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |            / len(list_distinct(list_concat(a.sh, b.sh))) END AS j
+       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+       |ORDER BY id_a""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  // Brute-force cosine top-10 for the first 10 vectors. Integer-quantized
+  // arithmetic → exact cross-engine equality (see Similarity scaladoc).
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 10), k = 10)
+      .orderBy($"qid", $"rn")
+  }
+  private val quantSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))"
+  private val q43Sql =
+    s"""WITH q AS (SELECT vec_id AS qid, $quantSql AS qv FROM embeddings WHERE vec_id < 10),
+       |e AS (SELECT vec_id AS eid, $quantSql AS ev FROM embeddings),
+       |sc AS (SELECT qid, eid,
+       |    CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*ev[i])) AS DOUBLE)
+       |      / sqrt(CAST(list_sum(list_transform(qv, x->x*x))
+       |                  * list_sum(list_transform(ev, x->x*x)) AS DOUBLE)) AS cos
+       |  FROM q, e WHERE qid <> eid)
+       |SELECT qid, eid, cos, rn FROM (
+       |  SELECT qid, eid, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, eid) AS INT) AS rn
+       |  FROM sc) WHERE rn <= 10
+       |ORDER BY qid, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        TextAnalysis.tokenCount($"text").as("n_tokens"),
+        TextAnalysis.subwordCountEstimate($"text").as("n_subwords"))
+      .orderBy($"doc_id")
+  }
+  private val q44Sql =
+    s"""SELECT doc_id,
+       |  CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+       |       ELSE len($toksSql) END AS n_tokens,
+       |  list_sum(list_transform($toksSql,
+       |    t -> greatest(CAST(ceil(length(t)/6.0) AS BIGINT), 1))) AS n_subwords
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = TextAnalysis.qualityFeatures($"text")
+    Tables.documents(s, d)
+      .select(($"doc_id" +: feats.map { case (n, c) => c.as(n) } :+
+        TextAnalysis.qualityScore($"text").as("quality")): _*)
+      .orderBy($"doc_id")
+  }
+  private val allStopsSql = TextAnalysis.stopwords.values.flatten.toSeq
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+  private val q45Sql = {
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS DOUBLE) AS n_chars,
+       |  CAST(CASE WHEN trim(text)='' OR text IS NULL THEN 0 ELSE len($toksSql) END AS DOUBLE) AS n_tokens,
+       |  CAST(length(replace($normSql, ' ', '')) AS DOUBLE)
+       |    / greatest(CAST(CASE WHEN trim(text)='' OR text IS NULL THEN 0 ELSE len($toksSql) END AS DOUBLE), 1.0) AS avg_token_len,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |    / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+       |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+       |    / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio,
+       |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+       |    / greatest(CAST(length(text) AS DOUBLE), 1.0) AS upper_ratio,
+       |  CAST(len(list_filter($toksSql, t -> list_contains($allStopsSql, t))) AS DOUBLE)
+       |    / greatest(CAST(CASE WHEN trim(text)='' OR text IS NULL THEN 0 ELSE len($toksSql) END AS DOUBLE), 1.0) AS stopword_ratio,
+       |  ((CASE WHEN (CASE WHEN trim(text)='' OR text IS NULL THEN 0 ELSE len($toksSql) END) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+       |  + (CASE WHEN CAST(length(replace($normSql, ' ', '')) AS DOUBLE) / greatest(CAST(CASE WHEN trim(text)='' OR text IS NULL THEN 0 ELSE len($toksSql) END AS DOUBLE), 1.0) BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END) * 0.3
+       |  + least(CAST(len(list_filter($toksSql, t -> list_contains($allStopsSql, t))) AS DOUBLE) / greatest(CAST(CASE WHEN trim(text)='' OR text IS NULL THEN 0 ELSE len($toksSql) END AS DOUBLE), 1.0) * 5, 1.0) * 0.4)
+       |  * (1.0 - least(
+       |      CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5
+       |      + CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0)) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q46
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", TextAnalysis.langId($"text").as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+  private def hitsSql(lang: String): String = {
+    val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($toksSql, t -> list_contains($words, t)))"
+  }
+  private val q46Sql =
+    s"""SELECT doc_id,
+       |  CASE WHEN greatest(${hitsSql("en")}, ${hitsSql("de")}, ${hitsSql("es")}, ${hitsSql("fr")}) = 0 THEN 'und'
+       |       WHEN ${hitsSql("en")} >= ${hitsSql("de")} AND ${hitsSql("en")} >= ${hitsSql("es")} AND ${hitsSql("en")} >= ${hitsSql("fr")} THEN 'en'
+       |       WHEN ${hitsSql("de")} >= ${hitsSql("es")} AND ${hitsSql("de")} >= ${hitsSql("fr")} THEN 'de'
+       |       WHEN ${hitsSql("es")} >= ${hitsSql("fr")} THEN 'es'
+       |       ELSE 'fr' END AS pred_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+  private val q47Sql =
+    s"""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($normSql, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (acc, c) -> (acc*31 + c) % 9007199254740992) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  // SimHash near-dup pairs (no oracle: xxhash64 token hashes).
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.simhashDuplicatePairs(Tables.documents(s, d), maxHamming = 6)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ---------------------------------------------------------------- q49
+  // Multimodal metadata over a binary column (media = utf8 bytes of text —
+  // deterministic stand-in; see Multimodal scaladoc for the decode seam).
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select($"doc_id", encode($"text", "UTF-8").as("media"))
+    Multimodal.withMediaMeta(media, "media")
+      .select($"doc_id",
+        $"media_meta.byte_len".as("byte_len"),
+        $"media_meta.sha256".as("sha_hex"),
+        $"media_meta.format".as("format"))
+      .orderBy($"doc_id")
+  }
+  private val q49Sql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  sha256(text) AS sha_hex,
+      |  'unknown' AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  // Embedding near-dup pairs, brute force on a bounded id range (the LSH
+  // variant is the scale path; spec asserts recall agreement).
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sub = Tables.embeddings(s, d).filter($"vec_id" < 1000)
+    Similarity.cosineNearDupPairs(sub, threshold = 0.3)
+      .orderBy($"id_a", $"id_b")
+  }
+  private val q50Sql =
+    s"""WITH v AS (SELECT vec_id, $quantSql AS qv FROM embeddings WHERE vec_id < 1000)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS DOUBLE)
+       |    / sqrt(CAST(list_sum(list_transform(a.qv, x->x*x))
+       |                * list_sum(list_transform(b.qv, x->x*x)) AS DOUBLE)) AS cos
+       |FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |WHERE CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS DOUBLE)
+       |    / sqrt(CAST(list_sum(list_transform(a.qv, x->x*x))
+       |                * list_sum(list_transform(b.qv, x->x*x)) AS DOUBLE)) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q40_dedup_exact", q40, Some(q40Sql)),
+    QueryDef("q41_minhash_pairs", q41, None),
+    QueryDef("q42_ngram_jaccard", q42, Some(q42Sql)),
+    QueryDef("q43_cosine_topk", q43, Some(q43Sql)),
+    QueryDef("q44_token_count", q44, Some(q44Sql)),
+    QueryDef("q45_quality_score", q45, Some(q45Sql)),
+    QueryDef("q46_langid", q46, Some(q46Sql)),
+    QueryDef("q47_fingerprint", q47, Some(q47Sql)),
+    QueryDef("q48_simhash_pairs", q48, None),
+    QueryDef("q49_multimodal_meta", q49, Some(q49Sql)),
+    QueryDef("q50_embed_neardup", q50, Some(q50Sql)),
+  )
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+
+  test("exact dedup groups case/whitespace variants, keeps min id") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base.toUpperCase),
+      (3L, "  " + base.replace(" ", "   ") + " "),
+      (4L, "completely different text here")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs).orderBy("keep_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (4L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates, not unrelated docs") {
+    val nearDup = base.replace("tonight", "today") // 1-word change
+    val docs = Seq(
+      (1L, base),
+      (2L, nearDup),
+      (3L, "spark catalyst optimizer rewrites logical plans into physical plans with codegen stages always")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDuplicatePairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 > 0.5 && pairs.head._3 < 1.0)
+  }
+
+  test("jaccard: identity 1.0, disjoint 0.0") {
+    val df = Seq((base, base, "x y z a b c d e f")).toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.jaccard(Dedup.shingles($"a"), Dedup.shingles($"b")),
+      Dedup.jaccard(Dedup.shingles($"a"), Dedup.shingles($"c"))).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("simhash: near-identical texts within small hamming distance") {
+    val df = Seq((1L, base), (2L, base.replace("tonight", "today")), (3L, "xx yy zz qq ww ee rr tt"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashDuplicatePairs(df, maxHamming = 16)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
+    assert(!pairs.map(p => (p._1, p._2)).contains((1L, 3L)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir).cache()
+
+  test("cosine: self-similarity 1.0 (within quantization), symmetric") {
+    val v = emb.limit(1).select(Similarity.quantize($"embedding").as("v"))
+    val r = v.select(Similarity.cosine($"v", $"v")).head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: k rows per query, descending, no self-match") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5), k = 10)
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 10)
+      assert(!rows.exists(r => r._2 == r._1))
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
+  test("LSH top-k: recall@10 vs brute force ≥ 0.5 with cheap settings") {
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .as[(Long, Long, Double, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.lshTopK(emb, queries, k = 10, bits = 4, tables = 12)
+      .as[(Long, Long, Double, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ids) =>
+      approx.get(q).map(a => (a intersect ids).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@10 = $mean")
+  }
+
+  test("near-dup pairs: symmetric threshold filter, a<b ordering") {
+    val sub = emb.filter($"vec_id" < 100)
+    val pairs = Similarity.cosineNearDupPairs(sub, threshold = 0.2)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.forall(p => p._1 < p._2))
+    assert(pairs.forall(_._3 >= 0.2))
+  }
+}
