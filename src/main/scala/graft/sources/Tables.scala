@@ -33,9 +33,23 @@ object Tables {
     * windows, streaming). Integer `div`, never double division: nanos ≈ 1.7e18
     * exceeds a double's 53-bit mantissa.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEvents(load(s, d, "events"))
+
+  /** The same events table as an unbounded stream (file source). The
+    * parquet "file" is a single file, and the streaming file source wants a
+    * directory — glob-filter the parent. Schema comes from a batch peek
+    * (streaming sources can't infer). */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val rawSchema = load(s, d, "events").schema
+    normalizeEvents(
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
+  }
+
+  private def normalizeEvents(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumnRenamed("ts", "ts_ns")
          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.10 EXT): the reference is
+  * strictly batch (its chunked HTTP loop is pagination, not streaming), so
+  * this module is the streaming re-expression of the same aggregation/dedup
+  * semantics over the `events` table shape:
+  * (event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,
+  *  value DOUBLE, props STRING).
+  *
+  * Everything here takes a (possibly streaming) DataFrame and returns a
+  * transformed streaming DataFrame — plan-to-plan, identical to the batch
+  * operators; watermarks bound state so the plans run forever on unbounded
+  * input without unbounded executor memory.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type; late rows beyond the
+    * watermark are dropped (state is evictable → bounded). */
+  def tumblingCounts(events: DataFrame, windowLen: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window event rate per user. */
+  def slidingRate(events: DataFrame, windowLen: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("user_id"), col("n"))
+
+  /** Session windows: activity bursts per user separated by ≥gap idle. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"), col("sum_value"))
+
+  /** Streaming dedup by event_id with watermark-bounded state — the
+    * streaming form of the reference's first-seen-record dedup (A1). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- custom state: per-user running aggregates via mapGroupsWithState
+
+  final case class UserEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double, n_errors: Long)
+
+  /** Per-user running stats with explicit state — the
+    * `KeyValueGroupedDataset.mapGroupsWithState` path for semantics window
+    * aggregation can't express (cross-window running totals, custom
+    * eviction). NoTimeout here; production deployments bound state with an
+    * event-time timeout + watermark. */
+  def userStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0, 0L))
+          val next = rows.foldLeft(prev) { (s, e) =>
+            UserStats(uid, s.n_events + 1,
+              // cents-exact accumulation, same contract as the batch side
+              (math.rint(s.total_value * 100) + math.rint(e.value * 100)) / 100,
+              s.n_errors + (if (e.event_type == "error") 1 else 0))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Batch-equivalence helper: the tumbling aggregation expressed as a plain
+    * batch query — used by specs and the oracle gate to pin streaming
+    * results to batch results on the same input. */
+  def tumblingCountsBatch(events: DataFrame, windowLen: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+}

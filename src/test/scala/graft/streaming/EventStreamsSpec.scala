@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Top-level so Spark's product encoder needs no outer instance. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Streaming semantics driven synchronously via MemoryStream +
+  * processAllAvailable (the spark_guide local-smoke pattern). */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("tumbling window agg over a stream matches the batch equivalent") {
+    val input = MemoryStream[Ev](spark)
+    val evs = Seq(
+      Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(4), 1, "click", 2.0),
+      Ev(3, ts(11), 2, "view", 3.0), Ev(4, ts(12), 1, "click", 4.0),
+      Ev(5, ts(25), 2, "view", 5.0))
+    input.addData(evs: _*)
+    runToMemory(EventStreams.tumblingCounts(input.toDF(), watermark = "0 seconds"), "tumbling", "update")
+    // advance watermark past all windows so state finalizes deterministically
+    input.addData(Ev(99, ts(59), 9, "late", 0.0))
+    val q2 = EventStreams.tumblingCounts(input.toDF(), watermark = "0 seconds")
+    val streamed = spark.table("tumbling")
+      .groupBy("w_start", "event_type").agg(max("n").as("n"), max("sum_value").as("sum_value"))
+      .filter($"event_type" =!= "late")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val batch = EventStreams.tumblingCountsBatch(evs.toDF())
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("session windows split on idle gap") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(
+      Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(5), 1, "click", 1.0),  // session A
+      Ev(3, ts(50), 1, "click", 1.0))                                 // session B (45m gap)
+    val q = EventStreams.sessionCounts(input.toDF(), gap = "30 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sessions").as[(Timestamp, Timestamp, Long, Long, Double)]
+      .collect().sortBy(_._1.getTime)
+    assert(rows.length == 2)
+    assert(rows(0)._4 == 2 && rows(1)._4 == 1)
+  }
+
+  test("streaming dedup drops duplicate event ids within watermark") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(
+      Ev(1, ts(1), 1, "click", 1.0), Ev(1, ts(2), 1, "click", 1.0),
+      Ev(2, ts(3), 2, "view", 2.0))
+    runToMemory(EventStreams.dedupWithinWatermark(input.toDF(), "10 minutes"), "dedup")
+    assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("mapGroupsWithState per-user running stats") {
+    val input = MemoryStream[EventStreams.UserEvent](spark)
+    input.addData(
+      EventStreams.UserEvent(1, 10, "click", 1.5),
+      EventStreams.UserEvent(2, 10, "error", 2.25),
+      EventStreams.UserEvent(3, 11, "view", 10.0))
+    val q = EventStreams.userStats(input.toDS())
+      .writeStream.format("memory").queryName("ustats").outputMode("update").start()
+    q.processAllAvailable()
+    // second batch updates existing state
+    input.addData(EventStreams.UserEvent(4, 10, "error", 0.25))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("ustats").groupBy("user_id")
+      .agg(max("n_events").as("n"), max("total_value").as("v"), max("n_errors").as("e"))
+      .as[(Long, Long, Double, Long)].collect()
+      .map { case (k, n, v, e) => k -> ((n, v, e)) }.toMap
+    assert(last(10L) == ((3L, 4.0, 2L)))
+    assert(last(11L) == ((1L, 10.0, 0L)))
+  }
+
+  test("file-backed stream: parquet events through readStream end-to-end") {
+    val stream = Tables.eventsStream(spark, sfDir)
+    val agg = EventStreams.tumblingCounts(stream, windowLen = "1 hour", watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("filestream").outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("filestream")
+      .groupBy("w_start", "event_type").agg(max("n").as("n"))
+      .agg(sum("n")).as[Long].head()
+    assert(streamed == Tables.events(spark, sfDir).count())
+  }
+}
