@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector for REDCap-style EAV extraction (SURVEY.md S1/S2,
+  * §4 pushdown rows; /root/reference/redcap-etl.py:71-161).
+  *
+  * The reference's extraction loop is: fetch the study-id universe, chunk it
+  * 100 ids at a time, and issue one REST request per chunk, with column
+  * projection (`fields=`) and row predicates (`filterLogic=`) evaluated
+  * server-side. This connector reproduces that execution shape natively in
+  * Spark:
+  *
+  *  - one [[InputPartition]] per record-id chunk (`chunk_size` option) —
+  *    at scale each task fetches its own chunk, the full extraction never
+  *    materializes on the driver (the reference held it all in RAM);
+  *  - `SupportsPushDownRequiredColumns` ≙ the `fields=` projection;
+  *  - `SupportsPushDownFilters` ≙ `filterLogic` — equality/IN/prefix on
+  *    `record_id` / `field_name` / `redcap_event_name` evaluate inside the
+  *    fetch, everything else stays a residual Spark filter.
+  *
+  * The transport here is a local CSV file standing in for the REST endpoint
+  * (zero-egress environment); [[EavPartitionReader.fetchChunk]] is the
+  * single seam where an HTTP POST would replace the file read.
+  *
+  * Usage: `spark.read.format("graft-eav").option("path", p).load()`.
+  */
+class EavSourceProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-eav"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EavSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new EavTable(properties.asScala.toMap)
+}
+
+object EavSource {
+  /** The 6 CSV-plane columns (the cleaned-flag columns are engine-side). */
+  val schema: StructType = StructType(Seq(
+    StructField("record_id", StringType),
+    StructField("redcap_event_name", StringType),
+    StructField("redcap_repeat_instrument", StringType),
+    StructField("redcap_repeat_instance", StringType),
+    StructField("field_name", StringType),
+    StructField("value", StringType)))
+
+  private[sources] def readAllLines(path: String): Seq[Array[String]] = {
+    val src = scala.io.Source.fromFile(path)
+    // fixture CSV: our own writer, no embedded commas/quotes
+    try src.getLines().drop(1).map(_.split(",", -1)).toList
+    finally src.close()
+  }
+
+  private[sources] def matches(row: Array[String], f: Filter): Boolean = {
+    def colIdx(name: String): Int = schema.fieldIndex(name)
+    f match {
+      case EqualTo(a, v) => row(colIdx(a)) == String.valueOf(v)
+      case In(a, vs) => vs.map(String.valueOf).contains(row(colIdx(a)))
+      case StringStartsWith(a, p) => row(colIdx(a)).startsWith(p)
+      case _ => true
+    }
+  }
+
+  private[sources] def isPushable(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => schema.fieldNames.contains(a)
+    case In(a, _) => schema.fieldNames.contains(a)
+    case StringStartsWith(a, _) => schema.fieldNames.contains(a)
+    case _ => false
+  }
+}
+
+class EavTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"graft-eav(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = EavSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EavScanBuilder(
+      options.get("path"),
+      Option(options.get("chunk_size")).map(_.toInt).getOrElse(100))
+}
+
+class EavScanBuilder(path: String, chunkSize: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = EavSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (p, residual) = filters.partition(EavSource.isPushable)
+    pushed = p
+    residual // Spark re-applies these; pushed ones are handled in the fetch
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new EavScan(path, chunkSize, required, pushed)
+}
+
+final case class EavChunk(recordIds: Array[String]) extends InputPartition
+
+class EavScan(path: String, chunkSize: Int, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-eav PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      s"ReadSchema: ${required.catalogString}"
+
+  /** The id-universe scan (≙ `get_study_ids`, redcap-etl.py:137-161): a
+    * cheap driver-side pass that yields only ids, then 1 partition per
+    * `chunkSize` ids. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val ids = EavSource.readAllLines(path).map(_(0)).distinct.sorted
+    ids.grouped(chunkSize).map(g => EavChunk(g.toArray): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EavReaderFactory(path, required, pushed)
+}
+
+class EavReaderFactory(path: String, required: StructType,
+    pushed: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new EavPartitionReader(path, partition.asInstanceOf[EavChunk], required, pushed)
+}
+
+class EavPartitionReader(path: String, chunk: EavChunk,
+    required: StructType, pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  /** ≙ one REST POST for this chunk's ids with fields= and filterLogic=
+    * (redcap-etl.py:71-135). Swap the body for an HTTP call in production. */
+  private def fetchChunk(): Iterator[Array[String]] = {
+    val idSet = chunk.recordIds.toSet
+    EavSource.readAllLines(path).iterator
+      .filter(r => idSet.contains(r(0)))
+      .filter(r => pushed.forall(EavSource.matches(r, _)))
+  }
+
+  private val requiredIdx = required.fieldNames.map(EavSource.schema.fieldIndex)
+  private val it = fetchChunk()
+  private var current: Array[String] = _
+
+  override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
+  override def get(): InternalRow =
+    InternalRow.fromSeq(requiredIdx.toSeq.map(i => UTF8String.fromString(current(i))))
+  override def close(): Unit = ()
+}

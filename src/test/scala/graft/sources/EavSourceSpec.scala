@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class EavSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fixture: String = {
+    val dir = Files.createTempDirectory("eav").toFile
+    val f = new java.io.File(dir, "records.csv")
+    val rows = (1 to 250).flatMap { r =>
+      Seq(
+        s"r$r,screening_arm_1,,,age,${20 + r % 60}",
+        s"r$r,screening_arm_1,,,np_dob,1990-01-0${r % 9 + 1}",
+        s"r$r,followup_arm_1,,,visit_date,2001-06-15")
+    }
+    val w = new java.io.PrintWriter(f)
+    w.println("record_id,redcap_event_name,redcap_repeat_instrument,redcap_repeat_instance,field_name,value")
+    rows.foreach(w.println); w.close()
+    f.getAbsolutePath
+  }
+
+  private def read = spark.read.format("graft-eav")
+    .option("path", fixture).option("chunk_size", 100)
+
+  test("reads EAV rows with declared schema, one partition per id chunk") {
+    val df = read.load()
+    assert(df.schema == EavSource.schema)
+    assert(df.count() == 750)
+    assert(df.rdd.getNumPartitions == 3) // 250 ids / 100-id chunks
+  }
+
+  test("filter pushdown: field_name equality lands in PushedFilters") {
+    val df = read.load().filter($"field_name" === "age")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("field_name"))
+    assert(df.count() == 250)
+    assert(df.select("value").as[String].collect().forall(v => v.toInt >= 20))
+  }
+
+  test("column pruning reaches the reader (ReadSchema shrinks)") {
+    val df = read.load().select("record_id", "value")
+    assert(df.queryExecution.executedPlan.toString.contains("ReadSchema"))
+    assert(df.schema.fieldNames.toSeq == Seq("record_id", "value"))
+    assert(df.count() == 750)
+  }
+
+  test("residual filters still apply Spark-side (non-pushable predicate)") {
+    val df = read.load().filter($"value".contains("1990"))
+    assert(df.count() == 250) // only np_dob rows
+  }
+
+  test("feeds the ETL pipeline end-to-end") {
+    val fm = Seq(("age", "Include", null.asInstanceOf[String]),
+      ("visit_date", "TransformDate", null.asInstanceOf[String]),
+      ("np_dob", "Exclude", null.asInstanceOf[String]))
+      .toDF("field_name", "status", "restrict_to_event_list")
+    val eav = read.load()
+      .withColumn("kpmp_date_cleaned", org.apache.spark.sql.functions.lit(null).cast("boolean"))
+      .withColumn("kpmp_date_cleaned_type", org.apache.spark.sql.functions.lit(null).cast("string"))
+    val out = graft.etl.Pipeline.run(eav, fm, Seq(
+      new graft.etl.DateShiftTransform(fm, "dob_shifting", standardDate = "2010-01-01")))
+    // every record has a dob → every visit_date cleaned and kept; + all ages
+    assert(out.kept.filter("field_name = 'visit_date'").count() == 250)
+    assert(out.kept.filter("field_name = 'age'").count() == 250)
+    assert(out.kept.filter("field_name = 'np_dob'").count() == 0)
+  }
+}
