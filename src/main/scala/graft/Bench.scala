@@ -11,9 +11,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen paths once on the smallest SF so the measured
-    // numbers reflect steady-state execution, not first-query class loading.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Warm every query's codegen/JIT path on the smallest SF first: cold
+    // runs cost 5-10x (classloading + whole-stage compilation), which would
+    // measure the JVM, not the plan. sf0.001 is ~1% of bench data, so the
+    // warmup adds negligible I/O.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

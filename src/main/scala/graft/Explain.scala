@@ -1,0 +1,31 @@
+package graft
+
+/** Dev tool: time a registered query twice (cold/warm) and print its
+  * formatted physical plan. `runMain graft.Explain <queryName> [sfDir]`. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder("graft-explain", Some(s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      name match {
+        // diagnostic sub-pipelines (not part of the driver contract)
+        case "_mh_sigs" => (s, d) =>
+          graft.ops.Dedup.minhashSignatures(graft.sources.Tables.documents(s, d))
+        case "_mh_shingles" => (s, d) =>
+          graft.sources.Tables.documents(s, d)
+            .select(org.apache.spark.sql.functions.explode(
+              graft.ops.Dedup.shingles(org.apache.spark.sql.functions.col("text"))))
+        case other => SparkEntry.queries(other)
+      }
+    val t0 = System.nanoTime; fn(spark, sfDir).count()
+    println(f"[explain] $name cold: ${(System.nanoTime - t0) / 1e9}%.2fs")
+    val t1 = System.nanoTime; fn(spark, sfDir).count()
+    println(f"[explain] $name warm: ${(System.nanoTime - t1) / 1e9}%.2fs")
+    fn(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}

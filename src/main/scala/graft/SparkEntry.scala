@@ -14,9 +14,20 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ Relational2.defs ++ EtlQueries.defs ++ LlmQueries.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full ETL shape in one plan: EAV synthesis → PHI rule cascade →
+    * broadcast-dim join aggregation. */
   def entry(spark: SparkSession): DataFrame =
     queries("q02_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+      .unionByName(
+        queries("q32_phi_filter")(spark, "/root/testdata/sf0.001")
+          .groupBy("field_name")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).cast("double").as("revenue"))
+          .withColumnRenamed("field_name", "r_name")
+          .withColumn("n_name", org.apache.spark.sql.functions.lit("etl"))
+          .withColumn("n_orders", org.apache.spark.sql.functions.lit(0L))
+          .select("r_name", "n_name", "revenue", "n_orders"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

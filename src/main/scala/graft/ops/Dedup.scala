@@ -37,13 +37,37 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
   /** Word n-gram shingle array (distinct). Documents shorter than n words
-    * shingle to their whole normalized text. */
+    * shingle to their whole normalized text. Row-local formulation for
+    * array-level use (jaccard kernels); the bulk pipelines use
+    * [[shingleRows]] — the interpreted lambda here re-evaluates its
+    * captured subtrees per element, which is quadratic-ish on long docs. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = split(normalized(text), " ")
     val grams = transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+      // try_element_at: a doc with < n tokens yields nulls past the end,
+      // which concat_ws skips (ANSI element_at would throw)
+      i => concat_ws(" ", (0 until n).map(j => try_element_at(toks, i + j + 1)): _*))
     array_distinct(grams)
+  }
+
+  /** One (id, shingle) row per word n-gram — the bulk/scale formulation:
+    * posexplode evaluates the normalization once per document, the n-gram
+    * assembly is a codegen'd window `lead` over token position (one shuffle
+    * of short token rows). Duplicates are NOT removed — min-hashing is
+    * multiset-invariant; set consumers aggregate with collect_set. */
+  def shingleRows(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(split(normalized(col(textCol)), " ")).as(Seq("pos", "t")))
+      .select(col("id"), col("pos"),
+        concat_ws(" ", (col("t") +: (1 until n).map(j => lead(col("t"), j).over(w))): _*).as("sh"),
+        lead(col("t"), n - 1).over(w).isNotNull.as("__full"))
+      // full n-grams, plus the pos-0 partial for docs shorter than n words
+      .filter(col("__full") || col("pos") === 0)
+      .select(col("id"), col("sh"))
   }
 
   /** Exact Jaccard similarity of two shingle arrays. */
@@ -54,13 +78,25 @@ object Dedup {
   }
 
   // ------------------------------------------------------------- minhash
-  /** k MinHash values per doc, computed row-local: min over shingles of a
-    * seeded 64-bit hash. No shuffle, no UDF — `transform` + `array_min`
-    * stay in codegen. */
-  def minhashSignature(shingleArr: Column, k: Int = 64): Seq[Column] =
-    (0 until k).map { seed =>
-      array_min(transform(shingleArr, sh => xxhash64(lit(seed), sh))).as(s"mh_$seed")
-    }
+  /** k-lane MinHash signature per doc via explode + partial-aggregated
+    * min()s. Each shingle string is hashed once; the k lanes re-mix that
+    * long with `xxhash64(h, lane)` — a handful of codegen'd integer ops,
+    * overflow-free under ANSI. (Higher-order array lambdas are interpreted
+    * in Spark, so the row-local formulation is ~10× slower at scale.) */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 64): DataFrame = {
+    val ex = shingleRows(docs, textCol, idCol)
+      .select(col("id"), xxhash64(col("sh")).as("h1"), xxhash64(col("sh"), lit(1)).as("h2"))
+    // Kirsch-Mitzenmacher-style lane derivation: lane_i = h1 ^ rot(h2, i).
+    // Two string hashes + 4 bitwise ops per lane instead of k string
+    // hashes — overflow-free (ANSI) and ~3x cheaper in the hot aggregate.
+    def lane(i: Int): Column =
+      if (i == 0) col("h1")
+      else col("h1").bitwiseXOR(
+        shiftleft(col("h2"), i).bitwiseOR(shiftrightunsigned(col("h2"), 64 - i)))
+    val lanes = (0 until k).map(i => min(lane(i)).as(s"mh_$i"))
+    ex.groupBy(col("id")).agg(lanes.head, lanes.tail: _*)
+  }
 
   /** Candidate duplicate pairs via LSH banding + exact-Jaccard verification.
     *
@@ -74,43 +110,61 @@ object Dedup {
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     val r = k / bands
     require(bands * r == k, "bands must divide k")
-    val withSig = docs
-      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-      .select(col("id") +: col("sh") +: minhashSignature(col("sh"), k): _*)
-    // one row per (doc, band): band hash = hash of that band's r minhashes
+    val sigs = minhashSignatures(docs, textCol, idCol, k)
+    // one row per (doc, band): band hash = hash of that band's r minhash
+    // lanes. Only (id, band, bh) shuffles — never text or shingle arrays.
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until r).map(i => col(s"mh_${b * r + i}")): _*).as("bh"))
     }
-    val exploded = withSig
-      .select(col("id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // cap pathological buckets before the quadratic pair join
-    val bucketed = exploded
-      .withColumn("__bn", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("__bn") <= maxBucketSize)
-    val a = bucketed.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = bucketed.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bh"))
+    val exploded = sigs
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // bucket → member list in ONE shuffle (a window + self-join would cost
+    // a sort plus a second shuffle); cap pathological buckets, then expand
+    // pairs with a double explode.
+    val buckets = exploded
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val candidates = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .dropDuplicates("id_a", "id_b")
+    // exact-Jaccard verification on HASHED shingle sets: long-array
+    // intersect/union is ~5× cheaper than string arrays in the interpreted
+    // set ops, and xxhash64 collisions (~2^-64) are immaterial to a
+    // similarity estimate.
+    val shs = shingleRows(docs, textCol, idCol)
+      .groupBy(col("id")).agg(collect_set(xxhash64(col("sh"))).as("sh"))
+      .withColumnRenamed("id", "sid")
+    candidates
+      .join(shs.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(shs.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // ------------------------------------------------------------- simhash
-  /** 64-bit SimHash over word-token hashes: bit i of the output is the sign
-    * of Σ_tokens (±1 by bit i of xxhash64(token)). Row-local, codegen. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(normalized(text), " "), t => xxhash64(t))
-    val n = size(hashes)
-    (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
-      val ones = size(filter(hashes, h => shiftright(h, i).bitwiseAND(1) === 1))
-      acc + when(ones * 2 > n, lit(1L << i)).otherwise(0L)
+  /** 64-bit SimHash per doc: bit i of the output is the sign of
+    * Σ_tokens (±1 by bit i of xxhash64(token)). Explode + 64 codegen'd
+    * conditional sums in one partial-aggregated pass — the row-local
+    * higher-order formulation re-walks the token array 64× interpreted. */
+  def simhashSignatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val ex = docs
+      .select(col(idCol).as("id"), explode(split(normalized(col(textCol)), " ")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
     }
+    val agg = ex.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+      acc + when(col(s"b_$i") > 0, lit(1L << i)).otherwise(0L)
+    }
+    agg.select(col("id"), sim.as("sim"))
   }
 
   /** Near-dup candidate pairs by SimHash: equal 16-bit band → hamming
@@ -118,7 +172,7 @@ object Dedup {
     * bands when d ≤ 3). */
   def simhashDuplicatePairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val sh = simhashSignatures(docs, textCol, idCol)
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"), shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("bh")))
     val exploded = sh.select(col("id"), col("sim"), explode(array(bandCols: _*)).as("bb"))

@@ -31,19 +31,81 @@ object Similarity {
   def normInt(a: Column): Column =
     aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
 
+  /** Per-element inline quantization on the RAW float array. Critical for
+    * the hot paths: a `transform(...)` lambda is interpreted
+    * (CodegenFallback) AND CollapseProject inlines it into every consumer —
+    * profiled as the array being re-quantized 128× per pair. Element-wise
+    * floor/cast/multiply on a stored column stays entirely in whole-stage
+    * codegen. Quantized components are ≤ ~2^12, so 64-term sums sit far
+    * below long overflow (ANSI-safe). */
+  private def qat(v: Column, i: Int): Column =
+    floor(element_at(v, i).cast("double") * 1000 + 0.5).cast("long")
+
+  /** Unrolled fixed-dimension quantized dot/norm over raw float vectors. */
+  def dotIntUnrolled(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => qat(a, i) * qat(b, i)).reduce(_ + _)
+
+  def normIntUnrolled(a: Column, dim: Int): Column =
+    (1 to dim).map(i => qat(a, i) * qat(a, i)).reduce(_ + _)
+
   /** Exact cosine between quantized vectors, as double. */
   def cosine(a: Column, b: Column): Column =
     dotInt(a, b).cast("double") / sqrt((normInt(a) * normInt(b)).cast("double"))
 
-  /** Brute-force top-k cosine neighbors for each query vector.
-    * @param queries subset of rows (vec_id, embedding) — broadcast side
+  /** Exact cosine, fixed-dim codegen path — takes RAW float vectors. */
+  def cosineUnrolled(a: Column, b: Column, dim: Int): Column =
+    dotIntUnrolled(a, b, dim).cast("double") /
+      sqrt((normIntUnrolled(a, dim) * normIntUnrolled(b, dim)).cast("double"))
+
+  // ---- pairwise-scoring kernels -------------------------------------
+  // The O(|Q|·N) / O(N²) dot-product loops are the one place the
+  // expression engine loses: higher-order lambdas are interpreted, and a
+  // 64-term unrolled expression with ANSI checks generates a method too
+  // large to JIT. A mapPartitions block-nested-loop over a broadcast side
+  // — the classic GEMM-block shape — runs the same exact integer math in
+  // tight JVM loops, ~20× faster. This is the documented "(d) mapPartitions
+  // as a last resort" case: a numeric kernel, not relational logic.
+
+  private[ops] def quantizeJvm(v: Seq[Float]): Array[Long] = {
+    val out = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = math.floor(v(i).toDouble * 1000 + 0.5).toLong; i += 1 }
+    out
+  }
+
+  private def dotJvm(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def normJvm(a: Array[Long]): Long = dotJvm(a, a)
+
+  /** Brute-force top-k cosine neighbors for each query vector. The query
+    * side is collected + broadcast (it is the small probe set by contract);
+    * the corpus streams partition-parallel, quantized once per row.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qv"))
-    val e = corpus.select(col(idCol).as("eid"), quantize(col(vecCol)).as("ev"))
-    val scored = e.join(broadcast(q), col("qid") =!= col("eid"))
-      .withColumn("cos", cosine(col("qv"), col("ev")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, quantizeJvm(v)) }
+      .map { case (id, qv) => (id, qv, normJvm(qv)) }
+    val bc = spark.sparkContext.broadcast(qRows)
+    val scored = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (eid, ev) =>
+          val e = quantizeJvm(ev)
+          val en = normJvm(e)
+          qs.iterator.collect { case (qid, qv, qn) if qid != eid =>
+            (qid, eid, dotJvm(qv, e).toDouble / math.sqrt((qn * en).toDouble))
+          }
+        }
+      }.toDF("qid", "eid", "cos")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("eid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -95,15 +157,28 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥ τ.
-    * Brute-force O(N²/2) — correct baseline at test scale; the LSH variant
-    * is the scale path. */
+    * Brute-force O(N²/2) with the right side broadcast (bounded corpus by
+    * contract — this is the correctness baseline; the LSH variant is the
+    * scale path). Same mapPartitions kernel as [[bruteForceTopK]]. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), quantize(col(vecCol)).as("va"))
-    val b = corpus.select(col(idCol).as("id_b"), quantize(col(vecCol)).as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => val q = quantizeJvm(v); (id, q, normJvm(q)) }
+    val bc = spark.sparkContext.broadcast(rows)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val all = bc.value
+        it.flatMap { case (ida, va) =>
+          val a = quantizeJvm(va)
+          val na = normJvm(a)
+          all.iterator.collect { case (idb, vb, nb) if ida < idb =>
+            (ida, idb, dotJvm(a, vb).toDouble / math.sqrt((na * nb).toDouble))
+          }.filter(_._3 >= threshold)
+        }
+      }.toDF("id_a", "id_b", "cos")
   }
 }
