@@ -84,6 +84,17 @@ object EventStreams {
       }
   }
 
+  /** Envelope sink for streams (the reference's transmit path under
+    * `foreachBatch`, SURVEY §2.10): each micro-batch is chunked into JSON
+    * envelopes and appended under its batch id — idempotent on micro-batch
+    * replay (same batch id → same directory overwritten). */
+  def writeEnvelopes(stream: DataFrame, path: String,
+      chunkRows: Int = 50000): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.etl.Sinks.envelopes(batch, chunkRows)
+        .write.mode("overwrite").text(s"$path/batch_$batchId")
+    }
+
   /** Batch-equivalence helper: the tumbling aggregation expressed as a plain
     * batch query — used by specs and the oracle gate to pin streaming
     * results to batch results on the same input. */

@@ -87,6 +87,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(last(11L) == ((1L, 10.0, 0L)))
   }
 
+  test("foreachBatch envelope sink writes chunked JSON documents") {
+    val input = MemoryStream[Ev](spark)
+    input.addData((1 to 7).map(i => Ev(i, ts(i), 1, "click", 1.0)): _*)
+    val dir = java.nio.file.Files.createTempDirectory("env").toFile.getAbsolutePath
+    val q = EventStreams.writeEnvelopes(input.toDF(), dir, chunkRows = 3)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val docs = spark.read.text(s"$dir/batch_0").as[String].collect()
+    assert(docs.length == 3) // 7 rows / 3-row chunks
+    assert(docs.forall(_.startsWith("""{"chunk_number":""")))
+    val total = docs.map(d => "\"event_id\"".r.findAllIn(d).length).sum
+    assert(total == 7)
+  }
+
   test("file-backed stream: parquet events through readStream end-to-end") {
     val stream = Tables.eventsStream(spark, sfDir)
     val agg = EventStreams.tumblingCounts(stream, windowLen = "1 hour", watermark = "0 seconds")
