@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational surface, part 3: the rest of the §2.5 window surface and the
+  * streaming aggregation shape pinned as a batch query.
+  */
+object Relational3 {
+
+  // ---------------------------------------------------------------- q27
+  // Full ranking-function family + a RANGE frame in one pass over orders.
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byPrice = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    // RANGE frame keyed on price: peers = equal price
+    val rangeW = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(
+        $"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        row_number().over(byPrice).as("rn"),
+        rank().over(byPrice).as("rnk"),
+        dense_rank().over(byPrice).as("drnk"),
+        ntile(4).over(byPrice).as("quartile"),
+        count(lit(1)).over(rangeW).as("n_cheaper_or_equal"))
+      .filter($"rn" <= 50)
+      .orderBy($"o_orderpriority", $"rn")
+  }
+  private val q27Sql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice, rn, rnk, drnk, quartile, n_cheaper_or_equal
+      |FROM (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    RANK() OVER w AS rnk,
+      |    DENSE_RANK() OVER w AS drnk,
+      |    CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+      |                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_cheaper_or_equal
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE rn <= 50
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  // The streaming tumbling-window aggregation (EventStreams.tumblingCounts)
+  // as a batch plan — same window() operator the streaming path runs, so
+  // the oracle gate covers the streaming semantics too.
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.EventStreams.tumblingCountsBatch(Tables.events(s, d), "1 hour")
+      .withColumn("w_start", date_format($"w_start", "yyyy-MM-dd HH:mm"))
+      .orderBy($"w_start", $"event_type")
+  }
+  private val q28Sql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS w_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q27_window_family", q27, Some(q27Sql)),
+    QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
+  )
+}
