@@ -16,13 +16,20 @@ trait EtlTransform {
   def apply(eav: DataFrame): (DataFrame, Option[DataFrame])
 }
 
-/** Date de-id as a pipeline stage (in-place mode — the reference's
-  * `dob_shift_inplace`, dcc_transforms.py:34-36,100-110). */
+/** Date de-id as a pipeline stage. The reference runs this in one of two
+  * shapes (`dob_shift_inplace`, dcc_transforms.py:34-36,100-110):
+  *  - in-place (default): `value` is rewritten and the row marked cleaned,
+  *    so the PHI filter admits it;
+  *  - side-output: the EAV plane is untouched (uncleaned date rows will be
+  *    dropped fail-closed) and each shifted date is emitted as a
+  *    TransformRecord under this transform's namespace.
+  */
 final class DateShiftTransform(
     fieldMap: DataFrame,
     mode: String,                    // dob_shifting | total_seconds | date_shifting
     standardDate: String = "2010-01-01",
     shiftSeconds: Long = 0L,
+    inPlace: Boolean = true,
     val namespace: String = "date_deid") extends EtlTransform {
   def apply(eav: DataFrame): (DataFrame, Option[DataFrame]) = {
     val r = mode match {
@@ -31,7 +38,17 @@ final class DateShiftTransform(
       case "date_shifting" => DateShift.fixedShift(eav, fieldMap, shiftSeconds)
       case other => throw new IllegalArgumentException(s"unknown datetransform_type: $other")
     }
-    (r.eav, None)
+    if (inPlace) (r.eav, None)
+    else {
+      val records = r.eav
+        .filter(col("kpmp_date_cleaned") === true)
+        .select(
+          col("record_id"),
+          lit(namespace).as("namespace"),
+          col("field_name"),
+          col("value").as("field_value"))
+      (eav, Some(records))
+    }
   }
 }
 

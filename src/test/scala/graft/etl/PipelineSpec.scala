@@ -66,6 +66,18 @@ class PipelineSpec extends SparkSpec {
     assert(tr.exists { case (r, ns, _, v) => r == "r2" && ns == "secondary_id" && v == null })
   }
 
+  test("side-output mode: EAV untouched, shifted dates emitted as records") {
+    val result = Pipeline.run(eav, fieldMap, Seq(
+      new DateShiftTransform(fieldMap, "dob_shifting",
+        standardDate = "2010-01-01", inPlace = false)))
+    // fail-closed: the uncleaned plane keeps no date rows at all
+    assert(result.kept.filter("field_name = 'visit_date'").count() == 0)
+    val tr = result.transformRecords.get
+      .as[(String, String, String, String)].collect().toSet
+    assert(tr.contains(("r1", "date_deid", "visit_date", "2021-01-27")))
+    assert(!tr.exists(_._1 == "r2")) // r2 has no dob → nothing emitted
+  }
+
   test("envelope sink: chunking + header document") {
     val result = Pipeline.run(eav, fieldMap, Seq(
       new DateShiftTransform(fieldMap, "dob_shifting", standardDate = "2010-01-01")))
