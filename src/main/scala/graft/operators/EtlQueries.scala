@@ -185,6 +185,60 @@ object EtlQueries {
       |  CASE WHEN p.p_partkey % 3 = 0 THEN 'curated-' || p.p_partkey END AS notes
       |FROM part p ORDER BY field_name""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  // Error side-channel (A6): the unknown-field report from the same
+  // synthesized plane as q32 — distinct fields absent from the map.
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wide = Tables.part(s, d).select(
+      $"p_partkey".cast("string").as("record_id"),
+      lit("event_a").as("redcap_event_name"),
+      $"p_name", $"p_brand",
+      $"p_size".cast("string").as("p_size"))
+    val eav = wide.unpivot(
+        Array($"record_id", $"redcap_event_name"),
+        Array($"p_name", $"p_brand", $"p_size"),
+        "field_name", "value")
+      .withColumn("redcap_repeat_instrument", lit(""))
+      .withColumn("redcap_repeat_instance", lit(""))
+      .withColumn("kpmp_date_cleaned", lit(null).cast("boolean"))
+      .withColumn("kpmp_date_cleaned_type", lit(null).cast("string"))
+    val fieldMap = s.createDataFrame(Seq(
+      ("p_name", "Include", null.asInstanceOf[String])
+    )).toDF("field_name", "status", "restrict_to_event_list")
+    PhiFilter(eav, fieldMap).unknownFields.orderBy($"field_name")
+  }
+  private val q36Sql =
+    """SELECT field_name FROM (VALUES ('p_brand'), ('p_size')) AS t(field_name)
+      |ORDER BY field_name""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  // Lenient multi-granularity ISO parse (F1): events timestamps rendered at
+  // 4 different granularities by id, parsed back with the coalesce chain,
+  // re-rendered at seconds. Unparseable granularities (year/month-only)
+  // parse to period starts — matching dateutil.isoparse defaults.
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rendered = Tables.events(s, d).select(
+      $"event_id",
+      when($"event_id" % 4 === 0, date_format($"ts", "yyyy-MM-dd HH:mm:ss"))
+        .when($"event_id" % 4 === 1, date_format($"ts", "yyyy-MM-dd'T'HH:mm"))
+        .when($"event_id" % 4 === 2, date_format($"ts", "yyyy-MM-dd"))
+        .otherwise(date_format($"ts", "yyyy-MM")).as("raw"))
+    rendered.select($"event_id",
+      date_format(graft.functions.LenientDate.parseTs($"raw"), "yyyy-MM-dd HH:mm:ss").as("parsed"))
+      .orderBy($"event_id")
+  }
+  private val q37Sql =
+    """SELECT event_id,
+      |  strftime(CASE
+      |    WHEN event_id % 4 = 0 THEN strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+      |    WHEN event_id % 4 = 1 THEN strptime(strftime(ts, '%Y-%m-%dT%H:%M'), '%Y-%m-%dT%H:%M')
+      |    WHEN event_id % 4 = 2 THEN strptime(strftime(ts, '%Y-%m-%d'), '%Y-%m-%d')
+      |    ELSE strptime(strftime(ts, '%Y-%m'), '%Y-%m') END,
+      |  '%Y-%m-%d %H:%M:%S') AS parsed
+      |FROM events ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_eav_unpivot", q30, Some(q30Sql)),
     QueryDef("q31_eav_pivot", q31, Some(q31Sql)),
@@ -192,5 +246,7 @@ object EtlQueries {
     QueryDef("q33_date_shift", q33, Some(q33Sql)),
     QueryDef("q34_checkbox_array", q34, Some(q34Sql)),
     QueryDef("q35_dictionary_upsert", q35, Some(q35Sql)),
+    QueryDef("q36_unknown_fields", q36, Some(q36Sql)),
+    QueryDef("q37_lenient_dates", q37, Some(q37Sql)),
   )
 }
