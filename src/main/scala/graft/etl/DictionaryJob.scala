@@ -51,8 +51,15 @@ object DictionaryJob {
   def run(spark: SparkSession, metadataJsonPath: String,
       existingCsvPath: Option[String], outPath: String): DataFrame = {
     val fresh = freshDictionary(readMetadataJson(spark, metadataJsonPath))
+    // existence via Hadoop FS: java.io.File would be silently false for
+    // s3a://... paths and the curation upsert would be skipped — losing
+    // every human-entered status/note without an error.
+    def exists(p: String): Boolean = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    }
     val merged = existingCsvPath match {
-      case Some(p) if new java.io.File(p).exists() =>
+      case Some(p) if exists(p) =>
         DictionaryMerge.upsert(fresh, FieldMap.load(spark, p))
       case _ => fresh
     }

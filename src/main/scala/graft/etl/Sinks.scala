@@ -33,8 +33,10 @@ object Sinks {
   /** Envelope rows into ≤`chunkRows`-sized JSON documents
     * `{"chunk_number":n,"redcap_records":[...]}` (S12;
     * redcap-etl.py:225-248). Chunk ids are `partitionId * chunksPerPartition
-    * + localIndex` — unique and deterministic without any global
-    * coordination (no driver-side collect, no global row numbering). */
+    * + localIndex + 1` — unique and deterministic without any global
+    * coordination (no driver-side collect, no global row numbering), and
+    * starting at 1 because chunk_number 0 is reserved for the header
+    * document (receivers key on chunk_number). */
   def envelopes(df: DataFrame, chunkRows: Int = 50000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -42,7 +44,7 @@ object Sinks {
     json.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
       it.grouped(chunkRows).zipWithIndex.map { case (chunk, i) =>
-        val id = pid * 1000000L + i
+        val id = pid * 1000000L + i + 1
         chunk.mkString(s"""{"chunk_number":$id,"redcap_records":[""", ",", "]}")
       }
     }.toDF("envelope")

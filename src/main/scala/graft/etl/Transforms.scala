@@ -5,15 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Plan-to-plan transform modules (SURVEY.md §2.11;
   * /root/reference/transform.py:4-39). Each transform takes the EAV plane
-  * and returns a possibly-rewritten EAV plane plus appended
-  * TransformRecord rows under its namespace — the reference's
-  * `process_records` 1→N generator contract, expressed as DataFrame →
-  * DataFrame (plan composition, nothing materializes until the sink).
+  * and returns a possibly-rewritten EAV plane, appended TransformRecord
+  * rows under its namespace, and an error side-channel — the reference's
+  * `process_records` 1→N generator contract plus its logging channel,
+  * expressed as DataFrame → DataFrame (plan composition, nothing
+  * materializes until the sink).
   */
+final case class TransformOutput(
+    eav: DataFrame,
+    records: Option[DataFrame] = None,
+    errors: Option[DataFrame] = None)
+
 trait EtlTransform {
   def namespace: String
-  /** @return (EAV plane after this transform, transform records to append) */
-  def apply(eav: DataFrame): (DataFrame, Option[DataFrame])
+  def apply(eav: DataFrame): TransformOutput
 }
 
 /** Date de-id as a pipeline stage. The reference runs this in one of two
@@ -21,8 +26,11 @@ trait EtlTransform {
   *  - in-place (default): `value` is rewritten and the row marked cleaned,
   *    so the PHI filter admits it;
   *  - side-output: the EAV plane is untouched (uncleaned date rows will be
-  *    dropped fail-closed) and each shifted date is emitted as a
-  *    TransformRecord under this transform's namespace.
+  *    dropped fail-closed) and each date shifted BY THIS TRANSFORM is
+  *    emitted as a TransformRecord under its namespace (rows cleaned by an
+  *    earlier stage are excluded — tracked via a pre-state snapshot).
+  * Unparseable-date rows surface on the error channel in both shapes
+  * (the reference logs them; dcc_transforms.py:57-73).
   */
 final class DateShiftTransform(
     fieldMap: DataFrame,
@@ -31,23 +39,25 @@ final class DateShiftTransform(
     shiftSeconds: Long = 0L,
     inPlace: Boolean = true,
     val namespace: String = "date_deid") extends EtlTransform {
-  def apply(eav: DataFrame): (DataFrame, Option[DataFrame]) = {
+  def apply(eav: DataFrame): TransformOutput = {
+    val pre = eav.withColumn("pre_cleaned_flag", coalesce(col("kpmp_date_cleaned"), lit(false)))
     val r = mode match {
-      case "dob_shifting"  => DateShift.dobShift(eav, fieldMap, standardDate)
-      case "total_seconds" => DateShift.totalSeconds(eav, fieldMap, standardDate)
-      case "date_shifting" => DateShift.fixedShift(eav, fieldMap, shiftSeconds)
+      case "dob_shifting"  => DateShift.dobShift(pre, fieldMap, standardDate)
+      case "total_seconds" => DateShift.totalSeconds(pre, fieldMap, standardDate)
+      case "date_shifting" => DateShift.fixedShift(pre, fieldMap, shiftSeconds)
       case other => throw new IllegalArgumentException(s"unknown datetransform_type: $other")
     }
-    if (inPlace) (r.eav, None)
+    val errors = Some(r.errors.withColumn("namespace", lit(namespace)))
+    if (inPlace) TransformOutput(r.eav.drop("pre_cleaned_flag"), None, errors)
     else {
       val records = r.eav
-        .filter(col("kpmp_date_cleaned") === true)
+        .filter(col("kpmp_date_cleaned") === true && !col("pre_cleaned_flag"))
         .select(
           col("record_id"),
           lit(namespace).as("namespace"),
           col("field_name"),
           col("value").as("field_value"))
-      (eav, Some(records))
+      TransformOutput(eav, Some(records), errors)
     }
   }
 }
@@ -64,21 +74,22 @@ final class CalcVariableTransform(
     deidWide: DataFrame,
     val namespace: String = "kpmp_calculated_variables",
     idColumn: String = "study_id") extends EtlTransform {
-  def apply(eav: DataFrame): (DataFrame, Option[DataFrame]) = {
+  def apply(eav: DataFrame): TransformOutput = {
     // study_id → redcap_id rename, dcc_transforms.py:231-232
     val wide = deidWide.withColumnRenamed(idColumn, "redcap_id")
-      .na.fill("") // fillna('') path, dcc_transforms.py:233
     val ids = eav.select(col("record_id")).distinct()
     val joined = ids.join(wide, ids("record_id") === wide("redcap_id"), "inner")
     val valueCols = wide.columns.filter(_ != "redcap_id")
     val records = joined
       .unpivot(
         Array(col("record_id")),
-        valueCols.map(c => col(c).cast("string")),
+        // fillna('') applies to every column (dcc_transforms.py:233):
+        // cast-then-coalesce so numeric nulls become "" too
+        valueCols.map(c => coalesce(col(c).cast("string"), lit("")).as(c)),
         "field_name", "field_value")
       .withColumn("namespace", lit(namespace))
       .select("record_id", "namespace", "field_name", "field_value")
-    (eav, Some(records))
+    TransformOutput(eav, Some(records))
   }
 }
 
@@ -91,7 +102,7 @@ final class SecondaryIdTransform(
     mapping: DataFrame,              // redcap_record_id, secondary_id
     val namespace: String = "secondary_id",
     outputField: String = "secondary_id") extends EtlTransform {
-  def apply(eav: DataFrame): (DataFrame, Option[DataFrame]) = {
+  def apply(eav: DataFrame): TransformOutput = {
     val ids = eav.select(col("record_id")).distinct()
     val records = ids
       .join(broadcast(mapping), ids("record_id") === mapping("redcap_record_id"), "left")
@@ -100,7 +111,7 @@ final class SecondaryIdTransform(
         lit(namespace).as("namespace"),
         lit(outputField).as("field_name"),
         col("secondary_id").cast("string").as("field_value"))
-    (eav, Some(records))
+    TransformOutput(eav, Some(records))
   }
 }
 
@@ -116,21 +127,25 @@ object Pipeline {
       kept: DataFrame,
       transformRecords: Option[DataFrame],
       unknownFields: DataFrame,
-      uniqueFields: DataFrame)
+      uniqueFields: DataFrame,
+      transformErrors: Option[DataFrame])
 
   def run(eav: DataFrame, fieldMap: DataFrame, transforms: Seq[EtlTransform]): Result = {
     var plane = eav
     val appended = Seq.newBuilder[DataFrame]
+    val errs = Seq.newBuilder[DataFrame]
     transforms.foreach { t =>
-      val (next, recs) = t(plane)
-      plane = next
-      recs.foreach(appended += _)
+      val out = t(plane)
+      plane = out.eav
+      out.records.foreach(appended += _)
+      out.errors.foreach(errs += _)
     }
     val phi = PhiFilter(plane, fieldMap)
-    val allRecords = appended.result() match {
+    def unionAll(dfs: Seq[DataFrame]): Option[DataFrame] = dfs match {
       case Nil => None
       case h :: t => Some(t.foldLeft(h)(_.unionByName(_)))
     }
-    Result(phi.kept, allRecords, phi.unknownFields, phi.uniqueFields)
+    Result(phi.kept, unionAll(appended.result()), phi.unknownFields,
+      phi.uniqueFields, unionAll(errs.result()))
   }
 }

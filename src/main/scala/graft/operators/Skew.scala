@@ -27,6 +27,13 @@ object Skew {
     * reducers instead of one. `small` must be duplicate-free on `key`. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would null-extend every unmatched REPLICA of a
+    // small-side row — saltBuckets duplicates of each. Only join types
+    // that never preserve unmatched small-side rows are sound here.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross").contains(joinType.toLowerCase),
+      s"saltedJoin does not support '$joinType': unmatched small-side rows would " +
+        s"be emitted once per salt replica")
     val saltedLarge = large.withColumn("__salt", saltOf(large, saltBuckets))
     val saltedSmall = small
       .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))

@@ -167,14 +167,21 @@ object Dedup {
     agg.select(col("id"), sim.as("sim"))
   }
 
-  /** Near-dup candidate pairs by SimHash: equal 16-bit band → hamming
-    * verification ≤ maxHamming (any pair within distance d shares ≥1 of 4
-    * bands when d ≤ 3). */
+  /** Near-dup candidate pairs by SimHash: equal band → hamming
+    * verification ≤ maxHamming. Pigeonhole: a pair within hamming distance
+    * d shares at least one of `bands` bands iff d < bands — so the band
+    * count is derived from maxHamming (the caller's distance bound is a
+    * guarantee, not a hope). */
   def simhashDuplicatePairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    // smallest power-of-two-ish divisor of 64 with bands > maxHamming
+    val bands = Seq(4, 8, 16, 32).find(_ > maxHamming).getOrElse(
+      throw new IllegalArgumentException(s"maxHamming=$maxHamming too large: LSH banding over 64 bits supports < 32"))
+    val width = 64 / bands
+    val mask = (1L << width) - 1
     val sh = simhashSignatures(docs, textCol, idCol)
-    val bandCols = (0 until 4).map(b =>
-      struct(lit(b).as("band"), shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("bh")))
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), shiftright(col("sim"), b * width).bitwiseAND(mask).as("bh")))
     val exploded = sh.select(col("id"), col("sim"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("sim"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val a = exploded.select(col("band"), col("bh"), col("id").as("id_a"), col("sim").as("sim_a"))

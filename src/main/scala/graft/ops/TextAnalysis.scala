@@ -85,12 +85,11 @@ object TextAnalysis {
   }
 
   /** Deterministic document fingerprint: polynomial rolling hash of the
-    * normalized text, mod 2^53 (stays exact in BIGINT on every engine —
-    * no overflow wraparound semantics to disagree on). */
-  def fingerprint(text: Column): Column = {
-    val m = 9007199254740992L // 2^53
-    val chars = split(Dedup.normalized(text), "")
-    aggregate(chars, lit(0L),
-      (acc, c) => (acc * 31 + coalesce(ascii(c), lit(0))) % m)
-  }
+    * normalized text's code points, mod 2^53 (stays exact in BIGINT on
+    * every engine — no overflow wraparound semantics to disagree on).
+    * Delegates to the native codegen Expression; code-point iteration
+    * (not UTF-16 units) matches DuckDB's per-character `ascii()`, so the
+    * oracle parity holds beyond the BMP too. */
+  def fingerprint(text: Column): Column =
+    graft.functions.RollingFingerprint(Dedup.normalized(text))
 }

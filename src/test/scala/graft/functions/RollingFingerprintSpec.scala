@@ -8,12 +8,25 @@ import org.apache.spark.sql.functions._
 class RollingFingerprintSpec extends SparkSpec {
   import spark.implicits._
 
-  test("native expression equals the expression-combinator fold on real docs") {
-    val docs = Tables.documents(spark, sfDir).limit(200)
-    val both = docs.select(
-      TextAnalysis.fingerprint($"text").as("fold"),
-      RollingFingerprint(Dedup.normalized($"text")).as("native"))
-    assert(both.filter($"fold" =!= $"native").count() == 0)
+  test("matches a driver-side reference computation on real docs") {
+    def ref(s: String): Long = {
+      val norm = s.trim.toLowerCase.replaceAll("\\s+", " ")
+      var acc = 0L; var i = 0
+      while (i < norm.length) {
+        val cp = norm.codePointAt(i)
+        acc = (acc * 31 + cp) % 9007199254740992L
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    val rows = Tables.documents(spark, sfDir).limit(50)
+      .select($"text", TextAnalysis.fingerprint($"text").as("fp"))
+      .as[(String, Long)].collect()
+    rows.foreach { case (text, fp) => assert(fp == ref(text)) }
+    // supplementary-plane characters fold as single code points
+    val astral = Seq("hi 😀").toDF("s")
+      .select(RollingFingerprint($"s")).as[Long].head()
+    assert(astral == ref("hi 😀"))
   }
 
   test("codegen and interpreted paths agree; null in → null out") {

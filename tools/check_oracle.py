@@ -5,8 +5,10 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 For each query dumped by graft.Verify: register the sfDir parquet tables as
 DuckDB views, run the oracle SQL, load the Spark parquet result, sort columns
-by name and rows by value, and compare cell-by-cell (exact for ints/strings,
-tight tolerance report for floats so near-misses are visible).
+by name and rows by value, and compare cell-by-cell EXACTLY (floats included:
+the engine contract is bit-identical floats via decimal/integer arithmetic,
+so any difference is a real defect). Float mismatches are labeled near-miss
+when within 1e-9 relative, to distinguish ulp drift from logic errors.
 """
 import json, sys, glob, math
 import duckdb
@@ -45,7 +47,9 @@ def main(sf_dir, out_dir):
                 if a == b: continue
                 if isinstance(a, float) and isinstance(b, float):
                     if (math.isnan(a) and math.isnan(b)) or a == b: continue
-                    bad = (i, ec[j], a, b, "float-mismatch"); break
+                    near = abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1.0)
+                    bad = (i, ec[j], a, b,
+                           "float-NEAR-MISS (ulp drift)" if near else "float-mismatch"); break
                 bad = (i, ec[j], a, b, "mismatch"); break
             if bad: break
         if bad:
