@@ -174,7 +174,10 @@ object LlmQueries {
   // SimHash near-dup pairs (no oracle: xxhash64 token hashes).
   private def q48(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Dedup.simhashDuplicatePairs(Tables.documents(s, d), maxHamming = 6)
+    // maxHamming=3 → 4 bands of 16 bits: the pigeonhole guarantee holds and
+    // bands stay wide enough that bucket collisions don't explode (d=6
+    // would need 8-bit bands — supported, but quadratically more candidates)
+    Dedup.simhashDuplicatePairs(Tables.documents(s, d), maxHamming = 3)
       .orderBy($"id_a", $"id_b")
   }
 

@@ -173,8 +173,9 @@ object Dedup {
     * count is derived from maxHamming (the caller's distance bound is a
     * guarantee, not a hope). */
   def simhashDuplicatePairs(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    // smallest power-of-two-ish divisor of 64 with bands > maxHamming
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    // smallest divisor of 64 with bands > maxHamming (pigeonhole guarantee)
     val bands = Seq(4, 8, 16, 32).find(_ > maxHamming).getOrElse(
       throw new IllegalArgumentException(s"maxHamming=$maxHamming too large: LSH banding over 64 bits supports < 32"))
     val width = 64 / bands
@@ -184,10 +185,19 @@ object Dedup {
       struct(lit(b).as("band"), shiftright(col("sim"), b * width).bitwiseAND(mask).as("bh")))
     val exploded = sh.select(col("id"), col("sim"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("sim"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val a = exploded.select(col("band"), col("bh"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = exploded.select(col("band"), col("bh"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
+    // one shuffle: bucket members collected, pathological buckets capped,
+    // pairs expanded by double explode (same shape as minhash candidates —
+    // narrower bands collide more, so the cap matters here even more)
+    val buckets = exploded
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(struct(col("id"), col("sim"))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucketSize))
+    buckets
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
