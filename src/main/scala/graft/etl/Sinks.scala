@@ -20,9 +20,17 @@ object Sinks {
   def ndjson(df: DataFrame, path: String, mode: SaveMode = SaveMode.Append): Unit =
     df.write.mode(mode).json(path)
 
-  /** Single-file CSV with header (S13/S14; redcap-etl.py:397). */
+  /** Single-file CSV with header (S13/S14; redcap-etl.py:397). Debug /
+    * control-plane outputs only — coalesce(1) serializes the write. */
   def csvSingle(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Data-lake layout sink: hive-partitioned parquet. Partition columns
+    * should be low-cardinality (event/date buckets), or small files
+    * proliferate — the caller picks them; this just wires the layout. */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
   /** Keyed JSON (S15; ipynb cell 13): `{key: {row...}}` per line. */
   def keyedJson(df: DataFrame, keyCol: String): DataFrame = {
