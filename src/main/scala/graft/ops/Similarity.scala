@@ -112,44 +112,70 @@ object Similarity {
       .select(col("qid"), col("eid"), col("cos"), col("rn"))
   }
 
-  /** Sign-random-projection bucket for LSH: `bits` pseudo-hyperplanes, the
-    * j-th plane's i-th component derived from a seeded hash — deterministic,
-    * data-independent, no stored model. Returns a `bits`-wide integer
-    * bucket id. */
-  def srpBucket(vecQ: Column, bits: Int, table: Int): Column = {
-    // component weight ∈ {-1,0,1} from hash(table, plane, index): cheap
-    // ternary projections are a standard SRP variant and stay integer-exact.
-    def proj(plane: Int): Column = {
-      val weighted = zip_with(
-        vecQ,
-        sequence(lit(0), size(vecQ) - 1),
-        (x, i) => {
-          val h = xxhash64(lit(table), lit(plane), i)
-          when(pmod(h, lit(3)) === 0, lit(0L))
-            .when(pmod(h, lit(3)) === 1, x)
-            .otherwise(-x)
-        })
-      aggregate(weighted, lit(0L), (acc, x) => acc + x)
+  /** Sign-random-projection buckets, computed in the JVM kernel: ternary
+    * pseudo-hyperplane weights ∈ {-1,0,1} derived from a seeded splitmix
+    * hash — deterministic, data-independent, no stored model. Returns one
+    * `bits`-wide bucket id per table. */
+  private[ops] def srpBuckets(qv: Array[Long], bits: Int, tables: Int): Array[Long] = {
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
     }
-    (0 until bits).foldLeft(lit(0L)) { (acc, p) =>
-      acc + when(proj(p) > 0, lit(1L << p)).otherwise(0L)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < bits) {
+        var s = 0L
+        var i = 0
+        while (i < qv.length) {
+          val w = java.lang.Math.floorMod(mix(t.toLong << 40 | p.toLong << 20 | i), 3)
+          if (w == 1) s += qv(i) else if (w == 2) s -= qv(i)
+          i += 1
+        }
+        if (s > 0) bucket |= 1L << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
     }
+    out
   }
 
   /** LSH-bucketed approximate top-k: per table, queries meet only
-    * same-bucket corpus rows; union across tables, dedupe, rank. */
+    * same-bucket corpus rows; union across tables, dedupe, rank. Buckets
+    * and scores run in the mapPartitions kernel (quantize once per row);
+    * only (qid, eid, cos) triples shuffle into the ranking window. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 8, tables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = corpus.select(col(idCol).as("eid"), quantize(col(vecCol)).as("ev"))
-    val q = queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qv"))
-    val candidates = (0 until tables).map { t =>
-      val eb = e.withColumn("bucket", srpBucket(col("ev"), bits, t))
-      val qb = q.withColumn("bucket", srpBucket(col("qv"), bits, t))
-      eb.join(broadcast(qb), Seq("bucket")).filter(col("qid") =!= col("eid"))
-        .select(col("qid"), col("eid"), col("qv"), col("ev"))
-    }.reduce(_.unionByName(_)).dropDuplicates("qid", "eid")
-    val scored = candidates.withColumn("cos", cosine(col("qv"), col("ev")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) =>
+        val q = quantizeJvm(v)
+        (id, q, normJvm(q), srpBuckets(q, bits, tables))
+      }
+    val bc = spark.sparkContext.broadcast(qRows)
+    val scored = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (eid, ev) =>
+          val e = quantizeJvm(ev)
+          val en = normJvm(e)
+          val eb = srpBuckets(e, bits, tables)
+          qs.iterator.collect {
+            case (qid, qv, qn, qb) if qid != eid &&
+              (0 until tables).exists(t => qb(t) == eb(t)) =>
+              (qid, eid, dotJvm(qv, e).toDouble / math.sqrt((qn * en).toDouble))
+          }
+        }
+      }.toDF("qid", "eid", "cos")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("eid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

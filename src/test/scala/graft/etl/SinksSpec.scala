@@ -1,0 +1,38 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keyedJson: one {key: {row}} document per row") {
+    val df = Seq(("r1", 34, "F"), ("r2", 55, "M")).toDF("study_id", "age", "sex")
+    val docs = Sinks.keyedJson(df, "study_id").as[String].collect().sorted
+    assert(docs.length == 2)
+    assert(docs(0) == """{"r1":{"age":34,"sex":"F"}}""")
+    assert(docs(1) == """{"r2":{"age":55,"sex":"M"}}""")
+  }
+
+  test("envelopes: ids start at 1 (0 reserved for the header document)") {
+    val df = (1 to 5).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    val envs = Sinks.envelopes(df, chunkRows = 2).as[String].collect()
+    val ids = envs.map(e => """"chunk_number":(\d+)""".r.findFirstMatchIn(e).get.group(1).toLong)
+    assert(ids.forall(_ >= 1))
+    assert(ids.distinct.length == ids.length)
+    assert(Sinks.headerDocument(None, None).startsWith("""{"chunk_number":0,"""))
+  }
+
+  test("partitionedParquet: hive layout by partition column") {
+    val dir = Files.createTempDirectory("lake").toFile.getAbsolutePath
+    val df = Seq((1, "click"), (2, "view"), (3, "click")).toDF("id", "event_type")
+    Sinks.partitionedParquet(df, dir, Seq("event_type"))
+    val sub = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("event_type=")).sorted
+    assert(sub.toSeq == Seq("event_type=click", "event_type=view"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    // partition pruning: only one directory scanned for a partition filter
+    val plan = back.filter($"event_type" === "click").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"))
+  }
+}
