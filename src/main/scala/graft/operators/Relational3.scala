@@ -63,8 +63,33 @@ object Relational3 {
       |FROM events
       |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q29
+  // JSON extraction (F11 read side): events.props carries JSON documents;
+  // extract, cast, aggregate.
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count($"k").as("n_with_k"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+  private val q29Sql =
+    """SELECT event_type,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
+    QueryDef("q29_json_extract", q29, Some(q29Sql)),
   )
 }

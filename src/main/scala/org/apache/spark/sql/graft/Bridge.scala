@@ -10,4 +10,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply an extensions object's function injections to a LIVE session —
+    * lets tests exercise injection without building a second SparkContext
+    * (extensions normally bind only at session build time). */
+  def registerExtensionFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      session: org.apache.spark.sql.SparkSession): Unit =
+    ext.registerFunctions(session.sessionState.functionRegistry)
 }
