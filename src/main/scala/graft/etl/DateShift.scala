@@ -41,10 +41,14 @@ object DateShift {
     }
     FieldMap.normalize(fieldMap)
       .filter(col("status").isin(Model.dateStatuses: _*))
+      .dropDuplicates("field_name") // see PhiFilter: no join fan-out on dup control rows
       .select(
         col("field_name"),
         granularity.as("__gran"),
-        regexp_replace(col("status"), "^Transform", "").as("__ctype"))
+        // the cleaned-type IS the full status (dcc_transforms.py:103 stores
+        // date_type verbatim; the [9:] slice applies only to the
+        // transform-metadata granularity field)
+        col("status").as("__ctype"))
   }
 
   private def parsedValue: Column = LenientDate.parseTs(col("value"))

@@ -30,6 +30,12 @@ object PhiFilter {
 
   def apply(eav: DataFrame, fieldMap: DataFrame): Result = {
     val fm = FieldMap.normalize(fieldMap)
+      // a duplicated field_name row in the control CSV must not fan out
+      // every matching EAV row through the join; the reference's dict
+      // build collapses duplicates (last-wins on file order — an ordering
+      // a distributed read can't see, so: any-wins, and duplicates in a
+      // curated control table are an upstream data bug either way)
+      .dropDuplicates("field_name")
       .select(
         col("field_name"),
         col("status").as("__fm_status"),

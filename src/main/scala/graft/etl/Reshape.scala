@@ -35,16 +35,20 @@ object Reshape {
   /** Checkbox one-hot → array (R3; RedCap2DataModel.ipynb cell 7): columns
     * `prefix___<code>` with 0/1/'' values collapse into an array of the
     * selected integer codes. Blank→0 regex-replace (cell 5) is folded in via
-    * the try_cast+coalesce. Pure higher-order functions — no UDF, full
-    * codegen. */
+    * the try_cast+coalesce. Selection is encoded as `code-if-checked else
+    * null` + null-filter (NOT value*code — that would silently drop the
+    * legal checkbox code 0). Columns with non-numeric code suffixes are
+    * left untouched rather than crashing the job. Pure higher-order
+    * functions — no UDF, full codegen. */
   def checkboxToArray(df: DataFrame, prefix: String, outCol: String): DataFrame = {
-    val oneHot = df.columns.filter(_.startsWith(s"${prefix}___"))
-    require(oneHot.nonEmpty, s"no columns match ${prefix}___<code>")
+    val candidates = df.columns.filter(_.startsWith(s"${prefix}___"))
+    val oneHot = candidates.filter(_.stripPrefix(s"${prefix}___").matches("-?\\d+"))
+    require(oneHot.nonEmpty, s"no columns match ${prefix}___<integer code>")
     val terms: Seq[Column] = oneHot.toSeq.map { c =>
       val code = c.stripPrefix(s"${prefix}___").toInt
-      (coalesce(expr(s"try_cast(`$c` AS int)"), lit(0)) * code).as(c)
+      when(coalesce(expr(s"try_cast(`$c` AS int)"), lit(0)) =!= 0, lit(code)).as(c)
     }
-    df.withColumn(outCol, array_sort(filter(array(terms: _*), x => x =!= 0)))
+    df.withColumn(outCol, array_sort(filter(array(terms: _*), x => x.isNotNull)))
       .drop(oneHot: _*)
   }
 }

@@ -32,10 +32,13 @@ object Sinks {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
-  /** Keyed JSON (S15; ipynb cell 13): `{key: {row...}}` per line. */
+  /** Keyed JSON (S15; ipynb cell 13): `{key: {row...}}` per line. Spark map
+    * keys cannot be null — a null key (e.g. from an upstream outer join)
+    * renders as the literal "null" key instead of aborting the write. */
   def keyedJson(df: DataFrame, keyCol: String): DataFrame = {
     val payload = struct(df.columns.filter(_ != keyCol).map(col): _*)
-    df.select(to_json(map(col(keyCol).cast("string"), payload)).as("doc"))
+    val key = coalesce(col(keyCol).cast("string"), lit("null"))
+    df.select(to_json(map(key, payload)).as("doc"))
   }
 
   /** Envelope rows into ≤`chunkRows`-sized JSON documents

@@ -21,15 +21,17 @@ trait EtlTransform {
   def apply(eav: DataFrame): TransformOutput
 }
 
-/** Date de-id as a pipeline stage. The reference runs this in one of two
-  * shapes (`dob_shift_inplace`, dcc_transforms.py:34-36,100-110):
-  *  - in-place (default): `value` is rewritten and the row marked cleaned,
-  *    so the PHI filter admits it;
-  *  - side-output: the EAV plane is untouched (uncleaned date rows will be
-  *    dropped fail-closed) and each date shifted BY THIS TRANSFORM is
-  *    emitted as a TransformRecord under its namespace (rows cleaned by an
-  *    earlier stage are excluded — tracked via a pre-state snapshot).
-  * Unparseable-date rows surface on the error channel in both shapes
+/** Date de-id as a pipeline stage. Mode semantics follow the reference
+  * exactly (dcc_transforms.py:34-174):
+  *  - `dob_shifting` honors `inPlace` (config `dob_shift_inplace`):
+  *    in-place rewrites `value` and marks the row cleaned so the PHI filter
+  *    admits it; side-output leaves the plane untouched (uncleaned date
+  *    rows drop fail-closed) and emits each date shifted BY THIS stage as
+  *    a TransformRecord (pre-state snapshot excludes upstream-cleaned rows);
+  *  - `total_seconds` and `date_shifting` ALWAYS side-output — the
+  *    reference has no in-place branch for them (dcc_transforms.py:114-174),
+  *    so `inPlace` is ignored for these modes.
+  * Unparseable-date rows surface on the error channel in all shapes
   * (the reference logs them; dcc_transforms.py:57-73).
   */
 final class DateShiftTransform(
@@ -48,7 +50,8 @@ final class DateShiftTransform(
       case other => throw new IllegalArgumentException(s"unknown datetransform_type: $other")
     }
     val errors = Some(r.errors.withColumn("namespace", lit(namespace)))
-    if (inPlace) TransformOutput(r.eav.drop("pre_cleaned_flag"), None, errors)
+    val effectiveInPlace = inPlace && mode == "dob_shifting"
+    if (effectiveInPlace) TransformOutput(r.eav.drop("pre_cleaned_flag"), None, errors)
     else {
       val records = r.eav
         .filter(col("kpmp_date_cleaned") === true && !col("pre_cleaned_flag"))

@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object LenientDate {
   private val formats = Seq(
+    // fractional seconds and UTC offsets first (most specific wins):
+    // dateutil.isoparse accepts both, so dropping them would silently
+    // fail-close real clinical timestamps
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss.SSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd HH:mm:ssXXX",
     "yyyy-MM-dd HH:mm:ss",
     "yyyy-MM-dd'T'HH:mm:ss",
     "yyyy-MM-dd HH:mm",

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *    (zero shuffle), only band buckets shuffle — the classic
   *    shingle→minhash→band pipeline with candidate verification;
   *  - pathological buckets (boilerplate shingles) are capped: a bucket with
-  *    more than `maxBucketSize` docs is dropped from candidate generation —
+  *    more than `maxBucketSize` docs is DROPPED from candidate generation —
   *    at web scale such buckets are near-identical spam whose pairs explode
-  *    quadratically; cap + report, don't melt the shuffle.
+  *    quadratically. The drop is observable: run [[oversizedMinhashBuckets]]
+  *    with the same parameters to audit what the cap excluded.
   */
 object Dedup {
 
@@ -96,6 +97,26 @@ object Dedup {
         shiftleft(col("h2"), i).bitwiseOR(shiftrightunsigned(col("h2"), 64 - i)))
     val lanes = (0 until k).map(i => min(lane(i)).as(s"mh_$i"))
     ex.groupBy(col("id")).agg(lanes.head, lanes.tail: _*)
+  }
+
+  /** Audit for the candidate-generation bucket cap: (band, bucket hash,
+    * member count) of every bucket `minhashDuplicatePairs` would DROP at
+    * these parameters — so a pipeline can report/alert on excluded volume
+    * instead of silently losing the largest duplicate cluster. */
+  def oversizedMinhashBuckets(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val r = k / bands
+    val sigs = minhashSignatures(docs, textCol, idCol, k)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until r).map(i => col(s"mh_${b * r + i}")): _*).as("bh"))
+    }
+    sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucketSize)
   }
 
   /** Candidate duplicate pairs via LSH banding + exact-Jaccard verification.

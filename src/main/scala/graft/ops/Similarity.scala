@@ -86,7 +86,8 @@ object Similarity {
     * the corpus streams partition-parallel, quantized once per row.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
@@ -101,7 +102,10 @@ object Similarity {
         it.flatMap { case (eid, ev) =>
           val e = quantizeJvm(ev)
           val en = normJvm(e)
-          qs.iterator.collect { case (qid, qv, qn) if qid != eid =>
+          // excludeSelf only makes sense when queries ARE corpus rows —
+          // with an unrelated query id space it would drop a legitimate
+          // neighbor that happens to share the id
+          qs.iterator.collect { case (qid, qv, qn) if !(excludeSelf && qid == eid) =>
             (qid, eid, dotJvm(qv, e).toDouble / math.sqrt((qn * en).toDouble))
           }
         }
@@ -151,7 +155,8 @@ object Similarity {
     * only (qid, eid, cos) triples shuffle into the ranking window. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 8, tables: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
@@ -170,7 +175,7 @@ object Similarity {
           val en = normJvm(e)
           val eb = srpBuckets(e, bits, tables)
           qs.iterator.collect {
-            case (qid, qv, qn, qb) if qid != eid &&
+            case (qid, qv, qn, qb) if !(excludeSelf && qid == eid) &&
               (0 until tables).exists(t => qb(t) == eb(t)) =>
               (qid, eid, dotJvm(qv, e).toDouble / math.sqrt((qn * en).toDouble))
           }

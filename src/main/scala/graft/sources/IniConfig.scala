@@ -6,10 +6,10 @@ import scala.io.Source
   * /root/reference/example-config.ini:1-20, loaded with python ConfigParser
   * + ExtendedInterpolation at redcap-etl.py:33-36).
   *
-  * Supports `[section]`, `key = value`, `;`/`#` comments, and the
-  * `%(name)s` same-section / `%(section:name)s`-style interpolation the
-  * reference relies on (`%(transform_config_dir)s`). Driver-side only —
-  * config is control-plane.
+  * Supports `[section]`, `key = value`, `;`/`#` comments, and `%(name)s`
+  * interpolation resolved against the same section with [default] fallback
+  * — exactly the surface the reference uses (`%(transform_config_dir)s`).
+  * Driver-side only — config is control-plane.
   */
 final case class IniConfig(sections: Map[String, Map[String, String]]) {
   def apply(section: String): Map[String, String] = sections.getOrElse(section, Map.empty)

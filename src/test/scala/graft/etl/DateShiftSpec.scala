@@ -49,9 +49,11 @@ class DateShiftSpec extends SparkSpec {
     val cleaned = r.eav.filter("kpmp_date_cleaned = true")
       .select("field_name").as[String].collect().toSet
     assert(cleaned == Set("visit_year", "visit_date", "visit_min", "visit_sec"))
+    // the cleaned-type is the FULL status verbatim (dcc_transforms.py:103)
     val types = r.eav.filter("kpmp_date_cleaned = true")
       .select("kpmp_date_cleaned_type").as[String].collect().toSet
-    assert(types == Set("DateYear", "Date", "DateTime", "DateTimeSeconds"))
+    assert(types == Set("TransformDateYear", "TransformDate",
+      "TransformDateTime", "TransformDateTimeSeconds"))
   }
 
   test("dobShift: duplicate dob → deterministic max wins; missing dob → uncleaned") {

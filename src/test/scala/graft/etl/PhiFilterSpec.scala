@@ -81,6 +81,15 @@ class PhiFilterSpec extends SparkSpec {
     assert(unknown == Set("mystery"))
   }
 
+  test("duplicate field-map rows do not fan out kept rows") {
+    val dupMap = Seq(
+      ("age", "Include", null),
+      ("age", "Include", null)
+    ).toDF("field_name", "status", "restrict_to_event_list")
+    val r = PhiFilter(eav(("r1", "screening_arm_1", "age", None)), dupMap)
+    assert(r.kept.count() == 1)
+  }
+
   test("output is a subset of input (monotonicity)") {
     val in = eav(
       ("r1", "screening_arm_1", "age", None),

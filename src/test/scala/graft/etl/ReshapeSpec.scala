@@ -38,4 +38,12 @@ class ReshapeSpec extends SparkSpec {
     assert(m("r3") == Seq(3))
     assert(!out.columns.exists(_.startsWith("race___")))
   }
+
+  test("checkbox code 0 is a legal selected code; non-numeric suffixes survive") {
+    val df = Seq(("r1", "1", "1", "x")).toDF("study_id", "opt___0", "opt___2", "opt___note")
+    val out = Reshape.checkboxToArray(df, "opt", "codes")
+    val m = out.select("study_id", "codes").as[(String, Seq[Int])].collect().toMap
+    assert(m("r1") == Seq(0, 2)) // code 0 must not vanish
+    assert(out.columns.contains("opt___note")) // untouched, no crash
+  }
 }

@@ -32,12 +32,10 @@ class EventStreamsSpec extends SparkSpec {
       Ev(5, ts(25), 2, "view", 5.0))
     input.addData(evs: _*)
     runToMemory(EventStreams.tumblingCounts(input.toDF(), watermark = "0 seconds"), "tumbling", "update")
-    // advance watermark past all windows so state finalizes deterministically
-    input.addData(Ev(99, ts(59), 9, "late", 0.0))
-    val q2 = EventStreams.tumblingCounts(input.toDF(), watermark = "0 seconds")
+    // update mode may emit a window more than once; max() takes each
+    // window's final state
     val streamed = spark.table("tumbling")
       .groupBy("w_start", "event_type").agg(max("n").as("n"), max("sum_value").as("sum_value"))
-      .filter($"event_type" =!= "late")
       .as[(Timestamp, String, Long, Double)].collect().toSet
     val batch = EventStreams.tumblingCountsBatch(evs.toDF())
       .as[(Timestamp, String, Long, Double)].collect().toSet
