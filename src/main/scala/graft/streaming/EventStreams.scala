@@ -56,6 +56,33 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: the streaming fact side joins a batch
+    * dimension (broadcast per micro-batch) — the streaming form of the
+    * reference's field-map lookup. */
+  def enrichWithDimension(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
+  /** Stream-stream join: each click joined to the same user's purchases
+    * within [0, window] after it. Both sides watermarked so join state is
+    * evictable — unbounded state is the failure mode of naive
+    * stream-stream joins. */
+  def clickToPurchase(events: DataFrame, window: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value").as("amount"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $window"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"), col("amount"))
+  }
+
   // ---- custom state: per-user running aggregates via mapGroupsWithState
 
   final case class UserEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
@@ -81,6 +108,39 @@ object EventStreams {
           }
           state.update(next)
           next
+      }
+  }
+
+  final case class TimedEvent(event_id: Long, user_id: Long, event_type: String,
+      value: Double, ts: java.sql.Timestamp)
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      start: java.sql.Timestamp, end: java.sql.Timestamp)
+
+  /** Completed-session emission via flatMapGroupsWithState: rows accumulate
+    * per user, and a session is EMITTED (0..n output rows per invocation —
+    * the 1→N shape mapGroupsWithState can't express) only when the
+    * event-time timeout fires after `gapMs` of silence. State is bounded by
+    * the watermark + timeout. */
+  def sessionSummaries(events: Dataset[TimedEvent], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[TimedEvent], state: GroupState[(Long, Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, s, e, _) = state.get
+            state.remove()
+            Iterator(SessionSummary(uid, n, new java.sql.Timestamp(s), new java.sql.Timestamp(e)))
+          } else {
+            val ts = rows.map(r => r.ts.getTime).toSeq
+            val (n0, s0, e0, _) = state.getOption.getOrElse((0L, Long.MaxValue, 0L, 0L))
+            val next = (n0 + ts.length, math.min(s0, ts.min), math.max(e0, ts.max), 0L)
+            state.update(next)
+            state.setTimeoutTimestamp(next._3 + gapMs)
+            Iterator.empty
+          }
       }
   }
 

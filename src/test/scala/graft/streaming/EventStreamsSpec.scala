@@ -85,6 +85,51 @@ class EventStreamsSpec extends SparkSpec {
     assert(last(11L) == ((1L, 10.0, 0L)))
   }
 
+  test("stream-static enrichment join carries dimension columns") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(Ev(1, ts(1), 13, "click", 1.0), Ev(2, ts(2), 999, "view", 2.0))
+    val dim = Seq((13L, "germany"), (14L, "france")).toDF("dim_user", "country")
+    runToMemory(EventStreams.enrichWithDimension(input.toDF(), dim, "user_id", "dim_user"),
+      "enriched")
+    val rows = spark.table("enriched").select("event_id", "country")
+      .as[(Long, Option[String])].collect().toMap
+    assert(rows(1L).contains("germany"))
+    assert(rows(2L).isEmpty) // left join: unmatched user keeps the row
+  }
+
+  test("stream-stream join: purchases within the window after a click") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(
+      Ev(1, ts(0), 1, "click", 0.0),
+      Ev(2, ts(10), 1, "purchase", 42.0),  // within 30m of click 1
+      Ev(3, ts(45), 1, "purchase", 99.0),  // beyond 30m — excluded
+      Ev(4, ts(5), 2, "purchase", 7.0))    // other user — excluded
+    runToMemory(EventStreams.clickToPurchase(input.toDF()), "cp")
+    val rows = spark.table("cp").select("click_id", "purchase_id", "amount")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 2L, 42.0)))
+  }
+
+  test("flatMapGroupsWithState emits completed sessions on event-time timeout") {
+    val input = MemoryStream[EventStreams.TimedEvent](spark)
+    input.addData(
+      EventStreams.TimedEvent(1, 1, "click", 1.0, ts(0)),
+      EventStreams.TimedEvent(2, 1, "click", 1.0, ts(5)))
+    val q = EventStreams.sessionSummaries(input.toDS())
+      .writeStream.format("memory").queryName("fsessions").outputMode("append").start()
+    q.processAllAvailable()
+    // advance event time far past the gap so the timeout fires
+    input.addData(EventStreams.TimedEvent(9, 2, "click", 1.0, ts(59)))
+    q.processAllAvailable()
+    input.addData(EventStreams.TimedEvent(10, 2, "click", 1.0, ts(59)))
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("fsessions")
+      .as[EventStreams.SessionSummary].collect().filter(_.user_id == 1)
+    assert(sessions.length == 1)
+    assert(sessions.head.n_events == 2)
+    assert(sessions.head.start == ts(0) && sessions.head.end == ts(5))
+  }
+
   test("foreachBatch envelope sink writes chunked JSON documents") {
     val input = MemoryStream[Ev](spark)
     input.addData((1 to 7).map(i => Ev(i, ts(i), 1, "click", 1.0)): _*)
