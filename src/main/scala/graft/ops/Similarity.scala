@@ -187,6 +187,74 @@ object Similarity {
       .select(col("qid"), col("eid"), col("cos"), col("rn"))
   }
 
+  // ---- IVF-Flat ------------------------------------------------------
+  /** Deterministic coarse quantizer: the `nlist` corpus vectors with the
+    * smallest xxhash-style mixed ids form the centroid set — a seeded
+    * sample, no training job. (A Lloyd refinement pass would slot in here;
+    * for near-uniform embedding clouds sampled centroids give the same
+    * recall/pruning tradeoff without a k-means dependency.) */
+  private def sampleCentroids(corpus: DataFrame, nlist: Int,
+      idCol: String, vecCol: String): Array[(Long, Array[Long], Long)] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .withColumn("__m", xxhash64(col(idCol)))
+      .orderBy(col("__m"))
+      .limit(nlist)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
+      .zipWithIndex
+      .map { case ((_, v), i) => val q = quantizeJvm(v); (i.toLong, q, normJvm(q)) }
+  }
+
+  private def nearestCentroids(v: Array[Long], nv: Long,
+      cents: Array[(Long, Array[Long], Long)], n: Int): Array[Long] =
+    cents.map { case (cid, cv, cn) =>
+      (cid, dotJvm(v, cv).toDouble / math.sqrt((nv * cn).toDouble)) }
+      .sortBy { case (cid, cos) => (-cos, cid) }
+      .take(n).map(_._1)
+
+  /** IVF-Flat approximate top-k: corpus rows are assigned to their nearest
+    * of `nlist` sampled centroids; each query scores only rows whose list
+    * is among its `nprobe` closest centroids — scanning ~nprobe/nlist of
+    * the corpus instead of all of it. Same exact integer-cosine kernel as
+    * the brute-force baseline; recall is tuned by nprobe. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = sampleCentroids(corpus, nlist, idCol, vecCol)
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) =>
+        val q = quantizeJvm(v); val n = normJvm(q)
+        (id, q, n, nearestCentroids(q, n, cents, nprobe).toSet)
+      }
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    val scored = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        val qs = bcQ.value
+        it.flatMap { case (eid, ev) =>
+          val e = quantizeJvm(ev)
+          val en = normJvm(e)
+          val list = nearestCentroids(e, en, cs, 1)(0)
+          qs.iterator.collect {
+            case (qid, qv, qn, probes) if !(excludeSelf && qid == eid) && probes(list) =>
+              (qid, eid, dotJvm(qv, e).toDouble / math.sqrt((qn * en).toDouble))
+          }
+        }
+      }.toDF("qid", "eid", "cos")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("eid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("eid"), col("cos"), col("rn"))
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥ τ.
     * Brute-force O(N²/2) with the right side broadcast (bounded corpus by
     * contract — this is the correctness baseline; the LSH variant is the

@@ -43,6 +43,26 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@10 = $mean")
   }
 
+  test("IVF top-k: prunes most of the corpus yet keeps recall vs brute force") {
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .as[(Long, Long, Double, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 6)
+      .as[(Long, Long, Double, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ids) =>
+      approx.get(q).map(a => (a intersect ids).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean IVF recall@10 = $mean (nprobe=6/nlist=16)")
+    // with nprobe=nlist, IVF degenerates to exact brute force
+    val full = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 16)
+      .as[(Long, Long, Double, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(full == exact)
+  }
+
   test("near-dup pairs: symmetric threshold filter, a<b ordering") {
     val sub = emb.filter($"vec_id" < 100)
     val pairs = Similarity.cosineNearDupPairs(sub, threshold = 0.2)
