@@ -42,8 +42,10 @@ object DictionaryJob {
     val keeps = keepColumns.map(c =>
       (if (present(c)) col(c) else lit(null).cast("string")).as(c))
     val curations = curationColumns.map(c => lit(null).cast("string").as(c))
+    // canonical order = the reference's column_order, which is exactly
+    // Model.fieldMapColumns (dictionary_extraction.py:48-61,81)
     metadata.select(keeps ++ curations: _*)
-      .select((keepColumns ++ curationColumns).map(c => col(s"`$c`")): _*)
+      .select(Model.fieldMapColumns.map(c => col(s"`$c`")): _*)
   }
 
   /** Full job: fresh extraction upserted against the existing curated CSV

@@ -43,11 +43,11 @@ object Sinks {
 
   /** Envelope rows into ≤`chunkRows`-sized JSON documents
     * `{"chunk_number":n,"redcap_records":[...]}` (S12;
-    * redcap-etl.py:225-248). Chunk ids are `partitionId * chunksPerPartition
-    * + localIndex + 1` — unique and deterministic without any global
-    * coordination (no driver-side collect, no global row numbering), and
-    * starting at 1 because chunk_number 0 is reserved for the header
-    * document (receivers key on chunk_number). */
+    * redcap-etl.py:225-248). Chunk ids are `(partitionId << 32) + localIndex
+    * + 1` — unique (up to 2^32 chunks per partition — unreachable, a
+    * partition is bounded by memory long before that) and deterministic
+    * without any global coordination; starting at 1 because chunk_number 0
+    * is reserved for the header document (receivers key on chunk_number). */
   def envelopes(df: DataFrame, chunkRows: Int = 50000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -55,7 +55,7 @@ object Sinks {
     json.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
       it.grouped(chunkRows).zipWithIndex.map { case (chunk, i) =>
-        val id = pid * 1000000L + i + 1
+        val id = (pid << 32) + i + 1
         chunk.mkString(s"""{"chunk_number":$id,"redcap_records":[""", ",", "]}")
       }
     }.toDF("envelope")

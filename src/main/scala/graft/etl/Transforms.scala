@@ -78,8 +78,11 @@ final class CalcVariableTransform(
     val namespace: String = "kpmp_calculated_variables",
     idColumn: String = "study_id") extends EtlTransform {
   def apply(eav: DataFrame): TransformOutput = {
-    // study_id → redcap_id rename, dcc_transforms.py:231-232
+    // study_id → redcap_id rename, dcc_transforms.py:231-232; dedupe the
+    // control side so a duplicated participant row can't fan out records
+    // (reference dict build collapses duplicates)
     val wide = deidWide.withColumnRenamed(idColumn, "redcap_id")
+      .dropDuplicates("redcap_id")
     val ids = eav.select(col("record_id")).distinct()
     val joined = ids.join(wide, ids("record_id") === wide("redcap_id"), "inner")
     val valueCols = wide.columns.filter(_ != "redcap_id")
@@ -107,8 +110,9 @@ final class SecondaryIdTransform(
     outputField: String = "secondary_id") extends EtlTransform {
   def apply(eav: DataFrame): TransformOutput = {
     val ids = eav.select(col("record_id")).distinct()
+    val dedupedMapping = mapping.dropDuplicates("redcap_record_id") // see CalcVariableTransform
     val records = ids
-      .join(broadcast(mapping), ids("record_id") === mapping("redcap_record_id"), "left")
+      .join(broadcast(dedupedMapping), ids("record_id") === dedupedMapping("redcap_record_id"), "left")
       .select(
         col("record_id"),
         lit(namespace).as("namespace"),

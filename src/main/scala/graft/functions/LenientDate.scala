@@ -16,6 +16,10 @@ object LenientDate {
     // fractional seconds and UTC offsets first (most specific wins):
     // dateutil.isoparse accepts both, so dropping them would silently
     // fail-close real clinical timestamps
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "yyyy-MM-dd HH:mm:ss.SSSSSSXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+    "yyyy-MM-dd HH:mm:ss.SSSXXX",
     "yyyy-MM-dd HH:mm:ss.SSSSSS",
     "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
     "yyyy-MM-dd HH:mm:ss.SSS",

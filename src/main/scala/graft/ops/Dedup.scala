@@ -107,6 +107,7 @@ object Dedup {
       idCol: String = "doc_id", k: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
     val r = k / bands
+    require(bands * r == k, "bands must divide k") // same contract as minhashDuplicatePairs
     val sigs = minhashSignatures(docs, textCol, idCol, k)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -131,7 +132,18 @@ object Dedup {
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     val r = k / bands
     require(bands * r == k, "bands must divide k")
-    val sigs = minhashSignatures(docs, textCol, idCol, k)
+    // signatures AND the verification shingle-hash set come from ONE
+    // aggregation over one shingle pass — shingling (normalize + posexplode
+    // + window) is the dominant cost and must not run twice.
+    val ex = shingleRows(docs, textCol, idCol)
+      .select(col("id"), xxhash64(col("sh")).as("h1"), xxhash64(col("sh"), lit(1)).as("h2"))
+    def lane(i: Int): Column =
+      if (i == 0) col("h1")
+      else col("h1").bitwiseXOR(
+        shiftleft(col("h2"), i).bitwiseOR(shiftrightunsigned(col("h2"), 64 - i)))
+    val aggs = (0 until k).map(i => min(lane(i)).as(s"mh_$i")) :+
+      collect_set(col("h1")).as("sh_set")
+    val sigs = ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
     // one row per (doc, band): band hash = hash of that band's r minhash
     // lanes. Only (id, band, bh) shuffles — never text or shingle arrays.
     val bandCols = (0 until bands).map { b =>
@@ -153,13 +165,11 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // exact-Jaccard verification on HASHED shingle sets: long-array
-    // intersect/union is ~5× cheaper than string arrays in the interpreted
-    // set ops, and xxhash64 collisions (~2^-64) are immaterial to a
-    // similarity estimate.
-    val shs = shingleRows(docs, textCol, idCol)
-      .groupBy(col("id")).agg(collect_set(xxhash64(col("sh"))).as("sh"))
-      .withColumnRenamed("id", "sid")
+    // exact-Jaccard verification on the HASHED shingle sets carried out of
+    // the same aggregate: long-array intersect/union is ~5× cheaper than
+    // string arrays in the interpreted set ops, and xxhash64 collisions
+    // (~2^-64) are immaterial to a similarity estimate.
+    val shs = sigs.select(col("id").as("sid"), col("sh_set").as("sh"))
     candidates
       .join(shs.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(shs.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))

@@ -81,6 +81,12 @@ object Similarity {
 
   private def normJvm(a: Array[Long]): Long = dotJvm(a, a)
 
+  /** cosine with a zero-norm guard: an all-zero vector (failed embed /
+    * padding) has undefined cosine; 0.0 ranks it last instead of NaN —
+    * which Spark sorts as the LARGEST double, i.e. rank 1 under desc. */
+  private def cosJvm(dot: Long, na: Long, nb: Long): Double =
+    if (na == 0L || nb == 0L) 0.0 else dot.toDouble / math.sqrt((na * nb).toDouble)
+
   /** Brute-force top-k cosine neighbors for each query vector. The query
     * side is collected + broadcast (it is the small probe set by contract);
     * the corpus streams partition-parallel, quantized once per row.
@@ -106,7 +112,7 @@ object Similarity {
           // with an unrelated query id space it would drop a legitimate
           // neighbor that happens to share the id
           qs.iterator.collect { case (qid, qv, qn) if !(excludeSelf && qid == eid) =>
-            (qid, eid, dotJvm(qv, e).toDouble / math.sqrt((qn * en).toDouble))
+            (qid, eid, cosJvm(dotJvm(qv, e), qn, en))
           }
         }
       }.toDF("qid", "eid", "cos")
@@ -177,7 +183,7 @@ object Similarity {
           qs.iterator.collect {
             case (qid, qv, qn, qb) if !(excludeSelf && qid == eid) &&
               (0 until tables).exists(t => qb(t) == eb(t)) =>
-              (qid, eid, dotJvm(qv, e).toDouble / math.sqrt((qn * en).toDouble))
+              (qid, eid, cosJvm(dotJvm(qv, e), qn, en))
           }
         }
       }.toDF("qid", "eid", "cos")
@@ -210,7 +216,7 @@ object Similarity {
   private def nearestCentroids(v: Array[Long], nv: Long,
       cents: Array[(Long, Array[Long], Long)], n: Int): Array[Long] =
     cents.map { case (cid, cv, cn) =>
-      (cid, dotJvm(v, cv).toDouble / math.sqrt((nv * cn).toDouble)) }
+      (cid, cosJvm(dotJvm(v, cv), nv, cn)) }
       .sortBy { case (cid, cos) => (-cos, cid) }
       .take(n).map(_._1)
 
@@ -245,7 +251,7 @@ object Similarity {
           val list = nearestCentroids(e, en, cs, 1)(0)
           qs.iterator.collect {
             case (qid, qv, qn, probes) if !(excludeSelf && qid == eid) && probes(list) =>
-              (qid, eid, dotJvm(qv, e).toDouble / math.sqrt((qn * en).toDouble))
+              (qid, eid, cosJvm(dotJvm(qv, e), qn, en))
           }
         }
       }.toDF("qid", "eid", "cos")
@@ -275,7 +281,7 @@ object Similarity {
           val a = quantizeJvm(va)
           val na = normJvm(a)
           all.iterator.collect { case (idb, vb, nb) if ida < idb =>
-            (ida, idb, dotJvm(a, vb).toDouble / math.sqrt((na * nb).toDouble))
+            (ida, idb, cosJvm(dotJvm(a, vb), na, nb))
           }.filter(_._3 >= threshold)
         }
       }.toDF("id_a", "id_b", "cos")

@@ -22,7 +22,10 @@ object TextAnalysis {
     * without a vocab file). */
   def subwordCountEstimate(text: Column): Column = {
     val pieces = transform(toks(text), t => greatest(ceil(length(t) / 6.0), lit(1L)))
-    coalesce(aggregate(pieces, lit(0L), (a, x) => a + x), lit(0L))
+    // blank text → 0, consistent with tokenCount (split('') yields [''],
+    // which would otherwise count as one piece)
+    when(trim(text) === "" || text.isNull, 0L)
+      .otherwise(coalesce(aggregate(pieces, lit(0L), (a, x) => a + x), lit(0L)))
   }
 
   /** Stopword hit count for one language's marker set (duplicates count —

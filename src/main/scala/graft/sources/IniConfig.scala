@@ -36,8 +36,11 @@ object IniConfig {
     text.linesIterator.foreach { raw =>
       val line = raw.trim
       if (line.nonEmpty && !line.startsWith(";") && !line.startsWith("#")) {
-        if (line.startsWith("[") && line.endsWith("]")) {
-          current = line.substring(1, line.length - 1).trim
+        val header = "^\\[([^\\]]+)\\]".r.findFirstMatchIn(line)
+        if (header.isDefined) {
+          // trailing text after ']' (e.g. an inline comment) is tolerated,
+          // matching Python ConfigParser
+          current = header.get.group(1).trim
           if (!acc.contains(current)) acc(current) = scala.collection.mutable.LinkedHashMap()
         } else line.split("=", 2) match {
           case Array(k, v) => acc(current)(k.trim) = v.trim

@@ -118,9 +118,12 @@ object EventStreams {
 
   /** Completed-session emission via flatMapGroupsWithState: rows accumulate
     * per user, and a session is EMITTED (0..n output rows per invocation —
-    * the 1→N shape mapGroupsWithState can't express) only when the
-    * event-time timeout fires after `gapMs` of silence. State is bounded by
-    * the watermark + timeout. */
+    * the 1→N shape mapGroupsWithState can't express) when either the
+    * event-time timeout fires after `gapMs` of silence, OR newly-arrived
+    * events are themselves ≥ gap away from the open session (the timeout
+    * alone would silently MERGE across a gap whenever the watermark hadn't
+    * crossed the deadline before the next batch for that key). State is
+    * bounded by the watermark + timeout. */
   def sessionSummaries(events: Dataset[TimedEvent], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     events
@@ -129,17 +132,27 @@ object EventStreams {
       .flatMapGroupsWithState[(Long, Long, Long, Long), SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[TimedEvent], state: GroupState[(Long, Long, Long, Long)]) =>
+          def summary(s: (Long, Long, Long, Long)) =
+            SessionSummary(uid, s._1, new java.sql.Timestamp(s._2), new java.sql.Timestamp(s._3))
           if (state.hasTimedOut) {
-            val (n, s, e, _) = state.get
+            val done = summary(state.get)
             state.remove()
-            Iterator(SessionSummary(uid, n, new java.sql.Timestamp(s), new java.sql.Timestamp(e)))
+            Iterator.single(done)
           } else {
-            val ts = rows.map(r => r.ts.getTime).toSeq
-            val (n0, s0, e0, _) = state.getOption.getOrElse((0L, Long.MaxValue, 0L, 0L))
-            val next = (n0 + ts.length, math.min(s0, ts.min), math.max(e0, ts.max), 0L)
-            state.update(next)
-            state.setTimeoutTimestamp(next._3 + gapMs)
-            Iterator.empty
+            val ts = rows.map(_.ts.getTime).toSeq.sorted
+            // fold sorted timestamps into (n, start, end) runs split on gaps,
+            // seeded with the open session from state
+            val seed = state.getOption.toList
+            val runs = ts.foldLeft(seed) { (acc, t) =>
+              acc match {
+                case (n, s, e, _) :: rest if t - e < gapMs => (n + 1, s, math.max(e, t), 0L) :: rest
+                case _ => (1L, t, t, 0L) :: acc
+              }
+            }
+            val (open :: completed) = runs: @unchecked
+            state.update(open)
+            state.setTimeoutTimestamp(open._3 + gapMs)
+            completed.reverseIterator.map(summary)
           }
       }
   }

@@ -30,8 +30,7 @@ class DictionaryJobSpec extends SparkSpec {
   test("first run: fresh dictionary with empty curation columns, ordered") {
     val out = DictionaryJob.run(spark, writeMeta(), None,
       new java.io.File(dir, "out1").getAbsolutePath)
-    assert(out.columns.toSeq ==
-      DictionaryJob.keepColumns ++ DictionaryJob.curationColumns)
+    assert(out.columns.toSeq == Model.fieldMapColumns)
     assert(out.count() == 2)
     assert(out.filter($"status".isNotNull).count() == 0)
   }

@@ -130,6 +130,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions.head.start == ts(0) && sessions.head.end == ts(5))
   }
 
+  test("flatMapGroupsWithState: a gap inside one key's own data splits sessions " +
+      "even when no other key advances the watermark") {
+    val input = MemoryStream[EventStreams.TimedEvent](spark)
+    input.addData(
+      EventStreams.TimedEvent(1, 7, "click", 1.0, ts(0)),
+      EventStreams.TimedEvent(2, 7, "click", 1.0, ts(3)))
+    val q = EventStreams.sessionSummaries(input.toDS())
+      .writeStream.format("memory").queryName("gsessions").outputMode("append").start()
+    q.processAllAvailable()
+    // same user returns 50 min later — watermark never crossed the timeout
+    // between batches, the data-branch gap split must emit session 1
+    input.addData(EventStreams.TimedEvent(3, 7, "click", 1.0, ts(55)))
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("gsessions")
+      .as[EventStreams.SessionSummary].collect()
+    assert(sessions.length == 1)
+    assert(sessions.head.n_events == 2 && sessions.head.end == ts(3))
+  }
+
   test("foreachBatch envelope sink writes chunked JSON documents") {
     val input = MemoryStream[Ev](spark)
     input.addData((1 to 7).map(i => Ev(i, ts(i), 1, "click", 1.0)): _*)
