@@ -19,6 +19,10 @@ final case class TransformOutput(
 trait EtlTransform {
   def namespace: String
   def apply(eav: DataFrame): TransformOutput
+  /** Per-transform schema/dictionary rows (the reference's
+    * `get_transform_metadata`, transform.py:26-39) — shipped once in the
+    * header document. None when the transform publishes no dictionary. */
+  def metadata(spark: org.apache.spark.sql.SparkSession): Option[DataFrame] = None
 }
 
 /** Date de-id as a pipeline stage. Mode semantics follow the reference
@@ -62,6 +66,17 @@ final class DateShiftTransform(
           col("value").as("field_value"))
       TransformOutput(eav, Some(records), errors)
     }
+  }
+
+  /** Field→granularity dictionary (the reference's get_transform_metadata,
+    * dcc_transforms.py:176-190: granularity = `status[9:]`, the status
+    * minus its "Transform" prefix). */
+  override def metadata(spark: org.apache.spark.sql.SparkSession): Option[DataFrame] = Some {
+    FieldMap.normalize(fieldMap)
+      .filter(col("status").isin(Model.dateStatuses: _*))
+      .dropDuplicates("field_name")
+      .select(col("field_name"),
+        regexp_replace(col("status"), "^Transform", "").as("granularity"))
   }
 }
 
@@ -135,7 +150,10 @@ object Pipeline {
       transformRecords: Option[DataFrame],
       unknownFields: DataFrame,
       uniqueFields: DataFrame,
-      transformErrors: Option[DataFrame])
+      transformErrors: Option[DataFrame],
+      /** (namespace, dictionary rows) per transform that publishes one —
+        * shipped once in the header document (Sinks.headerDocument). */
+      transformMetadata: Seq[(String, DataFrame)])
 
   def run(eav: DataFrame, fieldMap: DataFrame, transforms: Seq[EtlTransform]): Result = {
     var plane = eav
@@ -152,7 +170,8 @@ object Pipeline {
       case Nil => None
       case h :: t => Some(t.foldLeft(h)(_.unionByName(_)))
     }
+    val meta = transforms.flatMap(t => t.metadata(eav.sparkSession).map(t.namespace -> _))
     Result(phi.kept, unionAll(appended.result()), phi.unknownFields,
-      phi.uniqueFields, unionAll(errs.result()))
+      phi.uniqueFields, unionAll(errs.result()), meta)
   }
 }

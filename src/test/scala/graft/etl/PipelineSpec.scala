@@ -78,6 +78,15 @@ class PipelineSpec extends SparkSpec {
     assert(!tr.exists(_._1 == "r2")) // r2 has no dob → nothing emitted
   }
 
+  test("transform metadata: date-shift granularity dictionary in the result") {
+    val result = Pipeline.run(eav, fieldMap, Seq(
+      new DateShiftTransform(fieldMap, "dob_shifting", standardDate = "2010-01-01")))
+    val meta = result.transformMetadata.toMap
+    assert(meta.keySet == Set("date_deid"))
+    val rows = meta("date_deid").as[(String, String)].collect().toMap
+    assert(rows == Map("visit_date" -> "Date"))
+  }
+
   test("envelope sink: chunking + header document") {
     val result = Pipeline.run(eav, fieldMap, Seq(
       new DateShiftTransform(fieldMap, "dob_shifting", standardDate = "2010-01-01")))
