@@ -87,9 +87,62 @@ object Relational3 {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  // Sliding windows: each event lands in length/slide = 2 overlapping
+  // windows; the oracle reconstructs the assignment with a UNION ALL of the
+  // two hour-truncated starts.
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("w_start"),
+        $"event_type", $"n")
+      .orderBy($"w_start", $"event_type")
+  }
+  private val q51Sql =
+    """SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS w_start, event_type, COUNT(*) AS n
+      |FROM (
+      |  SELECT date_trunc('hour', ts) AS w_start, event_type FROM events
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
+      |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+  // Typed Dataset surface (§1.4: Dataset[T] for fixed contracts): case-class
+  // rows through groupByKey/mapGroups — the per-group imperative escape
+  // hatch, verified against plain SQL aggregation.
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id", $"event_type", $"value")
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, rows) =>
+        var n = 0L
+        var errors = 0L
+        var cents = 0L
+        rows.foreach { case (_, tpe, v) =>
+          n += 1
+          if (tpe == "error") errors += 1
+          cents += math.rint(v * 100).toLong
+        }
+        (uid, n, errors, cents.toDouble / 100)
+      }
+      .toDF("user_id", "n", "n_errors", "sum_value")
+      .orderBy($"user_id")
+  }
+  private val q52Sql =
+    """SELECT user_id, COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
     QueryDef("q29_json_extract", q29, Some(q29Sql)),
+    QueryDef("q51_sliding_window", q51, Some(q51Sql)),
+    QueryDef("q52_typed_groups", q52, Some(q52Sql)),
   )
 }

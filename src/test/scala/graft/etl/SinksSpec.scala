@@ -3,6 +3,13 @@ package graft.etl
 import graft.SparkSpec
 import java.nio.file.Files
 
+/** Static so the transmit closure reaches it from executor threads
+  * (local mode shares the JVM — a stand-in for the HTTP endpoint). */
+object SinksSpec {
+  val posted = new scala.collection.mutable.ListBuffer[String]
+  def record(doc: String): Unit = posted.synchronized { posted += doc }
+}
+
 class SinksSpec extends SparkSpec {
   import spark.implicits._
 
@@ -21,6 +28,16 @@ class SinksSpec extends SparkSpec {
     assert(ids.forall(_ >= 1))
     assert(ids.distinct.length == ids.length)
     assert(Sinks.headerDocument(None, None).startsWith("""{"chunk_number":0,"""))
+  }
+
+  test("transmit: every envelope delivered exactly once via foreachPartition") {
+    val df = (1 to 10).map(i => (i, s"v$i")).toDF("id", "v").repartition(3)
+    SinksSpec.posted.clear()
+    Sinks.transmit(Sinks.envelopes(df, chunkRows = 4), SinksSpec.record)
+    val docs = SinksSpec.posted.toList
+    assert(docs.forall(_.startsWith("""{"chunk_number":""")))
+    val total = docs.map(d => "\"id\"".r.findAllIn(d).length).sum
+    assert(total == 10)
   }
 
   test("partitionedParquet: hive layout by partition column") {
