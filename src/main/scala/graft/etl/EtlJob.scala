@@ -1,0 +1,86 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.IniConfig
+
+/** Config-driven pipeline entry point — the reference's `main()` lifecycle
+  * (SURVEY.md §3.1; /root/reference/redcap-etl.py:399-431) on the engine:
+  *
+  *   config → [validate project] → extract (graft-eav DSv2 or files) →
+  *   transforms (per `dcc_transforms`) → PHI filter → envelopes + header →
+  *   NDJSON out (the `--fake` path) or a caller-supplied POST.
+  *
+  * A reference user keeps their INI sections (`default`, `dcc_transforms`,
+  * `redcap`, `datalake`) and swaps the runtime.
+  */
+object EtlJob {
+
+  final case class Output(
+      pipeline: Pipeline.Result,
+      envelopes: DataFrame,
+      header: String)
+
+  /** Read the EAV plane per config: `eav_source` = a path read through the
+    * chunked graft-eav connector (CSV transport standing in for REST —
+    * `chunk_size` ≙ the reference's 100-id batching). */
+  def readEav(spark: SparkSession, config: IniConfig): DataFrame = {
+    val path = config.resolved("redcap", "eav_source")
+      .getOrElse(throw new IllegalArgumentException("config: [redcap] eav_source required"))
+    val chunk = config.get("redcap", "chunk_size").map(_.toInt).getOrElse(100)
+    import org.apache.spark.sql.functions._
+    spark.read.format("graft-eav")
+      .option("path", path).option("chunk_size", chunk).load()
+      .withColumn("kpmp_date_cleaned", lit(null).cast("boolean"))
+      .withColumn("kpmp_date_cleaned_type", lit(null).cast("string"))
+  }
+
+  /** Build the transform sequence from `[dcc_transforms]` — the reference's
+    * hardcoded do_transforms ordering (redcap-etl.py:358-380): date shift,
+    * then calc variables, then secondary ids, each only if configured. */
+  def transformsFromConfig(spark: SparkSession, config: IniConfig,
+      fieldMap: DataFrame): Seq[EtlTransform] = {
+    val c = (k: String) => config.resolved("dcc_transforms", k)
+    val date = c("datetransform_type").map { mode =>
+      new DateShiftTransform(fieldMap, mode,
+        standardDate = c("standard_date").getOrElse("2010-01-01"),
+        shiftSeconds = c("shifting_seconds").map(_.toLong).getOrElse(0L),
+        inPlace = c("dob_shift_inplace").forall(_.toBoolean))
+    }
+    val calc = c("deid_data_file").map(p =>
+      new CalcVariableTransform(FieldMap.load(spark, p)))
+    val secondary = c("secondary_id_file").map(p =>
+      new SecondaryIdTransform(FieldMap.load(spark, p)))
+    Seq(date, calc, secondary).flatten
+  }
+
+  /** Full run. `fake=true` (the reference's `--fake`) writes envelopes as
+    * NDJSON under `out_dir` instead of POSTing. */
+  def run(spark: SparkSession, config: IniConfig,
+      projectInfo: Map[String, String] = Map.empty,
+      fake: Boolean = true): Output = {
+    // S4 precondition — fail fast before any plan executes
+    config.get("redcap", "project_id").foreach { expected =>
+      if (projectInfo.nonEmpty) Preconditions.validateProject(expected, projectInfo)
+    }
+    val fieldMapPath = config.resolved("default", "field_map_file")
+      .getOrElse(throw new IllegalArgumentException("config: field_map_file required"))
+    val fieldMap = FieldMap.load(spark, fieldMapPath)
+    val eav = readEav(spark, config)
+    val transforms = transformsFromConfig(spark, config, fieldMap)
+    val result = Pipeline.run(eav, fieldMap, transforms)
+
+    val chunkRows = config.get("datalake", "chunk_rows").map(_.toInt).getOrElse(50000)
+    val envelopes = Sinks.envelopes(result.kept, chunkRows)
+    val header = Sinks.headerDocument(result.transformRecords,
+      result.transformMetadata.headOption.map(_._2))
+    if (fake) {
+      config.resolved("default", "out_dir").foreach { out =>
+        Sinks.ndjson(envelopes, s"$out/envelopes",
+          org.apache.spark.sql.SaveMode.Overwrite)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/header.json"), header)
+      }
+    }
+    Output(result, envelopes, header)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.sources.IniConfig
+import java.nio.file.Files
+
+/** Config → extract → transform → filter → envelope, end to end, from an
+  * INI the reference's users could have written. */
+class EtlJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = Files.createTempDirectory("etljob").toFile.getAbsolutePath
+
+  private def write(name: String, content: String): String = {
+    val f = java.nio.file.Paths.get(dir, name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  private lazy val eavCsv = write("records.csv",
+    """record_id,redcap_event_name,redcap_repeat_instrument,redcap_repeat_instance,field_name,value
+      |r1,screening_arm_1,,,np_dob,1990-05-20
+      |r1,screening_arm_1,,,age,34
+      |r1,screening_arm_1,,,visit_date,2001-06-15
+      |r1,screening_arm_1,,,ssn,123-45-6789
+      |r2,screening_arm_1,,,age,55
+      |""".stripMargin)
+
+  private lazy val fieldMapCsv = write("fieldmap.csv",
+    """field_name,status,restrict_to_event_list
+      |age,Include,
+      |visit_date,TransformDate,
+      |ssn,Exclude,
+      |np_dob,Exclude,
+      |""".stripMargin)
+
+  private lazy val config = IniConfig.parse(
+    s"""[default]
+       |field_map_file = $fieldMapCsv
+       |out_dir = $dir/out
+       |[dcc_transforms]
+       |datetransform_type = dob_shifting
+       |standard_date = 2010-01-01
+       |dob_shift_inplace = true
+       |[redcap]
+       |eav_source = $eavCsv
+       |chunk_size = 100
+       |project_id = 42
+       |[datalake]
+       |chunk_rows = 2
+       |""".stripMargin)
+
+  test("full config-driven run: extract, shift, filter, envelope, fake-write") {
+    val out = EtlJob.run(spark, config, projectInfo = Map("project_id" -> "42"))
+    val kept = out.pipeline.kept.select("record_id", "field_name", "value")
+      .as[(String, String, String)].collect().toSet
+    assert(kept.contains(("r1", "visit_date", "2021-01-27"))) // shifted in place
+    assert(kept.contains(("r1", "age", "34")) && kept.contains(("r2", "age", "55")))
+    assert(!kept.exists(_._2 == "ssn"))
+    val envs = out.envelopes.as[String].collect()
+    assert(envs.nonEmpty && envs.forall(_.startsWith("""{"chunk_number":""")))
+    assert(out.header.startsWith("""{"chunk_number":0,"""))
+    // fake mode wrote NDJSON + header
+    assert(spark.read.text(s"$dir/out/envelopes").count() == envs.length)
+    assert(Files.readString(java.nio.file.Paths.get(s"$dir/out/header.json")) == out.header)
+  }
+
+  test("project-id mismatch fails before any work") {
+    intercept[IllegalArgumentException] {
+      EtlJob.run(spark, config, projectInfo = Map("project_id" -> "99"))
+    }
+  }
+}
