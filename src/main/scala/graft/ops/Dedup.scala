@@ -178,6 +178,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ------------------------------------------------------------- apply
+  /** Deduplicated corpus by exact content: keep one doc (min id) per
+    * normalized-content group — the operational form of [[exact]]. */
+  def applyExact(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(exact(docs, textCol, idCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Apply near-duplicate pairs to a corpus: drop the higher id of every
+    * pair (greedy canonical-keep — standard near-dedup practice; exact
+    * connected-component canonicalization needs iterative joins and is
+    * rarely worth it at corpus scale). */
+  def applyPairsDedup(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   // ------------------------------------------------------------- simhash
   /** 64-bit SimHash per doc: bit i of the output is the sign of
     * Σ_tokens (±1 by bit i of xxhash64(token)). Explode + 64 codegen'd

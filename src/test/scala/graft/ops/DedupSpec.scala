@@ -32,6 +32,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head._3 > 0.5 && pairs.head._3 < 1.0)
   }
 
+  test("applyExact / applyPairsDedup shrink the corpus, keep canonical docs") {
+    val docs = Seq(
+      (1L, base), (2L, base.toUpperCase), (3L, "something else entirely here"),
+      (4L, base.replace("tonight", "today"))).toDF("doc_id", "text")
+    val exactKept = Dedup.applyExact(docs).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(exactKept == Seq(1L, 3L, 4L)) // 2 is an exact dup of 1
+    val pairs = Dedup.minhashDuplicatePairs(docs, threshold = 0.5)
+    val nearKept = Dedup.applyPairsDedup(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(nearKept.contains(3L) && nearKept.contains(1L))
+    assert(!nearKept.contains(2L)) // exact dup also caught by minhash
+  }
+
   test("jaccard: identity 1.0, disjoint 0.0") {
     val df = Seq((base, base, "x y z a b c d e f")).toDF("a", "b", "c")
     val r = df.select(
