@@ -16,9 +16,10 @@ import graft.functions.LenientDate
   *
   * Output granularity per field comes from the field map's date status
   * (Model.dateStatusGranularity). Cleaned rows get
-  * `kpmp_date_cleaned = true` and `kpmp_date_cleaned_type = status minus
-  * "Transform"` (the reference's `status[9:]`, dcc_transforms.py:182) —
-  * the PHI filter admits exactly these.
+  * `kpmp_date_cleaned = true` and `kpmp_date_cleaned_type = <the full
+  * status verbatim>` (dcc_transforms.py:103 stores date_type; the `[9:]`
+  * slice applies only to transform METADATA granularity) — the PHI filter
+  * admits exactly these.
   *
   * Divergences from the reference, chosen for distributed determinism and
   * documented per SURVEY §7.4:

@@ -18,6 +18,7 @@ object EtlJob {
   final case class Output(
       pipeline: Pipeline.Result,
       envelopes: DataFrame,
+      recordEnvelopes: Option[DataFrame],
       header: String)
 
   /** Read the EAV plane per config: `eav_source` = a path read through the
@@ -34,17 +35,27 @@ object EtlJob {
       .withColumn("kpmp_date_cleaned_type", lit(null).cast("string"))
   }
 
+  /** ConfigParser-style boolean (getboolean accepts 1/yes/true/on). */
+  private def asBool(v: String): Boolean =
+    Set("1", "yes", "true", "on").contains(v.trim.toLowerCase)
+
   /** Build the transform sequence from `[dcc_transforms]` — the reference's
     * hardcoded do_transforms ordering (redcap-etl.py:358-380): date shift,
-    * then calc variables, then secondary ids, each only if configured. */
+    * then calc variables, then secondary ids, each only if configured.
+    * Presence checks use `get` on the section ONLY — Python's DEFAULTSECT is
+    * uppercase 'DEFAULT', so a key under our lowercase [default] must not
+    * activate a transform the reference would skip; `resolved` (with its
+    * interpolation + default fallback) applies only to values known present. */
   def transformsFromConfig(spark: SparkSession, config: IniConfig,
       fieldMap: DataFrame): Seq[EtlTransform] = {
-    val c = (k: String) => config.resolved("dcc_transforms", k)
+    def c(k: String): Option[String] =
+      config.get("dcc_transforms", k).flatMap(_ => config.resolved("dcc_transforms", k))
     val date = c("datetransform_type").map { mode =>
       new DateShiftTransform(fieldMap, mode,
         standardDate = c("standard_date").getOrElse("2010-01-01"),
         shiftSeconds = c("shifting_seconds").map(_.toLong).getOrElse(0L),
-        inPlace = c("dob_shift_inplace").forall(_.toBoolean))
+        // reference: getboolean(..., fallback=False), dcc_transforms.py:34-36
+        inPlace = c("dob_shift_inplace").exists(asBool))
     }
     val calc = c("deid_data_file").map(p =>
       new CalcVariableTransform(FieldMap.load(spark, p)))
@@ -71,16 +82,21 @@ object EtlJob {
 
     val chunkRows = config.get("datalake", "chunk_rows").map(_.toInt).getOrElse(50000)
     val envelopes = Sinks.envelopes(result.kept, chunkRows)
-    val header = Sinks.headerDocument(result.transformRecords,
-      result.transformMetadata.headOption.map(_._2))
+    // per-record transform output is DATA-plane (scales with participants) —
+    // it ships as its own envelope stream, never collected into the header
+    val recordEnvelopes = result.transformRecords.map(Sinks.envelopes(_, chunkRows))
+    // header = control-plane only: every transform's dictionary
+    val header = Sinks.headerDocument(result.transformMetadata, None)
     if (fake) {
       config.resolved("default", "out_dir").foreach { out =>
-        Sinks.ndjson(envelopes, s"$out/envelopes",
-          org.apache.spark.sql.SaveMode.Overwrite)
+        // raw envelope documents, one per line (the reference's write_out
+        // emits the chunk JSON verbatim — a json() write would re-wrap it)
+        envelopes.write.mode("overwrite").text(s"$out/envelopes")
+        recordEnvelopes.foreach(_.write.mode("overwrite").text(s"$out/transform_envelopes"))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$out/header.json"), header)
       }
     }
-    Output(result, envelopes, header)
+    Output(result, envelopes, recordEnvelopes, header)
   }
 }

@@ -70,17 +70,30 @@ object Sinks {
       rows.foreach(r => post(r.getString(0)))
     }
 
-  /** The header document replacing the chunk-1 special case: transform
-    * records + metadata travel once, not inside the first data chunk. */
-  def headerDocument(transformRecords: Option[DataFrame], metadata: Option[DataFrame]): String = {
-    def arr(df: Option[DataFrame]): String = df match {
-      case None => "[]"
-      case Some(d) =>
-        // header payloads are control-plane sized (transform dictionary,
-        // REDCap metadata) — the one place collect() is legitimate.
-        d.select(to_json(struct(d.columns.map(col): _*))).collect()
-          .map(_.getString(0)).mkString("[", ",", "]")
-    }
-    s"""{"chunk_number":0,"transforms":${arr(transformRecords)},"metadata":${arr(metadata)}}"""
+  private def jsonArr(df: Option[DataFrame]): String = df match {
+    case None => "[]"
+    case Some(d) =>
+      // header payloads must be control-plane sized (transform DICTIONARIES,
+      // REDCap metadata) — never per-record data; the collect() here is the
+      // one legitimate driver materialization.
+    d.select(to_json(struct(d.columns.map(col): _*))).collect()
+        .map(_.getString(0)).mkString("[", ",", "]")
   }
+
+  /** The header document replacing the chunk-1 special case: per-transform
+    * dictionaries + extraction metadata travel once, not inside the first
+    * data chunk. Per-RECORD transform output is data-plane and ships through
+    * [[envelopes]] like everything else (the reference stuffed it into
+    * chunk 1, which only worked because everything sat in driver RAM). */
+  def headerDocument(transformMetadata: Seq[(String, DataFrame)],
+      metadata: Option[DataFrame]): String = {
+    val transforms = transformMetadata
+      .map { case (ns, df) => s""""$ns":${jsonArr(Some(df))}""" }
+      .mkString("{", ",", "}")
+    s"""{"chunk_number":0,"transforms":$transforms,"metadata":${jsonArr(metadata)}}"""
+  }
+
+  /** Back-compat shape for small dictionaries passed as a bare frame. */
+  def headerDocument(transformRecords: Option[DataFrame], metadata: Option[DataFrame]): String =
+    s"""{"chunk_number":0,"transforms":${jsonArr(transformRecords)},"metadata":${jsonArr(metadata)}}"""
 }

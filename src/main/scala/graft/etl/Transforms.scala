@@ -69,15 +69,18 @@ final class DateShiftTransform(
   }
 
   /** Field→granularity dictionary (the reference's get_transform_metadata,
-    * dcc_transforms.py:176-190: granularity = `status[9:]`, the status
-    * minus its "Transform" prefix). */
-  override def metadata(spark: org.apache.spark.sql.SparkSession): Option[DataFrame] = Some {
-    FieldMap.normalize(fieldMap)
-      .filter(col("status").isin(Model.dateStatuses: _*))
-      .dropDuplicates("field_name")
-      .select(col("field_name"),
-        regexp_replace(col("status"), "^Transform", "").as("granularity"))
-  }
+    * dcc_transforms.py:176-190: granularity = `status[9:]`, and the
+    * dictionary is published ONLY in total_seconds mode — other modes
+    * return None, exactly like the reference). */
+  override def metadata(spark: org.apache.spark.sql.SparkSession): Option[DataFrame] =
+    if (mode != "total_seconds") None
+    else Some {
+      FieldMap.normalize(fieldMap)
+        .filter(col("status").isin(Model.dateStatuses: _*))
+        .dropDuplicates("field_name")
+        .select(col("field_name"),
+          regexp_replace(col("status"), "^Transform", "").as("granularity"))
+    }
 }
 
 /** Calc-variable enrichment (SURVEY.md J3+R2;

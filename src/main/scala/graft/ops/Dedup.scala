@@ -84,19 +84,29 @@ object Dedup {
     * long with `xxhash64(h, lane)` — a handful of codegen'd integer ops,
     * overflow-free under ANSI. (Higher-order array lambdas are interpreted
     * in Spark, so the row-local formulation is ~10× slower at scale.) */
-  def minhashSignatures(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", k: Int = 64): DataFrame = {
-    val ex = shingleRows(docs, textCol, idCol)
+  /** (id, h1, h2) rows — one base-hash pair per shingle occurrence. */
+  private def hashedShingleRows(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    shingleRows(docs, textCol, idCol)
       .select(col("id"), xxhash64(col("sh")).as("h1"), xxhash64(col("sh"), lit(1)).as("h2"))
-    // Kirsch-Mitzenmacher-style lane derivation: lane_i = h1 ^ rot(h2, i).
-    // Two string hashes + 4 bitwise ops per lane instead of k string
-    // hashes — overflow-free (ANSI) and ~3x cheaper in the hot aggregate.
+
+  /** Kirsch-Mitzenmacher-style lane derivation: lane_i = h1 ^ rot(h2, i).
+    * Two string hashes + 4 bitwise ops per lane instead of k string
+    * hashes — overflow-free (ANSI) and ~3x cheaper in the hot aggregate.
+    * Single definition shared by signatures / pairs / bucket audit so the
+    * three can never drift apart. */
+  private def laneAggs(k: Int): Seq[Column] = {
     def lane(i: Int): Column =
       if (i == 0) col("h1")
       else col("h1").bitwiseXOR(
         shiftleft(col("h2"), i).bitwiseOR(shiftrightunsigned(col("h2"), 64 - i)))
-    val lanes = (0 until k).map(i => min(lane(i)).as(s"mh_$i"))
-    ex.groupBy(col("id")).agg(lanes.head, lanes.tail: _*)
+    (0 until k).map(i => min(lane(i)).as(s"mh_$i"))
+  }
+
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 64): DataFrame = {
+    val lanes = laneAggs(k)
+    hashedShingleRows(docs, textCol, idCol)
+      .groupBy(col("id")).agg(lanes.head, lanes.tail: _*)
   }
 
   /** Audit for the candidate-generation bucket cap: (band, bucket hash,
@@ -135,15 +145,9 @@ object Dedup {
     // signatures AND the verification shingle-hash set come from ONE
     // aggregation over one shingle pass — shingling (normalize + posexplode
     // + window) is the dominant cost and must not run twice.
-    val ex = shingleRows(docs, textCol, idCol)
-      .select(col("id"), xxhash64(col("sh")).as("h1"), xxhash64(col("sh"), lit(1)).as("h2"))
-    def lane(i: Int): Column =
-      if (i == 0) col("h1")
-      else col("h1").bitwiseXOR(
-        shiftleft(col("h2"), i).bitwiseOR(shiftrightunsigned(col("h2"), 64 - i)))
-    val aggs = (0 until k).map(i => min(lane(i)).as(s"mh_$i")) :+
-      collect_set(col("h1")).as("sh_set")
-    val sigs = ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val aggs = laneAggs(k) :+ collect_set(col("h1")).as("sh_set")
+    val sigs = hashedShingleRows(docs, textCol, idCol)
+      .groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
     // one row per (doc, band): band hash = hash of that band's r minhash
     // lanes. Only (id, band, bh) shuffles — never text or shingle arrays.
     val bandCols = (0 until bands).map { b =>

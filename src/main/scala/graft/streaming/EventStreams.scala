@@ -145,7 +145,10 @@ object EventStreams {
             val seed = state.getOption.toList
             val runs = ts.foldLeft(seed) { (acc, t) =>
               acc match {
-                case (n, s, e, _) :: rest if t - e < gapMs => (n + 1, s, math.max(e, t), 0L) :: rest
+                case (n, s, e, _) :: rest if t - e < gapMs =>
+                  // min(s, t): a late-but-admitted event can precede the
+                  // open session's current start
+                  (n + 1, math.min(s, t), math.max(e, t), 0L) :: rest
                 case _ => (1L, t, t, 0L) :: acc
               }
             }

@@ -78,13 +78,17 @@ class PipelineSpec extends SparkSpec {
     assert(!tr.exists(_._1 == "r2")) // r2 has no dob → nothing emitted
   }
 
-  test("transform metadata: date-shift granularity dictionary in the result") {
-    val result = Pipeline.run(eav, fieldMap, Seq(
-      new DateShiftTransform(fieldMap, "dob_shifting", standardDate = "2010-01-01")))
-    val meta = result.transformMetadata.toMap
+  test("transform metadata: granularity dictionary published only in total_seconds mode") {
+    val withMeta = Pipeline.run(eav, fieldMap, Seq(
+      new DateShiftTransform(fieldMap, "total_seconds", standardDate = "2010-01-01")))
+    val meta = withMeta.transformMetadata.toMap
     assert(meta.keySet == Set("date_deid"))
-    val rows = meta("date_deid").as[(String, String)].collect().toMap
-    assert(rows == Map("visit_date" -> "Date"))
+    assert(meta("date_deid").as[(String, String)].collect().toMap ==
+      Map("visit_date" -> "Date"))
+    // reference: get_transform_metadata returns None for other modes
+    val noMeta = Pipeline.run(eav, fieldMap, Seq(
+      new DateShiftTransform(fieldMap, "dob_shifting", standardDate = "2010-01-01")))
+    assert(noMeta.transformMetadata.isEmpty)
   }
 
   test("envelope sink: chunking + header document") {
