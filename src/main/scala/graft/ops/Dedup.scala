@@ -142,12 +142,7 @@ object Dedup {
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     val r = k / bands
     require(bands * r == k, "bands must divide k")
-    // signatures AND the verification shingle-hash set come from ONE
-    // aggregation over one shingle pass — shingling (normalize + posexplode
-    // + window) is the dominant cost and must not run twice.
-    val aggs = laneAggs(k) :+ collect_set(col("h1")).as("sh_set")
-    val sigs = hashedShingleRows(docs, textCol, idCol)
-      .groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val sigs = minhashSignatures(docs, textCol, idCol, k)
     // one row per (doc, band): band hash = hash of that band's r minhash
     // lanes. Only (id, band, bh) shuffles — never text or shingle arrays.
     val bandCols = (0 until bands).map { b =>
@@ -169,11 +164,20 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // exact-Jaccard verification on the HASHED shingle sets carried out of
-    // the same aggregate: long-array intersect/union is ~5× cheaper than
-    // string arrays in the interpreted set ops, and xxhash64 collisions
-    // (~2^-64) are immaterial to a similarity estimate.
-    val shs = sigs.select(col("id").as("sid"), col("sh_set").as("sh"))
+    // exact-Jaccard verification on HASHED shingle sets, built ONLY for
+    // candidate docs: the docs plane is semi-join-pruned before re-shingling,
+    // so the second pass is proportional to |candidates|, not the corpus
+    // (collecting sets for every doc in the signature aggregate measured
+    // slower — the buffers dominate). Long-array intersect/union is ~5×
+    // cheaper than strings; xxhash64 collisions (~2^-64) are immaterial.
+    val candidateIds = candidates.select(col("id_a").as("cid"))
+      .union(candidates.select(col("id_b")))
+      .distinct()
+    val candidateDocs = docs.join(candidateIds,
+      col(idCol) === col("cid"), "left_semi")
+    val shs = shingleRows(candidateDocs, textCol, idCol)
+      .groupBy(col("id")).agg(collect_set(xxhash64(col("sh"))).as("sh"))
+      .withColumnRenamed("id", "sid")
     candidates
       .join(shs.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(shs.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
