@@ -23,8 +23,13 @@ object DictionaryMerge {
     "status", "status questions", "notes", "restrict_to_event_list", "ontology_term")
 
   def upsert(fresh: DataFrame, existing: DataFrame, key: String = "field_name"): DataFrame = {
+    // A duplicated key in the curated file would fan out the fresh extraction
+    // through the left join (the reference's pandas set_index+update raises on
+    // a duplicate index); any-wins dedupe, same rationale as PhiFilter's
+    // control-table handling.
     val ex = existing.select(
       (key +: curatedColumns.filter(existing.columns.contains)).map(c => col(s"`$c`")): _*)
+      .dropDuplicates(key)
     val exRenamed = curatedColumns.filter(ex.columns.contains).foldLeft(ex) {
       (df, c) => df.withColumnRenamed(c, s"__ex_$c")
     }

@@ -58,7 +58,11 @@ object EtlJob {
         inPlace = c("dob_shift_inplace").exists(asBool))
     }
     val calc = c("deid_data_file").map(p =>
-      new CalcVariableTransform(FieldMap.load(spark, p)))
+      new CalcVariableTransform(FieldMap.load(spark, p),
+        idColumn = config.resolved("redcap", "study_id_column").getOrElse("study_id"),
+        // the transform's header dictionary (dcc_transforms.py:272-278)
+        deidDataDictionary = c("deid_data_dictionary_file")
+          .map(f => FieldMap.load(spark, f))))
     val secondary = c("secondary_id_file").map(p =>
       new SecondaryIdTransform(FieldMap.load(spark, p)))
     Seq(date, calc, secondary).flatten
@@ -81,10 +85,19 @@ object EtlJob {
     val result = Pipeline.run(eav, fieldMap, transforms)
 
     val chunkRows = config.get("datalake", "chunk_rows").map(_.toInt).getOrElse(50000)
-    val envelopes = Sinks.envelopes(result.kept, chunkRows)
+    // every chunk carries project id/type + one run timestamp, like the
+    // reference's transmit() (redcap-etl.py:231-243): id from the live
+    // project info when provided (get_project_info), else the config value
+    val envelopeMeta: Seq[(String, Option[String])] = Seq(
+      "redcap_project_id" ->
+        projectInfo.get("project_id").orElse(config.get("redcap", "project_id")),
+      "redcap_project_type" -> config.resolved("redcap", "project_type"),
+      "extraction_run_datetime" -> Some(java.time.LocalDateTime.now().toString))
+    val envelopes = Sinks.envelopes(result.kept, chunkRows, envelopeMeta)
     // per-record transform output is DATA-plane (scales with participants) —
     // it ships as its own envelope stream, never collected into the header
-    val recordEnvelopes = result.transformRecords.map(Sinks.envelopes(_, chunkRows))
+    val recordEnvelopes =
+      result.transformRecords.map(Sinks.envelopes(_, chunkRows, envelopeMeta))
     // header = control-plane only: every transform's dictionary
     val header = Sinks.headerDocument(result.transformMetadata, None)
     if (fake) {

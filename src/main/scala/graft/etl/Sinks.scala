@@ -41,23 +41,65 @@ object Sinks {
     df.select(to_json(map(key, payload)).as("doc"))
   }
 
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Envelope-level metadata fields the reference stamps on EVERY chunk
+    * (redcap-etl.py:237-243): project id/type + one run timestamp. `None`
+    * values render as JSON null, like the reference's dict(None). */
+  private def metaFields(meta: Seq[(String, Option[String])]): String =
+    meta.map { case (k, v) =>
+      s"${jsonStr(k)}:${v.map(jsonStr).getOrElse("null")}"
+    }.map("," + _).mkString
+
   /** Envelope rows into ≤`chunkRows`-sized JSON documents
-    * `{"chunk_number":n,"redcap_records":[...]}` (S12;
+    * `{"chunk_number":n,...meta...,"redcap_records":[...]}` (S12;
     * redcap-etl.py:225-248). Chunk ids are `(partitionId << 32) + localIndex
     * + 1` — unique (up to 2^32 chunks per partition — unreachable, a
     * partition is bounded by memory long before that) and deterministic
     * without any global coordination; starting at 1 because chunk_number 0
-    * is reserved for the header document (receivers key on chunk_number). */
-  def envelopes(df: DataFrame, chunkRows: Int = 50000): DataFrame = {
+    * is reserved for the header document (receivers key on chunk_number).
+    *
+    * CONTRACT DIVERGENCE from the reference: chunk numbers are unique and
+    * ascending-per-partition but NOT contiguous (the reference's 1,2,3,…
+    * requires a global sequence — a serialization point). Receivers that
+    * validate contiguity should use [[envelopesSequential]]. */
+  def envelopes(df: DataFrame, chunkRows: Int = 50000,
+      meta: Seq[(String, Option[String])] = Nil): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val extra = metaFields(meta)
     val json = df.select(to_json(struct(df.columns.map(col): _*)).as("j")).as[String]
     json.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
       it.grouped(chunkRows).zipWithIndex.map { case (chunk, i) =>
         val id = (pid << 32) + i + 1
-        chunk.mkString(s"""{"chunk_number":$id,"redcap_records":[""", ",", "]}")
+        chunk.mkString(
+          s"""{"chunk_number":$id$extra,"redcap_records":[""", ",", "]}")
       }
+    }.toDF("envelope")
+  }
+
+  /** Reference-parity envelopes: contiguous chunk_number 1,2,3,… like
+    * redcap-etl.py:231,249. zipWithIndex costs one extra job (it counts
+    * partition sizes first) but stays fully distributed — use when the
+    * receiver validates contiguity, [[envelopes]] otherwise. */
+  def envelopesSequential(df: DataFrame, chunkRows: Int = 50000,
+      meta: Seq[(String, Option[String])] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val extra = metaFields(meta)
+    val json = df.select(to_json(struct(df.columns.map(col): _*)).as("j")).as[String]
+    val bodies = json.mapPartitions { it =>
+      it.grouped(chunkRows).map(_.mkString("[", ",", "]"))
+    }
+    bodies.rdd.zipWithIndex.map { case (body, i) =>
+      s"""{"chunk_number":${i + 1}$extra,"redcap_records":$body}"""
     }.toDF("envelope")
   }
 

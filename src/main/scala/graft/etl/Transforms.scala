@@ -44,7 +44,8 @@ final class DateShiftTransform(
     standardDate: String = "2010-01-01",
     shiftSeconds: Long = 0L,
     inPlace: Boolean = true,
-    val namespace: String = "date_deid") extends EtlTransform {
+    // the reference's data_namespace verbatim (dcc_transforms.py:12)
+    val namespace: String = "TransformedDate") extends EtlTransform {
   def apply(eav: DataFrame): TransformOutput = {
     val pre = eav.withColumn("pre_cleaned_flag", coalesce(col("kpmp_date_cleaned"), lit(false)))
     val r = mode match {
@@ -93,8 +94,12 @@ final class DateShiftTransform(
   */
 final class CalcVariableTransform(
     deidWide: DataFrame,
-    val namespace: String = "kpmp_calculated_variables",
-    idColumn: String = "study_id") extends EtlTransform {
+    // the reference's data_namespace verbatim (dcc_transforms.py:190)
+    val namespace: String = "CalcVars",
+    idColumn: String = "study_id",
+    /** Curated de-id data dictionary CSV (config `deid_data_dictionary_file`)
+      * published as this transform's header dictionary. */
+    deidDataDictionary: Option[DataFrame] = None) extends EtlTransform {
   def apply(eav: DataFrame): TransformOutput = {
     // study_id → redcap_id rename, dcc_transforms.py:231-232; dedupe the
     // control side so a duplicated participant row can't fan out records
@@ -115,6 +120,16 @@ final class CalcVariableTransform(
       .select("record_id", "namespace", "field_name", "field_value")
     TransformOutput(eav, Some(records))
   }
+
+  /** The de-id data dictionary rows (the reference's get_transform_metadata,
+    * dcc_transforms.py:272-278: read deid_data_dictionary_file, fillna("")).
+    * fillna applies to every column — cast-then-coalesce so non-string
+    * nulls become "" too, matching pandas' object-frame behavior. */
+  override def metadata(spark: org.apache.spark.sql.SparkSession): Option[DataFrame] =
+    deidDataDictionary.map { d =>
+      d.select(d.columns.map(c =>
+        coalesce(col(s"`$c`").cast("string"), lit("")).as(c)): _*)
+    }
 }
 
 /** Secondary-ID mapping (SURVEY.md J4;
@@ -124,7 +139,8 @@ final class CalcVariableTransform(
   */
 final class SecondaryIdTransform(
     mapping: DataFrame,              // redcap_record_id, secondary_id
-    val namespace: String = "secondary_id",
+    // the reference's data_namespace verbatim (dcc_transforms.py:282)
+    val namespace: String = "SecondaryID",
     outputField: String = "secondary_id") extends EtlTransform {
   def apply(eav: DataFrame): TransformOutput = {
     val ids = eav.select(col("record_id")).distinct()
@@ -137,6 +153,15 @@ final class SecondaryIdTransform(
         lit(outputField).as("field_name"),
         col("secondary_id").cast("string").as("field_value"))
     TransformOutput(eav, Some(records))
+  }
+
+  /** Static descriptor row (the reference's get_transform_metadata,
+    * dcc_transforms.py:310-316). */
+  override def metadata(spark: org.apache.spark.sql.SparkSession): Option[DataFrame] = {
+    import spark.implicits._
+    Some(Seq((outputField,
+      "Secondary unique identifier for use in public data set"))
+      .toDF("field_name", "description"))
   }
 }
 

@@ -77,8 +77,8 @@ object LlmQueries {
        |e AS (SELECT vec_id AS eid, $quantSql AS ev FROM embeddings),
        |sc AS (SELECT qid, eid,
        |    CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*ev[i])) AS DOUBLE)
-       |      / sqrt(CAST(list_sum(list_transform(qv, x->x*x))
-       |                  * list_sum(list_transform(ev, x->x*x)) AS DOUBLE)) AS cos
+       |      / (sqrt(CAST(list_sum(list_transform(qv, x->x*x)) AS DOUBLE))
+       |         * sqrt(CAST(list_sum(list_transform(ev, x->x*x)) AS DOUBLE))) AS cos
        |  FROM q, e WHERE qid <> eid)
        |SELECT qid, eid, cos, rn FROM (
        |  SELECT qid, eid, cos,
@@ -99,8 +99,10 @@ object LlmQueries {
     s"""SELECT doc_id,
        |  CASE WHEN trim(text) = '' OR text IS NULL THEN 0
        |       ELSE len($toksSql) END AS n_tokens,
-       |  list_sum(list_transform($toksSql,
-       |    t -> greatest(CAST(ceil(length(t)/6.0) AS BIGINT), 1))) AS n_subwords
+       |  CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+       |       ELSE CAST(list_sum(list_transform($toksSql,
+       |         t -> greatest(CAST(ceil(length(t)/6.0) AS BIGINT), 1))) AS BIGINT)
+       |  END AS n_subwords
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q45
@@ -215,12 +217,12 @@ object LlmQueries {
     s"""WITH v AS (SELECT vec_id, $quantSql AS qv FROM embeddings WHERE vec_id < 1000)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |  CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS DOUBLE)
-       |    / sqrt(CAST(list_sum(list_transform(a.qv, x->x*x))
-       |                * list_sum(list_transform(b.qv, x->x*x)) AS DOUBLE)) AS cos
+       |    / (sqrt(CAST(list_sum(list_transform(a.qv, x->x*x)) AS DOUBLE))
+       |       * sqrt(CAST(list_sum(list_transform(b.qv, x->x*x)) AS DOUBLE))) AS cos
        |FROM v a JOIN v b ON a.vec_id < b.vec_id
        |WHERE CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS DOUBLE)
-       |    / sqrt(CAST(list_sum(list_transform(a.qv, x->x*x))
-       |                * list_sum(list_transform(b.qv, x->x*x)) AS DOUBLE)) >= 0.3
+       |    / (sqrt(CAST(list_sum(list_transform(a.qv, x->x*x)) AS DOUBLE))
+       |       * sqrt(CAST(list_sum(list_transform(b.qv, x->x*x)) AS DOUBLE))) >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

@@ -369,7 +369,8 @@ object Relational2 {
       .agg(
         approx_count_distinct($"l_partkey", 0.01).as("apx_parts"),
         percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("apx_median"),
-        percentile_approx($"l_extendedprice", array(lit(0.25), lit(0.75)), lit(10000)).as("apx_iqr"))
+        percentile_approx($"l_extendedprice", lit(0.25), lit(10000)).as("apx_p25"),
+        percentile_approx($"l_extendedprice", lit(0.75), lit(10000)).as("apx_p75"))
       .orderBy($"l_returnflag")
   }
 

@@ -48,14 +48,20 @@ object Similarity {
   def normIntUnrolled(a: Column, dim: Int): Column =
     (1 to dim).map(i => qat(a, i) * qat(a, i)).reduce(_ + _)
 
-  /** Exact cosine between quantized vectors, as double. */
+  /** Exact cosine between quantized vectors, as double.
+    * sqrt(na)*sqrt(nb), NOT sqrt(na*nb): the long product overflows for
+    * high-dim/unnormalized vectors (≈1536 dims × |x|≳30 → na·nb ≈ 2e24 > 2^63,
+    * and ANSI long multiply throws); each factor alone stays below 2^53 so
+    * the doubles are exact and both engines round the sqrt identically. */
   def cosine(a: Column, b: Column): Column =
-    dotInt(a, b).cast("double") / sqrt((normInt(a) * normInt(b)).cast("double"))
+    dotInt(a, b).cast("double") /
+      (sqrt(normInt(a).cast("double")) * sqrt(normInt(b).cast("double")))
 
   /** Exact cosine, fixed-dim codegen path — takes RAW float vectors. */
   def cosineUnrolled(a: Column, b: Column, dim: Int): Column =
     dotIntUnrolled(a, b, dim).cast("double") /
-      sqrt((normIntUnrolled(a, dim) * normIntUnrolled(b, dim)).cast("double"))
+      (sqrt(normIntUnrolled(a, dim).cast("double")) *
+        sqrt(normIntUnrolled(b, dim).cast("double")))
 
   // ---- pairwise-scoring kernels -------------------------------------
   // The O(|Q|·N) / O(N²) dot-product loops are the one place the
@@ -85,7 +91,10 @@ object Similarity {
     * padding) has undefined cosine; 0.0 ranks it last instead of NaN —
     * which Spark sorts as the LARGEST double, i.e. rank 1 under desc. */
   private def cosJvm(dot: Long, na: Long, nb: Long): Double =
-    if (na == 0L || nb == 0L) 0.0 else dot.toDouble / math.sqrt((na * nb).toDouble)
+    // sqrt(na)*sqrt(nb): na*nb overflows Long for high-dim vectors (→ negative
+    // → sqrt NaN → ranks first under desc); each factor alone is exact
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
 
   /** Brute-force top-k cosine neighbors for each query vector. The query
     * side is collected + broadcast (it is the small probe set by contract);

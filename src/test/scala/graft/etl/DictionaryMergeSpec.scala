@@ -28,6 +28,16 @@ class DictionaryMergeSpec extends SparkSpec {
     assert(m("newf") == ((None, None)))
   }
 
+  test("duplicate key in curated file does not fan out the fresh extraction") {
+    val dupExisting = Seq(
+      ("age", "Include", "first"),
+      ("age", "Exclude", "second")
+    ).toDF("field_name", "status", "notes")
+    val out = DictionaryMerge.upsert(fresh, dupExisting)
+    assert(out.count() == fresh.count())
+    assert(out.filter("field_name = 'age'").count() == 1)
+  }
+
   test("row universe = fresh only (update adds no rows); non-curated from fresh") {
     val out = DictionaryMerge.upsert(fresh, existing)
     assert(out.select("field_name").as[String].collect().toSet ==

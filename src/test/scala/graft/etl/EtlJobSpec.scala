@@ -59,6 +59,10 @@ class EtlJobSpec extends SparkSpec {
     assert(!kept.exists(_._2 == "ssn"))
     val envs = out.envelopes.as[String].collect()
     assert(envs.nonEmpty && envs.forall(_.startsWith("""{"chunk_number":""")))
+    // every chunk carries the reference's transmit() metadata (237-243)
+    assert(envs.forall(_.contains(""""redcap_project_id":"42"""")))
+    assert(envs.forall(_.contains(""""redcap_project_type":null"""))) // not configured
+    assert(envs.forall(_.contains(""""extraction_run_datetime":"""")))
     assert(out.header.startsWith("""{"chunk_number":0,"""))
     // fake mode wrote NDJSON + header
     assert(spark.read.text(s"$dir/out/envelopes").count() == envs.length)

@@ -60,10 +60,10 @@ class PipelineSpec extends SparkSpec {
     // transform records: 2 calc vars for r1 + 2 secondary-id rows (r1, r2)
     val tr = result.transformRecords.get
       .as[(String, String, String, String)].collect().toSet
-    assert(tr.contains(("r1", "kpmp_calculated_variables", "exp_age_decade", "4")))
-    assert(tr.contains(("r1", "kpmp_calculated_variables", "exp_race", "White")))
-    assert(tr.contains(("r1", "secondary_id", "secondary_id", "S-001")))
-    assert(tr.exists { case (r, ns, _, v) => r == "r2" && ns == "secondary_id" && v == null })
+    assert(tr.contains(("r1", "CalcVars", "exp_age_decade", "4")))
+    assert(tr.contains(("r1", "CalcVars", "exp_race", "White")))
+    assert(tr.contains(("r1", "SecondaryID", "secondary_id", "S-001")))
+    assert(tr.exists { case (r, ns, _, v) => r == "r2" && ns == "SecondaryID" && v == null })
   }
 
   test("side-output mode: EAV untouched, shifted dates emitted as records") {
@@ -74,7 +74,7 @@ class PipelineSpec extends SparkSpec {
     assert(result.kept.filter("field_name = 'visit_date'").count() == 0)
     val tr = result.transformRecords.get
       .as[(String, String, String, String)].collect().toSet
-    assert(tr.contains(("r1", "date_deid", "visit_date", "2021-01-27")))
+    assert(tr.contains(("r1", "TransformedDate", "visit_date", "2021-01-27")))
     assert(!tr.exists(_._1 == "r2")) // r2 has no dob → nothing emitted
   }
 
@@ -82,13 +82,38 @@ class PipelineSpec extends SparkSpec {
     val withMeta = Pipeline.run(eav, fieldMap, Seq(
       new DateShiftTransform(fieldMap, "total_seconds", standardDate = "2010-01-01")))
     val meta = withMeta.transformMetadata.toMap
-    assert(meta.keySet == Set("date_deid"))
-    assert(meta("date_deid").as[(String, String)].collect().toMap ==
+    assert(meta.keySet == Set("TransformedDate"))
+    assert(meta("TransformedDate").as[(String, String)].collect().toMap ==
       Map("visit_date" -> "Date"))
     // reference: get_transform_metadata returns None for other modes
     val noMeta = Pipeline.run(eav, fieldMap, Seq(
       new DateShiftTransform(fieldMap, "dob_shifting", standardDate = "2010-01-01")))
     assert(noMeta.transformMetadata.isEmpty)
+  }
+
+  test("calc-var dictionary + secondary-id descriptor publish as header metadata") {
+    val dict = Seq(
+      ("exp_age_decade", "Age decade", null.asInstanceOf[String]),
+      ("exp_race", "Race", "curated")
+    ).toDF("field_name", "description", "notes")
+    val result = Pipeline.run(eav, fieldMap, Seq(
+      new CalcVariableTransform(deid, deidDataDictionary = Some(dict)),
+      new SecondaryIdTransform(mapping)))
+    val meta = result.transformMetadata.toMap
+    assert(meta.keySet == Set("CalcVars", "SecondaryID"))
+    // fillna(""): nulls become empty strings, like the reference's pandas load
+    val calc = meta("CalcVars").as[(String, String, String)].collect().toSet
+    assert(calc == Set(
+      ("exp_age_decade", "Age decade", ""),
+      ("exp_race", "Race", "curated")))
+    val sec = meta("SecondaryID").as[(String, String)].collect().toSeq
+    assert(sec == Seq(
+      ("secondary_id", "Secondary unique identifier for use in public data set")))
+    // no dictionary configured → no CalcVars entry (reference returns None…
+    // only for transforms that publish nothing; CalcVars without a file is
+    // a config gap the header simply omits)
+    val none = Pipeline.run(eav, fieldMap, Seq(new CalcVariableTransform(deid)))
+    assert(none.transformMetadata.isEmpty)
   }
 
   test("envelope sink: chunking + header document") {

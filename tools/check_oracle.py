@@ -29,12 +29,33 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall()
-            gcols = [d[0] for d in con.description]
-            exp = con.execute(oracle[name]).fetchall()
-            ecols = [d[0] for d in con.description]
+            cur = con.execute(f"SELECT * FROM read_parquet({files!r})")
+            gdesc = list(cur.description); got = cur.fetchall()
+            gcols = [d[0] for d in gdesc]
+            cur = con.execute(oracle[name])
+            edesc = list(cur.description); exp = cur.fetchall()
+            ecols = [d[0] for d in edesc]
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        # Driver parity: its compare goes through pandas, where DuckDB
+        # HUGEINT (SUM/list_sum over BIGINT) becomes float64 and no longer
+        # string-matches Spark's int64. fetchall() hides that (hugeint->int),
+        # so flag type-class drift from the cursor descriptions directly.
+        def tclass(t):
+            t = str(t).upper()
+            if "HUGEINT" in t: return "hugeint"
+            if any(k in t for k in ("TINYINT","SMALLINT","INTEGER","BIGINT")): return "int"
+            if any(k in t for k in ("FLOAT","DOUBLE","DECIMAL")): return "float"
+            return "other"
+        gtypes = {d[0]: tclass(d[1]) for d in gdesc}
+        etypes = {d[0]: tclass(d[1]) for d in edesc}
+        tbad = [(c, gtypes.get(c), etypes.get(c)) for c in etypes
+                if etypes[c] == "hugeint" or (c in gtypes and gtypes[c] != etypes[c]
+                   and {"int", "float"} == {gtypes[c], etypes[c]})]
+        if tbad:
+            print(f"FAIL {name}: dtype drift (driver pandas hash would differ): "
+                  + ", ".join(f"{c} spark={a} oracle={b}" for c, a, b in tbad))
+            n_fail += 1; continue
         g, gc = canon(got, gcols)
         e, ec = canon(exp, ecols)
         if gc != ec:
