@@ -109,6 +109,136 @@ object Dedup {
       .groupBy(col("id")).agg(lanes.head, lanes.tail: _*)
   }
 
+  // ---- JVM signature kernels (zero-shuffle) --------------------------
+  // Signatures are row-local: every shuffle before the band-bucket exchange
+  // is avoidable. The expression formulations above shuffle all shingle/token
+  // rows into a 64-column aggregate (plus a window sort for n-gram assembly);
+  // these kernels compute the same bytes per document inside mapPartitions,
+  // so the ONLY shuffle left in the LSH pipelines is (id, band, bh) — a few
+  // fixed-width bytes per doc. At 100 TB that is the difference between
+  // shuffling the corpus and shuffling ~1% of it. Hash parity with the
+  // expression paths (Spark's own XXH64) is pinned by DedupKernelParitySpec.
+
+  /** Spark-parity xxhash64 of a string column value (seed 42). */
+  private[ops] def xxStr(s: String, seed: Long = 42L): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed)
+  }
+
+  /** JVM replica of [[normalized]]: trim SPACES only (Spark's trim), lower,
+    * collapse whitespace — same Java regex engine as regexp_replace. */
+  private[ops] def normalizedJvm(text: String): String = {
+    var st = 0; var en = text.length
+    while (st < en && text.charAt(st) == ' ') st += 1
+    while (en > st && text.charAt(en - 1) == ' ') en -= 1
+    text.substring(st, en).toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
+  }
+
+  /** JVM replica of the [[shingleRows]] multiset: full n-grams, plus the
+    * single partial gram for docs shorter than n tokens. */
+  private[ops] def shinglesJvm(text: String, n: Int = 3): Iterator[String] = {
+    val toks = normalizedJvm(text).split(" ", -1)
+    if (toks.length < n) Iterator(toks.mkString(" "))
+    else (0 to toks.length - n).iterator.map { i =>
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      sb.toString
+    }
+  }
+
+  private def kernelRows(docs: DataFrame, textCol: String, idCol: String,
+      outFields: Seq[org.apache.spark.sql.types.StructField])(
+      perDoc: (Any, String) => Iterator[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val in = docs.select(col(idCol), col(textCol))
+    val idField = in.schema.fields.head.copy(name = "id")
+    val schema = StructType(idField +: outFields)
+    in.mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.isNullAt(1) || r.isNullAt(0)) Iterator.empty
+        else perDoc(r.get(0), r.getString(1))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** (id, band, bh) rows straight off the parquet scan — the exact input of
+    * the LSH bucket exchange, computed with zero shuffle. Same lanes as
+    * [[laneAggs]], same band hash as the expression path. */
+  def minhashBandRows(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 64, bands: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
+    val r = k / bands
+    require(bands * r == k, "bands must divide k")
+    kernelRows(docs, textCol, idCol,
+      Seq(StructField("band", IntegerType, false), StructField("bh", LongType, false))) {
+      (id, text) =>
+        val mins = Array.fill(k)(Long.MaxValue)
+        shinglesJvm(text).foreach { sh =>
+          val h1 = xxStr(sh)
+          // xxhash64(sh, 1): the string hash seeds the INT 1 (lit(1) is int)
+          val h2 = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(1, h1)
+          mins(0) = math.min(mins(0), h1)
+          var i = 1
+          while (i < k) {
+            val lane = h1 ^ ((h2 << i) | (h2 >>> (64 - i)))
+            if (lane < mins(i)) mins(i) = lane
+            i += 1
+          }
+        }
+        (0 until bands).iterator.map { b =>
+          var bh = 42L
+          var j = 0
+          while (j < r) {
+            bh = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(mins(b * r + j), bh)
+            j += 1
+          }
+          org.apache.spark.sql.Row(id, b, bh)
+        }
+    }
+  }
+
+  /** (id, sh: array<long>) — each doc's DISTINCT hashed shingle set in one
+    * narrow pass (replaces window + collect_set for the verification side). */
+  def hashedShingleSets(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField}
+    kernelRows(docs, textCol, idCol,
+      Seq(StructField("sh", ArrayType(LongType, false), false))) { (id, text) =>
+      val set = new java.util.HashSet[Long]()
+      shinglesJvm(text).foreach(sh => set.add(xxStr(sh)))
+      val arr = new Array[Long](set.size)
+      val it = set.iterator(); var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      Iterator.single(org.apache.spark.sql.Row(id, arr.toSeq))
+    }
+  }
+
+  /** (id, sim) 64-bit SimHash per doc, zero-shuffle (same bits as
+    * [[simhashSignatures]]). */
+  def simhashSignaturesKernel(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    kernelRows(docs, textCol, idCol,
+      Seq(StructField("sim", LongType, false))) { (id, text) =>
+      val counts = new Array[Int](64)
+      normalizedJvm(text).split(" ", -1).foreach { t =>
+        val h = xxStr(t)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+      }
+      var sim = 0L
+      var i = 0
+      while (i < 64) { if (counts(i) > 0) sim |= (1L << i); i += 1 }
+      Iterator.single(org.apache.spark.sql.Row(id, sim))
+    }
+  }
+
   /** Audit for the candidate-generation bucket cap: (band, bucket hash,
     * member count) of every bucket `minhashDuplicatePairs` would DROP at
     * these parameters — so a pipeline can report/alert on excluded volume
@@ -116,15 +246,7 @@ object Dedup {
   def oversizedMinhashBuckets(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
-    val r = k / bands
-    require(bands * r == k, "bands must divide k") // same contract as minhashDuplicatePairs
-    val sigs = minhashSignatures(docs, textCol, idCol, k)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((0 until r).map(i => col(s"mh_${b * r + i}")): _*).as("bh"))
-    }
-    sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bh").as("bh"))
+    minhashBandRows(docs, textCol, idCol, k, bands) // same lanes/band hash as the pairs path
       .groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucketSize)
@@ -140,18 +262,9 @@ object Dedup {
   def minhashDuplicatePairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
-    val r = k / bands
-    require(bands * r == k, "bands must divide k")
-    val sigs = minhashSignatures(docs, textCol, idCol, k)
-    // one row per (doc, band): band hash = hash of that band's r minhash
-    // lanes. Only (id, band, bh) shuffles — never text or shingle arrays.
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((0 until r).map(i => col(s"mh_${b * r + i}")): _*).as("bh"))
-    }
-    val exploded = sigs
-      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // (id, band, bh) computed in the zero-shuffle kernel: nothing shuffles
+    // before the bucket exchange — never text or shingle arrays.
+    val exploded = minhashBandRows(docs, textCol, idCol, k, bands)
     // bucket → member list in ONE shuffle (a window + self-join would cost
     // a sort plus a second shuffle); cap pathological buckets, then expand
     // pairs with a double explode.
@@ -175,8 +288,7 @@ object Dedup {
       .distinct()
     val candidateDocs = docs.join(candidateIds,
       col(idCol) === col("cid"), "left_semi")
-    val shs = shingleRows(candidateDocs, textCol, idCol)
-      .groupBy(col("id")).agg(collect_set(xxhash64(col("sh"))).as("sh"))
+    val shs = hashedShingleSets(candidateDocs, textCol, idCol)
       .withColumnRenamed("id", "sid")
     candidates
       .join(shs.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
@@ -235,7 +347,7 @@ object Dedup {
       throw new IllegalArgumentException(s"maxHamming=$maxHamming too large: LSH banding over 64 bits supports < 32"))
     val width = 64 / bands
     val mask = (1L << width) - 1
-    val sh = simhashSignatures(docs, textCol, idCol)
+    val sh = simhashSignaturesKernel(docs, textCol, idCol)
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"), shiftright(col("sim"), b * width).bitwiseAND(mask).as("bh")))
     val exploded = sh.select(col("id"), col("sim"), explode(array(bandCols: _*)).as("bb"))
