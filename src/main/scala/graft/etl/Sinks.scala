@@ -25,6 +25,11 @@ object Sinks {
   def csvSingle(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** ORC columnar sink — the alternate lake format (same pushdown/pruning
+    * behavior as parquet through the v1 FileFormat path). */
+  def orc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Data-lake layout sink: hive-partitioned parquet. Partition columns
     * should be low-cardinality (event/date buckets), or small files
     * proliferate — the caller picks them; this just wires the layout. */

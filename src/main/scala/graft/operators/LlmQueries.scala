@@ -86,6 +86,19 @@ object LlmQueries {
        |  FROM sc) WHERE rn <= 10
        |ORDER BY qid, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  // IVF-Flat at nprobe = nlist scans every list, so the ANN scale path's
+  // whole machinery (sampled+Lloyd-refined quantizer, list assignment,
+  // probe pruning, ranking) must reproduce the brute-force result exactly
+  // — same oracle as q43 puts it under the hash gate.
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10), k = 10,
+      nlist = 16, nprobe = 16, refineIters = 2)
+      .orderBy($"qid", $"rn")
+  }
+
   // ---------------------------------------------------------------- q44
   private def q44(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -237,5 +250,6 @@ object LlmQueries {
     QueryDef("q48_simhash_pairs", q48, None),
     QueryDef("q49_multimodal_meta", q49, Some(q49Sql)),
     QueryDef("q50_embed_neardup", q50, Some(q50Sql)),
+    QueryDef("q53_ivf_topk", q53, Some(q43Sql)),
   )
 }

@@ -205,9 +205,9 @@ object Similarity {
   // ---- IVF-Flat ------------------------------------------------------
   /** Deterministic coarse quantizer: the `nlist` corpus vectors with the
     * smallest xxhash-style mixed ids form the centroid set — a seeded
-    * sample, no training job. (A Lloyd refinement pass would slot in here;
-    * for near-uniform embedding clouds sampled centroids give the same
-    * recall/pruning tradeoff without a k-means dependency.) */
+    * sample, no training job. [[lloydRefine]] optionally recenters it; on
+    * near-uniform embedding clouds the sampled set alone gives a similar
+    * recall/pruning tradeoff. */
   private def sampleCentroids(corpus: DataFrame, nlist: Int,
       idCol: String, vecCol: String): Array[(Long, Array[Long], Long)] = {
     val spark = corpus.sparkSession
@@ -229,18 +229,85 @@ object Similarity {
       .sortBy { case (cid, cos) => (-cos, cid) }
       .take(n).map(_._1)
 
+  /** Lloyd (k-means) refinement of the coarse quantizer: each iteration
+    * assigns every corpus vector to its nearest centroid in one distributed
+    * pass (per-partition long-sum accumulators — nlist×dim longs, a few KB —
+    * merged on the driver) and recenters. Integer sums make every iteration
+    * bit-deterministic regardless of partitioning; empty clusters keep
+    * their previous centroid. The refit quantizer tightens lists on
+    * clustered embedding clouds, which is what lets nprobe/nlist shrink —
+    * the pruning ratio IS the speedup at scale. */
+  private def lloydRefine(corpus: DataFrame,
+      cents: Array[(Long, Array[Long], Long)], iters: Int,
+      idCol: String, vecCol: String): Array[(Long, Array[Long], Long)] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cs = cents
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cs)
+      val partials = vecs.rdd.mapPartitions { it =>
+        val cents = bc.value
+        val nlist = cents.length
+        val dim = if (cents.isEmpty) 0 else cents(0)._2.length
+        val sums = Array.ofDim[Long](nlist, dim)
+        val counts = new Array[Long](nlist)
+        it.foreach { case (_, v) =>
+          val q = quantizeJvm(v)
+          val cid = nearestCentroids(q, normJvm(q), cents, 1)(0).toInt
+          counts(cid) += 1
+          var i = 0
+          while (i < dim) { sums(cid)(i) += q(i); i += 1 }
+        }
+        Iterator.single((sums, counts))
+      }.collect()
+      bc.destroy()
+      val nlist = cs.length
+      val dim = cs(0)._2.length
+      val sums = Array.ofDim[Long](nlist, dim)
+      val counts = new Array[Long](nlist)
+      partials.foreach { case (s, c) =>
+        var l = 0
+        while (l < nlist) {
+          counts(l) += c(l)
+          var i = 0
+          while (i < dim) { sums(l)(i) += s(l)(i); i += 1 }
+          l += 1
+        }
+      }
+      cs = cs.map { case (cid, oldV, oldN) =>
+        val l = cid.toInt
+        if (counts(l) == 0L) (cid, oldV, oldN)
+        else {
+          val v = new Array[Long](dim)
+          var i = 0
+          // mean in quantized milli-units, rounded like quantizeJvm
+          while (i < dim) {
+            v(i) = math.floor(sums(l)(i).toDouble / counts(l) + 0.5).toLong
+            i += 1
+          }
+          (cid, v, normJvm(v))
+        }
+      }
+    }
+    cs
+  }
+
   /** IVF-Flat approximate top-k: corpus rows are assigned to their nearest
-    * of `nlist` sampled centroids; each query scores only rows whose list
+    * of `nlist` sampled centroids (optionally Lloyd-refined for
+    * `refineIters` passes); each query scores only rows whose list
     * is among its `nprobe` closest centroids — scanning ~nprobe/nlist of
     * the corpus instead of all of it. Same exact integer-cosine kernel as
     * the brute-force baseline; recall is tuned by nprobe. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
+      nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
       excludeSelf: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = sampleCentroids(corpus, nlist, idCol, vecCol)
+    val cents = lloydRefine(corpus,
+      sampleCentroids(corpus, nlist, idCol, vecCol), refineIters, idCol, vecCol)
     val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])].collect()
       .map { case (id, v) =>

@@ -63,6 +63,30 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("IVF Lloyd refinement: deterministic, recall not degraded, exact at full probe") {
+    val queries = emb.filter($"vec_id" < 20)
+    def run() = Similarity.ivfTopK(emb, queries, k = 10,
+      nlist = 16, nprobe = 6, refineIters = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val a = run()
+    assert(a == run()) // integer-sum recentering → bit-deterministic
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .as[(Long, Long, Double, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = a.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val recalls = exact.map { case (q, ids) =>
+      approx.get(q).map(x => (x intersect ids).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean refined-IVF recall@10 = $mean")
+    // refinement must not break the exhaustive-probe exactness contract
+    val full = Similarity.ivfTopK(emb, queries, k = 10,
+      nlist = 16, nprobe = 16, refineIters = 2)
+      .as[(Long, Long, Double, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(full == exact)
+  }
+
   test("near-dup pairs: symmetric threshold filter, a<b ordering") {
     val sub = emb.filter($"vec_id" < 100)
     val pairs = Similarity.cosineNearDupPairs(sub, threshold = 0.2)
