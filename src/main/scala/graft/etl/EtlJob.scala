@@ -98,8 +98,19 @@ object EtlJob {
     // it ships as its own envelope stream, never collected into the header
     val recordEnvelopes =
       result.transformRecords.map(Sinks.envelopes(_, chunkRows, envelopeMeta))
-    // header = control-plane only: every transform's dictionary
-    val header = Sinks.headerDocument(result.transformMetadata, None)
+    // header = control-plane only: every transform's dictionary, plus —
+    // when [redcap] include_metadata is set (getboolean fallback False,
+    // redcap-etl.py:232-234) — the project metadata filtered to fields that
+    // actually survived into the kept plane (filtered_metadata(), :207-214)
+    val includeMetadata =
+      config.get("redcap", "include_metadata").exists(asBool)
+    val filteredMetadata =
+      if (!includeMetadata) None
+      else config.resolved("redcap", "metadata_source").map { p =>
+        DictionaryJob.readMetadataJson(spark, p)
+          .join(result.uniqueFields, Seq("field_name"), "left_semi")
+      }
+    val header = Sinks.headerDocument(result.transformMetadata, filteredMetadata)
     if (fake) {
       config.resolved("default", "out_dir").foreach { out =>
         // raw envelope documents, one per line (the reference's write_out

@@ -128,19 +128,24 @@ object Sinks {
   }
 
   /** The header document replacing the chunk-1 special case: per-transform
-    * dictionaries + extraction metadata travel once, not inside the first
-    * data chunk. Per-RECORD transform output is data-plane and ships through
-    * [[envelopes]] like everything else (the reference stuffed it into
-    * chunk 1, which only worked because everything sat in driver RAM). */
+    * dictionaries + filtered extraction metadata travel once, not inside the
+    * first data chunk. Keys match the reference's chunk-1 payload
+    * (redcap-etl.py:244-248): `transform_metadata` is the namespace→rows
+    * dict, `redcap_metadata_filtered` the kept-field metadata. Per-RECORD
+    * transform output is data-plane and ships through [[envelopes]] like
+    * everything else (the reference stuffed it into chunk 1, which only
+    * worked because everything sat in driver RAM). */
   def headerDocument(transformMetadata: Seq[(String, DataFrame)],
       metadata: Option[DataFrame]): String = {
     val transforms = transformMetadata
       .map { case (ns, df) => s""""$ns":${jsonArr(Some(df))}""" }
       .mkString("{", ",", "}")
-    s"""{"chunk_number":0,"transforms":$transforms,"metadata":${jsonArr(metadata)}}"""
+    s"""{"chunk_number":0,"transform_metadata":$transforms,""" +
+      s""""redcap_metadata_filtered":${jsonArr(metadata)}}"""
   }
 
   /** Back-compat shape for small dictionaries passed as a bare frame. */
   def headerDocument(transformRecords: Option[DataFrame], metadata: Option[DataFrame]): String =
-    s"""{"chunk_number":0,"transforms":${jsonArr(transformRecords)},"metadata":${jsonArr(metadata)}}"""
+    s"""{"chunk_number":0,"transform_metadata":${jsonArr(transformRecords)},""" +
+      s""""redcap_metadata_filtered":${jsonArr(metadata)}}"""
 }

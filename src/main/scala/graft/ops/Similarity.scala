@@ -337,10 +337,69 @@ object Similarity {
       .select(col("qid"), col("eid"), col("cos"), col("rn"))
   }
 
+  /** Distributed SRP-bucketed near-dup pairs — [[cosineNearDupPairs]]'s
+    * scale path: NOTHING collects to the driver. Each vector hashes to
+    * `tables` independent `bits`-wide sign-random-projection buckets in a
+    * zero-shuffle kernel (same [[srpBuckets]] as lshTopK); only (id, table,
+    * bucket) rows shuffle into the bucket exchange; same-bucket pairs are
+    * verified with the exact integer cosine after a semi-join-pruned
+    * re-read of candidate vectors — the same candidate→verify shape as
+    * MinHash dedup. Precision is exact (every emitted pair re-scored);
+    * recall ≈ 1-(1-(1-θ/π)^bits)^tables where θ = acos(threshold) — SIZE
+    * bits TO THE THRESHOLD: per-bit collision p = 1-θ/π is ~0.86 at τ=0.9
+    * but only ~0.6 at τ=0.3, so defaults (12 bits) suit genuine near-dup
+    * thresholds τ ≳ 0.9; loose thresholds need few bits (2-4) and more
+    * tables, at the cost of bigger buckets. Oversized buckets
+    * (≥ maxBucketSize members — degenerate clouds) are dropped, like the
+    * text-LSH bucket cap. */
+  def srpNearDupPairs(corpus: DataFrame, threshold: Double,
+      bits: Int = 12, tables: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 1000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val in = corpus.select(col(idCol).cast("long").as("id"), col(vecCol))
+    val sigSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("table", IntegerType, false),
+      StructField("bucket", LongType, false)))
+    val sigRows = in.as[(Long, Seq[Float])].mapPartitions { it =>
+      it.flatMap { case (id, v) =>
+        val b = srpBuckets(quantizeJvm(v), bits, tables)
+        (0 until tables).iterator.map(t => org.apache.spark.sql.Row(id, t, b(t)))
+      }
+    }(org.apache.spark.sql.Encoders.row(sigSchema))
+    val buckets = sigRows
+      .groupBy(col("table"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val candidates = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val candidateIds = candidates.select(col("id_a").as("cid"))
+      .union(candidates.select(col("id_b"))).distinct()
+    val vecs = in.join(candidateIds, col("id") === col("cid"), "left_semi")
+    val scored = candidates
+      .join(vecs.select(col("id").as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+      .as[(Long, Long, Seq[Float], Seq[Float])]
+      .mapPartitions { it =>
+        it.map { case (a, b, va, vb) =>
+          val qa = quantizeJvm(va); val qb = quantizeJvm(vb)
+          (a, b, cosJvm(dotJvm(qa, qb), normJvm(qa), normJvm(qb)))
+        }
+      }.toDF("id_a", "id_b", "cos")
+    scored.filter(col("cos") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥ τ.
     * Brute-force O(N²/2) with the right side broadcast (bounded corpus by
-    * contract — this is the correctness baseline; the LSH variant is the
-    * scale path). Same mapPartitions kernel as [[bruteForceTopK]]. */
+    * contract — this is the correctness baseline; [[srpNearDupPairs]] is
+    * the scale path). Same mapPartitions kernel as [[bruteForceTopK]]. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession

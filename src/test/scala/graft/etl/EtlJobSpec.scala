@@ -69,6 +69,34 @@ class EtlJobSpec extends SparkSpec {
     assert(Files.readString(java.nio.file.Paths.get(s"$dir/out/header.json")) == out.header)
   }
 
+  test("include_metadata ships kept-field metadata in the header") {
+    val metaJson = write("metadata.json",
+      """[{"field_name":"age","field_label":"Age","field_type":"text"},
+        | {"field_name":"ssn","field_label":"SSN","field_type":"text"},
+        | {"field_name":"visit_date","field_label":"Visit","field_type":"text"}]""".stripMargin)
+    val cfg = IniConfig.parse(
+      s"""[default]
+         |field_map_file = $fieldMapCsv
+         |[dcc_transforms]
+         |datetransform_type = dob_shifting
+         |standard_date = 2010-01-01
+         |dob_shift_inplace = true
+         |[redcap]
+         |eav_source = $eavCsv
+         |include_metadata = true
+         |metadata_source = $metaJson
+         |""".stripMargin)
+    val out = EtlJob.run(spark, cfg)
+    // kept fields: age, visit_date, demo_complete-style — ssn is PHI-dropped
+    assert(out.header.contains(""""redcap_metadata_filtered":["""))
+    assert(out.header.contains(""""field_name":"age""""))
+    assert(out.header.contains(""""field_name":"visit_date""""))
+    assert(!out.header.contains(""""field_name":"ssn""""))
+    // default (no include_metadata): empty filtered metadata, like fallback=False
+    val outDefault = EtlJob.run(spark, config, projectInfo = Map("project_id" -> "42"))
+    assert(outDefault.header.contains(""""redcap_metadata_filtered":[]"""))
+  }
+
   test("project-id mismatch fails before any work") {
     intercept[IllegalArgumentException] {
       EtlJob.run(spark, config, projectInfo = Map("project_id" -> "99"))

@@ -130,6 +130,6 @@ class PipelineSpec extends SparkSpec {
     val total = docs.map(d => "\"record_id\"".r.findAllIn(d).length).sum
     assert(total == result.kept.count())
     val header = Sinks.headerDocument(result.transformRecords, None)
-    assert(header.startsWith("""{"chunk_number":0,"transforms":["""))
+    assert(header.startsWith("""{"chunk_number":0,"transform_metadata":["""))
   }
 }

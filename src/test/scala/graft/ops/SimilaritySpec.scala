@@ -87,6 +87,20 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("SRP near-dup pairs: exact subset of brute force, usable recall, no driver collect") {
+    val sub = emb.filter($"vec_id" < 500)
+    val brute = Similarity.cosineNearDupPairs(sub, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    // τ=0.3 is a LOOSE threshold (θ≈72°, per-bit collision ~0.6) — size
+    // bits down per the scaladoc formula; 2 bits × 8 tables → recall ≳ 0.9
+    val srp = Similarity.srpNearDupPairs(sub, threshold = 0.3, bits = 2, tables = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    // precision exact: every emitted pair is re-scored with the same kernel
+    assert(srp.subsetOf(brute), s"SRP emitted ${(srp -- brute).take(3)} not in brute force")
+    val recall = if (brute.isEmpty) 1.0 else srp.size.toDouble / brute.size
+    assert(recall >= 0.7, s"SRP near-dup recall = $recall (bits=2, tables=8)")
+  }
+
   test("near-dup pairs: symmetric threshold filter, a<b ordering") {
     val sub = emb.filter($"vec_id" < 100)
     val pairs = Similarity.cosineNearDupPairs(sub, threshold = 0.2)
