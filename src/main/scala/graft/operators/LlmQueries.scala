@@ -28,12 +28,34 @@ object LlmQueries {
        |FROM documents GROUP BY $normSql ORDER BY keep_id""".stripMargin
 
   // ---------------------------------------------------------------- q41
-  // MinHash-LSH duplicate pairs (no oracle: banding uses xxhash64).
+  // MinHash-LSH duplicate pairs WITH exact-Jaccard verification, against a
+  // brute-force all-pairs oracle. LSH banding itself is engine-specific,
+  // but the verified OUTPUT is a pure function of the corpus provided the
+  // bands recall every pair above threshold: at k=64/b=16 (r=4) a pair at
+  // j=0.9 is missed with p=(1-0.9^4)^16 ≈ 4e-8, and the synthetic corpus
+  // has no pairs in (0.4, 0.9) — so candidate generation is exhaustive in
+  // practice and the oracle gate pins the whole pipeline end-to-end.
   private def q41(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Dedup.minhashDuplicatePairs(Tables.documents(s, d), threshold = 0.5)
       .orderBy($"id_a", $"id_b")
   }
+  // distinct word-3-gram set per doc; <3-token docs shingle to their whole
+  // normalized text (list OOB indexing → NULL, which concat_ws skips)
+  private val shSetSql =
+    s"""SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len($toksSql) - 2, 1) + 1),
+       |    i -> concat_ws(' ', ($toksSql)[i], ($toksSql)[i+1], ($toksSql)[i+2]))) AS sh
+       |  FROM documents""".stripMargin
+  private val q41Sql =
+    s"""WITH sh AS ($shSetSql)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |WHERE jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q42
   // Exact word-3-gram Jaccard on consecutive-id pairs — the verification
@@ -238,9 +260,52 @@ object LlmQueries {
        |       * sqrt(CAST(list_sum(list_transform(b.qv, x->x*x)) AS DOUBLE))) >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  // Repetition signals (Gopher-style quality filters).
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.repetitionSignals(Tables.documents(s, d)).orderBy($"doc_id")
+  }
+  private val q54Sql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS l FROM documents),
+       |tc AS (SELECT doc_id, tk, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(l) AS tk FROM t) GROUP BY doc_id, tk),
+       |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |         CAST(COUNT(*) AS BIGINT) AS n_types,
+       |         CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_token_frac,
+       |         1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_token_frac
+       |       FROM tc GROUP BY doc_id),
+       |bc AS (SELECT doc_id, g, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+       |               i -> l[i] || ' ' || l[i+1])) AS g FROM t) GROUP BY doc_id, g),
+       |bs AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+       |       FROM bc GROUP BY doc_id)
+       |SELECT ts.doc_id, n_tokens, n_types, top_token_frac, dup_token_frac,
+       |  COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac
+       |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+       |ORDER BY ts.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+  // Corpus-level boilerplate: fraction of each doc's distinct 3-grams with
+  // document frequency ≥ 2.
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.commonNgramStats(Tables.documents(s, d), minDf = 2).orderBy($"doc_id")
+  }
+  private val q55Sql =
+    s"""WITH sh AS ($shSetSql),
+       |ids AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+       |df AS (SELECT g, count(*) AS df FROM ids GROUP BY g)
+       |SELECT ids.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS common_frac
+       |FROM ids JOIN df ON ids.g = df.g
+       |GROUP BY ids.doc_id
+       |ORDER BY ids.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_dedup_exact", q40, Some(q40Sql)),
-    QueryDef("q41_minhash_pairs", q41, None),
+    QueryDef("q41_minhash_pairs", q41, Some(q41Sql)),
     QueryDef("q42_ngram_jaccard", q42, Some(q42Sql)),
     QueryDef("q43_cosine_topk", q43, Some(q43Sql)),
     QueryDef("q44_token_count", q44, Some(q44Sql)),
@@ -251,5 +316,7 @@ object LlmQueries {
     QueryDef("q49_multimodal_meta", q49, Some(q49Sql)),
     QueryDef("q50_embed_neardup", q50, Some(q50Sql)),
     QueryDef("q53_ivf_topk", q53, Some(q43Sql)),
+    QueryDef("q54_repetition", q54, Some(q54Sql)),
+    QueryDef("q55_common_ngrams", q55, Some(q55Sql)),
   )
 }

@@ -84,15 +84,22 @@ object Relational {
 
   // ---------------------------------------------------------------- q03
   // Top-k: orderBy+limit → TakeOrderedAndProjectExec (no full sort at scale).
+  // The limit is taken BELOW the enrichment join (revenue and the tie-break
+  // key are fully determined by the aggregate), so orders is joined against
+  // 10 broadcast rows instead of every group — Catalyst cannot push a limit
+  // through a join itself. Relies on lineitem.l_orderkey ⊆ orders.o_orderkey
+  // (TPC-H referential integrity); the oracle gate would flag a violation.
   private def q03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, d)
+    val topk = Tables.lineitem(s, d)
       .groupBy($"l_orderkey")
       .agg(sum(revenueTerm($"l_extendedprice", $"l_discount")).cast("double").as("revenue"))
-      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .orderBy(desc("revenue"), $"l_orderkey")
+      .limit(10)
+    Tables.orders(s, d)
+      .join(broadcast(topk), $"l_orderkey" === $"o_orderkey")
       .select($"o_orderkey", $"o_orderdate", $"revenue")
       .orderBy(desc("revenue"), $"o_orderkey")
-      .limit(10)
   }
   private val q03Sql =
     """SELECT o_orderkey, o_orderdate, revenue FROM (

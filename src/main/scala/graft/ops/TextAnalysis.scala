@@ -1,12 +1,15 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (north-star EXT):
-  * language ID, quality scoring, token counting, document fingerprinting.
-  * All pure column expressions — codegen'd, no UDFs, embarrassingly
-  * parallel at any scale.
+  * language ID, quality scoring, token counting, document fingerprinting,
+  * repetition signals, corpus-level boilerplate fraction.
+  * Scalar ops are pure column expressions — codegen'd, no UDFs,
+  * embarrassingly parallel; corpus-level ops shuffle only fixed-width
+  * (id, hash/count) rows, never text.
   */
 object TextAnalysis {
 
@@ -95,4 +98,64 @@ object TextAnalysis {
     * oracle parity holds beyond the BMP too. */
   def fingerprint(text: Column): Column =
     graft.functions.RollingFingerprint(Dedup.normalized(text))
+
+  /** Repetition signals per document (Gopher/C4-style quality filters):
+    * token count, distinct-token count, most-frequent-token fraction,
+    * duplicate-token fraction, most-frequent-bigram fraction. High values
+    * flag templated/spammy text that length and stopword filters miss.
+    *
+    * Two map-side-combinable aggregations over (id, gram) rows — the only
+    * shuffled payload is short gram strings with partial counts, so the
+    * plan holds at corpus scale. Fractions are exact-integer ratios
+    * divided once in double — cross-engine deterministic.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(Dedup.normalized(col(textCol)), " ")).as(Seq("pos", "t")))
+    val tokStats = tok.groupBy(col("id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        max(col("c")).as("top_c"))
+      .select(col("id"), col("n_tokens"), col("n_types"),
+        (col("top_c").cast("double") / col("n_tokens").cast("double")).as("top_token_frac"),
+        (lit(1.0) - col("n_types").cast("double") / col("n_tokens").cast("double")).as("dup_token_frac"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val bigramStats = tok
+      .select(col("id"), concat_ws(" ", col("t"), lead(col("t"), 1).over(w)).as("g"),
+        lead(col("t"), 1).over(w).isNotNull.as("__full"))
+      .filter(col("__full"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_bigram_frac"))
+    tokStats.join(bigramStats, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"), col("n_types"),
+        col("top_token_frac"), col("dup_token_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Corpus-level boilerplate fraction: for each document, the fraction of
+    * its DISTINCT word-3-gram shingles whose document frequency is at least
+    * `minDf` (CCNet/Dolma-style shared-content signal; near 1.0 marks
+    * near-duplicates and boilerplate, near 0.0 unique prose).
+    *
+    * The document-frequency table is built over 64-bit shingle hashes from
+    * the zero-shuffle kernel, so both the DF aggregation and the join back
+    * move 8-byte keys, never shingle text. Boilerplate grams make the DF
+    * side skewed at corpus scale — AQE skew-join handles the join; the DF
+    * aggregation itself partial-aggregates map-side.
+    */
+  def commonNgramStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minDf: Int = 2): DataFrame = {
+    val ids = Dedup.hashedShingleSets(docs, textCol, idCol)
+      .select(col("id"), explode(col("sh")).as("h"))
+    val dfTab = ids.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    ids.join(dfTab, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+      .select(col("id").as(idCol), col("n_shingles"),
+        (col("n_common").cast("double") / col("n_shingles").cast("double")).as("common_frac"))
+  }
 }

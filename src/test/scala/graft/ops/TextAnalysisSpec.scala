@@ -31,6 +31,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) > 0.7 && out(1) < 0.3)
   }
 
+  test("repetitionSignals: counts, top fractions, single-token doc") {
+    val df = Seq(
+      (1L, "spam spam spam ham"),     // 4 tokens, 2 types, top=3/4
+      (2L, "all words are different"),
+      (3L, "one")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 2L, 0.75, 0.5, 2.0 / 3)))  // top bigram "spam spam" 2 of 3
+    assert(out(2L) == ((2L, 4L, 4L, 0.25, 0.0, 1.0 / 3)))
+    assert(out(3L) == ((3L, 1L, 1L, 1.0, 0.0, 0.0)))       // no bigram → 0.0
+  }
+
+  test("commonNgramStats: shared 3-grams counted against document frequency") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),  // shingles: {a b g, b g d}
+      (2L, "alpha beta gamma other"),  // shares "alpha beta gamma"
+      (3L, "totally unrelated words here")).toDF("doc_id", "text")
+    val out = TextAnalysis.commonNgramStats(df, minDf = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 0.5)))
+    assert(out(2L) == ((2L, 2L, 0.5)))
+    assert(out(3L) == ((3L, 2L, 0.0)))
+  }
+
   test("fingerprint: deterministic, normalization-invariant, content-sensitive") {
     val df = Seq(
       ("a", "Hello World Foo"),
