@@ -260,6 +260,19 @@ object LlmQueries {
        |       * sqrt(CAST(list_sum(list_transform(b.qv, x->x*x)) AS DOUBLE))) >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  // PQ-ADC with rerank ≥ |corpus| keeps every row as a candidate, so the
+  // exact rerank must reproduce brute force bit-for-bit — codebook
+  // training, encoding, ADC tables, heap selection and rerank all sit
+  // under the same hash gate as q43/q53.
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    Similarity.pqTopK(emb, emb.filter($"vec_id" < 10), k = 10,
+      m = 8, ksub = 16, trainIters = 2, rerank = Int.MaxValue)
+      .orderBy($"qid", $"rn")
+  }
+
   // ---------------------------------------------------------------- q54
   // Repetition signals (Gopher-style quality filters).
   private def q54(s: SparkSession, d: String): DataFrame = {
@@ -318,5 +331,6 @@ object LlmQueries {
     QueryDef("q53_ivf_topk", q53, Some(q43Sql)),
     QueryDef("q54_repetition", q54, Some(q54Sql)),
     QueryDef("q55_common_ngrams", q55, Some(q55Sql)),
+    QueryDef("q56_pq_topk", q56, Some(q43Sql)),
   )
 }

@@ -337,6 +337,196 @@ object Similarity {
       .select(col("qid"), col("eid"), col("cos"), col("rn"))
   }
 
+  // ---- Product Quantization -----------------------------------------
+  // PQ-ADC (Jégou et al., "Product Quantization for Nearest Neighbor
+  // Search", TPAMI 2011): split the dim into `m` subspaces, k-means each
+  // subspace to `ksub` centroids, store each corpus vector as m byte codes
+  // + its exact norm. A query scores a row with m table lookups instead of
+  // a dim-length dot product, and — the real 100 TB lever — the scan reads
+  // m bytes + one long per row instead of dim floats (~16× narrower I/O at
+  // dim=64/m=8). Candidates are exact-reranked, so precision of the final
+  // list is exact; only recall is approximate.
+
+  /** Deterministic PQ codebooks: init from the xxhash64-smallest corpus
+    * rows (same seeded-sample idea as the IVF coarse quantizer), then
+    * `iters` distributed Lloyd passes. ALL m subspaces train in the same
+    * pass — one corpus scan per iteration, accumulating m×ksub×subdim long
+    * sums per partition (a few KB) merged on the driver. Integer sums make
+    * training bit-deterministic under any partitioning. */
+  def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Long]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+    val init = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .withColumn("__m", xxhash64(col(idCol)))
+      .orderBy(col("__m"))
+      .limit(ksub)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (_, v) => quantizeJvm(v) }
+    require(init.nonEmpty, "PQ training needs a non-empty corpus")
+    val dim = init(0).length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    // books(s)(c) = centroid c of subspace s (init: split each sampled row)
+    var books: Array[Array[Array[Long]]] =
+      Array.tabulate(m, init.length)((s, c) => init(c).slice(s * sub, (s + 1) * sub))
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(books)
+      val partials = vecs.rdd.mapPartitions { it =>
+        val bks = bc.value
+        val sums = Array.ofDim[Long](m, ksub, sub)
+        val counts = Array.ofDim[Long](m, ksub)
+        it.foreach { case (_, v) =>
+          val q = quantizeJvm(v)
+          var s = 0
+          while (s < m) {
+            val c = nearestSub(q, s * sub, bks(s))
+            counts(s)(c) += 1
+            var i = 0
+            while (i < sub) { sums(s)(c)(i) += q(s * sub + i); i += 1 }
+            s += 1
+          }
+        }
+        Iterator.single((sums, counts))
+      }.collect()
+      bc.destroy()
+      val sums = Array.ofDim[Long](m, ksub, sub)
+      val counts = Array.ofDim[Long](m, ksub)
+      partials.foreach { case (ps, pc) =>
+        for (s <- 0 until m; c <- 0 until ksub) {
+          counts(s)(c) += pc(s)(c)
+          var i = 0
+          while (i < sub) { sums(s)(c)(i) += ps(s)(c)(i); i += 1 }
+        }
+      }
+      books = Array.tabulate(m, ksub) { (s, c) =>
+        if (c >= books(s).length || counts(s)(c) == 0L)
+          if (c < books(s).length) books(s)(c) else new Array[Long](sub)
+        else {
+          val v = new Array[Long](sub)
+          var i = 0
+          while (i < sub) {
+            v(i) = math.floor(sums(s)(c)(i).toDouble / counts(s)(c) + 0.5).toLong
+            i += 1
+          }
+          v
+        }
+      }
+    }
+    books
+  }
+
+  /** Nearest sub-centroid by L2 in quantized space (components ≤ ~2^12 →
+    * squared diffs stay far below long overflow); ties → lowest index. */
+  private def nearestSub(q: Array[Long], off: Int, book: Array[Array[Long]]): Int = {
+    var best = 0; var bestD = Long.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val cent = book(c)
+      var d = 0L; var i = 0
+      while (i < cent.length) { val t = q(off + i) - cent(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** PQ-ADC approximate top-k with exact rerank. Encode pass: zero-shuffle
+    * kernel → (id, m codes, exact norm). Scan pass: per query, dot(q, x) ≈
+    * Σ_s table(s)(code_s) where table(s)(c) = dot(q_s, centroid) — m adds
+    * per row; per-partition top-`rerank` heaps mean only |Q|·rerank
+    * (qid, eid) pairs per partition ever shuffle, NOT |Q|·N scored rows.
+    * Candidates then re-score EXACTLY against the semi-join-pruned original
+    * vectors (same candidate→verify shape as the dedup family), so emitted
+    * cosines are exact and the final ordering deterministic. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, trainIters: Int = 3, rerank: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val r = if (rerank > 0) rerank else math.max(k * 4, 32)
+    val books = pqTrain(corpus, m, ksub, trainIters, idCol, vecCol)
+    val sub = books(0)(0).length
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) =>
+        val q = quantizeJvm(v)
+        // ADC table: qn for the cosine denominator, per-subspace dot lookups
+        val tab = Array.tabulate(m, ksub)((s, c) => {
+          var d = 0L; var i = 0
+          while (i < sub) { d += q(s * sub + i) * books(s)(c)(i); i += 1 }
+          d
+        })
+        (id, q, normJvm(q), tab)
+      }
+    val bcB = spark.sparkContext.broadcast(books)
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    // per-partition: encode rows on the fly, keep a top-r heap per query
+    val candScores = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val bks = bcB.value
+        val qs = bcQ.value
+        // (approxCos, eid) min-heaps, one per query
+        val heaps = qs.map(_ => new java.util.PriorityQueue[(Double, Long)](
+          (a: (Double, Long), b: (Double, Long)) => java.lang.Double.compare(a._1, b._1)))
+        it.foreach { case (eid, ev) =>
+          val e = quantizeJvm(ev)
+          val en = normJvm(e)
+          val codes = new Array[Int](m)
+          var s = 0
+          while (s < m) { codes(s) = nearestSub(e, s * sub, bks(s)); s += 1 }
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, _, qn, tab) = qs(qi)
+            if (!(excludeSelf && qid == eid)) {
+              var approx = 0L
+              var t = 0
+              while (t < m) { approx += tab(t)(codes(t)); t += 1 }
+              val cos = cosJvm(approx, qn, en)
+              val h = heaps(qi)
+              if (h.size < r) h.add((cos, eid))
+              else if (cos > h.peek()._1) { h.poll(); h.add((cos, eid)) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          val qid = qs(qi)._1
+          val out = Array.newBuilder[(Long, Long, Double)]
+          while (!h.isEmpty) { val (cos, eid) = h.poll(); out += ((qid, eid, cos)) }
+          out.result().iterator
+        }
+      }.toDF("qid", "eid", "approx")
+    // global top-r per query by approx score (tie-break eid), then rerank
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("eid"))
+    val cands = candScores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= r)
+      .select(col("qid"), col("eid"))
+    val candIds = cands.select(col("eid").as("cid")).distinct()
+    val candVecs = corpus.select(col(idCol).cast("long").as("eid"), col(vecCol).as("__v"))
+      .join(candIds, col("eid") === col("cid"), "left_semi")
+    val exact = cands.join(candVecs, Seq("eid"))
+      .select(col("qid"), col("eid"), col("__v"))
+      .as[(Long, Long, Seq[Float])]
+      .mapPartitions { it =>
+        val qs = bcQ.value.map { case (id, q, qn, _) => id -> ((q, qn)) }.toMap
+        it.map { case (qid, eid, ev) =>
+          val e = quantizeJvm(ev)
+          val (q, qn) = qs(qid)
+          (qid, eid, cosJvm(dotJvm(q, e), qn, normJvm(e)))
+        }
+      }.toDF("qid", "eid", "cos")
+    val wf = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("eid"))
+    exact.withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("eid"), col("cos"), col("rn"))
+  }
+
   /** Distributed SRP-bucketed near-dup pairs — [[cosineNearDupPairs]]'s
     * scale path: NOTHING collects to the driver. Each vector hashes to
     * `tables` independent `bits`-wide sign-random-projection buckets in a

@@ -87,6 +87,29 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("PQ top-k: deterministic, exact reranked cosines, recall vs brute force") {
+    val queries = emb.filter($"vec_id" < 20)
+    def run() = Similarity.pqTopK(emb, queries, k = 10, m = 8, ksub = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val a = run()
+    assert(a == run()) // integer codebook training → bit-deterministic
+    val exactRows = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .as[(Long, Long, Double, Int)].collect()
+    val exactCos = exactRows.map(r => (r._1, r._2) -> r._3).toMap
+    // reranked candidates carry EXACT cosines — any (qid, eid) PQ shares
+    // with brute force must have the identical score
+    a.foreach { case (qid, eid, cos, _) =>
+      exactCos.get((qid, eid)).foreach(c => assert(c == cos, s"($qid,$eid): $c != $cos"))
+    }
+    val exact = exactRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = a.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val recalls = exact.map { case (q, ids) =>
+      approx.get(q).map(x => (x intersect ids).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean PQ recall@10 = $mean (m=8, ksub=16, rerank=40)")
+  }
+
   test("SRP near-dup pairs: exact subset of brute force, usable recall, no driver collect") {
     val sub = emb.filter($"vec_id" < 500)
     val brute = Similarity.cosineNearDupPairs(sub, threshold = 0.3)
