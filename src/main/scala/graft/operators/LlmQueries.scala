@@ -316,6 +316,29 @@ object LlmQueries {
        |GROUP BY ids.doc_id
        |ORDER BY ids.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  // Content-keyed train/val/test split (80/10/10) — stable under
+  // re-partitioning and ingestion order; oracle reuses q47's cross-engine
+  // fingerprint parity.
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        TextAnalysis.splitBucket($"text").as("bucket"),
+        TextAnalysis.splitLabel($"text").as("split"))
+      .orderBy($"doc_id")
+  }
+  private val fpSql =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($normSql, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (acc, c) -> (acc*31 + c) % 9007199254740992)""".stripMargin
+  private val q57Sql =
+    s"""SELECT doc_id, $fpSql % 100 AS bucket,
+       |  CASE WHEN $fpSql % 100 < 80 THEN 'train'
+       |       WHEN $fpSql % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_dedup_exact", q40, Some(q40Sql)),
     QueryDef("q41_minhash_pairs", q41, Some(q41Sql)),
@@ -332,5 +355,6 @@ object LlmQueries {
     QueryDef("q54_repetition", q54, Some(q54Sql)),
     QueryDef("q55_common_ngrams", q55, Some(q55Sql)),
     QueryDef("q56_pq_topk", q56, Some(q43Sql)),
+    QueryDef("q57_hash_split", q57, Some(q57Sql)),
   )
 }

@@ -99,6 +99,21 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     graft.functions.RollingFingerprint(Dedup.normalized(text))
 
+  /** Deterministic dataset-split bucket ∈ [0, 100): content-fingerprint mod
+    * 100. Keyed on CONTENT (not row id or position), so the assignment is
+    * stable under re-partitioning, re-ingestion order, and corpus growth —
+    * the property a train/val/test split must have at corpus scale — and a
+    * duplicated document can never land in both train and test. */
+  def splitBucket(text: Column): Column = fingerprint(text) % 100
+
+  /** Train/val/test label from [[splitBucket]]; default 80/10/10. */
+  def splitLabel(text: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = splitBucket(text)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** Repetition signals per document (Gopher/C4-style quality filters):
     * token count, distinct-token count, most-frequent-token fraction,
     * duplicate-token fraction, most-frequent-bigram fraction. High values

@@ -56,6 +56,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((3L, 2L, 0.0)))
   }
 
+  test("splitLabel: content-keyed, partition-order invariant, covers all labels") {
+    val docs = (0 until 200).map(i => (i.toLong, s"document number $i with some text")).toDF("doc_id", "text")
+    val a = docs.select($"doc_id", TextAnalysis.splitLabel($"text").as("s"))
+      .as[(Long, String)].collect().toMap
+    val b = docs.repartition(7).select($"doc_id", TextAnalysis.splitLabel($"text").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(a == b) // assignment independent of partitioning
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // identical content → identical split, regardless of id
+    val dup = Seq((1L, "same text"), (2L, "same text")).toDF("doc_id", "text")
+      .select(TextAnalysis.splitLabel($"text")).as[String].collect()
+    assert(dup(0) == dup(1))
+  }
+
   test("fingerprint: deterministic, normalization-invariant, content-sensitive") {
     val df = Seq(
       ("a", "Hello World Foo"),
