@@ -208,15 +208,37 @@ object LlmQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q48
-  // SimHash near-dup pairs (no oracle: xxhash64 token hashes).
+  // SimHash near-dup pairs under a full all-pairs oracle: the md5 token
+  // hash reproduces in DuckDB (md5_number_lower ≡ Dedup.md5Low64), and
+  // 4 bands of 16 bits make banding lossless at hamming ≤ 3 (3 differing
+  // bits touch ≤ 3 bands → every qualifying pair shares a band), so the
+  // distributed LSH output EQUALS the quadratic all-pairs scan.
   private def q48(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // maxHamming=3 → 4 bands of 16 bits: the pigeonhole guarantee holds and
     // bands stay wide enough that bucket collisions don't explode (d=6
     // would need 8-bit bands — supported, but quadratically more candidates)
-    Dedup.simhashDuplicatePairs(Tables.documents(s, d), maxHamming = 3)
+    Dedup.simhashDuplicatePairs(Tables.documents(s, d), maxHamming = 3,
+        tokenHash = "md5")
       .orderBy($"id_a", $"id_b")
   }
+  private val q48Sql =
+    s"""WITH th AS (
+       |  SELECT doc_id, md5_number_lower(unnest(string_split($normSql, ' '))) AS h
+       |  FROM documents
+       |), bits AS (
+       |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th, range(64) r(b) GROUP BY doc_id, b
+       |), sims AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN 1::UBIGINT << b ELSE 0::UBIGINT END) AS UBIGINT) AS sim
+       |  FROM bits GROUP BY doc_id
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q49
   // Multimodal metadata over a binary column (media = utf8 bytes of text —
@@ -348,7 +370,7 @@ object LlmQueries {
     QueryDef("q45_quality_score", q45, Some(q45Sql)),
     QueryDef("q46_langid", q46, Some(q46Sql)),
     QueryDef("q47_fingerprint", q47, Some(q47Sql)),
-    QueryDef("q48_simhash_pairs", q48, None),
+    QueryDef("q48_simhash_pairs", q48, Some(q48Sql)),
     QueryDef("q49_multimodal_meta", q49, Some(q49Sql)),
     QueryDef("q50_embed_neardup", q50, Some(q50Sql)),
     QueryDef("q53_ivf_topk", q53, Some(q43Sql)),

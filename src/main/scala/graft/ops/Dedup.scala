@@ -126,6 +126,24 @@ object Dedup {
       b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed)
   }
 
+  private val md5Tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** DuckDB-parity `md5_number_lower`: MD5 digest bytes 8..15 read
+    * little-endian. A cross-engine-verifiable 64-bit token hash — slower
+    * than xxhash64, so it's an opt-in (`tokenHash = "md5"`) for pipelines
+    * that need an external engine to reproduce signatures bit-for-bit. */
+  private[ops] def md5Low64(s: String): Long = {
+    val md = md5Tl.get(); md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 15
+    while (i >= 8) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
+    v
+  }
+
   /** JVM replica of [[normalized]]: trim SPACES only (Spark's trim), lower,
     * collapse whitespace — same Java regex engine as regexp_replace. */
   private[ops] def normalizedJvm(text: String): String = {
@@ -217,15 +235,21 @@ object Dedup {
   }
 
   /** (id, sim) 64-bit SimHash per doc, zero-shuffle (same bits as
-    * [[simhashSignatures]]). */
+    * [[simhashSignatures]] for the default `tokenHash = "xx64"`;
+    * `"md5"` = DuckDB-reproducible [[md5Low64]] token hashes). */
   def simhashSignaturesKernel(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", tokenHash: String = "xx64"): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField}
+    val hashFn: String => Long = tokenHash match {
+      case "xx64" => xxStr(_, 42L)
+      case "md5"  => md5Low64 _
+      case other  => throw new IllegalArgumentException(s"unknown tokenHash: $other")
+    }
     kernelRows(docs, textCol, idCol,
       Seq(StructField("sim", LongType, false))) { (id, text) =>
       val counts = new Array[Int](64)
       normalizedJvm(text).split(" ", -1).foreach { t =>
-        val h = xxStr(t)
+        val h = hashFn(t)
         var i = 0
         while (i < 64) {
           if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
@@ -341,13 +365,13 @@ object Dedup {
     * guarantee, not a hope). */
   def simhashDuplicatePairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, tokenHash: String = "xx64"): DataFrame = {
     // smallest divisor of 64 with bands > maxHamming (pigeonhole guarantee)
     val bands = Seq(4, 8, 16, 32).find(_ > maxHamming).getOrElse(
       throw new IllegalArgumentException(s"maxHamming=$maxHamming too large: LSH banding over 64 bits supports < 32"))
     val width = 64 / bands
     val mask = (1L << width) - 1
-    val sh = simhashSignaturesKernel(docs, textCol, idCol)
+    val sh = simhashSignaturesKernel(docs, textCol, idCol, tokenHash)
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"), shiftright(col("sim"), b * width).bitwiseAND(mask).as("bh")))
     val exploded = sh.select(col("id"), col("sim"), explode(array(bandCols: _*)).as("bb"))

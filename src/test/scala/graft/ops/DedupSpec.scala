@@ -62,4 +62,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
     assert(!pairs.map(p => (p._1, p._2)).contains((1L, 3L)))
   }
+
+  test("md5Low64 matches DuckDB md5_number_lower; md5 simhash kernel finds planted dups") {
+    // duckdb> select md5_number_lower('hello'), md5_number_lower('');
+    assert(Dedup.md5Low64("hello") == java.lang.Long.parseUnsignedLong("10575884659879408057"))
+    assert(Dedup.md5Low64("") == java.lang.Long.parseUnsignedLong("9098107892288553193"))
+    val df = Seq((1L, base), (2L, base.replace("tonight", "today")), (3L, "xx yy zz qq ww ee rr tt"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashDuplicatePairs(df, maxHamming = 16, tokenHash = "md5")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
+    assert(!pairs.map(p => (p._1, p._2)).contains((1L, 3L)))
+  }
 }
