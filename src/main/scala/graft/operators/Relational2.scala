@@ -11,7 +11,10 @@ import graft.sources.Tables
   */
 object Relational2 {
 
-  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  /** Exact 2-dp quantity as scaled long (see Relational.cents: identical
+    * per-row IEEE arithmetic in both engines; long sums are exact and
+    * codegen-fast where decimal sums go through BigDecimal buffers). */
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5))
 
   // ---------------------------------------------------------------- q09
   // ROLLUP with grouping() disambiguators (null group vs null value).
@@ -22,7 +25,7 @@ object Relational2 {
       .agg(
         grouping($"l_returnflag").cast("int").as("g_rf"),
         grouping($"l_linestatus").cast("int").as("g_ls"),
-        sum(dec2($"l_quantity")).cast("double").as("sum_qty"),
+        (sum(cents($"l_quantity")).cast("double") / 100.0).as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy($"g_rf", $"g_ls", $"l_returnflag", $"l_linestatus")
   }
@@ -30,7 +33,7 @@ object Relational2 {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
       |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
       |  COUNT(*) AS n
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -46,7 +49,7 @@ object Relational2 {
         grouping($"o_orderstatus").cast("int").as("g_st"),
         grouping($"o_orderpriority").cast("int").as("g_pr"),
         count(lit(1)).as("n"),
-        sum(dec2($"o_totalprice")).cast("double").as("sum_price"))
+        (sum(cents($"o_totalprice")).cast("double") / 100.0).as("sum_price"))
       .orderBy($"g_st", $"g_pr", $"o_orderstatus", $"o_orderpriority")
   }
   private val q10Sql =
@@ -54,7 +57,7 @@ object Relational2 {
       |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
       |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pr,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |  CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""".stripMargin
@@ -297,7 +300,7 @@ object Relational2 {
           .otherwise("high"))
       .groupBy($"band")
       .agg(count(lit(1)).as("n"),
-        sum(dec2($"o_totalprice")).cast("double").as("sum_price"))
+        (sum(cents($"o_totalprice")).cast("double") / 100.0).as("sum_price"))
       .orderBy($"band")
   }
   private val q21Sql =
@@ -305,7 +308,7 @@ object Relational2 {
       |            WHEN o_totalprice < 150000 THEN 'mid'
       |            ELSE 'high' END AS band,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |  CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
       |FROM orders GROUP BY 1 ORDER BY band""".stripMargin
 
   // ---------------------------------------------------------------- q22
@@ -400,7 +403,7 @@ object Relational2 {
     import s.implicits._
     val custAvg = Tables.orders(s, d)
       .groupBy($"o_custkey".as("ck"))
-      .agg((sum(dec2($"o_totalprice")).cast("double") / count(lit(1))).as("avg_price"))
+      .agg((sum(cents($"o_totalprice")).cast("double") / 100.0 / count(lit(1))).as("avg_price"))
     Tables.orders(s, d)
       .join(custAvg, $"o_custkey" === $"ck")
       .filter($"o_totalprice" > $"avg_price")
@@ -411,7 +414,7 @@ object Relational2 {
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders o
       |JOIN (SELECT o_custkey AS ck,
-      |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price
+      |        CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price
       |      FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.ck
       |WHERE o_totalprice > avg_price
       |ORDER BY o_orderkey""".stripMargin

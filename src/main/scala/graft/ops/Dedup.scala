@@ -331,12 +331,58 @@ object Dedup {
       Seq(idCol), "left_semi")
 
   /** Apply near-duplicate pairs to a corpus: drop the higher id of every
-    * pair (greedy canonical-keep — standard near-dedup practice; exact
-    * connected-component canonicalization needs iterative joins and is
-    * rarely worth it at corpus scale). */
+    * pair (greedy canonical-keep — standard near-dedup practice; use
+    * [[connectedComponents]] + keep-min-per-component when exact cluster
+    * canonicalization is required). */
   def applyPairsDedup(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame =
     docs.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Connected components over a duplicate-pair edge set by iterative
+    * min-label propagation: every node ends labeled with the minimum id
+    * reachable from it — the canonical cluster id for exact dedup-cluster
+    * canonicalization (greedy pair-drop can over-delete when clusters
+    * chain: a~b, b~c drops both b and c even if a~c is false).
+    *
+    * Scale shape: each round is one join + one min-aggregation over
+    * (id, label) pairs — never documents — and the driver loop stops at
+    * the fixpoint, reached in O(cluster diameter) rounds (near-dup
+    * clusters are shallow; web-scale runs converge in ≤ ~5 rounds).
+    * `localCheckpoint` cuts each round's lineage so plans don't nest
+    * exponentially (on a cluster, prefer `checkpoint` with a checkpoint
+    * dir for fault tolerance across rounds).
+    *
+    * @return (id, component) for every id appearing in `pairs`
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxRounds: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaNeighbor = edges
+        .join(labels, edges("v") === labels("id"))
+        .select(edges("u").as("id"), col("component"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
+        .filter(col("component") < col("prev"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
 
   // ------------------------------------------------------------- simhash
   /** 64-bit SimHash per doc: bit i of the output is the sign of

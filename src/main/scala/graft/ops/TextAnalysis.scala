@@ -99,6 +99,32 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     graft.functions.RollingFingerprint(Dedup.normalized(text))
 
+  /** Email pattern — kept inside the RE2 ∩ java.util.regex common subset
+    * (character classes and bounded quantifiers only, no lookaround) so
+    * external engines reproduce the scrub verbatim. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** URL pattern (scheme-anchored, runs to whitespace). */
+  val urlRe = "https?://[^ \\t\\n]+"
+  /** Long digit runs — phone/account/SSN-ish identifiers. */
+  val longDigitsRe = "[0-9]{9,}"
+
+  /** PII counts on the RAW text (pre-scrub): emails, URLs, long digit
+    * runs. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(emailRe)),
+    "n_urls" -> regexp_count(text, lit(urlRe)),
+    "n_long_digits" -> regexp_count(text, lit(longDigitsRe)))
+
+  /** C4/RefinedWeb-style PII scrub: redact emails, then URLs, then long
+    * digit runs (emails first — they contain dots and digits the later
+    * patterns could split). A pure regexp_replace chain: codegen'd,
+    * zero-shuffle, safe in streaming plans. */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    val noUrl = regexp_replace(noEmail, urlRe, "<URL>")
+    regexp_replace(noUrl, longDigitsRe, "<ID>")
+  }
+
   /** Deterministic dataset-split bucket ∈ [0, 100): content-fingerprint mod
     * 100. Keyed on CONTENT (not row id or position), so the assignment is
     * stable under re-partitioning, re-ingestion order, and corpus growth —

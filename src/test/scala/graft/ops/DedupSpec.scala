@@ -74,4 +74,14 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
     assert(!pairs.map(p => (p._1, p._2)).contains((1L, 3L)))
   }
+
+  test("connectedComponents: chained clusters get one min label; singleton pairs separate") {
+    // chain 1-2-3-4 (needs >1 propagation round), separate pair 10-11
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // greedy pair-drop would keep {1} and drop {2,3,4}; component labeling
+    // lets the caller keep min-per-component = {1, 10}
+  }
 }

@@ -72,6 +72,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dup(0) == dup(1))
   }
 
+  test("scrubPii: redacts emails, urls, long digit runs; counts on raw text") {
+    val df = Seq(
+      (1L, "contact me at jo.doe+x@example.co.uk or https://ex.am/p?q=1 ref 123456789012"),
+      (2L, "clean text with short 1234 digits")).toDF("doc_id", "text")
+    val out = df.select($"doc_id" +: TextAnalysis.scrubPii($"text").as("s") +:
+        TextAnalysis.piiCounts($"text").map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1)
+    assert(out(0)._2 == "contact me at <EMAIL> or <URL> ref <ID>")
+    assert((out(0)._3, out(0)._4, out(0)._5) == ((1, 1, 1)))
+    assert(out(1)._2 == "clean text with short 1234 digits") // untouched
+    assert((out(1)._3, out(1)._4, out(1)._5) == ((0, 0, 0)))
+  }
+
   test("fingerprint: deterministic, normalization-invariant, content-sensitive") {
     val df = Seq(
       ("a", "Hello World Foo"),
