@@ -364,6 +364,13 @@ object Dedup {
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint()
+    // Convergence check without a join: propagation can only LOWER labels,
+    // so Σ component is strictly decreasing until the fixpoint — one tiny
+    // decimal aggregate per round (exact at any id magnitude) instead of a
+    // join + filter + isEmpty pass.
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -374,10 +381,9 @@ object Dedup {
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
-        .filter(col("component") < col("prev"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       round += 1
     }
