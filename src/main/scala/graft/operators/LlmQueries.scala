@@ -7,10 +7,12 @@ import graft.ops.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnaly
 
 /** Training-data pipeline operators under the correctness gate (north-star
   * EXT): dedup family, similarity search, text analysis, multimodal
-  * metadata. Where an approximation is engine-specific (MinHash/SimHash
-  * bands use Spark's xxhash64; LSH buckets), the query has no SQL oracle —
-  * the driver records rows>0 and the ScalaTest specs assert semantics
-  * (planted duplicates found, recall vs brute force).
+  * metadata, sampling/split/sessionize. Every query here carries a DuckDB
+  * oracle: where the approximation family is normally engine-specific, the
+  * parameters are chosen to make the approximate output EQUAL an exactly
+  * recomputable set (lossless LSH banding at the verified threshold;
+  * cross-engine md5 token hashes; integer-quantized cosine), so the
+  * distributed pipeline is pinned end-to-end, not just row-counted.
   */
 object LlmQueries {
 
@@ -484,6 +486,40 @@ object LlmQueries {
       |WHERE i % 4 = 0
       |ORDER BY doc_id, frame_index""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  // Per-doc top-3 distinctive terms by tf·idf-rank. Integer-exact ranking:
+  // floor(tf·10^6 / df) keeps the score order cross-engine-identical (no
+  // log(), whose last-ulp differs between libm builds). Plan shape: one
+  // token explode feeds BOTH aggregations (tf partial-aggregates map-side;
+  // df is (term, distinct-doc) — fixed-width rows, never text), then a
+  // term-keyed join and a per-doc window.
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(split(Dedup.normalized($"text"), " ")).as("term"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val idf = toks.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy(floor((col("tf") * 1000000).cast("double") / col("df")).desc, $"term")
+    tf.join(idf, "term")
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"term", $"tf", $"df", $"rn")
+      .orderBy($"doc_id", $"rn")
+  }
+  private val q63Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+       |SELECT doc_id, term, tf, df, rn FROM (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY floor(CAST(tf.tf*1000000 AS DOUBLE)/df.df) DESC, tf.term) AS INT) AS rn
+       |  FROM tf JOIN df ON tf.term = df.term)
+       |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_dedup_exact", q40, Some(q40Sql)),
     QueryDef("q41_minhash_pairs", q41, Some(q41Sql)),
@@ -506,5 +542,6 @@ object LlmQueries {
     QueryDef("q60_dedup_components", q60, Some(q60Sql)),
     QueryDef("q61_pii_scrub", q61, Some(q61Sql)),
     QueryDef("q62_frame_sample", q62, Some(q62Sql)),
+    QueryDef("q63_tfidf_terms", q63, Some(q63Sql)),
   )
 }

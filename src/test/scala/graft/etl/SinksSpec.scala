@@ -2,6 +2,7 @@ package graft.etl
 
 import graft.SparkSpec
 import java.nio.file.Files
+import org.apache.spark.sql.functions.{max, min}
 
 /** Static so the transmit closure reaches it from executor threads
   * (local mode shares the JVM — a stand-in for the HTTP endpoint). */
@@ -76,5 +77,23 @@ class SinksSpec extends SparkSpec {
     // partition pruning: only one directory scanned for a partition filter
     val plan = back.filter($"event_type" === "click").queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(event_type"))
+  }
+
+  test("rangeClusteredParquet: per-file key ranges are disjoint (stats prune)") {
+    val dir = Files.createTempDirectory("clustered").toFile.getAbsolutePath
+    val df = spark.range(0, 1000).toDF("id")
+      .select($"id", ($"id" % 7).as("noise"))
+      .orderBy($"noise") // scrambled input order: clustering must re-sort
+    Sinks.rangeClusteredParquet(df, dir, files = 4, clusterCols = Seq("id"))
+    val files = new java.io.File(dir).listFiles()
+      .map(_.getAbsolutePath).filter(_.endsWith(".parquet")).toSeq
+    assert(files.size == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min($"id"), max($"id")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // every file covers a tight range; consecutive ranges never overlap
+    ranges.sliding(2).foreach { case Seq((_, aMax), (bMin, _)) => assert(aMax < bMin) }
+    assert(spark.read.parquet(dir).count() == 1000)
   }
 }
