@@ -19,27 +19,6 @@ object Explain {
           graft.sources.Tables.documents(s, d)
             .select(org.apache.spark.sql.functions.explode(
               graft.ops.Dedup.shingles(org.apache.spark.sql.functions.col("text"))))
-        case "_q03_dbl" => (s, d) => {
-          import org.apache.spark.sql.functions._
-          graft.sources.Tables.lineitem(s, d)
-            .groupBy(col("l_orderkey"))
-            .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-            .orderBy(desc("revenue"), col("l_orderkey")).limit(10)
-        }
-        case "_q03_dec" => (s, d) => {
-          import org.apache.spark.sql.functions._
-          graft.sources.Tables.lineitem(s, d)
-            .groupBy(col("l_orderkey"))
-            .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1.0) - col("l_discount")).cast("decimal(18,2)")).as("revenue"))
-            .orderBy(desc("revenue"), col("l_orderkey")).limit(10)
-        }
-        case "_q03_cnt" => (s, d) => {
-          import org.apache.spark.sql.functions._
-          graft.sources.Tables.lineitem(s, d)
-            .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
-            .orderBy(desc("n"), col("l_orderkey")).limit(10)
-        }
         case other => SparkEntry.queries(other)
       }
     val t0 = System.nanoTime; fn(spark, sfDir).count()

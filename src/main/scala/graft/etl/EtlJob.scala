@@ -69,10 +69,14 @@ object EtlJob {
   }
 
   /** Full run. `fake=true` (the reference's `--fake`) writes envelopes as
-    * NDJSON under `out_dir` instead of POSTing. */
+    * NDJSON under `out_dir` instead of POSTing; `pubDebug=true` (the
+    * reference's `--pub-debug`, redcap-etl.py:28,382-397,421-422) also
+    * writes the transform records pivoted wide (record × field) as a
+    * single human-inspectable CSV `debug-public` under `out_dir`. */
   def run(spark: SparkSession, config: IniConfig,
       projectInfo: Map[String, String] = Map.empty,
-      fake: Boolean = true): Output = {
+      fake: Boolean = true,
+      pubDebug: Boolean = false): Output = {
     // S4 precondition — fail fast before any plan executes
     config.get("redcap", "project_id").foreach { expected =>
       if (projectInfo.nonEmpty) Preconditions.validateProject(expected, projectInfo)
@@ -120,6 +124,12 @@ object EtlJob {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$out/header.json"), header)
       }
+    }
+    if (pubDebug) {
+      for {
+        out <- config.resolved("default", "out_dir")
+        records <- result.transformRecords
+      } Sinks.csvSingle(Reshape.pivotEav(records), s"$out/debug-public")
     }
     Output(result, envelopes, recordEnvelopes, header)
   }

@@ -67,25 +67,35 @@ object Relational {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // ---------------------------------------------------------------- q02
-  // Multi-way join: two shuffled fact joins + two broadcast dim joins (J7/J1).
+  // Multi-way join: shuffled fact join + broadcast dim joins (J7/J1).
+  // Lineitem is PRE-AGGREGATED to one (orderkey, revenue) row before the
+  // join: the fact join then moves |orders| rows instead of |lineitem|
+  // (~4× fewer), and `n_orders` becomes a plain count — no count-distinct
+  // expand. Revenue stays exact: a sum of per-order integer sums is the
+  // total integer sum.
   private def q02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, d)
+    val perOrder = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))).as("rev"))
+    perOrder
       .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
       .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        revenueSum($"l_extendedprice", $"l_discount").as("revenue"),
-        countDistinct($"o_orderkey").as("n_orders"))
+        (sum($"rev").cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy($"r_name", $"n_name")
   }
   private val q02Sql =
     """SELECT r_name, n_name,
-      |  CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
-      |  COUNT(DISTINCT o_orderkey) AS n_orders
-      |FROM lineitem
+      |  CAST(SUM(rev) AS DOUBLE) / 10000.0 AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM (SELECT l_orderkey,
+      |        SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS rev
+      |      FROM lineitem GROUP BY l_orderkey) l
       |JOIN orders   ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation   ON c_nationkey = n_nationkey

@@ -97,6 +97,25 @@ class EtlJobSpec extends SparkSpec {
     assert(outDefault.header.contains(""""redcap_metadata_filtered":[]"""))
   }
 
+  test("pub-debug writes the wide record×field pivot CSV (reference -p path)") {
+    val cfg = IniConfig.parse(
+      s"""[default]
+         |field_map_file = $fieldMapCsv
+         |out_dir = $dir/outdbg
+         |[dcc_transforms]
+         |datetransform_type = dob_shifting
+         |standard_date = 2010-01-01
+         |dob_shift_inplace = false
+         |[redcap]
+         |eav_source = $eavCsv
+         |""".stripMargin)
+    EtlJob.run(spark, cfg, pubDebug = true)
+    val wide = spark.read.option("header", "true").csv(s"$dir/outdbg/debug-public")
+    assert(wide.columns.contains("record_id") && wide.columns.contains("visit_date"))
+    val row = wide.filter($"record_id" === "r1").head
+    assert(row.getAs[String]("visit_date") == "2021-01-27") // shifted, wide
+  }
+
   test("project-id mismatch fails before any work") {
     intercept[IllegalArgumentException] {
       EtlJob.run(spark, config, projectInfo = Map("project_id" -> "99"))
