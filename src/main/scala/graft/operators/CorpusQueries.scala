@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
+
+/** Corpus-assembly operators of a training-data pipeline (north-star EXT):
+  * eval-set decontamination, sequence packing / deterministic corpus
+  * shuffle, per-source token quotas (data mixture), and SemDedup-style
+  * semantic deduplication. Every query carries a DuckDB oracle built from
+  * the same cross-engine primitives as LlmQueries (rolling-fingerprint
+  * hash, integer-quantized cosine, word-3-gram shingles).
+  */
+object CorpusQueries {
+  import LlmQueries.{fpSql, normSql, quantSql, shSetSql, toksSql}
+
+  /** q44's token-count parity expression. */
+  private val ntSql =
+    s"CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0 ELSE len($toksSql) END AS BIGINT)"
+
+  // ---------------------------------------------------------------- q64
+  // Eval-set decontamination: docs sharing a word-3-gram with the benchmark
+  // slice (doc_id % 97 = 0 stands in for a fixed eval suite). The oracle
+  // recomputes the overlap with exact string grams; the Spark side counts
+  // hashed grams (xxhash64 collisions ~2^-64 — see contaminationHits).
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, d)
+    Dedup.contaminationHits(
+        all.filter($"doc_id" % 97 =!= 0), all.filter($"doc_id" % 97 === 0))
+      .select($"id".as("doc_id"), $"n_shared")
+      .orderBy($"doc_id")
+  }
+  private val q64Sql =
+    s"""WITH sh AS ($shSetSql),
+       |b AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+       |c AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0)
+       |SELECT doc_id, COUNT(*) AS n_shared
+       |FROM c JOIN b USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  // Sequence packing: content-fingerprint order (= deterministic corpus
+  // shuffle), global token offsets by distributed prefix sum, 2048-token
+  // training sequences. The oracle replays the layout with a single
+  // window cumsum — tractable at sf0.01, exactly what the two-phase
+  // prefix sum refuses to do at corpus scale.
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(
+      $"doc_id",
+      TextAnalysis.tokenCount($"text").cast("long").as("nt"),
+      TextAnalysis.fingerprint($"text").as("fp"))
+    Packing.packSequences(docs, idCol = "doc_id", tokenCol = "nt",
+        orderCols = Seq("fp", "doc_id"), seqTokens = 2048)
+      .select($"id".as("doc_id"), $"n_tokens", $"start_tok", $"seq_id", $"seq_pos")
+      .orderBy($"doc_id")
+  }
+  private val q65Sql =
+    s"""WITH t AS (SELECT doc_id, $ntSql AS nt, $fpSql AS fp FROM documents),
+       |o AS (SELECT doc_id, nt,
+       |        COALESCE(SUM(nt) OVER (ORDER BY fp, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+       |      FROM t)
+       |SELECT doc_id, nt AS n_tokens, st AS start_tok,
+       |  st // 2048 AS seq_id, st % 2048 AS seq_pos
+       |FROM o ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  // Data-mixture token quotas: within each source, keep docs in
+  // content-hash order until 600 tokens — the "cap domain X" knob.
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(
+      $"doc_id", $"source",
+      TextAnalysis.tokenCount($"text").cast("long").as("nt"),
+      TextAnalysis.fingerprint($"text").as("fp"))
+    Sampling.tokenQuotaSample(docs, group = $"source",
+        orderCols = Seq($"fp", $"doc_id"), tokens = $"nt", quota = 600L)
+      .select($"doc_id", $"source", $"start_tok")
+      .orderBy($"doc_id")
+  }
+  private val q66Sql =
+    s"""WITH t AS (SELECT doc_id, source, $ntSql AS nt, $fpSql AS fp FROM documents),
+       |o AS (SELECT doc_id, source,
+       |        COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY fp, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |      FROM t)
+       |SELECT doc_id, source, start_tok FROM o
+       |WHERE start_tok < 600 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+  // SemDedup: max-cosine centroid assignment (seed centroids = vec_id < 8,
+  // deterministic), within-cluster near-dup drop at quantized cosine ≥ 0.3.
+  // The oracle replays assignment AND the pairwise prune exactly.
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Similarity.semanticDedup(Tables.embeddings(s, d), nCentroids = 8, threshold = 0.3)
+      .select($"id".as("vec_id"), $"cluster_id")
+      .orderBy($"vec_id")
+  }
+  private def cosSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($a)+1), i -> ($a)[i]*($b)[i])) AS DOUBLE)
+       |    / (sqrt(CAST(list_sum(list_transform($a, x->x*x)) AS DOUBLE))
+       |       * sqrt(CAST(list_sum(list_transform($b, x->x*x)) AS DOUBLE)))""".stripMargin
+  private val q67Sql =
+    s"""WITH v AS (SELECT vec_id AS id, $quantSql AS qv FROM embeddings),
+       |c AS (SELECT id AS cid, qv AS cv FROM v WHERE id < 8),
+       |asg AS (SELECT id, cid AS cluster_id, qv FROM (
+       |    SELECT v.id, c.cid, v.qv,
+       |      ROW_NUMBER() OVER (PARTITION BY v.id
+       |        ORDER BY ${cosSql("v.qv", "c.cv")} DESC, c.cid) AS rn
+       |    FROM v, c) WHERE rn = 1),
+       |dropped AS (SELECT DISTINCT b.id
+       |  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.id < b.id
+       |  WHERE ${cosSql("a.qv", "b.qv")} >= 0.3)
+       |SELECT id AS vec_id, cluster_id FROM asg
+       |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = asg.id)
+       |ORDER BY vec_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q64_decontaminate", q64, Some(q64Sql)),
+    QueryDef("q65_pack_sequences", q65, Some(q65Sql)),
+    QueryDef("q66_token_quota", q66, Some(q66Sql)),
+    QueryDef("q67_semantic_dedup", q67, Some(q67Sql)),
+  )
+}

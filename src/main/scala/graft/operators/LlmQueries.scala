@@ -16,9 +16,9 @@ import graft.ops.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnaly
   */
 object LlmQueries {
 
-  private val normSql =
+  private[operators] val normSql =
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-  private val toksSql = s"string_split($normSql, ' ')"
+  private[operators] val toksSql = s"string_split($normSql, ' ')"
 
   // ---------------------------------------------------------------- q40
   private def q40(s: SparkSession, d: String): DataFrame = {
@@ -44,7 +44,7 @@ object LlmQueries {
   }
   // distinct word-3-gram set per doc; <3-token docs shingle to their whole
   // normalized text (list OOB indexing → NULL, which concat_ws skips)
-  private val shSetSql =
+  private[operators] val shSetSql =
     s"""SELECT doc_id, list_distinct(list_transform(
        |    range(1, greatest(len($toksSql) - 2, 1) + 1),
        |    i -> concat_ws(' ', ($toksSql)[i], ($toksSql)[i+1], ($toksSql)[i+2]))) AS sh
@@ -94,7 +94,7 @@ object LlmQueries {
     Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 10), k = 10)
       .orderBy($"qid", $"rn")
   }
-  private val quantSql =
+  private[operators] val quantSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))"
   private val q43Sql =
     s"""WITH q AS (SELECT vec_id AS qid, $quantSql AS qv FROM embeddings WHERE vec_id < 10),
@@ -354,11 +354,11 @@ object LlmQueries {
   }
   /** DuckDB replica of RollingFingerprint over an arbitrary string
     * expression: (acc*31 + codepoint) mod 2^53. */
-  private def fpSqlOf(e: String): String =
+  private[operators] def fpSqlOf(e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
        |    (acc, c) -> (acc*31 + c) % 9007199254740992)""".stripMargin
-  private val fpSql = fpSqlOf(normSql)
+  private[operators] val fpSql = fpSqlOf(normSql)
   private val q57Sql =
     s"""SELECT doc_id, $fpSql % 100 AS bucket,
        |  CASE WHEN $fpSql % 100 < 80 THEN 'train'

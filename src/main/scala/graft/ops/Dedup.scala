@@ -322,6 +322,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ----------------------------------------------------- decontamination
+  /** Benchmark decontamination hits: corpus docs sharing at least one
+    * distinct word n-gram with the benchmark/eval set → `(id, n_shared)`.
+    *
+    * The standard eval-leakage scan (PaLM/GPT-3 style n-gram overlap): the
+    * benchmark side is tiny and fixed (eval suites, not corpus-sized), so
+    * its distinct hashed grams BROADCAST; the corpus side streams through
+    * the zero-shuffle shingle kernel and the only exchange is the per-doc
+    * count aggregate of matched rows — the corpus is never shuffled.
+    * Grams compare by xxhash64 (as q41): a false hit needs a 64-bit
+    * collision against the benchmark set (~2^-64·|bench| per gram —
+    * immaterial; flagged docs get human/exact review anyway). */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val benchGrams = hashedShingleSets(benchmark, textCol, idCol)
+      .select(explode(col("sh")).as("g")).distinct()
+    hashedShingleSets(corpus, textCol, idCol)
+      .select(col("id"), explode(col("sh")).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   // ------------------------------------------------------------- apply
   /** Deduplicated corpus by exact content: keep one doc (min id) per
     * normalized-content group — the operational form of [[exact]]. */

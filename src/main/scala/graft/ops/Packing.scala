@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/** Sequence packing for LLM training shards (north-star EXT).
+  *
+  * Concat-and-chunk: documents are laid out in one deterministic global
+  * order, token offsets accumulate across the whole corpus, and training
+  * sequences are the fixed-size windows `[i*seqTokens, (i+1)*seqTokens)` of
+  * that token stream — the standard GPT-style packing (a document may
+  * straddle a boundary; `seq_id` records where it starts). Ordering by a
+  * content fingerprint doubles as the deterministic corpus shuffle every
+  * training run needs: reproducible across retries, partitionings and
+  * engines, unlike `rand()`.
+  *
+  * Scale: the global running offset is a classic two-phase distributed
+  * prefix sum, NEVER a single-partition window (`Window.orderBy` with no
+  * partition key pulls the corpus into one task):
+  *   1. range-repartition on the order key + in-partition sort — the same
+  *      exchange a global sort would do, so partition `i` holds a
+  *      contiguous key range below partition `i+1`;
+  *   2. one long per partition (its token total) is aggregated and
+  *      collected — control-plane-sized (#partitions rows, not corpus);
+  *   3. exclusive per-partition offsets are broadcast back and a
+  *      `mapPartitions` pass adds the in-partition running sum.
+  * The sorted shuffle output is persisted (MEMORY_AND_DISK) so phases 2 and
+  * 3 read one materialization; at warehouse scale substitute a parquet
+  * staging write. Work per row is O(1); the only corpus-wide exchange is
+  * the range repartition.
+  */
+object Packing {
+
+  /** Pack `docs` into `seqTokens`-sized training sequences.
+    *
+    * @param orderCols deterministic total order (e.g. content fingerprint +
+    *                  id tie-break) — the "shuffle" of the corpus
+    * @return one row per doc: `id, n_tokens, start_tok, seq_id, seq_pos`
+    *         where `start_tok` is the doc's global token offset,
+    *         `seq_id = start_tok div seqTokens`, `seq_pos = start_tok mod
+    *         seqTokens`
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
+      orderCols: Seq[String], seqTokens: Long, partitions: Int = 0): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    val spark = docs.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ordered = docs
+      .select((Seq(idCol, tokenCol) ++ orderCols).map(col): _*)
+      .repartitionByRange(n, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Phase 2: per-partition token totals — #partitions longs on the driver
+    // (control plane). Empty partitions simply have no row.
+    val totals = ordered
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col(tokenCol).cast("long")).as("t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val offsets = new Array[Long](n)
+    var acc = 0L
+    for (p <- 0 until n) { offsets(p) = acc; acc += totals.getOrElse(p, 0L) }
+    val bc = spark.sparkContext.broadcast(offsets)
+    // Phase 3: in-partition running sum on top of the broadcast base offset.
+    val in = ordered.select(col(idCol), col(tokenCol).cast("long"))
+    val schema = StructType(in.schema.fields.head.copy(name = "id") +:
+      Seq(StructField("n_tokens", LongType, false),
+        StructField("start_tok", LongType, false)))
+    in.mapPartitions { it =>
+      var off = bc.value(TaskContext.getPartitionId())
+      it.map { r =>
+        val t = if (r.isNullAt(1)) 0L else r.getLong(1)
+        val start = off
+        off += t
+        Row(r.get(0), t, start)
+      }
+    }(Encoders.row(schema))
+      .withColumn("seq_id", expr(s"start_tok div $seqTokens"))
+      .withColumn("seq_pos", pmod(col("start_tok"), lit(seqTokens)))
+  }
+}

@@ -41,4 +41,29 @@ object Sampling {
     }
     df.filter(bucket(key) < rate)
   }
+
+  /** Token-budget quota sampling: within each `group` (source/domain/lang),
+    * take documents in deterministic hash order until the group's token
+    * quota is reached — the data-mixture knob of a training pipeline
+    * ("cap domain X at N tokens"). A doc is kept iff it STARTS inside the
+    * quota, so the overshoot is bounded by one document and the kept set is
+    * a pure function of the corpus (stable under retries/repartitioning).
+    *
+    * Scale: one window partitioned by the group key — the running sum
+    * shuffles fixed-width (group, order-key, tokens) projections, never
+    * text, and each group streams through a single sorted pass. Groups are
+    * the unit of parallelism; a corpus-dominating group is the same skew
+    * case as any hot aggregation key (AQE/salting notes in SCALE.md).
+    *
+    * @return input rows that fit the quota, plus `start_tok` — the group's
+    *         running token count before this doc
+    */
+  def tokenQuotaSample(df: DataFrame, group: Column, orderCols: Seq[Column],
+      tokens: Column, quota: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(orderCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("start_tok", coalesce(sum(tokens.cast("long")).over(w), lit(0L)))
+      .filter(col("start_tok") < quota)
+  }
 }

@@ -611,4 +611,69 @@ object Similarity {
         }
       }.toDF("id_a", "id_b", "cos")
   }
+
+  /** SemDedup-style semantic deduplication: assign every vector to its
+    * max-cosine centroid, then drop near-duplicates WITHIN each cluster
+    * (greedy: the higher id of any pair at cosine ≥ τ, as
+    * [[Dedup.applyPairsDedup]]). Returns the kept corpus as
+    * `(id, cluster_id)`.
+    *
+    * Clustering turns the O(N²) all-pairs scan into Σ|cluster|² — the
+    * blocking that makes embedding dedup feasible at corpus scale. The
+    * centroid set here is the deterministic seed set (lowest `nCentroids`
+    * ids) so external engines can replay the exact assignment; production
+    * would Lloyd-refine it ([[ivfTopK]]'s trainer) — every downstream step
+    * is identical. Centroids broadcast (control-plane-sized); the corpus
+    * shuffles ONCE on `cluster_id`; each cluster then streams through a
+    * tight JVM pairwise kernel in its own task. A cluster that outgrows a
+    * task is the standard hot-key case — cap or salt it (SCALE.md);
+    * quantized integer math keeps every cosine bit-identical across
+    * engines and parallelism. */
+  def semanticDedup(emb: DataFrame, nCentroids: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val typed = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+    val cents = typed.filter(_._1 < nCentroids).collect()
+      .sortBy(_._1)
+      .map { case (cid, v) => val q = quantizeJvm(v); (cid, q, normJvm(q)) }
+    require(cents.nonEmpty, s"no centroid ids below $nCentroids")
+    val bc = spark.sparkContext.broadcast(cents)
+    // max-cosine assignment; strict > keeps the LOWEST centroid id on ties
+    // (cents are cid-sorted) — replayable as ORDER BY cos DESC, cid LIMIT 1
+    val assigned = typed.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, v) =>
+        val q = quantizeJvm(v); val nq = normJvm(q)
+        var best = -2.0; var bestC = Long.MaxValue
+        cs.foreach { case (cid, cq, nc) =>
+          val cos = cosJvm(dotJvm(q, cq), nq, nc)
+          if (cos > best) { best = cos; bestC = cid }
+        }
+        (bestC, id, v)
+      }
+    }
+    val dropped = assigned
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val m = it.map { case (_, id, v) =>
+          val q = quantizeJvm(v); (id, q, normJvm(q))
+        }.toArray.sortBy(_._1)
+        val out = scala.collection.mutable.HashSet.empty[Long]
+        var i = 0
+        while (i < m.length) {
+          var j = i + 1
+          while (j < m.length) {
+            if (cosJvm(dotJvm(m(i)._2, m(j)._2), m(i)._3, m(j)._3) >= threshold)
+              out += m(j)._1
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }.toDF("id")
+    assigned.map { case (c, id, _) => (id, c) }.toDF("id", "cluster_id")
+      .join(dropped, Seq("id"), "left_anti")
+  }
 }
