@@ -52,6 +52,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("xxhash64"))
   }
 
+  test("q64: benchmark gram set broadcasts against the streaming corpus scan") {
+    val p = planOf("q64_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the bench join")
+  }
+
+  test("q65: packing plans no global window and one range exchange") {
+    val p = planOf("q65_pack_sequences")
+    assert(!p.contains("Window"), "global-order window would single-partition the corpus")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "pack order must come from a range repartition, not a global sort")
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
