@@ -499,7 +499,9 @@ object LlmQueries {
     val toks = Tables.documents(s, d)
       .select($"doc_id", explode(split(Dedup.normalized($"text"), " ")).as("term"))
     val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val idf = toks.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    // df directly off tf — (doc_id, term) is unique there, so the distinct
+    // count is a plain count and the token explode runs ONCE, not twice
+    val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id")
       .orderBy(floor((col("tf") * 1000000).cast("double") / col("df")).desc, $"term")
     tf.join(idf, "term")

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+/** Streaming corpus ingest (north-star EXT §2.10): the batch corpus-prep
+  * operators — quality gate, PII scrub, content fingerprint, split label,
+  * exact dedup — composed as one Structured Streaming pipeline, so a
+  * continuously-arriving corpus (crawl drops, upload queues) lands in
+  * training shards with the SAME row semantics as the batch path
+  * (everything but the dedup state is a row-local codegen expression, so
+  * batch/stream parity is by construction; the spec pins it).
+  *
+  * Scale: the only state is the exact-dedup key set — one 64-bit
+  * fingerprint per distinct document, partitioned by the state store
+  * across executors. That's the content-addressed dedup ledger every
+  * incremental ingest needs and it grows with DISTINCT corpus size;
+  * RocksDB state store + changelog checkpointing is the 100 TB
+  * configuration. Near-dup (MinHash) keying can reuse the same shape —
+  * signatures are row-local (Dedup kernels), only band buckets would
+  * become state.
+  */
+object DocumentStreams {
+
+  /** The documents table as an unbounded file-source stream (mirrors
+    * [[graft.sources.Tables.eventsStream]]). */
+  def documentsStream(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val schema = graft.sources.Tables.documents(s, d).schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+  }
+
+  /** Row-local ingest transform: scrub, score, fingerprint, split — the
+    * streaming-safe subset (no shuffle, no state), shared verbatim with
+    * batch. */
+  def prepare(docs: DataFrame, minQuality: Double = 0.2): DataFrame =
+    docs.select(
+        col("doc_id"), col("source"),
+        TextAnalysis.scrubPii(col("text")).as("text"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.splitLabel(col("text")).as("split"))
+      .filter(col("quality") >= minQuality)
+
+  /** Content-exact dedup on the fingerprint: first arrival wins, later
+    * re-uploads/re-crawls of identical content drop. Unbounded state by
+    * design — the dedup ledger must remember the whole corpus (one long
+    * per distinct doc); bound it with a watermark only when re-crawls
+    * have a known horizon. */
+  def dedupByContent(prepared: DataFrame): DataFrame =
+    prepared.dropDuplicates("fp")
+
+  /** Training-shard sink: each micro-batch appends split-partitioned
+    * parquet — downstream samplers read `split=train/` with partition
+    * pruning. Append mode keeps micro-batch replay idempotent per epoch
+    * directory only if the checkpoint survives; exactly-once comes from
+    * the checkpointed dedup state + file-sink manifest. */
+  def writeShards(stream: DataFrame, path: String, checkpoint: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("split")
+      .format("parquet")
+      .option("path", path)
+}

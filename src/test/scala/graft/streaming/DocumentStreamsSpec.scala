@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Top-level so Spark's product encoder needs no outer instance. */
+case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+
+class DocumentStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    Doc(1, "the quick brown fox jumps over the lazy dog and that is a fine thing to see", "en", "a", 0),
+    Doc(2, "the quick brown fox jumps over the lazy dog and that is a fine thing to see", "en", "a", 0), // exact dup of 1
+    Doc(3, "an entirely different document about the state of the world that is long enough to pass", "en", "b", 0),
+    Doc(4, "1199 2838 4777 121 11", "und", "b", 0)) // numeric junk → quality-gated
+
+  test("streaming ingest ≡ batch ingest on the same corpus (modulo dedup winner)") {
+    val input = MemoryStream[Doc](spark)
+    input.addData(docs: _*)
+    val q = DocumentStreams.dedupByContent(DocumentStreams.prepare(input.toDF()))
+      .writeStream.format("memory").queryName("corpus").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("corpus")
+    val batch = DocumentStreams.dedupByContent(DocumentStreams.prepare(docs.toDF()))
+    // dedup winners are arrival/partition-dependent; fingerprint sets are not
+    assert(streamed.select("fp").as[Long].collect().toSet ==
+      batch.select("fp").as[Long].collect().toSet)
+    assert(streamed.count() == 2) // dup collapsed, junk gated
+    // row-local columns agree per fingerprint
+    assert(streamed.select("fp", "quality", "split").collect().toSet ==
+      batch.select("fp", "quality", "split").collect().toSet)
+  }
+
+  test("shard sink writes split-partitioned parquet via checkpointed file sink") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val input = MemoryStream[Doc](spark)
+    input.addData(docs: _*)
+    val q = DocumentStreams.writeShards(
+      DocumentStreams.dedupByContent(DocumentStreams.prepare(input.toDF())),
+      s"$dir/data", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val written = spark.read.parquet(s"$dir/data")
+    assert(written.count() == 2)
+    assert(written.columns.contains("split"))
+    // PII scrub applied on the way in
+    assert(!written.filter($"text".contains("@")).take(1).nonEmpty)
+  }
+}
