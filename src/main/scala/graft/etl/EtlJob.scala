@@ -72,11 +72,16 @@ object EtlJob {
     * NDJSON under `out_dir` instead of POSTing; `pubDebug=true` (the
     * reference's `--pub-debug`, redcap-etl.py:28,382-397,421-422) also
     * writes the transform records pivoted wide (record × field) as a
-    * single human-inspectable CSV `debug-public` under `out_dir`. */
+    * single human-inspectable CSV `debug-public` under `out_dir`;
+    * `writeout=Some(path)` (the reference's `-w/--writeout`,
+    * redcap-etl.py:29,216-221,261-262) additionally streams every
+    * transmitted chunk document — header first, then data, then
+    * per-transform — into ONE NDJSON file at `path`. */
   def run(spark: SparkSession, config: IniConfig,
       projectInfo: Map[String, String] = Map.empty,
       fake: Boolean = true,
-      pubDebug: Boolean = false): Output = {
+      pubDebug: Boolean = false,
+      writeout: Option[String] = None): Output = {
     // S4 precondition — fail fast before any plan executes
     config.get("redcap", "project_id").foreach { expected =>
       if (projectInfo.nonEmpty) Preconditions.validateProject(expected, projectInfo)
@@ -130,6 +135,18 @@ object EtlJob {
         out <- config.resolved("default", "out_dir")
         records <- result.transformRecords
       } Sinks.csvSingle(Reshape.pivotEav(records), s"$out/debug-public")
+    }
+    writeout.foreach { path =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, lit}
+      // one file, reference append order: header doc, data chunks,
+      // transform chunks (a debug sink — coalesce(1) is the point)
+      val tag = (df: DataFrame, o: Int) =>
+        df.select(lit(o).as("o"), col(df.columns.head).as("value"))
+      val all = (tag(Seq(header).toDF("value"), 0) +: tag(envelopes, 1) +:
+        recordEnvelopes.map(tag(_, 2)).toSeq).reduce(_ unionByName _)
+      all.coalesce(1).sortWithinPartitions("o").select("value")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
     }
     Output(result, envelopes, recordEnvelopes, header)
   }

@@ -116,6 +116,25 @@ class EtlJobSpec extends SparkSpec {
     assert(row.getAs[String]("visit_date") == "2021-01-27") // shifted, wide
   }
 
+  test("writeout streams header + all chunk docs into one NDJSON file (reference -w)") {
+    val cfg = IniConfig.parse(
+      s"""[default]
+         |field_map_file = $fieldMapCsv
+         |[dcc_transforms]
+         |datetransform_type = dob_shifting
+         |standard_date = 2010-01-01
+         |[redcap]
+         |eav_source = $eavCsv
+         |""".stripMargin)
+    EtlJob.run(spark, cfg, fake = false, writeout = Some(s"$dir/writeout"))
+    val lines = spark.read.text(s"$dir/writeout").collect().map(_.getString(0))
+    assert(lines.length >= 2)
+    // header document first (the only chunk carrying transform_metadata),
+    // then envelope chunks
+    assert(lines.head.contains("transform_metadata"))
+    assert(lines.tail.forall(_.contains("redcap_records")))
+  }
+
   test("project-id mismatch fails before any work") {
     intercept[IllegalArgumentException] {
       EtlJob.run(spark, config, projectInfo = Map("project_id" -> "99"))
