@@ -13,7 +13,7 @@ import graft.ops.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
   * hash, integer-quantized cosine, word-3-gram shingles).
   */
 object CorpusQueries {
-  import LlmQueries.{fpSql, normSql, quantSql, shSetSql, toksSql}
+  import LlmQueries.{fpSql, normSql, qualitySql, quantSql, shSetSql, shSetSqlFrom, toksSql}
 
   /** q44's token-count parity expression. */
   private val ntSql =
@@ -119,10 +119,95 @@ object CorpusQueries {
        |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = asg.id)
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  // The FLAGSHIP corpus pipeline, end to end in one plan: exact dedup →
+  // verified near-dup drop → eval-set decontamination → quality gate →
+  // train-split selection → sequence packing. Every stage is an operator
+  // verified on its own above; this pins their COMPOSITION (the oracle
+  // replays the full chain as one CTE cascade).
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, d)
+    val bench = all.filter($"doc_id" % 97 === 0)
+    val corpus = all.filter($"doc_id" % 97 =!= 0)
+    val exact = Dedup.applyExact(corpus)
+    val near = Dedup.applyPairsDedup(exact,
+      Dedup.minhashDuplicatePairs(exact, threshold = 0.5))
+    val clean = near.join(
+      Dedup.contaminationHits(near, bench).select($"id".as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val train = clean
+      .filter(TextAnalysis.qualityScore($"text") >= 0.7)
+      .filter(TextAnalysis.splitLabel($"text") === "train")
+      .select($"doc_id",
+        TextAnalysis.tokenCount($"text").cast("long").as("nt"),
+        TextAnalysis.fingerprint($"text").as("fp"))
+    Packing.packSequences(train, idCol = "doc_id", tokenCol = "nt",
+        orderCols = Seq("fp", "doc_id"), seqTokens = 2048)
+      .select($"id".as("doc_id"), $"n_tokens", $"start_tok", $"seq_id")
+      .orderBy($"doc_id")
+  }
+  private val q68Sql =
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+       |k1 AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY $normSql),
+       |c1 AS (SELECT corpus.* FROM corpus JOIN k1 USING (doc_id)),
+       |sh1 AS (${shSetSqlFrom("c1")}),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |    FROM sh1 a JOIN sh1 b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.5),
+       |c2 AS (SELECT * FROM c1 WHERE doc_id NOT IN (SELECT id_b FROM pairs)),
+       |bsh AS (SELECT DISTINCT unnest(sh) AS g FROM (
+       |  ${shSetSqlFrom("(SELECT * FROM documents WHERE doc_id % 97 = 0) bdocs")})),
+       |sh2 AS (${shSetSqlFrom("c2")}),
+       |contaminated AS (SELECT DISTINCT doc_id
+       |  FROM (SELECT doc_id, unnest(sh) AS g FROM sh2) x JOIN bsh USING (g)),
+       |c3 AS (SELECT * FROM c2 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |train AS (SELECT doc_id, $ntSql AS nt, $fpSql AS fp FROM c3
+       |  WHERE $qualitySql >= 0.7 AND $fpSql % 100 < 80),
+       |o AS (SELECT doc_id, nt,
+       |        COALESCE(SUM(nt) OVER (ORDER BY fp, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+       |      FROM train)
+       |SELECT doc_id, nt AS n_tokens, st AS start_tok, st // 2048 AS seq_id
+       |FROM o ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  // Dataset-card statistics per (source, lang): doc/token/unique counts and
+  // mean quality. Cross-engine-exact mean: the per-row double is identical
+  // in both engines, so its floor(·1e6) long sums exactly; one double
+  // division at the end. Map-side combinable — one tiny exchange.
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source", $"lang",
+        TextAnalysis.tokenCount($"text").cast("long").as("nt"),
+        floor(TextAnalysis.qualityScore($"text") * 1e6).cast("long").as("q6"),
+        TextAnalysis.fingerprint($"text").as("fp"))
+      .groupBy($"source", $"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"nt").as("n_tokens"),
+        countDistinct($"fp").as("n_unique"),
+        (sum($"q6").cast("double") / count(lit(1)) / 1e6).as("mean_quality"))
+      .orderBy($"source", $"lang")
+  }
+  private val q69Sql =
+    s"""SELECT source, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM($ntSql) AS BIGINT) AS n_tokens,
+       |  COUNT(DISTINCT $fpSql) AS n_unique,
+       |  CAST(SUM(CAST(floor($qualitySql * 1e6) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e6 AS mean_quality
+       |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q64_decontaminate", q64, Some(q64Sql)),
     QueryDef("q65_pack_sequences", q65, Some(q65Sql)),
     QueryDef("q66_token_quota", q66, Some(q66Sql)),
     QueryDef("q67_semantic_dedup", q67, Some(q67Sql)),
+    QueryDef("q68_corpus_pipeline", q68, Some(q68Sql)),
+    QueryDef("q69_corpus_stats", q69, Some(q69Sql)),
   )
 }

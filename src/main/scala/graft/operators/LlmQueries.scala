@@ -19,6 +19,8 @@ object LlmQueries {
   private[operators] val normSql =
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   private[operators] val toksSql = s"string_split($normSql, ' ')"
+  private val allStopsSql = TextAnalysis.stopwords.values.flatten.toSeq
+    .map(w => s"'$w'").mkString("[", ", ", "]")
 
   // ---------------------------------------------------------------- q40
   private def q40(s: SparkSession, d: String): DataFrame = {
@@ -44,11 +46,12 @@ object LlmQueries {
   }
   // distinct word-3-gram set per doc; <3-token docs shingle to their whole
   // normalized text (list OOB indexing → NULL, which concat_ws skips)
-  private[operators] val shSetSql =
+  private[operators] def shSetSqlFrom(rel: String): String =
     s"""SELECT doc_id, list_distinct(list_transform(
        |    range(1, greatest(len($toksSql) - 2, 1) + 1),
        |    i -> concat_ws(' ', ($toksSql)[i], ($toksSql)[i+1], ($toksSql)[i+2]))) AS sh
-       |  FROM documents""".stripMargin
+       |  FROM $rel""".stripMargin
+  private[operators] val shSetSql = shSetSqlFrom("documents")
   private val q41Sql =
     s"""WITH sh AS ($shSetSql)
        |SELECT id_a, id_b, jaccard FROM (
@@ -151,8 +154,13 @@ object LlmQueries {
         TextAnalysis.qualityScore($"text").as("quality")): _*)
       .orderBy($"doc_id")
   }
-  private val allStopsSql = TextAnalysis.stopwords.values.flatten.toSeq
-    .map(w => s"'$w'").mkString("[", ", ", "]")
+  private[operators] val qualitySql =
+    s"""((CASE WHEN (CASE WHEN trim(text)='' OR text IS NULL THEN 0 ELSE len($toksSql) END) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+       |  + (CASE WHEN CAST(length(replace($normSql, ' ', '')) AS DOUBLE) / greatest(CAST(CASE WHEN trim(text)='' OR text IS NULL THEN 0 ELSE len($toksSql) END AS DOUBLE), 1.0) BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END) * 0.3
+       |  + least(CAST(len(list_filter($toksSql, t -> list_contains($allStopsSql, t))) AS DOUBLE) / greatest(CAST(CASE WHEN trim(text)='' OR text IS NULL THEN 0 ELSE len($toksSql) END AS DOUBLE), 1.0) * 5, 1.0) * 0.4)
+       |  * (1.0 - least(
+       |      CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5
+       |      + CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0))""".stripMargin
   private val q45Sql = {
     s"""SELECT doc_id,
        |  CAST(length(text) AS DOUBLE) AS n_chars,
@@ -167,12 +175,7 @@ object LlmQueries {
        |    / greatest(CAST(length(text) AS DOUBLE), 1.0) AS upper_ratio,
        |  CAST(len(list_filter($toksSql, t -> list_contains($allStopsSql, t))) AS DOUBLE)
        |    / greatest(CAST(CASE WHEN trim(text)='' OR text IS NULL THEN 0 ELSE len($toksSql) END AS DOUBLE), 1.0) AS stopword_ratio,
-       |  ((CASE WHEN (CASE WHEN trim(text)='' OR text IS NULL THEN 0 ELSE len($toksSql) END) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.3
-       |  + (CASE WHEN CAST(length(replace($normSql, ' ', '')) AS DOUBLE) / greatest(CAST(CASE WHEN trim(text)='' OR text IS NULL THEN 0 ELSE len($toksSql) END AS DOUBLE), 1.0) BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END) * 0.3
-       |  + least(CAST(len(list_filter($toksSql, t -> list_contains($allStopsSql, t))) AS DOUBLE) / greatest(CAST(CASE WHEN trim(text)='' OR text IS NULL THEN 0 ELSE len($toksSql) END AS DOUBLE), 1.0) * 5, 1.0) * 0.4)
-       |  * (1.0 - least(
-       |      CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5
-       |      + CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0)) AS quality
+  $qualitySql AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
