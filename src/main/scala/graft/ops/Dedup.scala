@@ -400,7 +400,16 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels, edges("v") === labels("id"))
         .select(edges("u").as("id"), col("component"))
-      val next = labels.unionByName(viaNeighbor)
+      // pointer jumping: also adopt the label OF the current label (a
+      // component value is always a vertex id, so the inner self-join is
+      // total). Convergence drops from O(diameter) to O(log diameter)
+      // rounds — each round is one more small join, but rounds are the
+      // expensive unit here (a full shuffle + checkpoint barrier each).
+      val viaParent = labels
+        .join(labels.select(col("id").as("pid"), col("component").as("pcomp")),
+          col("component") === col("pid"))
+        .select(col("id"), col("pcomp").as("component"))
+      val next = labels.unionByName(viaNeighbor).unionByName(viaParent)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
         .localCheckpoint()
