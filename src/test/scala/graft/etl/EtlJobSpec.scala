@@ -135,6 +135,16 @@ class EtlJobSpec extends SparkSpec {
     assert(lines.tail.forall(_.contains("redcap_records")))
   }
 
+  test("EtlMain parses the reference's argparse surface") {
+    assert(EtlMain.parse(Nil) == EtlMain.Args())
+    assert(EtlMain.parse(Seq("-c", "x.ini", "-f", "-p")) ==
+      EtlMain.Args("x.ini", fake = true, pubDebug = true))
+    assert(EtlMain.parse(Seq("--configfile", "y.ini", "--debug",
+      "--writeout", "out.ndjson")) ==
+      EtlMain.Args("y.ini", debug = true, writeout = Some("out.ndjson")))
+    intercept[IllegalArgumentException](EtlMain.parse(Seq("--nope")))
+  }
+
   test("project-id mismatch fails before any work") {
     intercept[IllegalArgumentException] {
       EtlJob.run(spark, config, projectInfo = Map("project_id" -> "99"))
