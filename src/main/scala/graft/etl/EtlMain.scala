@@ -28,11 +28,17 @@ object EtlMain {
     @annotation.tailrec
     def go(rest: List[String], acc: Args): Args = rest match {
       case Nil => acc
+      // argparse's --flag=value form
+      case a :: t if a.startsWith("--") && a.contains("=") =>
+        val Array(k, v) = a.split("=", 2)
+        go(k :: v :: t, acc)
       case ("-c" | "--configfile") :: v :: t => go(t, acc.copy(configFile = v))
       case ("-f" | "--fake") :: t => go(t, acc.copy(fake = true))
       case ("-d" | "--debug") :: t => go(t, acc.copy(debug = true))
       case ("-p" | "--pub-debug") :: t => go(t, acc.copy(pubDebug = true))
       case ("-w" | "--writeout") :: v :: t => go(t, acc.copy(writeout = Some(v)))
+      case (f @ ("-c" | "--configfile" | "-w" | "--writeout")) :: Nil =>
+        throw new IllegalArgumentException(s"missing value for $f")
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument: $other")
     }
@@ -46,8 +52,19 @@ object EtlMain {
     else spark.sparkContext.setLogLevel("WARN")
     try {
       val config = IniConfig.load(args.configFile)
-      EtlJob.run(spark, config, fake = args.fake, pubDebug = args.pubDebug,
-        writeout = args.writeout)
+      val out = EtlJob.run(spark, config, fake = args.fake,
+        pubDebug = args.pubDebug, writeout = args.writeout)
+      if (!args.fake) {
+        // the reference's default path POSTs to the datalake — fail fast if
+        // there is nowhere to deliver, never silently discard the run
+        val endpoint = config.resolved("datalake", "api_endpoint").getOrElse(
+          throw new IllegalArgumentException(
+            "config: [datalake] api_endpoint required without --fake"))
+        val post = Sinks.httpPost(endpoint) _
+        post(out.header) // header document first (reference chunk 1)
+        Sinks.transmit(out.envelopes, post)
+        out.recordEnvelopes.foreach(Sinks.transmit(_, post))
+      }
     } finally spark.stop()
   }
 }

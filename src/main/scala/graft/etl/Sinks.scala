@@ -132,6 +132,25 @@ object Sinks {
       rows.foreach(r => post(r.getString(0)))
     }
 
+  // one JDK client per executor JVM (objects aren't serialized — the
+  // closure below references it statically)
+  private lazy val httpClient = java.net.http.HttpClient.newHttpClient()
+
+  /** Production `post` for [[transmit]]: JSON POST, abort on non-2xx
+    * (the reference's requests.post + raise path, redcap-etl.py:270-282).
+    * JDK HttpClient — no extra dependency. */
+  def httpPost(endpoint: String)(body: String): Unit = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = httpClient.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new RuntimeException(
+        s"datalake POST failed: HTTP ${resp.statusCode()} from $endpoint")
+  }
+
   private def jsonArr(df: Option[DataFrame]): String = df match {
     case None => "[]"
     case Some(d) =>

@@ -451,44 +451,49 @@ object Dedup {
       idCol: String = "doc_id", maxHamming: Int = 3,
       maxBucketSize: Int = 1000, tokenHash: String = "xx64"): DataFrame = {
     // smallest divisor of 64 with bands > maxHamming (pigeonhole guarantee)
-    val bands = Seq(4, 8, 16, 32).find(_ > maxHamming).getOrElse(
-      throw new IllegalArgumentException(s"maxHamming=$maxHamming too large: LSH banding over 64 bits supports < 32"))
+    val bands = simhashBandCount(maxHamming)
     val width = 64 / bands
-    val mask = (1L << width) - 1
-    val sh = simhashSignaturesKernel(docs, textCol, idCol, tokenHash)
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"), shiftright(col("sim"), b * width).bitwiseAND(mask).as("bh")))
-    val exploded = sh.select(col("id"), col("sim"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("sim"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     // one shuffle: bucket members collected, pathological buckets capped,
     // pairs expanded by double explode (same shape as minhash candidates —
     // narrower bands collide more, so the cap matters here even more)
-    val buckets = exploded
+    val buckets = simhashBandRows(docs, textCol, idCol, bands, width, tokenHash)
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("id"), col("sim"))).as("ms"))
       .filter(size(col("ms")).between(2, maxBucketSize))
-    // Post-bucket the pipeline is SHUFFLE-FREE: both signatures ride in the
-    // exploded pair row, so the hamming test is a codegen'd filter, and
-    // cross-band duplicates are eliminated exactly by emitting each pair
-    // only from its FIRST shared band — a `dropDuplicates` here would
-    // shuffle every candidate (measured 39 s → 4 s at 43M candidates on a
-    // template-heavy corpus whose 16-bit bands collide in the thousands).
-    // Under the bucket cap this emits a pair only if its first-shared-band
-    // bucket survived the cap (a capped-away bucket loses its pairs either
-    // way — see [[oversizedSimhashBuckets]] for the audit).
+    // Both signatures ride in the exploded pair row, so the hamming test is
+    // a codegen'd FILTER that runs before the only post-bucket shuffle: the
+    // cross-band dedup now sees just the true near-dup pairs, not every
+    // candidate (a pre-hamming dropDuplicates measured 39 s → 4 s at 43M
+    // candidates on a template-heavy corpus whose 16-bit bands collide in
+    // the thousands). Dedup-after-filter keeps the cap semantics exact: a
+    // pair survives if ANY of its shared bands' buckets survived the cap.
     val x = col("a.sim").bitwiseXOR(col("b.sim"))
-    val firstSharedBand = (bands - 1 to 0 by -1).foldLeft(lit(-1): Column) {
-      (acc, j) =>
-        when(shiftright(x, j * width).bitwiseAND(mask) === 0, lit(j)).otherwise(acc)
-    }
     buckets
-      .select(col("band"), explode(col("ms")).as("a"), col("ms"))
-      .select(col("band"), col("a"), explode(col("ms")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .filter(bit_count(x) <= maxHamming && col("band") === firstSharedBand)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id") && bit_count(x) <= maxHamming)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(x).cast("int").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
+
+  /** (id, sim, band, bh) rows — the shared band derivation of the simhash
+    * pairs path and its audit, factored so the two can never drift apart
+    * (same rationale as [[minhashBandRows]]). */
+  private def simhashBandRows(docs: DataFrame, textCol: String, idCol: String,
+      bands: Int, width: Int, tokenHash: String): DataFrame = {
+    val mask = (1L << width) - 1
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), shiftright(col("sim"), b * width).bitwiseAND(mask).as("bh")))
+    simhashSignaturesKernel(docs, textCol, idCol, tokenHash)
+      .select(col("id"), col("sim"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sim"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  private def simhashBandCount(maxHamming: Int): Int =
+    Seq(4, 8, 16, 32).find(_ > maxHamming).getOrElse(
+      throw new IllegalArgumentException(
+        s"maxHamming=$maxHamming too large: LSH banding over 64 bits supports < 32"))
 
   /** Audit for [[simhashDuplicatePairs]]' bucket cap: (band, band hash,
     * member count) of every bucket the pairs path would DROP, so excluded
@@ -497,14 +502,8 @@ object Dedup {
   def oversizedSimhashBuckets(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
       maxBucketSize: Int = 1000, tokenHash: String = "xx64"): DataFrame = {
-    val bands = Seq(4, 8, 16, 32).find(_ > maxHamming).get
-    val width = 64 / bands
-    val mask = (1L << width) - 1
-    val sh = simhashSignaturesKernel(docs, textCol, idCol, tokenHash)
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"), shiftright(col("sim"), b * width).bitwiseAND(mask).as("bh")))
-    sh.select(explode(array(bandCols: _*)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bands = simhashBandCount(maxHamming)
+    simhashBandRows(docs, textCol, idCol, bands, 64 / bands, tokenHash)
       .groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucketSize)

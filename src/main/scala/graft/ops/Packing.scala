@@ -60,7 +60,9 @@ object Packing {
       .groupBy(spark_partition_id().as("pid"))
       .agg(sum(col(tokenCol).cast("long")).as("t"))
       .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
+      // a partition whose tokens are ALL null sums to null → zero tokens,
+      // consistent with phase 3's null-as-0 handling
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
       .toMap
     val offsets = new Array[Long](n)
     var acc = 0L
@@ -71,7 +73,7 @@ object Packing {
     val schema = StructType(in.schema.fields.head.copy(name = "id") +:
       Seq(StructField("n_tokens", LongType, false),
         StructField("start_tok", LongType, false)))
-    in.mapPartitions { it =>
+    val packed = in.mapPartitions { it =>
       var off = bc.value(TaskContext.getPartitionId())
       it.map { r =>
         val t = if (r.isNullAt(1)) 0L else r.getLong(1)
@@ -82,5 +84,11 @@ object Packing {
     }(Encoders.row(schema))
       .withColumn("seq_id", expr(s"start_tok div $seqTokens"))
       .withColumn("seq_pos", pmod(col("start_tok"), lit(seqTokens)))
+      // materialize the (id, offsets) result — a few longs per doc, a tiny
+      // fraction of the corpus — so the corpus-sized sorted cache can be
+      // released NOW instead of leaking one cache entry per invocation
+      .localCheckpoint()
+    ordered.unpersist()
+    packed
   }
 }

@@ -633,47 +633,49 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val typed = emb.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Seq[Float])]
-    val cents = typed.filter(_._1 < nCentroids).collect()
+    val cents = emb.filter(col(idCol) < nCentroids) // pushes to the scan
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
       .sortBy(_._1)
       .map { case (cid, v) => val q = quantizeJvm(v); (cid, q, normJvm(q)) }
     require(cents.nonEmpty, s"no centroid ids below $nCentroids")
     val bc = spark.sparkContext.broadcast(cents)
     // max-cosine assignment; strict > keeps the LOWEST centroid id on ties
-    // (cents are cid-sorted) — replayable as ORDER BY cos DESC, cid LIMIT 1
-    val assigned = typed.mapPartitions { it =>
-      val cs = bc.value
-      it.map { case (id, v) =>
-        val q = quantizeJvm(v); val nq = normJvm(q)
-        var best = -2.0; var bestC = Long.MaxValue
-        cs.foreach { case (cid, cq, nc) =>
-          val cos = cosJvm(dotJvm(q, cq), nq, nc)
-          if (cos > best) { best = cos; bestC = cid }
+    // (cents are cid-sorted) — replayable as ORDER BY cos DESC, cid LIMIT 1.
+    // Vectors quantize ONCE here; the quantized form and its norm travel
+    // through the cluster shuffle so the pairwise kernel never recomputes.
+    val assigned = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          val q = quantizeJvm(v); val nq = normJvm(q)
+          var best = -2.0; var bestC = Long.MaxValue
+          cs.foreach { case (cid, cq, nc) =>
+            val cos = cosJvm(dotJvm(q, cq), nq, nc)
+            if (cos > best) { best = cos; bestC = cid }
+          }
+          (bestC, id, q, nq)
         }
-        (bestC, id, v)
       }
-    }
-    val dropped = assigned
+    // one pass per cluster computes drops AND emits the kept rows — no
+    // second scan of the corpus, no anti-join
+    assigned
       .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val m = it.map { case (_, id, v) =>
-          val q = quantizeJvm(v); (id, q, normJvm(q))
-        }.toArray.sortBy(_._1)
-        val out = scala.collection.mutable.HashSet.empty[Long]
+      .flatMapGroups { (c, it) =>
+        val m = it.map { case (_, id, q, nq) => (id, q, nq) }.toArray.sortBy(_._1)
+        val dropped = scala.collection.mutable.HashSet.empty[Long]
         var i = 0
         while (i < m.length) {
           var j = i + 1
           while (j < m.length) {
             if (cosJvm(dotJvm(m(i)._2, m(j)._2), m(i)._3, m(j)._3) >= threshold)
-              out += m(j)._1
+              dropped += m(j)._1
             j += 1
           }
           i += 1
         }
-        out.iterator
-      }.toDF("id")
-    assigned.map { case (c, id, _) => (id, c) }.toDF("id", "cluster_id")
-      .join(dropped, Seq("id"), "left_anti")
+        m.iterator.collect { case (id, _, _) if !dropped(id) => (id, c) }
+      }.toDF("id", "cluster_id")
   }
 }

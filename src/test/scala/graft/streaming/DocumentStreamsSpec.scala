@@ -12,7 +12,9 @@ class DocumentStreamsSpec extends SparkSpec {
   private val docs = Seq(
     Doc(1, "the quick brown fox jumps over the lazy dog and that is a fine thing to see", "en", "a", 0),
     Doc(2, "the quick brown fox jumps over the lazy dog and that is a fine thing to see", "en", "a", 0), // exact dup of 1
-    Doc(3, "an entirely different document about the state of the world that is long enough to pass", "en", "b", 0),
+    // same text, different embedded PII: scrub-first dedup collapses these
+    Doc(3, "write to alice@example.com about the state of the world that is long enough to pass", "en", "b", 0),
+    Doc(5, "write to bob@other.org about the state of the world that is long enough to pass", "en", "b", 0),
     Doc(4, "1199 2838 4777 121 11", "und", "b", 0)) // numeric junk → quality-gated
 
   test("streaming ingest ≡ batch ingest on the same corpus (modulo dedup winner)") {
@@ -26,7 +28,8 @@ class DocumentStreamsSpec extends SparkSpec {
     // dedup winners are arrival/partition-dependent; fingerprint sets are not
     assert(streamed.select("fp").as[Long].collect().toSet ==
       batch.select("fp").as[Long].collect().toSet)
-    assert(streamed.count() == 2) // dup collapsed, junk gated
+    // exact dup collapsed, PII-only-difference pair collapsed, junk gated
+    assert(streamed.count() == 2)
     // row-local columns agree per fingerprint
     assert(streamed.select("fp", "quality", "split").collect().toSet ==
       batch.select("fp", "quality", "split").collect().toSet)
@@ -43,7 +46,9 @@ class DocumentStreamsSpec extends SparkSpec {
     val written = spark.read.parquet(s"$dir/data")
     assert(written.count() == 2)
     assert(written.columns.contains("split"))
-    // PII scrub applied on the way in
-    assert(!written.filter($"text".contains("@")).take(1).nonEmpty)
+    // PII scrub applied on the way in: the surviving email doc carries the
+    // redaction token, and no raw address leaks through
+    assert(written.filter($"text".contains("<EMAIL>")).count() == 1)
+    assert(written.filter($"text".contains("@")).count() == 0)
   }
 }
