@@ -143,6 +143,10 @@ class EtlJobSpec extends SparkSpec {
       "--writeout", "out.ndjson")) ==
       EtlMain.Args("y.ini", debug = true, writeout = Some("out.ndjson")))
     intercept[IllegalArgumentException](EtlMain.parse(Seq("--nope")))
+    // argparse's = form and missing-value diagnostics
+    assert(EtlMain.parse(Seq("--configfile=z.ini")) == EtlMain.Args("z.ini"))
+    val e = intercept[IllegalArgumentException](EtlMain.parse(Seq("-f", "-w")))
+    assert(e.getMessage.contains("missing value"))
   }
 
   test("project-id mismatch fails before any work") {
