@@ -74,4 +74,68 @@ object DocumentStreams {
       .partitionBy("split")
       .format("parquet")
       .option("path", path)
+
+  // ---- incremental NEAR-dup ingest ----------------------------------
+  // Exact dedup fits the state store (one fingerprint per doc);
+  // near-dup needs candidate JOINS against everything seen so far, which
+  // Structured Streaming's keyed state can't express. The standard
+  // architecture is foreachBatch + an accumulating SIGNATURE STORE: state
+  // is (id, band-hash) rows + (id, shingle-set) rows in parquet — a few
+  // dozen bytes per doc, NEVER the text — written under batch_<id>
+  // subdirectories so micro-batch replay overwrites instead of duplicating
+  // (idempotent). Each batch: internal LSH dedup, then band-collision
+  // candidates vs the store, exact-Jaccard verification, survivors
+  // appended to both corpus and store.
+
+  /** Process one micro-batch of documents against the signature store at
+    * `stateDir`; survivors land under `outDir/batch_<batchId>` and their
+    * signatures under the store. Returns the survivors (for tests). */
+  def ingestBatchNearDedup(batch: DataFrame, stateDir: String, outDir: String,
+      batchId: Long, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = batch.sparkSession
+    // within-batch near-dups first (the store only knows PRIOR batches)
+    val internal = graft.ops.Dedup.applyPairsDedup(batch,
+      graft.ops.Dedup.minhashDuplicatePairs(batch, threshold = threshold))
+    val newBands = graft.ops.Dedup.minhashBandRows(internal)
+    val newSh = graft.ops.Dedup.hashedShingleSets(internal)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val survivors =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/bands"))) internal
+      else {
+        val stBands = spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$stateDir/bands")
+          .select(col("id").as("old_id"), col("band"), col("bh"))
+        val stSh = spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$stateDir/shingles")
+          .select(col("id").as("old_id"), col("sh").as("old_sh"))
+        val cand = newBands.join(stBands, Seq("band", "bh"))
+          .select(col("id"), col("old_id")).distinct()
+        val dupNew = cand
+          .join(newSh, "id").join(stSh, "old_id")
+          .filter(graft.ops.Dedup.jaccard(col("sh"), col("old_sh")) >= threshold)
+          .select(col("id").as("doc_id")).distinct()
+        internal.join(dupNew, Seq("doc_id"), "left_anti")
+      }
+    // batch-keyed writes: replay of the same micro-batch overwrites
+    survivors.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+    graft.ops.Dedup.minhashBandRows(survivors).write.mode("overwrite")
+      .parquet(s"$stateDir/bands/batch_$batchId")
+    graft.ops.Dedup.hashedShingleSets(survivors).write.mode("overwrite")
+      .parquet(s"$stateDir/shingles/batch_$batchId")
+    survivors
+  }
+
+  /** The streaming wrapper: continuous corpus ingest with cross-batch
+    * near-duplicate suppression. */
+  def nearDedupIngest(stream: DataFrame, stateDir: String, outDir: String,
+      checkpoint: String, threshold: Double = 0.5):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchNearDedup(batch, stateDir, outDir, batchId, threshold)
+        ()
+      }
 }

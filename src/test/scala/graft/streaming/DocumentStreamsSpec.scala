@@ -35,6 +35,31 @@ class DocumentStreamsSpec extends SparkSpec {
       batch.select("fp", "quality", "split").collect().toSet)
   }
 
+  test("incremental near-dedup: later batches drop near-dups of earlier ones") {
+    val dir = java.nio.file.Files.createTempDirectory("neardedup").toString
+    val input = MemoryStream[Doc](spark)
+    val q = DocumentStreams.nearDedupIngest(input.toDF(),
+      s"$dir/state", s"$dir/out", s"$dir/ckpt").start()
+    // batch 0: two docs, one internal near-dup pair member
+    input.addData(
+      Doc(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "a", "a", 0),
+      Doc(2, "completely unrelated words about ships and harbors at dawn", "a", "a", 0))
+    q.processAllAvailable()
+    // batch 1: near-dup of doc 1 (one token changed), plus a fresh doc
+    input.addData(
+      Doc(10, "alpha beta gamma delta epsilon zeta eta theta iota lambda", "a", "a", 0),
+      Doc(11, "fresh content entirely new thing never seen before anywhere here", "a", "a", 0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/out")
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 11L), s"got $kept")
+    // signature store grew batch-keyed, never storing text
+    val bands = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/state/bands")
+    assert(bands.columns.toSet == Set("id", "band", "bh"))
+    assert(bands.select("id").distinct().count() == 3)
+  }
+
   test("shard sink writes split-partitioned parquet via checkpointed file sink") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     val input = MemoryStream[Doc](spark)
