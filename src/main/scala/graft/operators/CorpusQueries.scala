@@ -130,12 +130,22 @@ object CorpusQueries {
     val all = Tables.documents(s, d)
     val bench = all.filter($"doc_id" % 97 === 0)
     val corpus = all.filter($"doc_id" % 97 =!= 0)
-    val exact = Dedup.applyExact(corpus)
-    val near = Dedup.applyPairsDedup(exact,
-      Dedup.minhashDuplicatePairs(exact, threshold = 0.5))
-    val clean = near.join(
-      Dedup.contaminationHits(near, bench).select($"id".as("doc_id")),
-      Seq("doc_id"), "left_anti")
+    // Each heavy text pass (exact-hash, minhash+verify, gram overlap) runs
+    // ONCE and materializes a SLIM id artifact (localCheckpoint — ids only,
+    // never text); downstream stages are narrow semi/anti-joins against
+    // those artifacts instead of re-expanding the producing pipeline as a
+    // duplicated subtree. At 100 TB these artifacts are the only things
+    // worth persisting between stages (on a cluster: `checkpoint` to the
+    // lake rather than executor-local blocks).
+    val exactKeep = Dedup.exact(corpus)
+      .select($"keep_id".as("doc_id")).localCheckpoint()
+    val exact = corpus.join(exactKeep, Seq("doc_id"), "left_semi")
+    val nearDrop = Dedup.minhashDuplicatePairs(exact, threshold = 0.5)
+      .select($"id_b".as("doc_id")).distinct().localCheckpoint()
+    val near = exact.join(nearDrop, Seq("doc_id"), "left_anti")
+    val contamIds = Dedup.contaminationHits(near, bench)
+      .select($"id".as("doc_id")).localCheckpoint()
+    val clean = near.join(contamIds, Seq("doc_id"), "left_anti")
     val train = clean
       .filter(TextAnalysis.qualityScore($"text") >= 0.7)
       .filter(TextAnalysis.splitLabel($"text") === "train")

@@ -375,13 +375,30 @@ object Dedup {
     * exponentially (on a cluster, prefer `checkpoint` with a checkpoint
     * dir for fault tolerance across rounds).
     *
+    * Adaptive small-graph path: the edge set here is the LSH *survivor*
+    * set — orders of magnitude smaller than the corpus — and when it fits
+    * on the driver (≤ `localSolveMaxEdges`, default 2²⁰ ≈ 16 MB of longs)
+    * a single collect + union-find replaces 3-6 shuffle rounds, the same
+    * runtime adaptivity Spark itself applies when AQE converts a shuffle
+    * join to broadcast. Distributed min-label propagation remains the path
+    * for edge sets above the threshold (set it to 0 to force the loop).
+    *
     * @return (id, component) for every id appearing in `pairs`
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxRounds: Int = 50): DataFrame = {
-    val edges = pairs
+      bCol: String = "id_b", maxRounds: Int = 50,
+      localSolveMaxEdges: Long = 1L << 20): DataFrame = {
+    val idType = pairs.schema(pairs.schema.fieldIndex(aCol)).dataType
+    val undirected = pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .localCheckpoint()
+    val integralIds = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (integralIds && undirected.count() <= localSolveMaxEdges)
+      return localComponents(undirected, idType)
+    val edges = undirected
+      .union(undirected.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("u").as("id")).distinct()
@@ -420,6 +437,40 @@ object Dedup {
       round += 1
     }
     labels
+  }
+
+  /** Driver-side union-find for edge sets under the adaptive threshold:
+    * min-id roots (union always attaches the larger root under the
+    * smaller) + path compression — every node's root IS the minimum id
+    * reachable from it, identical to the fixpoint of the distributed
+    * loop. Control-plane bounded by the caller's threshold check. */
+  private def localComponents(undirected: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = undirected.sparkSession
+    import spark.implicits._
+    val es = undirected.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    es.foreach { case (u, v) =>
+      parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val out = new Array[(Long, Long)](parent.size)
+    val it = parent.keySet.iterator; var i = 0
+    while (it.hasNext) { val id = it.next(); out(i) = (id, find(id)); i += 1 }
+    out.toSeq.toDF("id", "component")
+      .select(col("id").cast(idType).as("id"),
+        col("component").cast(idType).as("component"))
   }
 
   // ------------------------------------------------------------- simhash

@@ -84,4 +84,15 @@ class DedupSpec extends SparkSpec {
     // greedy pair-drop would keep {1} and drop {2,3,4}; component labeling
     // lets the caller keep min-per-component = {1, 10}
   }
+
+  test("connectedComponents: distributed loop ≡ driver union-find on the same edges") {
+    // long chain forces multiple propagation rounds on the distributed path
+    val pairs = ((1L to 19L).map(i => (i + 1, i)) ++ Seq((100L, 200L), (300L, 100L)))
+      .toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, localSolveMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local(20L) == 1L && local(300L) == 100L)
+  }
 }
