@@ -212,6 +212,35 @@ object CorpusQueries {
        |  CAST(SUM(CAST(floor($qualitySql * 1e6) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e6 AS mean_quality
        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  // Line-level boilerplate dedup (CCNet/RefinedWeb stage): strip every
+  // 5-token line occurring in ≥ 3 distinct docs. The oracle replays the
+  // chunking + document-frequency filter + ordered reassembly on strings;
+  // Spark groups and anti-joins on xxhash64(line) so only 8-byte hashes
+  // shuffle (equal results modulo ~2^-64 hash collisions).
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.stripCommonLines(Tables.documents(s, d), lineTokens = 5, minDocFreq = 3)
+      .select($"id".as("doc_id"), $"n_lines", $"n_kept", $"text_clean")
+      .orderBy($"doc_id")
+  }
+  private val q70Sql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |lines AS (SELECT doc_id, i AS pos, array_to_string(t[i*5+1:i*5+5], ' ') AS line
+       |          FROM toks, LATERAL unnest(range(CAST(ceil(len(t)/5.0) AS BIGINT))) AS u(i)),
+       |common AS (SELECT line FROM lines GROUP BY line
+       |           HAVING count(DISTINCT doc_id) >= 3),
+       |kept AS (SELECT doc_id, pos, line FROM lines
+       |         WHERE line NOT IN (SELECT line FROM common)),
+       |agg AS (SELECT doc_id, count(*) AS n_kept,
+       |          string_agg(line, ' ' ORDER BY pos) AS text_clean
+       |        FROM kept GROUP BY doc_id),
+       |nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+       |SELECT d.doc_id, nl.n_lines, COALESCE(agg.n_kept, 0) AS n_kept,
+       |  COALESCE(agg.text_clean, '') AS text_clean
+       |FROM documents d JOIN nl USING (doc_id) LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q64_decontaminate", q64, Some(q64Sql)),
     QueryDef("q65_pack_sequences", q65, Some(q65Sql)),
@@ -219,5 +248,6 @@ object CorpusQueries {
     QueryDef("q67_semantic_dedup", q67, Some(q67Sql)),
     QueryDef("q68_corpus_pipeline", q68, Some(q68Sql)),
     QueryDef("q69_corpus_stats", q69, Some(q69Sql)),
+    QueryDef("q70_line_dedup", q70, Some(q70Sql)),
   )
 }

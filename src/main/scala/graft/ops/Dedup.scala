@@ -473,6 +473,69 @@ object Dedup {
         col("component").cast(idType).as("component"))
   }
 
+  // ------------------------------------------------- line-level dedup
+  /** One (id, pos, line) row per fixed-width token chunk — the "line"
+    * splitter for corpora without physical line breaks (swap for
+    * `split(text, "\n")` + posexplode when documents carry real lines).
+    * Chunking is deterministic, so the same content always yields the
+    * same lines regardless of partitioning. */
+  def lineRows(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", lineTokens: Int = 5): DataFrame = {
+    val t = split(normalized(coalesce(col(textCol), lit(""))), " ")
+    docs.select(col(idCol).as("id"), t.as("t"))
+      .select(col("id"),
+        explode(sequence(lit(0),
+          ceil(size(col("t")) / lineTokens.toDouble).cast("int") - 1)).as("pos"),
+        col("t"))
+      .select(col("id"), col("pos"),
+        concat_ws(" ", slice(col("t"), col("pos") * lineTokens + 1, lit(lineTokens))).as("line"))
+  }
+
+  /** Hashes of lines appearing in ≥ `minDocFreq` DISTINCT documents —
+    * cross-document boilerplate (headers, footers, license banners).
+    * Only (hash, id) pairs shuffle, never line text. */
+  def commonLineHashes(lines: DataFrame, minDocFreq: Int): DataFrame =
+    lines.select(xxhash64(col("line")).as("lh"), col("id"))
+      .groupBy(col("lh"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select(col("lh"))
+
+  /** Line-level (boilerplate) dedup, CCNet/RefinedWeb-style: remove from
+    * every document each line whose content occurs in ≥ `minDocFreq`
+    * distinct documents, preserving the surviving lines' order.
+    *
+    * Scale shape: pass 1 aggregates (line-hash, id) pairs — 16 bytes per
+    * line, never text; the boilerplate set is small BY CONSTRUCTION
+    * (≤ total_lines / minDocFreq distinct values, and real boilerplate is
+    * a tiny head) → broadcast to make the strip map-side; surviving lines
+    * shuffle once to reassemble documents. If the boilerplate set ever
+    * outgrew broadcast, drop the hint and let AQE pick the join.
+    *
+    * @return (id, n_lines, n_kept, text_clean); a fully-boilerplate doc
+    *         keeps 0 lines and an empty string
+    */
+  def stripCommonLines(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", lineTokens: Int = 5,
+      minDocFreq: Int = 3): DataFrame = {
+    val lines = lineRows(docs, textCol, idCol, lineTokens)
+    val common = commonLineHashes(lines, minDocFreq)
+    val kept = lines.join(broadcast(common),
+      xxhash64(col("line")) === common("lh"), "left_anti")
+    val agg = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line"))).as("text_clean"))
+    val nl = lines.groupBy(col("id")).agg(count(lit(1)).as("n_lines"))
+    docs.select(col(idCol).as("id"))
+      .join(nl, "id")
+      .join(agg, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   // ------------------------------------------------------------- simhash
   /** 64-bit SimHash per doc: bit i of the output is the sign of
     * Σ_tokens (±1 by bit i of xxhash64(token)). Explode + 64 codegen'd

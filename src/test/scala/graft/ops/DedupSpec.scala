@@ -85,6 +85,23 @@ class DedupSpec extends SparkSpec {
     // lets the caller keep min-per-component = {1, 10}
   }
 
+  test("stripCommonLines removes cross-doc boilerplate, preserves order, keeps empty docs") {
+    // 2-token lines; "THE COMMON" appears in 3 docs → boilerplate
+    val docs = Seq(
+      (1L, "the common aa bb cc dd"),
+      (2L, "the common ee ff"),
+      (3L, "gg hh the common"),
+      (4L, "the common"), // fully boilerplate → empty survivor
+      (5L, "solo words only here")).toDF("doc_id", "text")
+    val out = Dedup.stripCommonLines(docs, lineTokens = 2, minDocFreq = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 3L, 2L, "aa bb cc dd")))
+    assert(out(1) == ((2L, 2L, 1L, "ee ff")))
+    assert(out(2) == ((3L, 2L, 1L, "gg hh")))
+    assert(out(3) == ((4L, 1L, 0L, "")))
+    assert(out(4) == ((5L, 2L, 2L, "solo words only here")))
+  }
+
   test("connectedComponents: distributed loop ≡ driver union-find on the same edges") {
     // long chain forces multiple propagation rounds on the distributed path
     val pairs = ((1L to 19L).map(i => (i + 1, i)) ++ Seq((100L, 200L), (300L, 100L)))
