@@ -241,6 +241,38 @@ object CorpusQueries {
        |FROM documents d JOIN nl USING (doc_id) LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  // BM25 retrieval top-k. The oracle mirrors the exact operation ORDER of
+  // Retrieval.bm25TopK: same double expression tree per (doc, term), IDF
+  // floor-quantized to 1e-6 on both engines, per-doc score summed as
+  // LONGS (order-free), rank on the integer — see Retrieval scaladoc.
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Retrieval.bm25TopK(Tables.documents(s, d),
+        terms = Seq("spark", "window", "table"), k = 25)
+      .select($"id".as("doc_id"), $"score")
+  }
+  private val q71Sql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+       |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, tt, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest(t) AS tt FROM toks)
+       |       WHERE tt IN ('spark', 'window', 'table')
+       |       GROUP BY doc_id, tt),
+       |dfreq AS (SELECT tt, count(*) AS df FROM tf GROUP BY tt),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(floor(
+       |      (floor(ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1.0e0) * 1e6) / 1e6)
+       |      * (tf * (1.2e0 + 1) / (tf + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dl / avgdl)))
+       |      * 1e9) AS BIGINT) AS c9
+       |  FROM tf JOIN dfreq USING (tt) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |agg AS (SELECT doc_id, sum(c9) AS score_x9 FROM scored GROUP BY doc_id)
+       |SELECT doc_id, CAST(score_x9 AS DOUBLE) / 1e9 AS score
+       |FROM agg ORDER BY score_x9 DESC, doc_id LIMIT 25""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q64_decontaminate", q64, Some(q64Sql)),
     QueryDef("q65_pack_sequences", q65, Some(q65Sql)),
@@ -249,5 +281,6 @@ object CorpusQueries {
     QueryDef("q68_corpus_pipeline", q68, Some(q68Sql)),
     QueryDef("q69_corpus_stats", q69, Some(q69Sql)),
     QueryDef("q70_line_dedup", q70, Some(q70Sql)),
+    QueryDef("q71_bm25_topk", q71, Some(q71Sql)),
   )
 }

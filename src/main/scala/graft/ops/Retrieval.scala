@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Term-based retrieval over the corpus — BM25 scoring as one declarative
+  * plan (north-star EXT: the retrieval side of a training-data pipeline,
+  * e.g. quality-by-query probes or dedup-against-eval lookups).
+  *
+  * Scale shape: the token explode is filtered to the query's terms BEFORE
+  * any shuffle (a handful of literals → codegen'd `isin`), so only
+  * (id, term) hits aggregate; document frequencies are a ≤|terms|-row
+  * broadcast; document lengths join on id; the final top-k is
+  * `TakeOrderedAndProject` (per-partition heaps, no global sort).
+  *
+  * Cross-engine exactness (same discipline as the oracled quality/packing
+  * queries): IDF is the only transcendental — it is quantized to 1e-6 by
+  * `floor` on both engines (a 1-ulp `ln` divergence only matters if the
+  * scaled value lands within an ulp of an integer, ~2⁻⁴² per distinct df);
+  * every per-(doc, term) contribution is then `floor(idf_q * s * 1e9)` — a
+  * LONG — and the per-doc score is a SUM OF LONGS: exact, order-free,
+  * identical under any partitioning. The reported double is one final
+  * division.
+  */
+object Retrieval {
+
+  /** Top-k documents by BM25 over `terms`.
+    *
+    * @return (id, score) rows, `score_x9`-descending then id; score is the
+    *         quantized BM25 sum (see class doc)
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one term")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(Dedup.normalized(coalesce(col(textCol), lit(""))), " ")).as("t"))
+    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    // two scalars (control plane) — broadcast as a 1-row frame, no collect
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    val tf = toks.filter(col("t").isin(terms: _*))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "t")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_q",
+        floor(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1e6) / 1e6)
+      .withColumn("s",
+        col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("c9", floor(col("idf_q") * col("s") * 1e9))
+    scored.groupBy(col("id"))
+      .agg(sum(col("c9")).as("score_x9"))
+      .orderBy(col("score_x9").desc, col("id"))
+      .limit(k)
+      .select(col("id"), (col("score_x9").cast("double") / 1e9).as("score"))
+  }
+}

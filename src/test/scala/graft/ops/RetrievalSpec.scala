@@ -1,0 +1,31 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25TopK ranks by term frequency with length normalization; k cuts; id tie-break") {
+    val docs = Seq(
+      (1L, "spark spark spark query engine"),          // tf=3, short
+      (2L, "spark query engine with a much longer tail of words " +
+        "padding padding padding padding padding"),    // tf=1, long
+      (3L, "spark spark query engine"),                // tf=2, shortest
+      (4L, "nothing relevant here at all"),
+      (5L, "spark spark spark query engine")           // identical to 1 → tie, id order
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, Seq("spark"), k = 3)
+      .as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 5L, 3L),
+      s"got ${out.toSeq}")
+    assert(out(0)._2 == out(1)._2) // identical docs score identically
+    assert(out(1)._2 > out(2)._2)  // higher tf outranks at equal length
+    // the long tf=1 doc scores below every short high-tf doc and is cut by k
+    assert(!out.map(_._1).contains(2L) && !out.map(_._1).contains(4L))
+  }
+
+  test("bm25TopK: docs without any query term never appear") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    assert(Retrieval.bm25TopK(docs, Seq("zeta"), k = 5).count() == 0L)
+  }
+}
