@@ -273,6 +273,31 @@ object CorpusQueries {
        |SELECT doc_id, CAST(score_x9 AS DOUBLE) / 1e9 AS score
        |FROM agg ORDER BY score_x9 DESC, doc_id LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  // Per-label embedding centroids (domain centroids for mixture analysis /
+  // SemDedup seeding): mean per dimension over 1e-3-quantized components —
+  // long sums are exact and order-free under any partitioning; one double
+  // division at the end (identical cross-engine). Scale shape: posexplode →
+  // (label, dim) partial+final hash agg; output is |labels|×64 rows — a
+  // control-plane-sized result no matter the corpus size.
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"label", $"dim",
+        floor($"x".cast("double") * 1000 + 0.5).cast("long").as("q"))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"),
+        (sum($"q").cast("double") / count(lit(1)) / 1000).as("centroid"))
+      .orderBy($"label", $"dim")
+  }
+  private val q72Sql =
+    """SELECT label, CAST(u.i - 1 AS INT) AS dim, count(*) AS n,
+      |  CAST(sum(CAST(floor(CAST(embedding[u.i] AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / count(*) / 1000 AS centroid
+      |FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+      |GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q64_decontaminate", q64, Some(q64Sql)),
     QueryDef("q65_pack_sequences", q65, Some(q65Sql)),
@@ -282,5 +307,6 @@ object CorpusQueries {
     QueryDef("q69_corpus_stats", q69, Some(q69Sql)),
     QueryDef("q70_line_dedup", q70, Some(q70Sql)),
     QueryDef("q71_bm25_topk", q71, Some(q71Sql)),
+    QueryDef("q72_label_centroids", q72, Some(q72Sql)),
   )
 }
