@@ -75,6 +75,27 @@ object DocumentStreams {
       .format("parquet")
       .option("path", path)
 
+  /** Running dataset-card statistics (the streaming face of q69): per
+    * (source, split) doc/token counts and an exact quantized quality sum,
+    * maintained incrementally as the corpus streams in. A global
+    * (unwindowed) stateful aggregation — state is one row per group, i.e.
+    * |sources|×|splits|, control-plane sized forever; emit in Update mode
+    * and upsert into the serving store from foreachBatch. The long
+    * quality sum keeps the running mean exact under any arrival order
+    * (same discipline as the batch q69 oracle). */
+  def runningCorpusStats(prepared: DataFrame): DataFrame =
+    prepared
+      .select(col("source"), col("split"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
+        floor(col("quality") * 1e6).cast("long").as("q6"))
+      .groupBy(col("source"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("q6")).as("q6_sum"))
+      .withColumn("mean_quality",
+        col("q6_sum").cast("double") / col("n_docs") / 1e6)
+
   // ---- incremental NEAR-dup ingest ----------------------------------
   // Exact dedup fits the state store (one fingerprint per doc);
   // near-dup needs candidate JOINS against everything seen so far, which

@@ -35,6 +35,20 @@ class DocumentStreamsSpec extends SparkSpec {
       batch.select("fp", "quality", "split").collect().toSet)
   }
 
+  test("running corpus stats across micro-batches ≡ batch aggregate") {
+    val input = MemoryStream[Doc](spark)
+    val q = DocumentStreams.runningCorpusStats(DocumentStreams.prepare(input.toDF()))
+      .writeStream.format("memory").queryName("cardstats").outputMode("complete").start()
+    input.addData(docs.take(2): _*); q.processAllAvailable()
+    input.addData(docs.drop(2): _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cardstats")
+      .select("source", "split", "n_docs", "n_tokens", "mean_quality")
+    val batch = DocumentStreams.runningCorpusStats(DocumentStreams.prepare(docs.toDF()))
+      .select("source", "split", "n_docs", "n_tokens", "mean_quality")
+    assert(streamed.collect().toSet == batch.collect().toSet)
+    assert(streamed.count() > 0)
+  }
+
   test("incremental near-dedup: later batches drop near-dups of earlier ones") {
     val dir = java.nio.file.Files.createTempDirectory("neardedup").toString
     val input = MemoryStream[Doc](spark)
