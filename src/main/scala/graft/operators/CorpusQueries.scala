@@ -252,8 +252,9 @@ object CorpusQueries {
         terms = Seq("spark", "window", "table"), k = 25)
       .select($"id".as("doc_id"), $"score")
   }
-  private val q71Sql =
-    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+  /** BM25 CTE chain ending in `agg(doc_id, score_x9)` — shared by q71/q73. */
+  private val bm25CtesSql =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
        |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
@@ -269,9 +270,46 @@ object CorpusQueries {
        |      * (tf * (1.2e0 + 1) / (tf + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dl / avgdl)))
        |      * 1e9) AS BIGINT) AS c9
        |  FROM tf JOIN dfreq USING (tt) JOIN dl USING (doc_id) CROSS JOIN stats),
-       |agg AS (SELECT doc_id, sum(c9) AS score_x9 FROM scored GROUP BY doc_id)
+       |agg AS (SELECT doc_id, sum(c9) AS score_x9 FROM scored GROUP BY doc_id)""".stripMargin
+  private val q71Sql =
+    s"""WITH $bm25CtesSql
        |SELECT doc_id, CAST(score_x9 AS DOUBLE) / 1e9 AS score
        |FROM agg ORDER BY score_x9 DESC, doc_id LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  // Hybrid retrieval: BM25 shortlists 50 lexical candidates, cosine to a
+  // query embedding (vec 0) reranks to the final 10 — the standard
+  // two-stage retrieve-then-rerank. Both stages reuse their verified
+  // operators (q71 scoring, q43 integer-quantized cosine); the corpus side
+  // is semi-join-pruned to the shortlist BEFORE any vector math.
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cand = graft.ops.Retrieval.bm25TopK(Tables.documents(s, d),
+        terms = Seq("spark", "window", "table"), k = 50)
+      .select($"id".as("vec_id"))
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(
+        emb.join(cand, Seq("vec_id"), "left_semi"),
+        emb.filter($"vec_id" === 0), k = 10)
+      .select($"eid".as("doc_id"), $"cos", $"rn")
+      .orderBy($"rn")
+  }
+  private val q73Sql =
+    s"""WITH $bm25CtesSql,
+       |cand AS (SELECT doc_id FROM agg ORDER BY score_x9 DESC, doc_id LIMIT 50),
+       |qv AS (SELECT $quantSql AS qv FROM embeddings WHERE vec_id = 0),
+       |e AS (SELECT vec_id, $quantSql AS ev
+       |      FROM embeddings JOIN cand ON vec_id = doc_id),
+       |sc AS (SELECT vec_id AS doc_id,
+       |    CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*ev[i])) AS DOUBLE)
+       |      / (sqrt(CAST(list_sum(list_transform(qv, x->x*x)) AS DOUBLE))
+       |         * sqrt(CAST(list_sum(list_transform(ev, x->x*x)) AS DOUBLE))) AS cos
+       |  FROM e, qv WHERE vec_id <> 0)
+       |SELECT doc_id, cos, rn FROM (
+       |  SELECT doc_id, cos,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rn
+       |  FROM sc) WHERE rn <= 10
+       |ORDER BY rn""".stripMargin
 
   // ---------------------------------------------------------------- q72
   // Per-label embedding centroids (domain centroids for mixture analysis /
@@ -308,5 +346,6 @@ object CorpusQueries {
     QueryDef("q70_line_dedup", q70, Some(q70Sql)),
     QueryDef("q71_bm25_topk", q71, Some(q71Sql)),
     QueryDef("q72_label_centroids", q72, Some(q72Sql)),
+    QueryDef("q73_hybrid_retrieval", q73, Some(q73Sql)),
   )
 }
