@@ -336,6 +336,31 @@ object CorpusQueries {
       |FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
       |GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  // Adaptive quality gate: keep docs at-or-above their SOURCE's median
+  // quality — per-domain threshold calibration instead of one global
+  // cutoff. Exactness: medians interpolate 1e-6-quantized LONG scores
+  // (odd/even group sizes both land on exactly-representable doubles);
+  // the per-source median table is a broadcast. One text pass, one tiny
+  // exchange for the medians.
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source",
+      floor(TextAnalysis.qualityScore($"text") * 1e6).cast("long").as("q6"))
+    val med = docs.groupBy($"source")
+      .agg(expr("percentile(q6, 0.5)").as("med"))
+    docs.join(broadcast(med), "source")
+      .filter($"q6" >= $"med")
+      .select($"doc_id", $"source", $"q6")
+      .orderBy($"doc_id")
+  }
+  private val q74Sql =
+    s"""WITH t AS (SELECT doc_id, source,
+       |            CAST(floor($qualitySql * 1e6) AS BIGINT) AS q6 FROM documents),
+       |m AS (SELECT source, quantile_cont(q6, 0.5) AS med FROM t GROUP BY source)
+       |SELECT doc_id, source, q6 FROM t JOIN m USING (source)
+       |WHERE q6 >= med ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q64_decontaminate", q64, Some(q64Sql)),
     QueryDef("q65_pack_sequences", q65, Some(q65Sql)),
@@ -347,5 +372,6 @@ object CorpusQueries {
     QueryDef("q71_bm25_topk", q71, Some(q71Sql)),
     QueryDef("q72_label_centroids", q72, Some(q72Sql)),
     QueryDef("q73_hybrid_retrieval", q73, Some(q73Sql)),
+    QueryDef("q74_adaptive_quality", q74, Some(q74Sql)),
   )
 }

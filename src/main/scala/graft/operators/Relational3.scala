@@ -138,11 +138,31 @@ object Relational3 {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  // Salted hot-key aggregation under oracle: event_type has a handful of
+  // values over ~150k rows/sf — exactly the single-hot-group shape AQE
+  // can't split (aggregation, not join). Skew.saltedAgg spreads each group
+  // over 8 salted partials before the final combine; the oracle is the
+  // plain GROUP BY — salting must be invisible in the result.
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Skew.saltedAgg(
+        Tables.events(s, d).select($"event_type", $"user_id"),
+        keys = Seq("event_type"), saltBuckets = 8)(
+        ("user_id", sum, sum))
+      .select($"event_type", $"user_id".as("sum_uid"))
+      .orderBy($"event_type")
+  }
+  private val q75Sql =
+    """SELECT event_type, CAST(SUM(user_id) AS BIGINT) AS sum_uid
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
     QueryDef("q29_json_extract", q29, Some(q29Sql)),
     QueryDef("q51_sliding_window", q51, Some(q51Sql)),
     QueryDef("q52_typed_groups", q52, Some(q52Sql)),
+    QueryDef("q75_salted_agg", q75, Some(q75Sql)),
   )
 }
