@@ -286,6 +286,57 @@ object Dedup {
   def minhashDuplicatePairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    // Content-group pre-stage: identical normalized text ⇒ identical
+    // shingle set ⇒ identical jaccard against every third doc, so the
+    // LSH + verification pipeline only needs one REPRESENTATIVE per
+    // distinct content. Corpora re-crawl and mirror heavily (the 10×
+    // bench clones every doc), making clone groups the dominant near-dup
+    // mass — verifying reps cuts signature/verify work by the clone
+    // factor and pair EXPANSION becomes pure output-sized joins:
+    // rep-pair × member lists cross-group, plus all intra-group pairs at
+    // jaccard exactly 1 (identical sets). Bit-identical to running the
+    // full pipeline on every doc; the q41 oracle (brute-force all-pairs)
+    // pins that. Like LSH buckets, a pathologically large clone group
+    // makes a long member array — its pairs are the output, so the cost
+    // is inherent; cap upstream with applyExact when clones should not
+    // fan out at all.
+    val keyed = docs.select(col(idCol).as("id"),
+      xxhash64(normalized(col(textCol))).as("ch"))
+    val groups = keyed.groupBy(col("ch"))
+      .agg(min(col("id")).as("rep"), collect_list(col("id")).as("ids"))
+      .localCheckpoint() // slim (hash, ids): reused by reps semi-join + both expansions
+    // all-unique corpus (the common post-applyExact shape): reps == docs —
+    // skip the semi-join and both expansion joins entirely; the clone
+    // check is one limit-1 scan over the checkpointed slim groups
+    if (groups.filter(size(col("ids")) >= 2).limit(1).isEmpty)
+      return minhashPairsOnDistinct(docs, textCol, idCol, k, bands,
+        threshold, maxBucketSize)
+    val reps = docs.join(groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+    val repPairs = minhashPairsOnDistinct(reps, textCol, idCol, k, bands,
+      threshold, maxBucketSize)
+    val members = groups.select(col("rep"), col("ids"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("ids").as("ids_a")), Seq("id_a"))
+      .join(members.select(col("rep").as("id_b"), col("ids").as("ids_b")), Seq("id_b"))
+      .select(explode(col("ids_a")).as("ma"), col("ids_b"), col("jaccard"))
+      .select(col("ma"), explode(col("ids_b")).as("mb"), col("jaccard"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    val intra = groups
+      .filter(size(col("ids")) >= 2 && lit(1.0) >= threshold)
+      .select(explode(col("ids")).as("ma"), col("ids"))
+      .select(col("ma"), explode(col("ids")).as("mb"))
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("id_a"), col("mb").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
+  }
+
+  /** The LSH + exact-verification pipeline over content-DISTINCT docs —
+    * see [[minhashDuplicatePairs]] for the public wrapper. */
+  private def minhashPairsOnDistinct(docs: DataFrame, textCol: String,
+      idCol: String, k: Int, bands: Int,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
     // (id, band, bh) computed in the zero-shuffle kernel: nothing shuffles
     // before the bucket exchange — never text or shingle arrays.
     val exploded = minhashBandRows(docs, textCol, idCol, k, bands)

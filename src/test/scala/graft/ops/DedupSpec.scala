@@ -85,6 +85,26 @@ class DedupSpec extends SparkSpec {
     // lets the caller keep min-per-component = {1, 10}
   }
 
+  test("minhash clone groups: intra pairs at jaccard 1, cross pairs expand to all members") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = base.replace("mu", "nu") // one token off → jaccard ≥ 0.5, < 1
+    val df = Seq(
+      (1L, base), (2L, base), (3L, base),       // clone group {1,2,3}
+      (10L, near), (11L, near),                 // clone group {10,11}
+      (20L, "totally unrelated words about the weather and some ships")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDuplicatePairs(df, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // intra-group: all C(3,2)+C(2,2) pairs at exactly 1.0
+    for (p <- Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+      assert(pairs.get(p).contains(1.0), s"missing intra $p in ${pairs.keySet}")
+    // cross-group: every member × member pair, same jaccard < 1
+    val crossJ = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L), (3L, 11L))
+      .map(p => pairs.getOrElse(p, fail(s"missing cross $p in ${pairs.keySet}")))
+    assert(crossJ.distinct.size == 1 && crossJ.head >= 0.5 && crossJ.head < 1.0)
+    assert(!pairs.keys.exists(p => p._1 == 20L || p._2 == 20L))
+  }
+
   test("stripCommonLines removes cross-doc boilerplate, preserves order, keeps empty docs") {
     // 2-token lines; "THE COMMON" appears in 3 docs → boilerplate
     val docs = Seq(
