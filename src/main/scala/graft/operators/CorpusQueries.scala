@@ -347,6 +347,7 @@ object CorpusQueries {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"source",
       floor(TextAnalysis.qualityScore($"text") * 1e6).cast("long").as("q6"))
+      .localCheckpoint() // slim (id, source, long): one text pass, two consumers
     val med = docs.groupBy($"source")
       .agg(expr("percentile(q6, 0.5)").as("med"))
     docs.join(broadcast(med), "source")

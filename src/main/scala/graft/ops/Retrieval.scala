@@ -35,12 +35,22 @@ object Retrieval {
     require(terms.nonEmpty, "bm25TopK needs at least one term")
     val toks = docs.select(col(idCol).as("id"),
       explode(split(Dedup.normalized(coalesce(col(textCol), lit(""))), " ")).as("t"))
-    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    // ONE pass over the token stream: document length and one conditional
+    // count per query term in the same partial+final hash aggregate (query
+    // term sets are small by nature — a column per term beats a second
+    // explode + exchange); then unpivot the hit columns to (id, t, tf).
+    val perDoc = toks.groupBy(col("id")).agg(
+      count(lit(1)).as("dl"),
+      terms.map(t => sum(when(col("t") === t, 1L).otherwise(0L)).as(s"__tf_$t")): _*)
+      .localCheckpoint() // slim (id, dl, |terms| longs); feeds 3 consumers
     // two scalars (control plane) — broadcast as a 1-row frame, no collect
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-    val tf = toks.filter(col("t").isin(terms: _*))
-      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dl = perDoc.select(col("id"), col("dl"))
+    val tf = perDoc
+      .unpivot(Array(col("id")),
+        terms.map(t => col(s"__tf_$t").as(t)).toArray, "t", "tf")
+      .filter(col("tf") > 0)
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(dfreq), "t")
