@@ -92,9 +92,11 @@ class EavTable(props: Map[String, String]) extends Table with SupportsRead {
 }
 
 class EavScanBuilder(path: String, chunkSize: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType = EavSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (p, residual) = filters.partition(EavSource.isPushable)
@@ -104,17 +106,24 @@ class EavScanBuilder(path: String, chunkSize: Int) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new EavScan(path, chunkSize, required, pushed)
+  /** ≙ the REST `record`-count cap: each chunk fetch stops after `l`
+    * matching rows (a per-request `LIMIT` in the extraction call). The
+    * push is PARTIAL (default `isPartiallyPushed`): readers run in
+    * parallel so Spark still applies the global limit on top — same
+    * contract as the built-in file sources. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def build(): Scan = new EavScan(path, chunkSize, required, pushed, limit)
 }
 
 final case class EavChunk(recordIds: Array[String]) extends InputPartition
 
 class EavScan(path: String, chunkSize: Int, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], limit: Int = -1) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-eav PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      s"PushedLimit: ${if (limit >= 0) limit else "none"}, " +
       s"ReadSchema: ${required.catalogString}"
 
   /** The id-universe scan (≙ `get_study_ids`, redcap-etl.py:137-161): a
@@ -125,25 +134,27 @@ class EavScan(path: String, chunkSize: Int, required: StructType,
     ids.grouped(chunkSize).map(g => EavChunk(g.toArray): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new EavReaderFactory(path, required, pushed)
+    new EavReaderFactory(path, required, pushed, limit)
 }
 
 class EavReaderFactory(path: String, required: StructType,
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter], limit: Int = -1) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new EavPartitionReader(path, partition.asInstanceOf[EavChunk], required, pushed)
+    new EavPartitionReader(path, partition.asInstanceOf[EavChunk], required, pushed, limit)
 }
 
 class EavPartitionReader(path: String, chunk: EavChunk,
-    required: StructType, pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    required: StructType, pushed: Array[Filter],
+    limit: Int = -1) extends PartitionReader[InternalRow] {
 
   /** ≙ one REST POST for this chunk's ids with fields= and filterLogic=
     * (redcap-etl.py:71-135). Swap the body for an HTTP call in production. */
   private def fetchChunk(): Iterator[Array[String]] = {
     val idSet = chunk.recordIds.toSet
-    EavSource.readAllLines(path).iterator
+    val rows = EavSource.readAllLines(path).iterator
       .filter(r => idSet.contains(r(0)))
       .filter(r => pushed.forall(EavSource.matches(r, _)))
+    if (limit >= 0) rows.take(limit) else rows
   }
 
   private val requiredIdx = required.fieldNames.map(EavSource.schema.fieldIndex)

@@ -51,6 +51,16 @@ class EavSourceSpec extends SparkSpec {
     assert(df.count() == 250) // only np_dob rows
   }
 
+  test("limit pushdown: per-chunk cap in the scan, global limit still exact") {
+    val df = read.load().limit(7)
+    assert(df.queryExecution.executedPlan.toString.contains("PushedLimit: 7"))
+    assert(df.count() == 7)
+    // pushed limit composes with pushed filters (both inside the fetch)
+    val filtered = read.load().filter($"field_name" === "age").limit(5)
+    assert(filtered.count() == 5)
+    assert(filtered.select("field_name").as[String].collect().forall(_ == "age"))
+  }
+
   test("feeds the ETL pipeline end-to-end") {
     val fm = Seq(("age", "Include", null.asInstanceOf[String]),
       ("visit_date", "TransformDate", null.asInstanceOf[String]),
