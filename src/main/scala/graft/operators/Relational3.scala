@@ -138,6 +138,31 @@ object Relational3 {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  // Group top-k WITHOUT a window sort: the typed TopK Aggregator keeps a
+  // bounded per-group heap, partial-aggregates map-side, and merges heaps
+  // across partitions — at scale the exchange carries k ids per group
+  // instead of every row, where the q04-style window formulation must
+  // shuffle + sort the whole table. The oracle is the ROW_NUMBER
+  // formulation — both must agree exactly (same desc-value, asc-id order).
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val topk = udaf(new graft.functions.Aggregators.TopK(3))
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(topk($"o_totalprice", $"o_orderkey").as("ids"))
+      .select($"o_orderpriority", posexplode($"ids").as(Seq("i", "o_orderkey")))
+      .select($"o_orderpriority", ($"i" + 1).cast("int").as("rn"), $"o_orderkey")
+      .orderBy($"o_orderpriority", $"rn")
+  }
+  private val q76Sql =
+    """SELECT o_orderpriority, rn, o_orderkey FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
+
   // ---------------------------------------------------------------- q75
   // Salted hot-key aggregation under oracle: event_type has a handful of
   // values over ~150k rows/sf — exactly the single-hot-group shape AQE
@@ -164,5 +189,6 @@ object Relational3 {
     QueryDef("q51_sliding_window", q51, Some(q51Sql)),
     QueryDef("q52_typed_groups", q52, Some(q52Sql)),
     QueryDef("q75_salted_agg", q75, Some(q75Sql)),
+    QueryDef("q76_topk_agg", q76, Some(q76Sql)),
   )
 }
