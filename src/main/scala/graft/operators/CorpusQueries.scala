@@ -362,6 +362,53 @@ object CorpusQueries {
        |SELECT doc_id, source, q6 FROM t JOIN m USING (source)
        |WHERE q6 >= med ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  // Self-trained unigram NLL (perplexity-filter signal). Oracle replays
+  // the vocab build + quantized-log scoring; see TextAnalysis.unigramNll.
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.unigramNll(Tables.documents(s, d))
+      .select($"id".as("doc_id"), $"dl", $"avg_nll")
+      .orderBy($"doc_id")
+  }
+  private val q77Sql =
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |vocab AS (SELECT t, count(*) AS n_t FROM toks GROUP BY t),
+       |st AS (SELECT sum(n_t) AS n FROM vocab),
+       |c AS (SELECT doc_id,
+       |        CAST(floor(ln(CAST(n_t AS DOUBLE) / n) * 1e6) AS BIGINT) AS c6
+       |      FROM toks JOIN vocab USING (t) CROSS JOIN st),
+       |agg AS (SELECT doc_id, sum(c6) AS s, count(*) AS dl FROM c GROUP BY doc_id)
+       |SELECT doc_id, dl, CAST(-s AS DOUBLE) / dl / 1e6 AS avg_nll
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  // Cross-source overlap matrix: distinct 5-token lines shared per source
+  // pair — mirror/plagiarism detection and a dataset-card diversity stat.
+  // Spark joins on line HASHES (8-byte shuffle keys); the oracle on line
+  // strings (equal modulo ~2^-64 collisions).
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ls = Dedup.lineRows(
+        Tables.documents(s, d).withColumn("__src", $"source"),
+        idCol = "__src", lineTokens = 5)
+      .select($"id".as("src"), xxhash64($"line").as("lh"))
+      .distinct()
+    ls.select($"src".as("source_a"), $"lh")
+      .join(ls.select($"src".as("source_b"), $"lh"), "lh")
+      .filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"source_a", $"source_b")
+  }
+  private val q78Sql =
+    s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+       |lines AS (SELECT DISTINCT source, array_to_string(t[i*5+1:i*5+5], ' ') AS line
+       |          FROM toks, LATERAL unnest(range(CAST(ceil(len(t)/5.0) AS BIGINT))) AS u(i))
+       |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |FROM lines a JOIN lines b ON a.line = b.line AND a.source < b.source
+       |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q64_decontaminate", q64, Some(q64Sql)),
     QueryDef("q65_pack_sequences", q65, Some(q65Sql)),
@@ -374,5 +421,7 @@ object CorpusQueries {
     QueryDef("q72_label_centroids", q72, Some(q72Sql)),
     QueryDef("q73_hybrid_retrieval", q73, Some(q73Sql)),
     QueryDef("q74_adaptive_quality", q74, Some(q74Sql)),
+    QueryDef("q77_unigram_nll", q77, Some(q77Sql)),
+    QueryDef("q78_source_overlap", q78, Some(q78Sql)),
   )
 }

@@ -16,6 +16,38 @@ object TextAnalysis {
   private def toks(text: Column): Column =
     split(Dedup.normalized(text), " ")
 
+  /** Self-trained unigram negative-log-likelihood per document — the
+    * CCNet-style "perplexity filter" signal without an external LM: train
+    * term frequencies on the corpus itself, score each doc by its mean
+    * token −ln p(t). High = unusual/garbled text, low = boilerplate-like.
+    *
+    * Scale shape: one token explode feeds the vocab aggregate (map-side
+    * combinable, (term, count) rows) and the scoring join; the vocab
+    * table broadcasts (natural-language vocabularies are ~10⁶ terms ≈
+    * tens of MB — drop the hint and let AQE pick the join if yours is
+    * unbounded). Cross-engine exactness: per-token −ln p quantized to
+    * 1e-6 by floor (the BM25 discipline), summed as LONGS; one double
+    * division chain at the end.
+    *
+    * @return (id, dl, avg_nll) — dl the token count, avg_nll ≥ 0
+    */
+  def unigramNll(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tokRows = docs.select(col(idCol).as("id"),
+      explode(split(Dedup.normalized(coalesce(col(textCol), lit(""))), " ")).as("t"))
+    val vocab = tokRows.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val total = vocab.agg(sum(col("n_t")).as("n"))
+    val scored = tokRows
+      .join(broadcast(vocab), "t")
+      .crossJoin(broadcast(total))
+      .select(col("id"),
+        floor(log(col("n_t").cast("double") / col("n")) * 1e6).as("c6"))
+    scored.groupBy(col("id"))
+      .agg(sum(col("c6")).as("s"), count(lit(1)).as("dl"))
+      .select(col("id"), col("dl"),
+        ((-col("s")).cast("double") / col("dl") / 1e6).as("avg_nll"))
+  }
+
   /** Whitespace token count; empty/blank text → 0. */
   def tokenCount(text: Column): Column =
     when(trim(text) === "" || text.isNull, 0).otherwise(size(toks(text)))
