@@ -163,6 +163,30 @@ object Relational3 {
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  // Bucketed range join at band-table scale: 1000 OVERLAPPING price bands
+  // (stride 600, width 1200 → every order lands in ≤2 bands) would cost
+  // 1000 comparisons per order as the q22-style nested loop; the bucket
+  // equi-join + residual filter shuffles each order to its one bucket.
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = s.range(1000).select($"id".as("band_id"),
+      ($"id" * 600.0).as("lo"), ($"id" * 600.0 + 1200.0).as("hi"))
+    graft.ops.RangeJoin.bucketedRangeJoin(
+        Tables.orders(s, d).select($"o_orderkey", $"o_totalprice"),
+        "o_totalprice", bands, "lo", "hi", bucketWidth = 600.0)
+      .groupBy($"band_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"band_id")
+  }
+  private val q79Sql =
+    """SELECT band_id, COUNT(*) AS n
+      |FROM orders
+      |JOIN (SELECT i AS band_id, i * 600.0e0 AS lo, i * 600.0e0 + 1200.0e0 AS hi
+      |      FROM range(1000) t(i)) bands
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band_id ORDER BY band_id""".stripMargin
+
   // ---------------------------------------------------------------- q75
   // Salted hot-key aggregation under oracle: event_type has a handful of
   // values over ~150k rows/sf — exactly the single-hot-group shape AQE
@@ -190,5 +214,6 @@ object Relational3 {
     QueryDef("q52_typed_groups", q52, Some(q52Sql)),
     QueryDef("q75_salted_agg", q75, Some(q75Sql)),
     QueryDef("q76_topk_agg", q76, Some(q76Sql)),
+    QueryDef("q79_bucketed_range_join", q79, Some(q79Sql)),
   )
 }
