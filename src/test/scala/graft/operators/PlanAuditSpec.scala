@@ -66,6 +66,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"))
   }
 
+  test("q71: BM25 final top-k is a TakeOrderedAndProject over one token pass") {
+    val p = planOf("q71_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    // the df table joins broadcast (≤|terms| rows), never shuffles the hits
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q76: heap top-k partial-aggregates map-side (ObjectHashAggregate)") {
+    val p = planOf("q76_topk_agg")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(!p.contains("Window")) // the whole point: no window sort
+  }
+
+  test("q79: bucketed range join plans equi, not nested-loop") {
+    val p = planOf("q79_bucketed_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
