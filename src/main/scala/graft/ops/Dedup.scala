@@ -295,16 +295,23 @@ object Dedup {
     // factor and pair EXPANSION becomes pure output-sized joins:
     // rep-pair × member lists cross-group, plus all intra-group pairs at
     // jaccard exactly 1 (identical sets). Bit-identical to running the
-    // full pipeline on every doc; the q41 oracle (brute-force all-pairs)
-    // pins that. Like LSH buckets, a pathologically large clone group
-    // makes a long member array — its pairs are the output, so the cost
-    // is inherent; cap upstream with applyExact when clones should not
-    // fan out at all.
-    val keyed = docs.select(col(idCol).as("id"),
-      xxhash64(normalized(col(textCol))).as("ch"))
+    // full pipeline on every doc (null-text docs are excluded here exactly
+    // as the kernel produces no rows for them); the q41 oracle
+    // (brute-force all-pairs) pins that. Clone groups LARGER than
+    // `maxBucketSize` get the same anti-spam treatment as oversized LSH
+    // buckets: their members do not fan out — only the rep participates —
+    // so a 100k-clone boilerplate blob cannot emit C(100k,2) pairs.
+    val keyed = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), xxhash64(normalized(col(textCol))).as("ch"))
     val groups = keyed.groupBy(col("ch"))
       .agg(min(col("id")).as("rep"), collect_list(col("id")).as("ids"))
       .localCheckpoint() // slim (hash, ids): reused by reps semi-join + both expansions
+    val bounded = groups.filter(size(col("ids")) <= maxBucketSize)
+    // oversized groups collapse to their rep for cross expansion (the
+    // rep-level pair still surfaces; members don't fan out)
+    val expandable = groups.select(col("rep"),
+      when(size(col("ids")) <= maxBucketSize, col("ids"))
+        .otherwise(array(col("rep"))).as("ids"))
     // all-unique corpus (the common post-applyExact shape): reps == docs —
     // skip the semi-join and both expansion joins entirely; the clone
     // check is one limit-1 scan over the checkpointed slim groups
@@ -314,7 +321,7 @@ object Dedup {
     val reps = docs.join(groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
     val repPairs = minhashPairsOnDistinct(reps, textCol, idCol, k, bands,
       threshold, maxBucketSize)
-    val members = groups.select(col("rep"), col("ids"))
+    val members = expandable
     val cross = repPairs
       .join(members.select(col("rep").as("id_a"), col("ids").as("ids_a")), Seq("id_a"))
       .join(members.select(col("rep").as("id_b"), col("ids").as("ids_b")), Seq("id_b"))
@@ -322,7 +329,7 @@ object Dedup {
       .select(col("ma"), explode(col("ids_b")).as("mb"), col("jaccard"))
       .select(least(col("ma"), col("mb")).as("id_a"),
         greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
-    val intra = groups
+    val intra = bounded
       .filter(size(col("ids")) >= 2 && lit(1.0) >= threshold)
       .select(explode(col("ids")).as("ma"), col("ids"))
       .select(col("ma"), explode(col("ids")).as("mb"))
@@ -569,7 +576,10 @@ object Dedup {
   def stripCommonLines(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", lineTokens: Int = 5,
       minDocFreq: Int = 3): DataFrame = {
-    val lines = lineRows(docs, textCol, idCol, lineTokens)
+    // one tokenize+chunk pass, three consumers (df count, strip, n_lines);
+    // the materialized line table is what a production pipeline persists
+    // anyway (it IS the reassembly input)
+    val lines = lineRows(docs, textCol, idCol, lineTokens).localCheckpoint()
     val common = commonLineHashes(lines, minDocFreq)
     val kept = lines.join(broadcast(common),
       xxhash64(col("line")) === common("lh"), "left_anti")

@@ -33,6 +33,10 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one term")
+    // index-keyed column names: terms are corpus tokens and may contain
+    // dots/backticks (col("__tf_u.s.") would parse as field access), and
+    // a duplicated term must not create ambiguous aliases
+    val ts = terms.distinct
     val toks = docs.select(col(idCol).as("id"),
       explode(split(Dedup.normalized(coalesce(col(textCol), lit(""))), " ")).as("t"))
     // ONE pass over the token stream: document length and one conditional
@@ -41,15 +45,16 @@ object Retrieval {
     // explode + exchange); then unpivot the hit columns to (id, t, tf).
     val perDoc = toks.groupBy(col("id")).agg(
       count(lit(1)).as("dl"),
-      terms.map(t => sum(when(col("t") === t, 1L).otherwise(0L)).as(s"__tf_$t")): _*)
+      ts.zipWithIndex.map { case (t, i) =>
+        sum(when(col("t") === t, 1L).otherwise(0L)).as(s"__tf_$i") }: _*)
       .localCheckpoint() // slim (id, dl, |terms| longs); feeds 3 consumers
     // two scalars (control plane) — broadcast as a 1-row frame, no collect
     val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
     val dl = perDoc.select(col("id"), col("dl"))
-    val tf = perDoc
-      .unpivot(Array(col("id")),
-        terms.map(t => col(s"__tf_$t").as(t)).toArray, "t", "tf")
+    val tf = ts.zipWithIndex.map { case (t, i) =>
+        perDoc.select(col("id"), lit(t).as("t"), col(s"__tf_$i").as("tf")) }
+      .reduce(_.unionByName(_))
       .filter(col("tf") > 0)
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val scored = tf

@@ -33,8 +33,11 @@ object TextAnalysis {
     */
   def unigramNll(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // materialized once so the vocab aggregate and the scoring join share
+    // the same single tokenize+explode pass
     val tokRows = docs.select(col(idCol).as("id"),
       explode(split(Dedup.normalized(coalesce(col(textCol), lit(""))), " ")).as("t"))
+      .localCheckpoint()
     val vocab = tokRows.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
     val total = vocab.agg(sum(col("n_t")).as("n"))
     val scored = tokRows

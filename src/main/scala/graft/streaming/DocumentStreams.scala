@@ -103,33 +103,40 @@ object DocumentStreams {
   // architecture is foreachBatch + an accumulating SIGNATURE STORE: state
   // is (id, band-hash) rows + (id, shingle-set) rows in parquet — a few
   // dozen bytes per doc, NEVER the text — written under batch_<id>
-  // subdirectories so micro-batch replay overwrites instead of duplicating
-  // (idempotent). Each batch: internal LSH dedup, then band-collision
-  // candidates vs the store, exact-Jaccard verification, survivors
-  // appended to both corpus and store.
+  // subdirectories so micro-batch replay overwrites instead of duplicating.
+  // Every store row carries its writer's batch id (`bid`) and reads filter
+  // `bid < currentBatch`: a replayed batch therefore NEVER sees its own
+  // first-attempt signatures (which would self-match every survivor at
+  // jaccard 1 and wipe the batch) — replay is idempotent BY the filter,
+  // the directory overwrite only reclaims space. Each batch: internal LSH
+  // dedup, then band-collision candidates vs the store, exact-Jaccard
+  // verification, survivors appended to both corpus and store.
 
   /** Process one micro-batch of documents against the signature store at
     * `stateDir`; survivors land under `outDir/batch_<batchId>` and their
     * signatures under the store. Returns the survivors (for tests). */
   def ingestBatchNearDedup(batch: DataFrame, stateDir: String, outDir: String,
       batchId: Long, threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val spark = batch.sparkSession
     // within-batch near-dups first (the store only knows PRIOR batches)
     val internal = graft.ops.Dedup.applyPairsDedup(batch,
-      graft.ops.Dedup.minhashDuplicatePairs(batch, threshold = threshold))
+        graft.ops.Dedup.minhashDuplicatePairs(batch, threshold = threshold))
+      .localCheckpoint() // 3 consumers below; never re-run the LSH dedup
     val newBands = graft.ops.Dedup.minhashBandRows(internal)
     val newSh = graft.ops.Dedup.hashedShingleSets(internal)
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val survivors =
+    val survivors = (
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/bands"))) internal
       else {
         val stBands = spark.read.option("recursiveFileLookup", "true")
           .parquet(s"$stateDir/bands")
+          .filter(col("bid") < batchId) // exclude own replayed signatures
           .select(col("id").as("old_id"), col("band"), col("bh"))
         val stSh = spark.read.option("recursiveFileLookup", "true")
           .parquet(s"$stateDir/shingles")
+          .filter(col("bid") < batchId)
           .select(col("id").as("old_id"), col("sh").as("old_sh"))
         val cand = newBands.join(stBands, Seq("band", "bh"))
           .select(col("id"), col("old_id")).distinct()
@@ -138,12 +145,17 @@ object DocumentStreams {
           .filter(graft.ops.Dedup.jaccard(col("sh"), col("old_sh")) >= threshold)
           .select(col("id").as("doc_id")).distinct()
         internal.join(dupNew, Seq("doc_id"), "left_anti")
-      }
+      }).localCheckpoint() // 3 writes below share one computation
     // batch-keyed writes: replay of the same micro-batch overwrites
     survivors.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
-    graft.ops.Dedup.minhashBandRows(survivors).write.mode("overwrite")
+    val survivorIds = survivors.select(col("doc_id").as("id"))
+    // store rows derive from the ALREADY-built batch signatures (semi-join
+    // on survivor ids), not a re-shingle of survivor text
+    newBands.join(survivorIds, Seq("id"), "left_semi")
+      .withColumn("bid", lit(batchId)).write.mode("overwrite")
       .parquet(s"$stateDir/bands/batch_$batchId")
-    graft.ops.Dedup.hashedShingleSets(survivors).write.mode("overwrite")
+    newSh.join(survivorIds, Seq("id"), "left_semi")
+      .withColumn("bid", lit(batchId)).write.mode("overwrite")
       .parquet(s"$stateDir/shingles/batch_$batchId")
     survivors
   }

@@ -105,6 +105,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists(p => p._1 == 20L || p._2 == 20L))
   }
 
+  test("minhash: null-text docs never pair; oversized clone groups don't fan out") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = (Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String])) ++
+      (10L to 15L).map(i => (i, base))).toDF("doc_id", "text")
+    // default cap: nulls drop, 6-clone group emits C(6,2)=15 pairs
+    val normal = Dedup.minhashDuplicatePairs(df, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(!normal.exists(p => p._1 <= 2L || p._2 <= 2L))
+    assert(normal.count(_._3 == 1.0) == 15)
+    // cap below the clone-group size: members don't fan out at all
+    val capped = Dedup.minhashDuplicatePairs(df, threshold = 0.5, maxBucketSize = 3)
+    assert(capped.count() == 0)
+  }
+
   test("stripCommonLines removes cross-doc boilerplate, preserves order, keeps empty docs") {
     // 2-token lines; "THE COMMON" appears in 3 docs → boilerplate
     val docs = Seq(

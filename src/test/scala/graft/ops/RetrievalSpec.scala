@@ -28,4 +28,13 @@ class RetrievalSpec extends SparkSpec {
     val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
     assert(Retrieval.bm25TopK(docs, Seq("zeta"), k = 5).count() == 0L)
   }
+
+  test("bm25TopK: dotted/backticked and duplicated terms are safe") {
+    val docs = Seq((1L, "u.s. trade policy"), (2L, "`tick` and u.s. news u.s."))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, Seq("u.s.", "u.s.", "`tick`"), k = 5)
+      .as[(Long, Double)].collect()
+    assert(out.map(_._1).toSet == Set(1L, 2L))
+    assert(out.head._1 == 2L) // two query-term types + higher tf wins
+  }
 }

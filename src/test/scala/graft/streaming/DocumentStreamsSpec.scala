@@ -70,8 +70,24 @@ class DocumentStreamsSpec extends SparkSpec {
     // signature store grew batch-keyed, never storing text
     val bands = spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$dir/state/bands")
-    assert(bands.columns.toSet == Set("id", "band", "bh"))
+    assert(bands.columns.toSet == Set("id", "band", "bh", "bid"))
     assert(bands.select("id").distinct().count() == 3)
+  }
+
+  test("near-dedup micro-batch replay is idempotent (own signatures invisible)") {
+    val dir = java.nio.file.Files.createTempDirectory("neardedup2").toString
+    val b0 = Seq(Doc(1, "alpha beta gamma delta epsilon zeta eta theta", "a", "a", 0)).toDF()
+    val b1 = Seq(Doc(2, "fresh words never seen before in any earlier batch here", "a", "a", 0)).toDF()
+    DocumentStreams.ingestBatchNearDedup(b0, s"$dir/state", s"$dir/out", 0L)
+    val first = DocumentStreams.ingestBatchNearDedup(b1, s"$dir/state", s"$dir/out", 1L)
+      .select("doc_id").as[Long].collect().toSet
+    // crash-after-write: batch 1 re-delivered; its own batch_1 store rows
+    // must not self-match and wipe the batch
+    val replay = DocumentStreams.ingestBatchNearDedup(b1, s"$dir/state", s"$dir/out", 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(first == Set(2L) && replay == Set(2L))
+    val out = spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/out")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
   test("shard sink writes split-partitioned parquet via checkpointed file sink") {
