@@ -409,6 +409,24 @@ object CorpusQueries {
        |FROM lines a JOIN lines b ON a.line = b.line AND a.source < b.source
        |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  // Quality-weighted importance sampling: keep each doc with probability
+  // = its quality score, decided by the content fingerprint — the
+  // "sample good text more" mixture knob, reproducible under any
+  // partitioning/retry. Oracle replays uniform and weight exactly.
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sampling.weightedSample(Tables.documents(s, d),
+        key = Dedup.normalized($"text"), // fpSql hashes the normalized text
+        weight = TextAnalysis.qualityScore($"text"))
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+  private val q80Sql =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE CAST($fpSql % 1000000 AS DOUBLE) / 1e6 < $qualitySql
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q64_decontaminate", q64, Some(q64Sql)),
     QueryDef("q65_pack_sequences", q65, Some(q65Sql)),
@@ -423,5 +441,6 @@ object CorpusQueries {
     QueryDef("q74_adaptive_quality", q74, Some(q74Sql)),
     QueryDef("q77_unigram_nll", q77, Some(q77Sql)),
     QueryDef("q78_source_overlap", q78, Some(q78Sql)),
+    QueryDef("q80_weighted_sample", q80, Some(q80Sql)),
   )
 }

@@ -42,6 +42,17 @@ object Sampling {
     df.filter(bucket(key) < rate)
   }
 
+  /** Deterministic WEIGHTED (importance) sampling: keep a row with
+    * probability `weight` ∈ [0,1] — e.g. sample proportional to quality
+    * when building a mixture — decided by a content-keyed uniform, so the
+    * kept set is reproducible like [[hashSample]]. The uniform is the
+    * fingerprint mod 10⁶ scaled to [0,1): 1e-6 probability granularity,
+    * exact cross-engine (integer mod, one double division). */
+  def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame =
+    df.filter(
+      (graft.functions.RollingFingerprint(key.cast("string")) % 1000000L)
+        .cast("double") / 1e6 < weight)
+
   /** Token-budget quota sampling: within each `group` (source/domain/lang),
     * take documents in deterministic hash order until the group's token
     * quota is reached — the data-mixture knob of a training pipeline
