@@ -18,6 +18,9 @@ import graft.functions.RollingFingerprint
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // range-theta → bucketed equi-join rewrite (opt-in by
+    // graft.rangeJoin.bucketWidth; no-op otherwise)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
