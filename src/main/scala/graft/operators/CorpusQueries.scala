@@ -389,9 +389,7 @@ object CorpusQueries {
   // strings (equal modulo ~2^-64 collisions).
   private def q78(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ls = Dedup.lineRows(
-        Tables.documents(s, d).withColumn("__src", $"source"),
-        idCol = "__src", lineTokens = 5)
+    val ls = Dedup.lineRows(Tables.documents(s, d), idCol = "source", lineTokens = 5)
       .select($"id".as("src"), xxhash64($"line").as("lh"))
       .distinct()
     ls.select($"src".as("source_a"), $"lh")

@@ -264,9 +264,12 @@ object Dedup {
   }
 
   /** Audit for the candidate-generation bucket cap: (band, bucket hash,
-    * member count) of every bucket `minhashDuplicatePairs` would DROP at
-    * these parameters — so a pipeline can report/alert on excluded volume
-    * instead of silently losing the largest duplicate cluster. */
+    * member count) of every LSH bucket the rep-level pipeline would DROP
+    * at these parameters — so a pipeline can report/alert on excluded
+    * volume instead of silently losing the largest duplicate cluster.
+    * Since `minhashDuplicatePairs` LSH-bands one representative per
+    * distinct content, this audits the rep plane; pair [[oversizedCloneGroups]]
+    * for the clone-group cap, which is the other drop class. */
   def oversizedMinhashBuckets(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
@@ -275,6 +278,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucketSize)
   }
+
+  /** Audit for the clone-group cap in [[minhashDuplicatePairs]]: (content
+    * hash, representative id, member count) of every identical-content
+    * group whose members will NOT fan out into pairs at these parameters
+    * (only the rep participates). Alert on this alongside
+    * [[oversizedMinhashBuckets]] — together they cover everything the
+    * pair pipeline drops. */
+  def oversizedCloneGroups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxBucketSize: Int = 1000): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), xxhash64(normalized(col(textCol))).as("ch"))
+      .groupBy(col("ch"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucketSize)
 
   /** Candidate duplicate pairs via LSH banding + exact-Jaccard verification.
     *

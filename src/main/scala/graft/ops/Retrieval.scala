@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * plan (north-star EXT: the retrieval side of a training-data pipeline,
   * e.g. quality-by-query probes or dedup-against-eval lookups).
   *
-  * Scale shape: the token explode is filtered to the query's terms BEFORE
-  * any shuffle (a handful of literals → codegen'd `isin`), so only
-  * (id, term) hits aggregate; document frequencies are a ≤|terms|-row
-  * broadcast; document lengths join on id; the final top-k is
+  * Scale shape: ONE pass over the token stream — document length and a
+  * codegen'd conditional count per query term in the same partial+final
+  * hash aggregate, so the exchange carries one (id, dl, |terms| longs)
+  * row per document (term sets are small by nature); document
+  * frequencies are a ≤|terms|-row broadcast; the final top-k is
   * `TakeOrderedAndProject` (per-partition heaps, no global sort).
   *
   * Cross-engine exactness (same discipline as the oracled quality/packing

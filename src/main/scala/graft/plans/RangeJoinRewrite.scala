@@ -21,9 +21,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * covers; non-qualifying bucket collisions fail the residual.
   *
   * Opt-in by config: set `graft.rangeJoin.bucketWidth` (the operator's
-  * width guidance applies — near the median interval length). The rule is
-  * a no-op when unset. Fixpoint-safe: the rewritten condition is a
-  * 3-conjunct AND, which no longer matches the 2-conjunct pattern.
+  * width guidance applies — near the median interval length). OPTING IN
+  * ASSERTS the interval-length contract: every `[lo, hi)` spans a bounded
+  * number of buckets at the chosen width. An open-ended sentinel bound
+  * (hi = 1e308) would explode into ~1e305 bucket rows — exactly like
+  * passing it to the explicit operator — so sessions with such intervals
+  * must leave the conf unset for those queries (it is scoped per
+  * query/session like any conf). The rule is a no-op when unset or
+  * unparsable (logged, never failing unrelated queries). Fixpoint-safe:
+  * the rewritten condition is a 3-conjunct AND, which no longer matches
+  * the 2-conjunct pattern.
   *
   * Register via `GraftExtensions` (`spark.sql.extensions`) or
   * `spark.experimental.extraOptimizations`.
@@ -40,10 +47,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = conf.getConfString(widthKey, "")
-    if (w.isEmpty) plan
+    // a malformed/non-positive width must not fail UNRELATED queries on
+    // the session: warn and no-op instead of throwing inside the optimizer
+    val parsed = scala.util.Try(w.toDouble).toOption.filter(_ > 0)
+    if (w.nonEmpty && parsed.isEmpty)
+      logWarning(s"$widthKey='$w' is not a positive double; range-join rewrite disabled")
+    if (parsed.isEmpty) plan
     else {
-      val width = w.toDouble
-      require(width > 0, s"$widthKey must be positive")
+      val width = parsed.get
       plan.transformUp {
         case j @ Join(left, right, Inner,
             Some(And(GreaterThanOrEqual(x1, lo), LessThan(x2, hi))), _)
@@ -51,9 +62,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
               Seq(x1, lo, hi).forall(e => e.dataType == DoubleType && e.deterministic) =>
           (sideOf(x1, left, right), sideOf(lo, left, right), sideOf(hi, left, right)) match {
             case (Some(true), Some(false), Some(false)) =>
-              rewrite(left, right, x1, lo, hi, width, j)
+              rewrite(left, right, x1, lo, hi, width, j, swapped = false)
             case (Some(false), Some(true), Some(true)) =>
-              rewrite(right, left, x1, lo, hi, width, j)
+              rewrite(right, left, x1, lo, hi, width, j, swapped = true)
             case _ => j
           }
       }
@@ -62,8 +73,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(points: LogicalPlan, intervals: LogicalPlan,
       x: Expression, lo: Expression, hi: Expression, width: Double,
-      orig: Join): LogicalPlan = {
+      orig: Join, swapped: Boolean): LogicalPlan = {
     val wLit = Literal(width, DoubleType)
+    // side-scoped hints must follow their relation when sides swap
+    val hint = if (swapped) JoinHint(orig.hint.rightHint, orig.hint.leftHint)
+               else orig.hint
     val bucket = AttributeReference("__bucket", LongType, nullable = false)()
     // timeZoneId must be set by hand: Sequence is TimeZoneAwareExpression
     // and the analyzer's ResolveTimeZone already ran before the optimizer
@@ -75,6 +89,6 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     val newCond = And(EqualTo(Floor(Divide(x, wLit)), bucket), orig.condition.get)
     // Project restores the original column ORDER (side swap and the extra
     // __bucket attribute must stay invisible to parents)
-    Project(orig.output, Join(points, gen, Inner, Some(newCond), orig.hint))
+    Project(orig.output, Join(points, gen, Inner, Some(newCond), hint))
   }
 }

@@ -127,15 +127,27 @@ object DocumentStreams {
     val newSh = graft.ops.Dedup.hashedShingleSets(internal)
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // BOTH store halves must exist: a crash between the bands and shingles
+    // writes of the FIRST batch leaves bands-only — that store holds no
+    // committed batch (bid-filter discards the half-written one anyway),
+    // so treating it as empty is exact, and avoids a crash-loop on the
+    // missing shingles path. Partial writes of LATER batches are handled
+    // by the bid < batchId filter alone.
+    val storeReady =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/bands")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/shingles"))
+    // stores written before the bid column existed count as prior batches
+    def withBid(df: DataFrame): DataFrame =
+      if (df.columns.contains("bid")) df else df.withColumn("bid", lit(-1L))
     val survivors = (
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/bands"))) internal
+      if (!storeReady) internal
       else {
-        val stBands = spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$stateDir/bands")
+        val stBands = withBid(spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$stateDir/bands"))
           .filter(col("bid") < batchId) // exclude own replayed signatures
           .select(col("id").as("old_id"), col("band"), col("bh"))
-        val stSh = spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$stateDir/shingles")
+        val stSh = withBid(spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$stateDir/shingles"))
           .filter(col("bid") < batchId)
           .select(col("id").as("old_id"), col("sh").as("old_sh"))
         val cand = newBands.join(stBands, Seq("band", "bh"))

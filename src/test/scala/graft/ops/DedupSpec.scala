@@ -117,6 +117,11 @@ class DedupSpec extends SparkSpec {
     // cap below the clone-group size: members don't fan out at all
     val capped = Dedup.minhashDuplicatePairs(df, threshold = 0.5, maxBucketSize = 3)
     assert(capped.count() == 0)
+    // ...and the companion audit reports exactly that dropped group
+    val audited = Dedup.oversizedCloneGroups(df, maxBucketSize = 3)
+      .select("rep", "n_docs").as[(Long, Long)].collect()
+    assert(audited.toSeq == Seq((10L, 6L)))
+    assert(Dedup.oversizedCloneGroups(df).count() == 0) // default cap: nothing dropped
   }
 
   test("stripCommonLines removes cross-doc boilerplate, preserves order, keeps empty docs") {

@@ -90,6 +90,22 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("near-dedup recovers from a half-written first-batch store (bands only)") {
+    val dir = java.nio.file.Files.createTempDirectory("neardedup3").toString
+    val b0 = Seq(Doc(1, "alpha beta gamma delta epsilon zeta eta theta", "a", "a", 0)).toDF()
+    DocumentStreams.ingestBatchNearDedup(b0, s"$dir/state", s"$dir/out", 0L)
+    // simulate a crash between the bands and shingles writes of batch 0
+    val sh = new java.io.File(s"$dir/state/shingles")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(sh)
+    // replay must treat the store as empty (no committed batch), not crash
+    val replay = DocumentStreams.ingestBatchNearDedup(b0, s"$dir/state", s"$dir/out", 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay == Set(1L))
+  }
+
   test("shard sink writes split-partitioned parquet via checkpointed file sink") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     val input = MemoryStream[Doc](spark)
