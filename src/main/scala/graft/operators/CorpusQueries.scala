@@ -140,7 +140,9 @@ object CorpusQueries {
     val exactKeep = Dedup.exact(corpus)
       .select($"keep_id".as("doc_id")).localCheckpoint()
     val exact = corpus.join(exactKeep, Seq("doc_id"), "left_semi")
-    val nearDrop = Dedup.minhashDuplicatePairs(exact, threshold = 0.5)
+    // exact is content-distinct by construction → the direct LSH path
+    // (the wrapper's clone-group pass would re-hash text to find nothing)
+    val nearDrop = Dedup.minhashPairsOnDistinct(exact, threshold = 0.5)
       .select($"id_b".as("doc_id")).distinct().localCheckpoint()
     val near = exact.join(nearDrop, Seq("doc_id"), "left_anti")
     val contamIds = Dedup.contaminationHits(near, bench)

@@ -356,11 +356,15 @@ object Dedup {
     cross.unionByName(intra)
   }
 
-  /** The LSH + exact-verification pipeline over content-DISTINCT docs —
-    * see [[minhashDuplicatePairs]] for the public wrapper. */
-  private def minhashPairsOnDistinct(docs: DataFrame, textCol: String,
-      idCol: String, k: Int, bands: Int,
-      threshold: Double, maxBucketSize: Int): DataFrame = {
+  /** The LSH + exact-verification pipeline over content-DISTINCT docs.
+    * Call this directly when the corpus is exact-deduped BY CONSTRUCTION
+    * (e.g. right after [[applyExact]]) — it skips the wrapper's
+    * clone-group pass entirely; [[minhashDuplicatePairs]] is the safe
+    * general entry. Identical-content docs that DO slip in are simply
+    * redundant LSH work, never wrong output. */
+  def minhashPairsOnDistinct(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     // (id, band, bh) computed in the zero-shuffle kernel: nothing shuffles
     // before the bucket exchange — never text or shingle arrays.
     val exploded = minhashBandRows(docs, textCol, idCol, k, bands)
