@@ -50,11 +50,19 @@ object Tables {
 
   private def normalizeEvents(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumnRenamed("ts", "ts_ns")
-         .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-    else
-      raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) via nanosAsLong
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // re-written copies (e.g. DuckDB-replicated scale sets) come back
+        // NTZ; values are UTC wall-clock, so the cast is value-preserving
+        // under the session's UTC zone
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -18,7 +18,7 @@ import os
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-COPIES = 10
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 FILES = 16
 
 os.makedirs(DST, exist_ok=True)
