@@ -224,8 +224,46 @@ object TextAnalysis {
     */
   def commonNgramStats(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", minDf: Int = 2): DataFrame = {
+    // Clone-group pre-stage (same argument as Dedup.minhashDuplicatePairs):
+    // identical normalized text ⇒ identical shingle set ⇒ identical stats,
+    // and a shingle's document frequency is the sum of the CLONE COUNTS of
+    // the distinct contents containing it. Shingle explode + df join run
+    // over reps only; per-doc results fan back through the slim
+    // (id, content-hash) table. Null-text docs produce no kernel rows in
+    // the direct path, so they are excluded here too. All-unique corpora
+    // take the direct path unchanged.
+    val keyed = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), xxhash64(Dedup.normalized(col(textCol))).as("ch"))
+    val groups = keyed.groupBy(col("ch"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("m"))
+      .localCheckpoint()
+    if (groups.filter(col("m") >= 2).limit(1).isEmpty)
+      return commonNgramStatsDirect(docs, textCol, idCol, minDf)
+    val reps = docs.join(
+      groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+    val repIds = Dedup.hashedShingleSets(reps, textCol, idCol)
+      .select(col("id").as("rep"), explode(col("sh")).as("h"))
+      .localCheckpoint()
+    val dfTab = repIds.join(groups.select(col("rep"), col("m")), Seq("rep"))
+      .groupBy(col("h")).agg(sum(col("m")).as("df"))
+    val repStats = repIds.join(dfTab, Seq("h"))
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+    keyed.join(groups.select(col("ch"), col("rep")), Seq("ch"))
+      .join(repStats, Seq("rep"))
+      .select(col("id").as(idCol), col("n_shingles"),
+        (col("n_common").cast("double") / col("n_shingles").cast("double")).as("common_frac"))
+  }
+
+  /** The direct (per-document) formulation — see [[commonNgramStats]]. */
+  private def commonNgramStatsDirect(docs: DataFrame, textCol: String,
+      idCol: String, minDf: Int): DataFrame = {
+    // one shingle-kernel pass; (id, hash) rows feed BOTH the df aggregate
+    // and the annotate join (otherwise the kernel runs twice)
     val ids = Dedup.hashedShingleSets(docs, textCol, idCol)
       .select(col("id"), explode(col("sh")).as("h"))
+      .localCheckpoint()
     val dfTab = ids.groupBy(col("h")).agg(count(lit(1)).as("df"))
     ids.join(dfTab, Seq("h"))
       .groupBy(col("id"))

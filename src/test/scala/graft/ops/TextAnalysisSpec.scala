@@ -56,6 +56,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((3L, 2L, 0.0)))
   }
 
+  test("commonNgramStats: clone pre-stage ≡ per-doc semantics (clones weight df)") {
+    // 4 & 5 are clones of 1 modulo case/whitespace (same normalized content)
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (4L, "ALPHA  beta gamma delta"),
+      (5L, "alpha beta gamma delta "),
+      (2L, "alpha beta gamma other"), // shares "alpha beta gamma" (df=4 ≥ 2)
+      (3L, "totally unrelated words here")).toDF("doc_id", "text")
+    val out = TextAnalysis.commonNgramStats(df, minDf = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // clone group {1,4,5}: both shingles in ≥3 docs → all common
+    for (id <- Seq(1L, 4L, 5L)) assert(out(id) == ((id, 2L, 1.0)), out(id))
+    assert(out(2L) == ((2L, 2L, 0.5)))
+    assert(out(3L) == ((3L, 2L, 0.0)))
+    assert(out.size == 5)
+  }
+
   test("splitLabel: content-keyed, partition-order invariant, covers all labels") {
     val docs = (0 until 200).map(i => (i.toLong, s"document number $i with some text")).toDF("doc_id", "text")
     val a = docs.select($"doc_id", TextAnalysis.splitLabel($"text").as("s"))
