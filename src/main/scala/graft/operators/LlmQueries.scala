@@ -418,8 +418,10 @@ object LlmQueries {
   // with a recursive transitive-closure CTE over the all-pairs jaccard.
   private def q60(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = Dedup.minhashDuplicatePairs(Tables.documents(s, d), threshold = 0.5)
-    Dedup.connectedComponents(pairs)
+    // fused path: rep-graph components + member fan-back — identical to
+    // connectedComponents(minhashDuplicatePairs(...)), never materializing
+    // the clone-expanded pair cliques (DedupSpec pins the equivalence)
+    Dedup.dedupClusters(Tables.documents(s, d), threshold = 0.5)
       .select($"id".as("doc_id"), $"component".as("component_id"))
       .orderBy($"doc_id")
   }

@@ -440,6 +440,52 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame =
     docs.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Fused dedup-cluster labeling: exactly
+    * `connectedComponents(minhashDuplicatePairs(docs))`, WITHOUT
+    * materializing the clone-expanded pair set. Clone members connect
+    * only through their content (identical sets), so components are
+    * solved on the REP graph and labels fan back through the slim
+    * (id, rep) table: a rep IS its group's min id, so the min-reachable
+    * rep id equals the min-reachable doc id. A 30-clone corpus emits
+    * C(30,2) pairs per content in the pair API; here those cliques cost
+    * one row per MEMBER. Oversized clone groups (> maxBucketSize) get the
+    * pair pipeline's cap semantics: members don't fan out, reps still
+    * participate.
+    *
+    * @return (id, component) for every id the pair set would contain
+    */
+  def dedupClusters(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    val keyed = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), xxhash64(normalized(col(textCol))).as("ch"))
+    val groups = keyed.groupBy(col("ch"))
+      .agg(min(col("id")).as("rep"), collect_list(col("id")).as("ids"))
+      .localCheckpoint()
+    val reps = docs.join(groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+    val repPairs = minhashPairsOnDistinct(reps, textCol, idCol, k, bands,
+      threshold, maxBucketSize).localCheckpoint()
+    val repCC = connectedComponents(repPairs)
+    // groups whose members appear in the pair set: intra edges (m ≥ 2,
+    // within cap, jaccard 1 ≥ threshold) or rep present in a rep pair
+    val paired = repPairs.select(col("id_a").as("rep"))
+      .union(repPairs.select(col("id_b"))).distinct()
+    val intraEligible = groups
+      .filter(size(col("ids")).between(2, maxBucketSize) && lit(1.0) >= threshold)
+    val eligible = intraEligible.unionByName(
+        groups.join(paired, Seq("rep"), "left_semi"))
+      .dropDuplicates("ch")
+    // oversized groups: only the rep itself appears (cap semantics)
+    val members = eligible
+      .select(col("rep"),
+        when(size(col("ids")) <= maxBucketSize, col("ids"))
+          .otherwise(array(col("rep"))).as("ids"))
+      .select(col("rep"), explode(col("ids")).as("id"))
+    members
+      .join(repCC.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select(col("id"), coalesce(col("component"), col("rep")).as("component"))
+  }
+
   /** Connected components over a duplicate-pair edge set by iterative
     * min-label propagation: every node ends labeled with the minimum id
     * reachable from it — the canonical cluster id for exact dedup-cluster

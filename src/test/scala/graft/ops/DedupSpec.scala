@@ -124,6 +124,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.oversizedCloneGroups(df).count() == 0) // default cap: nothing dropped
   }
 
+  test("dedupClusters ≡ connectedComponents over the pair API (clones, chains, caps)") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = base.replace("mu", "nu")
+    val near2 = near.replace("alpha", "omega") // chains: base ~ near ~ near2
+    val df = (Seq((1L, base), (2L, base), (7L, near), (8L, near), (9L, near2),
+      (20L, "totally different content about ships sailing at dawn"),
+      (21L, "totally different content about ships sailing at dawn"),
+      (30L, "a lone unique document matching nothing else at all")))
+      .toDF("doc_id", "text")
+    val viaPairs = Dedup.connectedComponents(
+        Dedup.minhashDuplicatePairs(df, threshold = 0.5))
+      .as[(Long, Long)].collect().toMap
+    val fused = Dedup.dedupClusters(df, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(fused == viaPairs)
+    assert(fused(9L) == 1L && fused(21L) == 20L && !fused.contains(30L))
+  }
+
   test("stripCommonLines removes cross-doc boilerplate, preserves order, keeps empty docs") {
     // 2-token lines; "THE COMMON" appears in 3 docs → boilerplate
     val docs = Seq(
