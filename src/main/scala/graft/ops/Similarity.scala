@@ -352,13 +352,29 @@ object Similarity {
     * `iters` distributed Lloyd passes. ALL m subspaces train in the same
     * pass — one corpus scan per iteration, accumulating m×ksub×subdim long
     * sums per partition (a few KB) merged on the driver. Integer sums make
-    * training bit-deterministic under any partitioning. */
+    * training bit-deterministic under any partitioning.
+    *
+    * Training runs on a deterministic hash sample of ≤ `trainSampleMax`
+    * rows (standard ANN practice — ksub=16 centroids per subspace need
+    * thousands of points, not the corpus): codebook quality, not result
+    * correctness, is all training affects when the scan reranks exactly.
+    * The sample is id-hash keyed — identical under any partitioning. */
   def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Long]]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainSampleMax: Long = 16384L): Array[Array[Array[Long]]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+    val all = corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])]
+    val n = all.count()
+    val vecs =
+      if (n <= trainSampleMax) all
+      else {
+        val every = (n + trainSampleMax - 1) / trainSampleMax
+        corpus.select(col(idCol).cast("long"), col(vecCol))
+          .filter(pmod(xxhash64(col(idCol).cast("long")), lit(every)) === 0)
+          .as[(Long, Seq[Float])]
+      }
     val init = corpus.select(col(idCol).cast("long"), col(vecCol))
       .withColumn("__m", xxhash64(col(idCol)))
       .orderBy(col("__m"))
