@@ -499,20 +499,8 @@ object LlmQueries {
   // df is (term, distinct-doc) — fixed-width rows, never text), then a
   // term-keyed join and a per-doc window.
   private def q63(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val toks = Tables.documents(s, d)
-      .select($"doc_id", explode(split(Dedup.normalized($"text"), " ")).as("term"))
-    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    // df directly off tf — (doc_id, term) is unique there, so the distinct
-    // count is a plain count and the token explode runs ONCE, not twice
-    val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy($"doc_id")
-      .orderBy(floor((col("tf") * 1000000).cast("double") / col("df")).desc, $"term")
-    tf.join(idf, "term")
-      .withColumn("rn", row_number().over(w).cast("int"))
-      .filter($"rn" <= 3)
-      .select($"doc_id", $"term", $"tf", $"df", $"rn")
+    TextAnalysis.distinctiveTerms(Tables.documents(s, d), topK = 3)
       .orderBy($"doc_id", $"rn")
   }
   private val q63Sql =

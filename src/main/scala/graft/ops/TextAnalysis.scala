@@ -256,6 +256,57 @@ object TextAnalysis {
         (col("n_common").cast("double") / col("n_shingles").cast("double")).as("common_frac"))
   }
 
+  /** Per-doc top-`topK` distinctive terms by tf·idf-rank, integer-exact
+    * (floor(tf·10⁶/df) — no log, so the order is cross-engine-identical).
+    * Clone-group pre-stage like [[commonNgramStats]]: term frequencies are
+    * a pure function of content, document frequency weights each distinct
+    * content by its clone count, and the per-content top-k rows fan back
+    * to every member — the token explode, both aggregates and the rank
+    * window run over distinct contents only. All-unique corpora take the
+    * direct path. */
+  def distinctiveTerms(docs: DataFrame, topK: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__did"), xxhash64(Dedup.normalized(col(textCol))).as("ch"))
+    val groups = keyed.groupBy(col("ch"))
+      .agg(min(col("__did")).as("rep"), count(lit(1)).as("m"))
+      .localCheckpoint()
+    if (groups.filter(col("m") >= 2).limit(1).isEmpty)
+      return distinctiveTermsDirect(docs, topK, textCol, idCol)
+    val reps = docs.join(
+      groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+    val toks = reps.select(col(idCol).as("rep"),
+      explode(split(Dedup.normalized(col(textCol)), " ")).as("term"))
+    val tf = toks.groupBy(col("rep"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val idf = tf.join(groups.select(col("rep"), col("m")), Seq("rep"))
+      .groupBy(col("term")).agg(sum(col("m")).as("df"))
+    val w = Window.partitionBy(col("rep"))
+      .orderBy(floor((col("tf") * 1000000).cast("double") / col("df")).desc, col("term"))
+    val top = tf.join(idf, Seq("term"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= topK)
+    keyed.join(groups.select(col("ch"), col("rep")), Seq("ch"))
+      .join(top, Seq("rep"))
+      .select(col("__did").as(idCol), col("term"), col("tf"), col("df"), col("rn"))
+  }
+
+  private def distinctiveTermsDirect(docs: DataFrame, topK: Int,
+      textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(Dedup.normalized(col(textCol)), " ")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // df directly off tf — (id, term) is unique there, so the distinct
+    // count is a plain count and the token explode runs ONCE, not twice
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(floor((col("tf") * 1000000).cast("double") / col("df")).desc, col("term"))
+    tf.join(idf, Seq("term"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= topK)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("rn"))
+  }
+
   /** The direct (per-document) formulation — see [[commonNgramStats]]. */
   private def commonNgramStatsDirect(docs: DataFrame, textCol: String,
       idCol: String, minDf: Int): DataFrame = {

@@ -73,6 +73,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("distinctiveTerms: clone pre-stage ≡ per-doc tf/df semantics") {
+    // 1 and 4 are clones; their terms' df must count BOTH docs
+    val df = Seq(
+      (1L, "apple banana apple cherry"),
+      (4L, "apple  BANANA apple cherry"), // same normalized content as 1
+      (2L, "banana cherry banana date"),
+      (3L, "unique words only appear here")).toDF("doc_id", "text")
+    val out = TextAnalysis.distinctiveTerms(df, topK = 2)
+      .as[(Long, String, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5).toSeq).toMap
+    assert(out(1L) == out(4L).map(r => r.copy(_1 = 1L))) // clones rank identically
+    // apple: tf=2, df=2 (both clones) → score 1e6; cherry tf=1 df=3
+    assert(out(1L).head._2 == "apple" && out(1L).head._4 == 2L)
+    // date: tf=1/df=1 → 1e6 outranks banana 2e6/3; banana's df counts docs 1,4,2
+    assert(out(2L).head._2 == "date" && out(2L).head._4 == 1L)
+    assert(out(2L)(1)._2 == "banana" && out(2L)(1)._4 == 3L)
+    assert(out(3L).map(_._2).toSet.subsetOf(Set("unique", "words", "only", "appear", "here")))
+  }
+
   test("splitLabel: content-keyed, partition-order invariant, covers all labels") {
     val docs = (0 until 200).map(i => (i.toLong, s"document number $i with some text")).toDF("doc_id", "text")
     val a = docs.select($"doc_id", TextAnalysis.splitLabel($"text").as("s"))
