@@ -427,6 +427,70 @@ object CorpusQueries {
        |WHERE CAST($fpSql % 1000000 AS DOUBLE) / 1e6 < $qualitySql
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  // Distributed k-means (2 Lloyd passes, k=8): md5-seeded deterministic
+  // init, exact integer squared-L2 assignment, rounded quantized
+  // recentering. The oracle unrolls both passes as CTE stages over
+  // unnested (vec_id, dim, qv) rows — every intermediate is an exact
+  // integer (or one exactly-rounded double division), so assignments and
+  // distances match bit-for-bit.
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Clustering.lloydAssign(Tables.embeddings(s, d), k = 8, iters = 2)
+      .orderBy($"vec_id")
+  }
+  private val q81Sql =
+    s"""WITH q AS (SELECT vec_id, unnest($quantSql) AS qv,
+       |             unnest(range(1, len(embedding)+1)) AS dim FROM embeddings),
+       |seeds AS (SELECT vec_id, CAST(rn - 1 AS INT) AS cid FROM (
+       |    SELECT vec_id, row_number() OVER (
+       |      ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM embeddings) WHERE rn <= 8),
+       |c0 AS (SELECT s.cid, q.dim, q.qv AS cv FROM seeds s JOIN q USING (vec_id)),
+       |d1 AS (SELECT q.vec_id, c.cid, sum((q.qv - c.cv)*(q.qv - c.cv)) AS dist
+       |       FROM q JOIN c0 c USING (dim) GROUP BY q.vec_id, c.cid),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |c1 AS (SELECT a.cid, q.dim,
+       |         CAST(floor(CAST(sum(q.qv) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv
+       |       FROM a1 a JOIN q USING (vec_id) GROUP BY a.cid, q.dim),
+       |d2 AS (SELECT q.vec_id, c.cid, sum((q.qv - c.cv)*(q.qv - c.cv)) AS dist
+       |       FROM q JOIN c1 c USING (dim) GROUP BY q.vec_id, c.cid)
+       |SELECT vec_id, cid AS cluster, dist AS qdist FROM (
+       |  SELECT vec_id, cid, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM d2) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+  // Context-window chunking: 100-token windows, 20-token overlap, chunk
+  // fingerprints for downstream chunk-level dedup. The oracle replays the
+  // window layout with range/list_slice and the rolling hash on the
+  // rejoined RAW (case-preserving) token windows.
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.chunkTokens(Tables.documents(s, d), window = 100, overlap = 20)
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  private val rawToksSql =
+    "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+  private val q82Sql =
+    s"""WITH t AS (SELECT doc_id, $rawToksSql AS toks FROM documents
+       |           WHERE text IS NOT NULL AND trim(text) <> ''),
+       |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+       |        CASE WHEN len(toks) <= 100 THEN 1
+       |             ELSE 1 + (CAST(len(toks) AS BIGINT) - 100 + 79) // 80
+       |        END AS nc
+       |      FROM t),
+       |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_id, i*80 AS start_tok,
+       |        least(100, n - i*80) AS n_tok,
+       |        array_to_string(toks[i*80+1 : CAST(i*80 + least(100, n - i*80) AS BIGINT)], ' ') AS chunk
+       |      FROM n, LATERAL unnest(range(nc)) AS u(i))
+       |SELECT doc_id, chunk_id, start_tok, n_tok,
+       |  ${LlmQueries.fpSqlOf("chunk")} AS chunk_fp
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q64_decontaminate", q64, Some(q64Sql)),
     QueryDef("q65_pack_sequences", q65, Some(q65Sql)),
@@ -442,5 +506,7 @@ object CorpusQueries {
     QueryDef("q77_unigram_nll", q77, Some(q77Sql)),
     QueryDef("q78_source_overlap", q78, Some(q78Sql)),
     QueryDef("q80_weighted_sample", q80, Some(q80Sql)),
+    QueryDef("q81_kmeans", q81, Some(q81Sql)),
+    QueryDef("q82_chunking", q82, Some(q82Sql)),
   )
 }

@@ -307,6 +307,49 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rn"))
   }
 
+  /** Context-window chunking: split each document into fixed-size token
+    * windows with overlap — the pre-tokenization shard step of a training
+    * pipeline (long docs must be cut to model context length; overlap
+    * preserves cross-boundary spans). Tokens are whitespace-split RAW text
+    * (case preserved — chunks carry content, unlike the normalized
+    * analysis tokens); blank/null docs yield no chunks.
+    *
+    * Chunk i covers tokens [i·step, i·step + window) with
+    * step = window − overlap; the last window is truncated at the doc
+    * end. Output: (idCol, chunk_id, start_tok, n_tok, chunk_fp) where
+    * chunk_fp is the rolling fingerprint of the space-rejoined window —
+    * a content address for downstream chunk-level dedup.
+    *
+    * Scale shape: pure per-row expressions (split/sequence/posexplode/
+    * slice — all codegen or vectorized), no shuffle, no UDF; fan-out is
+    * bounded by n_tokens/step per doc. */
+  def chunkTokens(docs: DataFrame, window: Int, overlap: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window; got window=$window overlap=$overlap")
+    val step = window - overlap
+    val rawToks = split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")
+    val n = size(rawToks).cast("long")
+    // ceil((n-window)/step) via exact double division: operands < 2^53
+    val nchunks = when(n <= window, lit(1L))
+      .otherwise(lit(1L) +
+        floor((n - window + step - 1).cast("double") / step).cast("long"))
+    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), rawToks.as("__toks"), n.as("__n"), nchunks.as("__nc"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0L), col("__nc") - 1)).as(Seq("__i", "__c")))
+      .select(
+        col(idCol),
+        col("__c").cast("int").as("chunk_id"),
+        (col("__c") * step).as("start_tok"),
+        least(lit(window.toLong), col("__n") - col("__c") * step).as("n_tok"),
+        graft.functions.RollingFingerprint(
+          array_join(
+            slice(col("__toks"), (col("__c") * step + 1).cast("int"),
+              least(lit(window.toLong), col("__n") - col("__c") * step).cast("int")),
+            " ")).as("chunk_fp"))
+  }
+
   /** The direct (per-document) formulation — see [[commonNgramStats]]. */
   private def commonNgramStatsDirect(docs: DataFrame, textCol: String,
       idCol: String, minDf: Int): DataFrame = {

@@ -92,6 +92,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).map(_._2).toSet.subsetOf(Set("unique", "words", "only", "appear", "here")))
   }
 
+  test("chunkTokens: window layout, truncation, blank docs, fingerprints") {
+    val words250 = (0 until 250).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, words250),
+      (2L, "just five little words here"),
+      (3L, "   "),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, window = 100, overlap = 20)
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // 250 tokens, step 80 → starts 0/80/160, last truncated to 90
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0, 0L, 100L), (1, 80L, 100L), (2, 160L, 90L)))
+    assert(out.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0, 0L, 5L)))
+    assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
+    // chunk_fp is the rolling hash of the rejoined raw window
+    val expFp = graft.functions.RollingFingerprint.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        (80 until 180).map(i => s"w$i").mkString(" ")))
+    assert(out.find(r => r._1 == 1L && r._2 == 1).get._5 == expFp)
+  }
+
   test("splitLabel: content-keyed, partition-order invariant, covers all labels") {
     val docs = (0 until 200).map(i => (i.toLong, s"document number $i with some text")).toDF("doc_id", "text")
     val a = docs.select($"doc_id", TextAnalysis.splitLabel($"text").as("s"))
