@@ -4,7 +4,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
@@ -93,14 +93,17 @@ class EavTable(props: Map[String, String]) extends Table with SupportsRead {
 
 class EavScanBuilder(path: String, chunkSize: Int) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = EavSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var topN: Array[(Int, Boolean)] = Array.empty // (colIdx, ascending)
+  private var hadResidual = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (p, residual) = filters.partition(EavSource.isPushable)
     pushed = p
+    hadResidual = residual.nonEmpty
     residual // Spark re-applies these; pushed ones are handled in the fetch
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -112,18 +115,51 @@ class EavScanBuilder(path: String, chunkSize: Int) extends ScanBuilder
     * parallel so Spark still applies the global limit on top — same
     * contract as the built-in file sources. */
   override def pushLimit(l: Int): Boolean = { limit = l; true }
-  override def build(): Scan = new EavScan(path, chunkSize, required, pushed, limit)
+  /** ≙ a server-side `ORDER BY … LIMIT n` in the extraction request: each
+    * chunk fetch returns only its top-n rows under the requested order.
+    * PARTIAL push (isPartiallyPushed=true): readers run per-chunk, so
+    * Spark keeps the global sort+limit on top — per-partition top-n under
+    * the SAME total order is a sufficient superset. Orders on plain
+    * source columns only; bail out (let Spark do all the work) when any
+    * sort key is computed or any filter stayed residual (a residual
+    * filter above a pre-limited fetch could starve the global top-n). */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    if (hadResidual) return false
+    val cols = orders.map { o =>
+      o.expression() match {
+        case ref: NamedReference if ref.fieldNames.length == 1 &&
+            EavSource.schema.fieldNames.contains(ref.fieldNames.head) =>
+          val asc = o.direction() == SortDirection.ASCENDING
+          // CSV strings are never null, so either null ordering is fine —
+          // but only accept the combinations Spark's sort would produce
+          // for non-null data anyway.
+          val _ = o.nullOrdering(): NullOrdering
+          Some((EavSource.schema.fieldIndex(ref.fieldNames.head), asc))
+        case _ => None
+      }
+    }
+    if (cols.exists(_.isEmpty)) false
+    else { topN = cols.flatten; limit = n; true }
+  }
+  override def isPartiallyPushed: Boolean = true
+  override def build(): Scan = new EavScan(path, chunkSize, required, pushed, limit, topN)
 }
 
 final case class EavChunk(recordIds: Array[String]) extends InputPartition
 
 class EavScan(path: String, chunkSize: Int, required: StructType,
-    pushed: Array[Filter], limit: Int = -1) extends Scan with Batch {
+    pushed: Array[Filter], limit: Int = -1,
+    topN: Array[(Int, Boolean)] = Array.empty) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-eav PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"PushedLimit: ${if (limit >= 0) limit else "none"}, " +
+      s"PushedTopN: ${if (topN.nonEmpty)
+        topN.map { case (i, asc) =>
+          s"${EavSource.schema.fieldNames(i)} ${if (asc) "ASC" else "DESC"}"
+        }.mkString("[", ", ", s"] LIMIT $limit") else "none"}, " +
       s"ReadSchema: ${required.catalogString}"
 
   /** The id-universe scan (≙ `get_study_ids`, redcap-etl.py:137-161): a
@@ -134,18 +170,21 @@ class EavScan(path: String, chunkSize: Int, required: StructType,
     ids.grouped(chunkSize).map(g => EavChunk(g.toArray): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new EavReaderFactory(path, required, pushed, limit)
+    new EavReaderFactory(path, required, pushed, limit, topN)
 }
 
 class EavReaderFactory(path: String, required: StructType,
-    pushed: Array[Filter], limit: Int = -1) extends PartitionReaderFactory {
+    pushed: Array[Filter], limit: Int = -1,
+    topN: Array[(Int, Boolean)] = Array.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new EavPartitionReader(path, partition.asInstanceOf[EavChunk], required, pushed, limit)
+    new EavPartitionReader(path, partition.asInstanceOf[EavChunk], required,
+      pushed, limit, topN)
 }
 
 class EavPartitionReader(path: String, chunk: EavChunk,
     required: StructType, pushed: Array[Filter],
-    limit: Int = -1) extends PartitionReader[InternalRow] {
+    limit: Int = -1, topN: Array[(Int, Boolean)] = Array.empty)
+    extends PartitionReader[InternalRow] {
 
   /** ≙ one REST POST for this chunk's ids with fields= and filterLogic=
     * (redcap-etl.py:71-135). Swap the body for an HTTP call in production. */
@@ -154,7 +193,25 @@ class EavPartitionReader(path: String, chunk: EavChunk,
     val rows = EavSource.readAllLines(path).iterator
       .filter(r => idSet.contains(r(0)))
       .filter(r => pushed.forall(EavSource.matches(r, _)))
-    if (limit >= 0) rows.take(limit) else rows
+    if (topN.nonEmpty) {
+      // per-chunk ORDER BY … LIMIT under Spark's own binary string order
+      // (UTF8String), so the partial top-n is an exact superset of the
+      // global one even beyond ASCII
+      val ord = new Ordering[Array[String]] {
+        def compare(a: Array[String], b: Array[String]): Int = {
+          var i = 0
+          while (i < topN.length) {
+            val (ci, asc) = topN(i)
+            val c = UTF8String.fromString(a(ci)).compareTo(UTF8String.fromString(b(ci)))
+            if (c != 0) return if (asc) c else -c
+            i += 1
+          }
+          0
+        }
+      }
+      rows.toSeq.sorted(ord).iterator.take(limit.max(0))
+    } else if (limit >= 0) rows.take(limit)
+    else rows
   }
 
   private val requiredIdx = required.fieldNames.map(EavSource.schema.fieldIndex)

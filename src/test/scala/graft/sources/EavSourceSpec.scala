@@ -61,6 +61,30 @@ class EavSourceSpec extends SparkSpec {
     assert(filtered.select("field_name").as[String].collect().forall(_ == "age"))
   }
 
+  test("top-n pushdown: ORDER BY + LIMIT lands in the scan, result exact") {
+    val df = read.load().orderBy($"record_id".desc, $"field_name").limit(6)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN") && plan.contains("record_id DESC"),
+      s"no pushed top-n in: $plan")
+    // exact equality with the unpushed formulation (binary string order)
+    val exp = read.load().collect()
+      .map(r => (r.getString(0), r.getString(4), r.getString(5)))
+      .sortBy { case (rid, fn, _) => (rid, fn) }(
+        Ordering.Tuple2(Ordering[String].reverse, Ordering[String]))
+      .take(6).toSeq
+    val got = df.collect().map(r => (r.getString(0), r.getString(4), r.getString(5))).toSeq
+    assert(got == exp)
+  }
+
+  test("top-n pushdown declines under residual filters (correctness guard)") {
+    val df = read.load().filter($"value".contains("1990"))
+      .orderBy($"record_id").limit(4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedTopN: [record_id"), s"unsafe push in: $plan")
+    assert(df.count() == 4)
+    assert(df.select("field_name").as[String].collect().forall(_ == "np_dob"))
+  }
+
   test("feeds the ETL pipeline end-to-end") {
     val fm = Seq(("age", "Include", null.asInstanceOf[String]),
       ("visit_date", "TransformDate", null.asInstanceOf[String]),
