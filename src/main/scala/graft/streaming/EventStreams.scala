@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming surface (SURVEY.md §2.10 EXT): the reference is
   * strictly batch (its chunked HTTP loop is pagination, not streaming), so
@@ -158,6 +158,82 @@ object EventStreams {
             completed.reverseIterator.map(summary)
           }
       }
+  }
+
+  /** Open-session state for [[SessionProcessor]] (top-level-nested so the
+    * product encoder needs no outer instance). */
+  final case class OpenSession(n: Long, start: Long, end: Long)
+
+  /** [[sessionSummaries]] re-expressed on `transformWithState` — Spark 4's
+    * arbitrary-state API (typed state variables + explicit timers instead
+    * of one opaque state blob + a single implicit timeout). Same semantics,
+    * pinned by the spec: in-batch gap splits fold exactly like the
+    * flatMapGroupsWithState version; silence is closed by an event-time
+    * TIMER that is REPLACED whenever new events extend the open session
+    * (delete-then-register — registerTimer alone accumulates timers, and a
+    * stale one would close a session that has since grown).
+    *
+    * Requires the RocksDB state-store provider (the API refuses the HDFS
+    * store) — start queries under [[StateStores.withRocksDB]]; that is the
+    * at-scale configuration anyway. */
+  final class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEvent, SessionSummary] {
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def summary(uid: Long, s: OpenSession) = SessionSummary(
+      uid, s.n, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end))
+
+    override def handleInputRows(uid: Long, rows: Iterator[TimedEvent],
+        tv: TimerValues): Iterator[SessionSummary] = {
+      val ts = rows.map(_.ts.getTime).toSeq.sorted
+      if (ts.isEmpty) return Iterator.empty
+      val seed = if (open.exists()) List(open.get()) else Nil
+      val runs = ts.foldLeft(seed) { (acc, t) =>
+        acc match {
+          case OpenSession(n, s, e) :: rest if t - e < gapMs =>
+            // min(s, t): a late-but-admitted event can precede the open
+            // session's current start
+            OpenSession(n + 1, math.min(s, t), math.max(e, t)) :: rest
+          case _ => OpenSession(1L, t, t) :: acc
+        }
+      }
+      val (openRun :: completed) = runs: @unchecked
+      seed.foreach { prior => // replace, don't accumulate, the close timer
+        if (prior.end != openRun.end) getHandle.deleteTimer(prior.end + gapMs)
+      }
+      if (seed.isEmpty || seed.head.end != openRun.end)
+        getHandle.registerTimer(openRun.end + gapMs)
+      open.update(openRun)
+      completed.reverseIterator.map(summary(uid, _))
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionSummary] = {
+      if (!open.exists()) return Iterator.empty
+      val s = open.get()
+      // a timer older than the open session's deadline is stale (the
+      // session grew after it was set) — defense in depth on top of the
+      // delete-on-extend above
+      if (info.getExpiryTimeInMs >= s.end + gapMs) {
+        open.clear()
+        Iterator.single(summary(uid, s))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[sessionSummaries]] via [[SessionProcessor]]. */
+  def sessionSummariesTws(events: Dataset[TimedEvent],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Envelope sink for streams (the reference's transmit path under

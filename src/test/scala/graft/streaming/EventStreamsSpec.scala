@@ -149,6 +149,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions.head.n_events == 2 && sessions.head.end == ts(3))
   }
 
+  test("transformWithState sessionizer ≡ flatMapGroupsWithState semantics " +
+      "(timeout close, in-batch gap split, timer replacement)") {
+    StateStores.withRocksDB(spark) {
+      val input = MemoryStream[EventStreams.TimedEvent](spark)
+      input.addData(
+        EventStreams.TimedEvent(1, 1, "click", 1.0, ts(0)),
+        EventStreams.TimedEvent(2, 1, "click", 1.0, ts(5)))
+      val q = EventStreams.sessionSummariesTws(input.toDS())
+        .writeStream.format("memory").queryName("tws").outputMode("append").start()
+      q.processAllAvailable()
+      // extend user 1's open session — the old close timer must be replaced
+      input.addData(EventStreams.TimedEvent(3, 1, "click", 1.0, ts(8)))
+      q.processAllAvailable()
+      // user 7: in-batch split (gap inside one key with no watermark help)
+      input.addData(
+        EventStreams.TimedEvent(4, 7, "click", 1.0, ts(1)),
+        EventStreams.TimedEvent(5, 7, "click", 1.0, ts(4)))
+      q.processAllAvailable()
+      input.addData(EventStreams.TimedEvent(6, 7, "click", 1.0, ts(55)))
+      q.processAllAvailable()
+      // push the watermark far past every deadline → timers close the rest
+      input.addData(EventStreams.TimedEvent(9, 2, "click", 1.0, ts(120)))
+      q.processAllAvailable()
+      input.addData(EventStreams.TimedEvent(10, 2, "click", 1.0, ts(120)))
+      q.processAllAvailable(); q.stop()
+      val sessions = spark.table("tws").as[EventStreams.SessionSummary]
+        .collect().toSet
+      // user 1: ONE session 0..8 (3 events — not closed early at ts(5))
+      assert(sessions.filter(_.user_id == 1) == Set(
+        EventStreams.SessionSummary(1, 3, ts(0), ts(8))))
+      // user 7: data-branch split emitted 1..4, then the timer closed 55
+      assert(sessions.filter(_.user_id == 7) == Set(
+        EventStreams.SessionSummary(7, 2, ts(1), ts(4)),
+        EventStreams.SessionSummary(7, 1, ts(55), ts(55))))
+    }
+  }
+
   test("foreachBatch envelope sink writes chunked JSON documents") {
     val input = MemoryStream[Ev](spark)
     input.addData((1 to 7).map(i => Ev(i, ts(i), 1, "click", 1.0)): _*)
