@@ -362,6 +362,32 @@ object Relational2 {
       |  ON e.user_id = s.user_id AND e.ts >= s.ts
       |ORDER BY e.user_id, e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  // The SAME as-of probe as q23, through the custom physical operator
+  // (graft.plans.AsOfJoinExec): each side shuffles once on user_id in its
+  // own width and a per-partition two-pointer merge attaches the latest
+  // signup — no union detour, no window buffering. Same DuckDB ASOF oracle.
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"event_id", $"ts_us")
+    // fresh attributes (aliases) — self-join sides must not share exprIds
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id".as("s_uid"), $"ts_us".as("s_ts"))
+    graft.plans.AsOfJoinOps.asofBackward(
+        errors, signups, Seq("user_id"), Seq("s_uid"), "ts_us", "s_ts")
+      .select($"user_id", $"event_id", $"s_ts".as("signup_ts_us"))
+      .orderBy($"user_id", $"event_id")
+  }
+  private val q83Sql =
+    """SELECT e.user_id, e.event_id, epoch_us(s.ts) AS signup_ts_us
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON e.user_id = s.user_id AND e.ts >= s.ts
+      |ORDER BY e.user_id, e.event_id""".stripMargin
+
   // ---------------------------------------------------------------- q24
   // Sketches (A9): HLL++ distinct + approximate percentiles. No SQL oracle —
   // approximation algorithms differ by engine; driver records rows>0.
@@ -438,5 +464,6 @@ object Relational2 {
     QueryDef("q24_approx_sketches", q24, None),
     QueryDef("q25_percentiles", q25, Some(q25Sql)),
     QueryDef("q26_correlated_avg", q26, Some(q26Sql)),
+    QueryDef("q83_asof_custom", q83, Some(q83Sql)),
   )
 }
