@@ -491,6 +491,46 @@ object CorpusQueries {
        |  ${LlmQueries.fpSqlOf("chunk")} AS chunk_fp
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  // Corpus snapshot diff (dataset versioning): added / removed / changed
+  // docs between two corpus versions. Two deterministic slices of
+  // `documents` stand in for the versions (v2 edits every 11th doc). The
+  // status check shuffles only (doc_id, xxhash64(text)) — 16 bytes/row —
+  // never text: at 100 TB the diff costs one narrow full-outer exchange.
+  // The oracle compares raw text with IS DISTINCT FROM; null text diffs as
+  // a distinct sentinel hash on the Spark side, so null≡null both ways.
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    def h(c: org.apache.spark.sql.Column) = xxhash64(coalesce(c, lit("<null>")))
+    val prev = docs.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id", h($"text").as("prev_h"))
+    val curr = docs.filter($"doc_id" % 5 =!= 0)
+      .select($"doc_id", h(when($"doc_id" % 11 === 0, concat($"text", lit(" v2")))
+        .otherwise($"text")).as("curr_h"))
+    prev.join(curr, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"prev_h".isNull, "added")
+          .when($"curr_h".isNull, "removed")
+          .when($"prev_h" =!= $"curr_h", "changed")
+          .otherwise("unchanged").as("status"))
+      .filter($"status" =!= "unchanged")
+      .orderBy($"doc_id")
+  }
+  private val q84Sql =
+    """WITH prev AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+      |curr AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 <> 0)
+      |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+      |  CASE WHEN p.doc_id IS NULL THEN 'added'
+      |       WHEN c.doc_id IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS status
+      |FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id
+      |WHERE p.doc_id IS NULL OR c.doc_id IS NULL
+      |   OR p.text IS DISTINCT FROM c.text
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q64_decontaminate", q64, Some(q64Sql)),
     QueryDef("q65_pack_sequences", q65, Some(q65Sql)),
@@ -508,5 +548,6 @@ object CorpusQueries {
     QueryDef("q80_weighted_sample", q80, Some(q80Sql)),
     QueryDef("q81_kmeans", q81, Some(q81Sql)),
     QueryDef("q82_chunking", q82, Some(q82Sql)),
+    QueryDef("q84_corpus_diff", q84, Some(q84Sql)),
   )
 }
