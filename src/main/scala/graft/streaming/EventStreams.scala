@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming surface (SURVEY.md §2.10 EXT): the reference is
   * strictly batch (its chunked HTTP loop is pagination, not streaming), so
@@ -233,6 +233,119 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  // ---- streaming as-of enrichment (the q83 operator's streaming face)
+
+  /** Error event enriched with the latest signup at or before it. */
+  final case class AsOfEnriched(user_id: Long, event_id: Long, ts_us: Long,
+      signup_ts_us: Option[Long])
+
+  /** A probe row buffered until the watermark matures it. */
+  final case class PendingProbe(event_id: Long, ts: Long)
+
+  /** Watermark-correct streaming backward as-of: per user, each "error"
+    * row is matched to the latest "signup" with `signup.ts <= error.ts`.
+    *
+    * Out-of-order safety is the whole problem: emitting eagerly would bind
+    * an error to whatever signups happened to have ARRIVED, not the ones
+    * that precede it in event time. So probes buffer in state and emit
+    * only from an event-time TIMER, once the watermark has passed their
+    * timestamp — after that, any signup that could still change the answer
+    * (event time ≤ the probe's) would be dropped as late, so the match is
+    * final. This is the streaming face of [[graft.plans.AsOfJoinExec]]:
+    * same semantics, state bounded by the watermark horizon instead of a
+    * sorted partition.
+    *
+    * State per user: buffered probes within the watermark horizon, plus
+    * signup times — compacted on every timer to the single latest signup
+    * at or below the watermark (the "current state") + those still inside
+    * the horizon. Null-time rows never match (SQL as-of semantics).
+    */
+  final class StreamAsOfProcessor
+      extends StatefulProcessor[Long, TimedEvent, AsOfEnriched] {
+    @transient private var signups: ListState[Long] = _
+    @transient private var pending: ListState[PendingProbe] = _
+    @transient private var deadline: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      signups = getHandle.getListState[Long]("signups",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      pending = getHandle.getListState[PendingProbe]("pending",
+        org.apache.spark.sql.Encoders.product[PendingProbe], TTLConfig.NONE)
+      deadline = getHandle.getValueState[Long]("deadline",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Event time at the TimestampType µs grain — `getTime` alone is
+      * ms-truncated, which would tie distinct event times. */
+    private def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    /** Timer API is ms; round UP so the timer never fires before the
+      * probe's µs time is actually below the watermark. */
+    private def timerMs(us: Long): Long = (us + 999L) / 1000L
+
+    override def handleInputRows(uid: Long, rows: Iterator[TimedEvent],
+        tv: TimerValues): Iterator[AsOfEnriched] = {
+      var minNew = Long.MaxValue
+      rows.foreach { e =>
+        if (e.ts != null) e.event_type match {
+          case "signup" => signups.appendValue(micros(e.ts))
+          case "error" =>
+            val us = micros(e.ts)
+            pending.appendValue(PendingProbe(e.event_id, us))
+            minNew = math.min(minNew, us)
+          case _ => ()
+        }
+      }
+      // one live timer per key, always at the earliest unmatured probe
+      if (minNew != Long.MaxValue &&
+          (!deadline.exists() || timerMs(minNew) < deadline.get())) {
+        if (deadline.exists()) getHandle.deleteTimer(deadline.get())
+        getHandle.registerTimer(timerMs(minNew))
+        deadline.update(timerMs(minNew))
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[AsOfEnriched] = {
+      val wUs = tv.getCurrentWatermarkInMs() * 1000L
+      val (ready, rest) = pending.get().toSeq.partition(_.ts <= wUs)
+      val sorted = signups.get().toSeq.sorted
+      // compact: every signup ≤ watermark collapses to the latest one (the
+      // match for any future probe can only be it or an in-horizon signup)
+      val (matured, ahead) = sorted.partition(_ <= wUs)
+      val kept = (if (matured.nonEmpty) Seq(matured.max) else Nil) ++ ahead
+      signups.clear()
+      if (kept.nonEmpty) signups.put(kept.toArray)
+      pending.clear()
+      if (rest.nonEmpty) pending.put(rest.toArray)
+      if (rest.nonEmpty) {
+        val next = timerMs(rest.map(_.ts).min)
+        getHandle.registerTimer(next)
+        deadline.update(next)
+      } else deadline.clear()
+      ready.sortBy(p => (p.ts, p.event_id)).iterator.map { p =>
+        // latest signup ≤ probe time; binary search not worth it at the
+        // per-key state sizes the compaction maintains
+        val m = sorted.takeWhile(_ <= p.ts)
+        AsOfEnriched(uid, p.event_id, p.ts, m.lastOption)
+      }
+    }
+  }
+
+  /** [[StreamAsOfProcessor]] wired: errors enriched with the latest signup,
+    * emitted once their event time is below the watermark. */
+  def asofEnrichStream(events: Dataset[TimedEvent],
+      watermark: String = "10 minutes"): Dataset[AsOfEnriched] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new StreamAsOfProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
 

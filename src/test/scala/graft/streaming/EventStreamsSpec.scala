@@ -186,6 +186,52 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming as-of enrichment ≡ batch AsOfJoinExec on the same rows " +
+      "(cross-batch signup reaches an earlier-arrived error)") {
+    StateStores.withRocksDB(spark) {
+      def te(id: Long, uid: Long, typ: String, m: Int) =
+        EventStreams.TimedEvent(id, uid, typ, 0.0, ts(m))
+      val batch1 = Seq(
+        te(1, 1, "error", 20),  // arrives BEFORE the ts(15) signup it must match
+        te(2, 1, "signup", 2),
+        te(3, 2, "signup", 1))
+      val batch2 = Seq(
+        te(4, 1, "signup", 15), // later batch, earlier event time than probe 1
+        te(5, 1, "error", 15),  // equal-time signup is admissible
+        te(6, 2, "error", 12),
+        te(7, 3, "error", 13),  // no signups for user 3 -> None
+        te(8, 2, "signup", 30))
+      val batch3 = Seq(te(9, 99, "click", 60)) // watermark flush only
+      val all = batch1 ++ batch2 ++ batch3
+
+      val input = MemoryStream[EventStreams.TimedEvent](spark)
+      val q = EventStreams.asofEnrichStream(input.toDS(), watermark = "10 minutes")
+        .writeStream.format("memory").queryName("asof_stream")
+        .outputMode("append").start()
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      input.addData(batch3: _*); q.processAllAvailable(); q.stop()
+      val streamed = spark.table("asof_stream")
+        .as[EventStreams.AsOfEnriched].collect().toSet
+
+      val ev = all.toDS()
+        .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      val errors = ev.filter($"event_type" === "error")
+        .select($"user_id", $"event_id", $"ts_us")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id".as("s_uid"), $"ts_us".as("s_ts"))
+      val batch = graft.plans.AsOfJoinOps.asofBackward(
+          errors, signups, Seq("user_id"), Seq("s_uid"), "ts_us", "s_ts")
+        .select($"user_id", $"event_id", $"ts_us", $"s_ts")
+        .as[(Long, Long, Long, Option[Long])].collect()
+        .map(r => EventStreams.AsOfEnriched(r._1, r._2, r._3, r._4)).toSet
+
+      assert(streamed == batch)
+      assert(streamed.exists(e => e.event_id == 1 &&
+        e.signup_ts_us.contains(ts(15).getTime * 1000L)))
+    }
+  }
+
   test("foreachBatch envelope sink writes chunked JSON documents") {
     val input = MemoryStream[Ev](spark)
     input.addData((1 to 7).map(i => Ev(i, ts(i), 1, "click", 1.0)): _*)
