@@ -87,6 +87,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan.take(900))
   }
 
+  test("property: random inputs ≡ per-row reference semantics") {
+    // deterministic pseudo-random cases: small key/time domains force key
+    // collisions, equal times, unmatched keys, and null columns
+    val rnd = new scala.util.Random(42)
+    for (c <- 1 to 6) {
+      val nl = 1 + rnd.nextInt(40)
+      val nr = rnd.nextInt(40)
+      def nk: java.lang.Long = if (rnd.nextInt(12) == 0) null else (rnd.nextInt(5).toLong: java.lang.Long)
+      def nt: java.lang.Long = if (rnd.nextInt(12) == 0) null else (rnd.nextInt(20).toLong: java.lang.Long)
+      val lRows = (1 to nl).map(i => (nk, nt, i.toLong))
+      val rRows = (1 to nr).map(i => (nk, nt, 100L + i))
+      val got = asof(leftDf(lRows), rightDf(rRows))
+        .select($"lid", $"rt").as[(Long, Option[Long])].collect().toMap
+      // reference: per left row, max right time <= left time on the key
+      val expected = lRows.map { case (k, t, lid) =>
+        lid -> (for {
+          kk <- Option(k); tt <- Option(t)
+          best <- rRows.collect { case (rk, rt, _) if rk == kk && rt != null && rt <= tt => rt.longValue }
+            .reduceOption(_ max _)
+        } yield best)
+      }.toMap
+      assert(got == expected, s"case $c: nl=$nl nr=$nr")
+    }
+  }
+
   test("multi-key as-of join partitions on the full compound key") {
     val left = Seq((1L, 1L, 10L, 1L), (1L, 2L, 10L, 2L), (2L, 1L, 10L, 3L))
       .toDF("k", "k2", "t", "lid")
