@@ -52,6 +52,48 @@ object Sinks {
       .write.mode(mode).parquet(path)
   }
 
+  /** Z-order (Morton) clustered parquet: multi-dimensional locality, so
+    * file-level min/max statistics prune on ANY clustered dimension — a
+    * lexicographic sort ([[rangeClusteredParquet]]) prunes only on its
+    * leading column.
+    *
+    * Per column, rows map to one of 2^bits rank buckets whose boundaries
+    * come from `approxQuantile` (a sampled sketch — driver cost is
+    * 2^bits doubles per column), so skewed columns still spread evenly.
+    * The bucket codes' bits interleave into a single z-value; range
+    * repartition + in-partition sort on it gives each file a compact
+    * hypercube of the key space. The z-value column is computed with plain
+    * arithmetic/bitwise expressions (codegen), never a UDF, and is dropped
+    * before the write.
+    */
+  def zorderClusteredParquet(df: DataFrame, path: String, files: Int,
+      clusterCols: Seq[String], bits: Int = 4,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(clusterCols.size >= 2, "z-order needs >= 2 dims (use rangeClusteredParquet for 1)")
+    require(bits >= 1 && bits * clusterCols.size <= 62, "bits * dims must fit a long")
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val d = clusterCols.size
+    val buckets = clusterCols.map { c =>
+      val cuts = df.stat.approxQuantile(c, probs, 0.001).distinct.sorted
+      // rank bucket = #cuts below the value; a flat sum of comparisons
+      // (codegen-friendly — no nested CASE ladder). Nulls land in bucket 0.
+      cuts.foldLeft(lit(0)) { (acc, cut) =>
+        acc + when(col(c).cast("double") >= lit(cut), 1).otherwise(0)
+      }.cast("long")
+    }
+    val z = (0 until bits).flatMap { i =>
+      buckets.zipWithIndex.map { case (b, dim) =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * d + (d - 1 - dim))
+      }
+    }.reduce(_ + _) // disjoint bit positions: + ≡ OR
+    df.withColumn("__zorder", z)
+      .repartitionByRange(files, col("__zorder"))
+      .sortWithinPartitions(col("__zorder"))
+      .drop("__zorder")
+      .write.mode(mode).parquet(path)
+  }
+
   /** Keyed JSON (S15; ipynb cell 13): `{key: {row...}}` per line. Spark map
     * keys cannot be null — a null key (e.g. from an upstream outer join)
     * renders as the literal "null" key instead of aborting the write. */

@@ -2,7 +2,7 @@ package graft.etl
 
 import graft.SparkSpec
 import java.nio.file.Files
-import org.apache.spark.sql.functions.{max, min}
+import org.apache.spark.sql.functions.{input_file_name, max, min}
 
 /** Static so the transmit closure reaches it from executor threads
   * (local mode shares the JVM — a stand-in for the HTTP endpoint). */
@@ -95,5 +95,31 @@ class SinksSpec extends SparkSpec {
     // every file covers a tight range; consecutive ranges never overlap
     ranges.sliding(2).foreach { case Seq((_, aMax), (bMin, _)) => assert(aMax < bMin) }
     assert(spark.read.parquet(dir).count() == 1000)
+  }
+
+  test("zorderClusteredParquet: range predicates prune files on BOTH dims " +
+      "(lexicographic clustering only prunes the leading one)") {
+    // two independent dimensions: x uniform, y an unrelated permutation
+    val df = spark.range(0, 4000).toDF("x")
+      .select($"x", (($"x" * 37) % 4000).as("y"))
+      .orderBy(($"x" * 13) % 17) // scrambled input order
+    def filesTouched(dir: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).filter(cond)
+        .select(input_file_name()).distinct().count()
+
+    val zDir = Files.createTempDirectory("zorder").toFile.getAbsolutePath
+    Sinks.zorderClusteredParquet(df, zDir, files = 16, clusterCols = Seq("x", "y"))
+    assert(spark.read.parquet(zDir).count() == 4000)
+    // a 10% slab on either dim lands in a fraction of the 16 files
+    val zx = filesTouched(zDir, $"x" >= 0 && $"x" < 400)
+    val zy = filesTouched(zDir, $"y" >= 0 && $"y" < 400)
+    assert(zx <= 8, s"x-slab touched $zx of 16 z-ordered files")
+    assert(zy <= 8, s"y-slab touched $zy of 16 z-ordered files")
+
+    // contrast: lexicographic (x, y) clustering cannot prune on y
+    val rDir = Files.createTempDirectory("lex").toFile.getAbsolutePath
+    Sinks.rangeClusteredParquet(df, rDir, files = 16, clusterCols = Seq("x", "y"))
+    val ry = filesTouched(rDir, $"y" >= 0 && $"y" < 400)
+    assert(ry > zy, s"lexicographic y-slab touched $ry files, z-order $zy")
   }
 }
