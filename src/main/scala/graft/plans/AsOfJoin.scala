@@ -41,7 +41,9 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -54,8 +56,8 @@ case class AsOfJoin(
 /** Planner rule: one physical choice — the co-partitioned merge. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -75,6 +77,8 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    forward: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -84,6 +88,9 @@ case class AsOfJoinExec(
     "as-of join key types must match pairwise")
   require(leftTime.dataType == rightTime.dataType,
     "as-of join time types must match")
+  require(tolerance.isEmpty || AsOfJoinExec.longBacked(leftTime.dataType),
+    s"tolerance needs a long-backed time type, got ${leftTime.dataType}")
+  require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -115,16 +122,43 @@ case class AsOfJoinExec(
     val rOut = right.output
     val (lKeys, rKeys) = (leftKeys, rightKeys)
     val (lTime, rTime) = (leftTime, rightTime)
+    val (fwd, tol) = (forward, tolerance)
     val outAttrs = output
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
         new AsOfMergeIterator(lIter, rIter, lOut, rOut, lKeys, rKeys,
-          lTime, rTime, outAttrs, numOutputRows, numMatchedRows)
+          lTime, rTime, fwd, tol, outAttrs, numOutputRows, numMatchedRows)
     }
   }
 }
 
-/** Per-partition streaming merge. Both inputs sorted by (keys…, time). */
+object AsOfJoinExec {
+  /** Time types whose physical representation is an 8-/4-byte integer —
+    * the ones a long-valued tolerance is meaningful for. */
+  def longBacked(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }
+
+  /** Read a long-backed time value from a single-field row. */
+  def timeLong(row: InternalRow, dt: org.apache.spark.sql.types.DataType): Long = dt match {
+    case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.DateType =>
+      row.getInt(0).toLong
+    case _ => row.getLong(0)
+  }
+}
+
+/** Per-partition streaming merge. Both inputs sorted by (keys…, time).
+  *
+  * Backward: consumed right rows at or before the probe become the buffered
+  * candidate ("latest wins"); tolerance rejects a candidate farther than
+  * `tol` behind the probe — no earlier candidate could be closer, so the
+  * probe is unmatched. Forward: the cursor stops at the first right row at
+  * or after the probe and matches it WITHOUT consuming (later probes may
+  * need the same row); null times sort first and are consumed as
+  * non-matching. */
 private final class AsOfMergeIterator(
     lIter: Iterator[InternalRow],
     rIter: Iterator[InternalRow],
@@ -134,6 +168,8 @@ private final class AsOfMergeIterator(
     rKeys: Seq[Expression],
     lTime: Expression,
     rTime: Expression,
+    forward: Boolean,
+    tolerance: Option[Long],
     outAttrs: Seq[Attribute],
     numOutputRows: SQLMetric,
     numMatchedRows: SQLMetric) extends Iterator[InternalRow] {
@@ -161,10 +197,17 @@ private final class AsOfMergeIterator(
   private var rHas = false
   advanceRight()
 
-  // Current candidate: the best (latest admissible) right row seen for
-  // candidateKey. Copied out of the cursor buffers.
+  // Current candidate (backward only): the best (latest admissible) right
+  // row seen for candidateKey. Copied out of the cursor buffers.
   private var candidate: InternalRow = _
   private var candidateKey: InternalRow = _
+  private var candidateTime: Long = 0L // long-backed value; set iff tolerance defined
+  private val timeType = lTime.dataType
+
+  /** Forward-direction tolerance: right time within `tol` after the probe. */
+  private def withinTolerance(lt: InternalRow, rt: InternalRow): Boolean =
+    tolerance.forall(t => AsOfJoinExec.timeLong(rt, timeType) -
+      AsOfJoinExec.timeLong(lt, timeType) <= t)
 
   private def advanceRight(): Unit = {
     if (rIter.hasNext) {
@@ -185,30 +228,53 @@ private final class AsOfMergeIterator(
     val lTimeR = lTimeProj(lRow)
     var matched: InternalRow = null
     if (!lKey.anyNull && !lTimeR.isNullAt(0)) {
-      // Advance the cursor over every right row at or before (lKey, lTime).
-      var advancing = true
-      while (advancing && rHas) {
-        val c = keyOrd.compare(rKey, lKey)
-        if (c < 0) {
-          advanceRight() // earlier key: can never match a later left row
-        } else if (c == 0) {
-          if (rTimeRow.isNullAt(0)) {
-            advanceRight() // null time never matches
-          } else if (timeOrd.compare(rTimeRow, lTimeR) <= 0) {
-            // Admissible for this (and any later) left row: remember it.
-            // Rows later in sort order overwrite — "latest wins".
-            candidate = rRow.copy()
-            candidateKey = rKey.copy()
+      if (forward) {
+        // Advance to the first right row at or after (lKey, lTime); nulls
+        // and earlier times are non-matches for every later probe too.
+        var advancing = true
+        while (advancing && rHas) {
+          val c = keyOrd.compare(rKey, lKey)
+          if (c < 0 || (c == 0 && (rTimeRow.isNullAt(0) ||
+              timeOrd.compare(rTimeRow, lTimeR) < 0))) {
             advanceRight()
           } else {
-            advancing = false // future right row: stop, keep for later lefts
+            advancing = false
           }
-        } else {
-          advancing = false // right is on a later key
         }
-      }
-      if (candidate != null && keyOrd.compare(candidateKey, lKey) == 0) {
-        matched = candidate
+        if (rHas && keyOrd.compare(rKey, lKey) == 0 &&
+            withinTolerance(lTimeR, rTimeRow)) {
+          matched = rRow // not consumed: the next probe may need it too
+        }
+      } else {
+        // Advance the cursor over every right row at or before (lKey, lTime).
+        var advancing = true
+        while (advancing && rHas) {
+          val c = keyOrd.compare(rKey, lKey)
+          if (c < 0) {
+            advanceRight() // earlier key: can never match a later left row
+          } else if (c == 0) {
+            if (rTimeRow.isNullAt(0)) {
+              advanceRight() // null time never matches
+            } else if (timeOrd.compare(rTimeRow, lTimeR) <= 0) {
+              // Admissible for this (and any later) left row: remember it.
+              // Rows later in sort order overwrite — "latest wins".
+              candidate = rRow.copy()
+              candidateKey = rKey.copy()
+              if (tolerance.isDefined)
+                candidateTime = AsOfJoinExec.timeLong(rTimeRow, timeType)
+              advanceRight()
+            } else {
+              advancing = false // future right row: stop, keep for later lefts
+            }
+          } else {
+            advancing = false // right is on a later key
+          }
+        }
+        if (candidate != null && keyOrd.compare(candidateKey, lKey) == 0 &&
+            tolerance.forall(t =>
+              AsOfJoinExec.timeLong(lTimeR, timeType) - candidateTime <= t)) {
+          matched = candidate
+        }
       }
     }
     numOutputRows += 1
@@ -235,7 +301,23 @@ object AsOfJoinOps {
     */
   def asofBackward(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      tolerance: Option[Long] = None): DataFrame =
+    asof(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      forward = false, tolerance)
+
+  /** Forward as-of: the EARLIEST right row with `rightTime >= leftTime`. */
+  def asofForward(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      tolerance: Option[Long] = None): DataFrame =
+    asof(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      forward = true, tolerance)
+
+  private def asof(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      forward: Boolean, tolerance: Option[Long]): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -248,7 +330,7 @@ object AsOfJoinOps {
           s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
     val node = AsOfJoin(lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime))
+      attr(lPlan, leftTime), attr(rPlan, rightTime), forward, tolerance)
     org.apache.spark.sql.graft.Bridge.ofRows(spark, node)
   }
 
