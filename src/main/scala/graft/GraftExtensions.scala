@@ -30,5 +30,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "rolling_fingerprint(str) takes exactly one argument")
         RollingFingerprint(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[graft.functions.HeavyHitters].getName, "heavy_hitters"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "heavy_hitters(col, capacity) takes two arguments")
+        val cap = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"heavy_hitters capacity must be an int literal, got $other")
+        }
+        // bare AggregateFunction: the analyzer wraps it in AggregateExpression
+        graft.functions.HeavyHitters(children.head, cap)
+      }))
   }
 }

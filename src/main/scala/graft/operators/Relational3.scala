@@ -206,6 +206,25 @@ object Relational3 {
     """SELECT event_type, CAST(SUM(user_id) AS BIGINT) AS sum_uid
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  // Heavy hitters via the native SpaceSaving TypedImperativeAggregate
+  // (A9): the map side ships one capacity-bounded sketch per partition.
+  // capacity 64 ≥ |distinct event_type| → zero eviction → counts exact and
+  // partitioning-independent — which is what lets DuckDB's plain GROUP BY
+  // COUNT be the oracle. The approximate (evicting) regime is spec-gated
+  // instead (HeavyHittersSpec bounds).
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .agg(graft.functions.HeavyHitters($"event_type", 64).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item".as("event_type"), $"e.cnt".as("cnt"))
+      .orderBy(desc("cnt"), $"event_type")
+  }
+  private val q85Sql =
+    """SELECT event_type, COUNT(*) AS cnt FROM events
+      |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -215,5 +234,6 @@ object Relational3 {
     QueryDef("q75_salted_agg", q75, Some(q75Sql)),
     QueryDef("q76_topk_agg", q76, Some(q76Sql)),
     QueryDef("q79_bucketed_range_join", q79, Some(q79Sql)),
+    QueryDef("q85_heavy_hitters", q85, Some(q85Sql)),
   )
 }
