@@ -4,10 +4,11 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -68,6 +69,7 @@ object EavSource {
       case EqualTo(a, v) => row(colIdx(a)) == String.valueOf(v)
       case In(a, vs) => vs.map(String.valueOf).contains(row(colIdx(a)))
       case StringStartsWith(a, p) => row(colIdx(a)).startsWith(p)
+      case IsNotNull(a) => row(colIdx(a)) != null // CSV plane: always true
       case _ => true
     }
   }
@@ -76,8 +78,18 @@ object EavSource {
     case EqualTo(a, _) => schema.fieldNames.contains(a)
     case In(a, _) => schema.fieldNames.contains(a)
     case StringStartsWith(a, _) => schema.fieldNames.contains(a)
+    // Catalyst pairs every pushed equality with an IsNotNull guard; leaving
+    // it residual would veto the residual-sensitive pushes (top-n, aggs)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
     case _ => false
   }
+
+  /** Aggregate shapes the source evaluates per chunk (partial push). */
+  sealed trait EavAgg extends Serializable
+  case object CountStarAgg extends EavAgg
+  final case class CountColAgg(colIdx: Int) extends EavAgg
+  final case class MinColAgg(colIdx: Int) extends EavAgg
+  final case class MaxColAgg(colIdx: Int) extends EavAgg
 }
 
 class EavTable(props: Map[String, String]) extends Table with SupportsRead {
@@ -93,12 +105,16 @@ class EavTable(props: Map[String, String]) extends Table with SupportsRead {
 
 class EavScanBuilder(path: String, chunkSize: Int) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
   private var required: StructType = EavSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
   private var topN: Array[(Int, Boolean)] = Array.empty // (colIdx, ascending)
   private var hadResidual = false
+  private var aggGroupBy: Array[Int] = Array.empty
+  private var aggFuncs: Array[EavSource.EavAgg] = Array.empty
+  private var aggregationPushed = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (p, residual) = filters.partition(EavSource.isPushable)
@@ -114,7 +130,8 @@ class EavScanBuilder(path: String, chunkSize: Int) extends ScanBuilder
     * push is PARTIAL (default `isPartiallyPushed`): readers run in
     * parallel so Spark still applies the global limit on top — same
     * contract as the built-in file sources. */
-  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def pushLimit(l: Int): Boolean =
+    if (aggregationPushed) false else { limit = l; true }
   /** ≙ a server-side `ORDER BY … LIMIT n` in the extraction request: each
     * chunk fetch returns only its top-n rows under the requested order.
     * PARTIAL push (isPartiallyPushed=true): readers run per-chunk, so
@@ -125,7 +142,7 @@ class EavScanBuilder(path: String, chunkSize: Int) extends ScanBuilder
     * filter above a pre-limited fetch could starve the global top-n). */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
-    if (hadResidual) return false
+    if (hadResidual || aggregationPushed) return false
     val cols = orders.map { o =>
       o.expression() match {
         case ref: NamedReference if ref.fieldNames.length == 1 &&
@@ -143,7 +160,44 @@ class EavScanBuilder(path: String, chunkSize: Int) extends ScanBuilder
     else { topN = cols.flatten; limit = n; true }
   }
   override def isPartiallyPushed: Boolean = true
-  override def build(): Scan = new EavScan(path, chunkSize, required, pushed, limit, topN)
+
+  /** ≙ server-side aggregation in the extraction request (the biggest
+    * possible payload reduction: each chunk returns one row per group
+    * instead of its raw rows). PARTIAL push — `supportCompletePushDown`
+    * stays false because chunks aggregate independently, so Spark plans
+    * the cross-chunk final aggregate (sum of counts, min of mins, …) on
+    * top, exactly like the built-in sources' partial aggregate pushdown.
+    * COUNT(*), COUNT(col), MIN(col), MAX(col) on source columns only;
+    * DISTINCT or computed arguments decline the push. Residual filters
+    * can't run above a pre-aggregated fetch, so they decline it too. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (hadResidual || limit >= 0) return false
+    def colIdx(e: V2Expression): Option[Int] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+          EavSource.schema.fieldNames.contains(r.fieldNames.head) =>
+        Some(EavSource.schema.fieldIndex(r.fieldNames.head))
+      case _ => None
+    }
+    val gb = agg.groupByExpressions.toSeq.map(colIdx)
+    if (gb.exists(_.isEmpty)) return false
+    val fs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(EavSource.CountStarAgg: EavSource.EavAgg)
+      case c: Count if !c.isDistinct => colIdx(c.column).map(EavSource.CountColAgg)
+      case m: Min => colIdx(m.column).map(EavSource.MinColAgg)
+      case m: Max => colIdx(m.column).map(EavSource.MaxColAgg)
+      case _ => None
+    }
+    if (fs.exists(_.isEmpty)) return false
+    aggGroupBy = gb.flatten.toArray
+    aggFuncs = fs.flatten.toArray
+    aggregationPushed = true
+    true
+  }
+
+  override def build(): Scan =
+    if (aggregationPushed)
+      new EavAggScan(path, chunkSize, pushed, aggGroupBy, aggFuncs)
+    else new EavScan(path, chunkSize, required, pushed, limit, topN)
 }
 
 final case class EavChunk(recordIds: Array[String]) extends InputPartition
@@ -171,6 +225,98 @@ class EavScan(path: String, chunkSize: Int, required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new EavReaderFactory(path, required, pushed, limit, topN)
+}
+
+/** Scan with a pushed (partial) aggregation: one output row per group per
+  * chunk. readSchema order is the V2 contract: group-by columns first, then
+  * one column per aggregate (counts as BIGINT, min/max as the column type). */
+class EavAggScan(path: String, chunkSize: Int, pushed: Array[Filter],
+    groupBy: Array[Int], aggs: Array[EavSource.EavAgg]) extends Scan with Batch {
+  import EavSource._
+
+  override def readSchema(): StructType = StructType(
+    groupBy.map(i => EavSource.schema.fields(i)).toSeq ++
+      aggs.zipWithIndex.map {
+        case (CountStarAgg, i) => StructField(s"agg_${i}_count_star", LongType, nullable = false)
+        case (CountColAgg(c), i) =>
+          StructField(s"agg_${i}_count_${EavSource.schema.fieldNames(c)}", LongType, nullable = false)
+        case (MinColAgg(c), i) =>
+          StructField(s"agg_${i}_min_${EavSource.schema.fieldNames(c)}", StringType)
+        case (MaxColAgg(c), i) =>
+          StructField(s"agg_${i}_max_${EavSource.schema.fieldNames(c)}", StringType)
+      })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-eav PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      s"PushedAggregation: [${aggs.mkString(", ")}] " +
+      s"GroupBy: [${groupBy.map(EavSource.schema.fieldNames(_)).mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val ids = EavSource.readAllLines(path).map(_(0)).distinct.sorted
+    ids.grouped(chunkSize).map(g => EavChunk(g.toArray): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EavAggReaderFactory(path, pushed, groupBy, aggs)
+}
+
+class EavAggReaderFactory(path: String, pushed: Array[Filter],
+    groupBy: Array[Int], aggs: Array[EavSource.EavAgg]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new EavAggPartitionReader(path, partition.asInstanceOf[EavChunk], pushed, groupBy, aggs)
+}
+
+/** Per-chunk grouped aggregation — the map-side combine running INSIDE the
+  * fetch: the chunk's payload shrinks from its row count to its group
+  * count before anything reaches Spark. */
+class EavAggPartitionReader(path: String, chunk: EavChunk,
+    pushed: Array[Filter], groupBy: Array[Int], aggs: Array[EavSource.EavAgg])
+    extends PartitionReader[InternalRow] {
+  import EavSource._
+
+  private def utf8Lt(a: String, b: String): Boolean =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+
+  private val it: Iterator[InternalRow] = {
+    val idSet = chunk.recordIds.toSet
+    val rows = EavSource.readAllLines(path).iterator
+      .filter(r => idSet.contains(r(0)))
+      .filter(r => pushed.forall(EavSource.matches(r, _)))
+    val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[String], Array[Any]]
+    rows.foreach { r =>
+      val key = groupBy.map(r(_)).toSeq
+      val acc = groups.getOrElseUpdate(key, aggs.map {
+        case CountStarAgg | _: CountColAgg => 0L: Any
+        case _ => null
+      })
+      var i = 0
+      while (i < aggs.length) {
+        aggs(i) match {
+          case CountStarAgg => acc(i) = acc(i).asInstanceOf[Long] + 1L
+          case CountColAgg(_) => acc(i) = acc(i).asInstanceOf[Long] + 1L // CSV strings non-null
+          case MinColAgg(c) =>
+            val v = r(c)
+            if (acc(i) == null || utf8Lt(v, acc(i).asInstanceOf[String])) acc(i) = v
+          case MaxColAgg(c) =>
+            val v = r(c)
+            if (acc(i) == null || utf8Lt(acc(i).asInstanceOf[String], v)) acc(i) = v
+        }
+        i += 1
+      }
+    }
+    groups.iterator.map { case (key, acc) =>
+      InternalRow.fromSeq(
+        key.map(UTF8String.fromString) ++
+          acc.map {
+            case s: String => UTF8String.fromString(s)
+            case other => other
+          })
+    }
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 class EavReaderFactory(path: String, required: StructType,

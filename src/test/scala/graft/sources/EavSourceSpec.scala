@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.SparkSpec
 import java.nio.file.Files
+import org.apache.spark.sql.functions.{count, countDistinct, lit, max, min}
 
 class EavSourceSpec extends SparkSpec {
   import spark.implicits._
@@ -83,6 +84,38 @@ class EavSourceSpec extends SparkSpec {
     assert(!plan.contains("PushedTopN: [record_id"), s"unsafe push in: $plan")
     assert(df.count() == 4)
     assert(df.select("field_name").as[String].collect().forall(_ == "np_dob"))
+  }
+
+  test("aggregate pushdown: per-chunk partial group-by lands in the scan, " +
+      "final aggregate still exact") {
+    val df = read.load().groupBy($"field_name")
+      .agg(count(lit(1)).as("n"), min($"value").as("mn"), max($"value").as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), s"no pushed aggregation in: $plan")
+    val got = df.as[(String, Long, String, String)].collect().toSet
+    // oracle: same CSV through the plain text reader
+    val raw = spark.read.option("header", true).csv(fixture)
+    val exp = raw.groupBy($"field_name")
+      .agg(count(lit(1)).as("n"), min($"value").as("mn"), max($"value").as("mx"))
+      .as[(String, Long, String, String)].collect().toSet
+    assert(got == exp && got.size == 3)
+    // composes with pushed filters (filter applied before the per-chunk agg)
+    val filtered = read.load().filter($"field_name" === "age")
+      .groupBy($"redcap_event_name").agg(count(lit(1)).as("n"))
+    assert(filtered.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(filtered.as[(String, Long)].collect().toSeq == Seq(("screening_arm_1", 250L)))
+  }
+
+  test("aggregate pushdown declines: distinct counts and residual filters") {
+    val distinctAgg = read.load().groupBy($"field_name")
+      .agg(countDistinct($"record_id").as("n"))
+    assert(!distinctAgg.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(distinctAgg.as[(String, Long)].collect().toMap ==
+      Map("age" -> 250L, "np_dob" -> 250L, "visit_date" -> 250L))
+    val residual = read.load().filter($"value".contains("1990"))
+      .groupBy($"field_name").agg(count(lit(1)).as("n"))
+    assert(!residual.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(residual.as[(String, Long)].collect().toMap == Map("np_dob" -> 250L))
   }
 
   test("feeds the ETL pipeline end-to-end") {
