@@ -96,14 +96,15 @@ class EavTable(props: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"graft-eav(${props.getOrElse("path", "?")})"
   override def schema(): StructType = EavSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EavScanBuilder(
       options.get("path"),
-      Option(options.get("chunk_size")).map(_.toInt).getOrElse(100))
+      Option(options.get("chunk_size")).map(_.toInt).getOrElse(100),
+      Option(options.get("max_chunks_per_trigger")).map(_.toInt).getOrElse(-1))
 }
 
-class EavScanBuilder(path: String, chunkSize: Int) extends ScanBuilder
+class EavScanBuilder(path: String, chunkSize: Int, maxChunksPerTrigger: Int = -1) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownAggregates {
@@ -197,16 +198,20 @@ class EavScanBuilder(path: String, chunkSize: Int) extends ScanBuilder
   override def build(): Scan =
     if (aggregationPushed)
       new EavAggScan(path, chunkSize, pushed, aggGroupBy, aggFuncs)
-    else new EavScan(path, chunkSize, required, pushed, limit, topN)
+    else new EavScan(path, chunkSize, required, pushed, limit, topN, maxChunksPerTrigger)
 }
 
 final case class EavChunk(recordIds: Array[String]) extends InputPartition
 
 class EavScan(path: String, chunkSize: Int, required: StructType,
     pushed: Array[Filter], limit: Int = -1,
-    topN: Array[(Int, Boolean)] = Array.empty) extends Scan with Batch {
+    topN: Array[(Int, Boolean)] = Array.empty,
+    maxChunksPerTrigger: Int = -1) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EavMicroBatchStream(path, chunkSize, required, pushed, maxChunksPerTrigger)
   override def description(): String =
     s"graft-eav PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"PushedLimit: ${if (limit >= 0) limit else "none"}, " +
@@ -225,6 +230,74 @@ class EavScan(path: String, chunkSize: Int, required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new EavReaderFactory(path, required, pushed, limit, topN)
+}
+
+/** Stream position: number of record-id chunks fully processed. */
+final case class EavOffset(chunks: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = chunks.toString
+}
+
+/** Micro-batch face of the connector: the reference's chunked extraction
+  * loop (redcap-etl.py:99-128) as a Structured Streaming source. The
+  * offset is "record-id chunks processed"; each trigger extracts the next
+  * span of chunks, so an ETL run becomes an incremental, checkpointed,
+  * resumable stream instead of one monolithic batch — and a GROWING id
+  * universe (new participants appended) is picked up by later triggers.
+  *
+  * Offset-stability contract (the Kafka-style invariant): the id universe
+  * must grow append-only in chunk order — ids that would sort into
+  * already-processed chunks are NOT re-extracted (same as any offset-based
+  * source; a late-arriving historical id is a reprocessing event, handled
+  * upstream). `max_chunks_per_trigger` rate-limits via admission control —
+  * restart-safe because the limited latestOffset is computed from the
+  * checkpointed start offset, not connector state. */
+class EavMicroBatchStream(path: String, chunkSize: Int, required: StructType,
+    pushed: Array[Filter], maxChunksPerTrigger: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
+
+  private def allChunks(): Array[EavChunk] = {
+    val ids = EavSource.readAllLines(path).map(_(0)).distinct.sorted
+    ids.grouped(chunkSize).map(g => EavChunk(g.toArray)).toArray
+  }
+
+  override def initialOffset(): V2Offset = EavOffset(0L)
+  override def deserializeOffset(json: String): V2Offset = EavOffset(json.toLong)
+  override def commit(end: V2Offset): Unit = () // no source-side bookkeeping
+
+  override def getDefaultReadLimit: ReadLimit =
+    // interpreted as CHUNKS by this source (the Kafka pattern: rate-limit
+    // options are source-defined and resolved in latestOffset)
+    if (maxChunksPerTrigger > 0) ReadLimit.maxRows(maxChunksPerTrigger.toLong)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(): V2Offset =
+    throw new UnsupportedOperationException(
+      "admission-control source: use latestOffset(start, limit)")
+
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val total = allChunks().length.toLong
+    val s = start.asInstanceOf[EavOffset].chunks
+    val cap = limit match {
+      case _ if maxChunksPerTrigger > 0 => math.min(total, s + maxChunksPerTrigger)
+      case _ => total
+    }
+    EavOffset(math.max(s, cap))
+  }
+
+  override def planInputPartitions(start: V2Offset, end: V2Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EavOffset].chunks.toInt
+    val e = end.asInstanceOf[EavOffset].chunks.toInt
+    if (e <= s) Array.empty
+    else allChunks().slice(s, e).map(c => c: InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EavReaderFactory(path, required, pushed)
+
+  override def stop(): Unit = ()
 }
 
 /** Scan with a pushed (partial) aggregation: one output row per group per
