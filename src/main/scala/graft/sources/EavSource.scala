@@ -84,6 +84,17 @@ object EavSource {
     case _ => false
   }
 
+  /** Content-keyed Bernoulli sample membership: uniform in [0,1) from a
+    * hash of the whole row (+ seed), so the kept set is a pure function of
+    * content — stable under retries/repartitioning (see ops/Sampling). */
+  private[sources] def sampleKeep(row: Array[String],
+      lo: Double, hi: Double, seed: Long): Boolean = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(
+      row.mkString(""), seed.toInt)
+    val u = (h & 0x7fffffff).toDouble / (Int.MaxValue.toDouble + 1)
+    u >= lo && u < hi
+  }
+
   /** Aggregate shapes the source evaluates per chunk (partial push). */
   sealed trait EavAgg extends Serializable
   case object CountStarAgg extends EavAgg
@@ -107,7 +118,7 @@ class EavTable(props: Map[String, String]) extends Table with SupportsRead {
 class EavScanBuilder(path: String, chunkSize: Int, maxChunksPerTrigger: Int = -1) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownTableSample {
   private var required: StructType = EavSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
@@ -116,6 +127,7 @@ class EavScanBuilder(path: String, chunkSize: Int, maxChunksPerTrigger: Int = -1
   private var aggGroupBy: Array[Int] = Array.empty
   private var aggFuncs: Array[EavSource.EavAgg] = Array.empty
   private var aggregationPushed = false
+  private var sample: Option[(Double, Double, Long)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (p, residual) = filters.partition(EavSource.isPushable)
@@ -162,6 +174,19 @@ class EavScanBuilder(path: String, chunkSize: Int, maxChunksPerTrigger: Int = -1
   }
   override def isPartiallyPushed: Boolean = true
 
+  /** ≙ server-side sampling in the extraction request. The push replaces
+    * Spark's `Sample` operator entirely, so the source's sampling defines
+    * the semantics: CONTENT-KEYED (hash of the full row in [0,1)) rather
+    * than rand(seed) — deterministic under retries, repartitioning, and
+    * re-extraction, the same exactly-once rationale as `ops/Sampling`.
+    * Bernoulli only; with-replacement sampling declines. */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    if (withReplacement) return false
+    sample = Some((lowerBound, upperBound, seed))
+    true
+  }
+
   /** ≙ server-side aggregation in the extraction request (the biggest
     * possible payload reduction: each chunk returns one row per group
     * instead of its raw rows). PARTIAL push — `supportCompletePushDown`
@@ -197,8 +222,9 @@ class EavScanBuilder(path: String, chunkSize: Int, maxChunksPerTrigger: Int = -1
 
   override def build(): Scan =
     if (aggregationPushed)
-      new EavAggScan(path, chunkSize, pushed, aggGroupBy, aggFuncs)
-    else new EavScan(path, chunkSize, required, pushed, limit, topN, maxChunksPerTrigger)
+      new EavAggScan(path, chunkSize, pushed, aggGroupBy, aggFuncs, sample)
+    else new EavScan(path, chunkSize, required, pushed, limit, topN,
+      maxChunksPerTrigger, sample)
 }
 
 final case class EavChunk(recordIds: Array[String]) extends InputPartition
@@ -206,7 +232,8 @@ final case class EavChunk(recordIds: Array[String]) extends InputPartition
 class EavScan(path: String, chunkSize: Int, required: StructType,
     pushed: Array[Filter], limit: Int = -1,
     topN: Array[(Int, Boolean)] = Array.empty,
-    maxChunksPerTrigger: Int = -1) extends Scan with Batch {
+    maxChunksPerTrigger: Int = -1,
+    sample: Option[(Double, Double, Long)] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -219,6 +246,7 @@ class EavScan(path: String, chunkSize: Int, required: StructType,
         topN.map { case (i, asc) =>
           s"${EavSource.schema.fieldNames(i)} ${if (asc) "ASC" else "DESC"}"
         }.mkString("[", ", ", s"] LIMIT $limit") else "none"}, " +
+      s"PushedSample: ${sample.map { case (lo, hi, _) => s"[$lo, $hi)" }.getOrElse("none")}, " +
       s"ReadSchema: ${required.catalogString}"
 
   /** The id-universe scan (≙ `get_study_ids`, redcap-etl.py:137-161): a
@@ -229,7 +257,7 @@ class EavScan(path: String, chunkSize: Int, required: StructType,
     ids.grouped(chunkSize).map(g => EavChunk(g.toArray): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new EavReaderFactory(path, required, pushed, limit, topN)
+    new EavReaderFactory(path, required, pushed, limit, topN, sample)
 }
 
 /** Stream position: number of record-id chunks fully processed. */
@@ -304,7 +332,8 @@ class EavMicroBatchStream(path: String, chunkSize: Int, required: StructType,
   * chunk. readSchema order is the V2 contract: group-by columns first, then
   * one column per aggregate (counts as BIGINT, min/max as the column type). */
 class EavAggScan(path: String, chunkSize: Int, pushed: Array[Filter],
-    groupBy: Array[Int], aggs: Array[EavSource.EavAgg]) extends Scan with Batch {
+    groupBy: Array[Int], aggs: Array[EavSource.EavAgg],
+    sample: Option[(Double, Double, Long)] = None) extends Scan with Batch {
   import EavSource._
 
   override def readSchema(): StructType = StructType(
@@ -329,20 +358,23 @@ class EavAggScan(path: String, chunkSize: Int, pushed: Array[Filter],
     ids.grouped(chunkSize).map(g => EavChunk(g.toArray): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new EavAggReaderFactory(path, pushed, groupBy, aggs)
+    new EavAggReaderFactory(path, pushed, groupBy, aggs, sample)
 }
 
 class EavAggReaderFactory(path: String, pushed: Array[Filter],
-    groupBy: Array[Int], aggs: Array[EavSource.EavAgg]) extends PartitionReaderFactory {
+    groupBy: Array[Int], aggs: Array[EavSource.EavAgg],
+    sample: Option[(Double, Double, Long)] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new EavAggPartitionReader(path, partition.asInstanceOf[EavChunk], pushed, groupBy, aggs)
+    new EavAggPartitionReader(path, partition.asInstanceOf[EavChunk], pushed,
+      groupBy, aggs, sample)
 }
 
 /** Per-chunk grouped aggregation — the map-side combine running INSIDE the
   * fetch: the chunk's payload shrinks from its row count to its group
   * count before anything reaches Spark. */
 class EavAggPartitionReader(path: String, chunk: EavChunk,
-    pushed: Array[Filter], groupBy: Array[Int], aggs: Array[EavSource.EavAgg])
+    pushed: Array[Filter], groupBy: Array[Int], aggs: Array[EavSource.EavAgg],
+    sample: Option[(Double, Double, Long)] = None)
     extends PartitionReader[InternalRow] {
   import EavSource._
 
@@ -354,6 +386,8 @@ class EavAggPartitionReader(path: String, chunk: EavChunk,
     val rows = EavSource.readAllLines(path).iterator
       .filter(r => idSet.contains(r(0)))
       .filter(r => pushed.forall(EavSource.matches(r, _)))
+      .filter(r => sample.forall { case (lo, hi, seed) =>
+        EavSource.sampleKeep(r, lo, hi, seed) })
     val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[String], Array[Any]]
     rows.foreach { r =>
       val key = groupBy.map(r(_)).toSeq
@@ -394,15 +428,17 @@ class EavAggPartitionReader(path: String, chunk: EavChunk,
 
 class EavReaderFactory(path: String, required: StructType,
     pushed: Array[Filter], limit: Int = -1,
-    topN: Array[(Int, Boolean)] = Array.empty) extends PartitionReaderFactory {
+    topN: Array[(Int, Boolean)] = Array.empty,
+    sample: Option[(Double, Double, Long)] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new EavPartitionReader(path, partition.asInstanceOf[EavChunk], required,
-      pushed, limit, topN)
+      pushed, limit, topN, sample)
 }
 
 class EavPartitionReader(path: String, chunk: EavChunk,
     required: StructType, pushed: Array[Filter],
-    limit: Int = -1, topN: Array[(Int, Boolean)] = Array.empty)
+    limit: Int = -1, topN: Array[(Int, Boolean)] = Array.empty,
+    sample: Option[(Double, Double, Long)] = None)
     extends PartitionReader[InternalRow] {
 
   /** ≙ one REST POST for this chunk's ids with fields= and filterLogic=
@@ -412,6 +448,8 @@ class EavPartitionReader(path: String, chunk: EavChunk,
     val rows = EavSource.readAllLines(path).iterator
       .filter(r => idSet.contains(r(0)))
       .filter(r => pushed.forall(EavSource.matches(r, _)))
+      .filter(r => sample.forall { case (lo, hi, seed) =>
+        EavSource.sampleKeep(r, lo, hi, seed) })
     if (topN.nonEmpty) {
       // per-chunk ORDER BY … LIMIT under Spark's own binary string order
       // (UTF8String), so the partial top-n is an exact superset of the

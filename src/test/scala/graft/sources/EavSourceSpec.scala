@@ -118,6 +118,27 @@ class EavSourceSpec extends SparkSpec {
     assert(residual.as[(String, Long)].collect().toMap == Map("np_dob" -> 250L))
   }
 
+  test("table-sample pushdown: Sample evaluated inside the fetch, " +
+      "deterministic, roughly proportional") {
+    val df = read.load().sample(0.3, seed = 17)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedSample: [0.0, 0.3)"), s"no pushed sample in: $plan")
+    assert(!plan.contains("Sample "), s"Sample operator survived the push: $plan")
+    val n1 = df.count()
+    assert(n1 > 750 * 0.15 && n1 < 750 * 0.45, s"got $n1 of 750")
+    // content-keyed: identical result on every run, any plan shape
+    assert(read.load().sample(0.3, seed = 17).count() == n1)
+    val rows1 = df.collect().map(_.toSeq).toSet
+    assert(read.load().sample(0.3, seed = 17).collect().map(_.toSeq).toSet == rows1)
+    // sample-below-filter composes (the rule pushes a Sample only when the
+    // scan is its direct child); the filter stays above, results correct
+    val filtered = read.load().sample(0.5, seed = 3).filter($"field_name" === "age")
+    val fPlan = filtered.queryExecution.executedPlan.toString
+    assert(fPlan.contains("PushedSample: [0.0, 0.5)"), fPlan)
+    val vals = filtered.select("field_name").as[String].collect()
+    assert(vals.nonEmpty && vals.forall(_ == "age"))
+  }
+
   test("micro-batch stream: chunked extraction over triggers with admission " +
       "control; appended ids picked up incrementally") {
     // private copy of the fixture so appends don't disturb other tests
