@@ -84,6 +84,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q83: custom as-of merge — each side shuffles once, filters pushed, no BNLJ") {
+    val p = planOf("q83_asof_custom")
+    assert(p.contains("AsOfJoin"), p.take(500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Window"))
+    // event_type filters reach both parquet scans
+    assert("PushedFilters: \\[[^\\]]*event_type".r.findAllIn(p).size >= 2, p.take(900))
+  }
+
+  test("q84: snapshot diff shuffles hashes, not text") {
+    val p = planOf("q84_corpus_diff")
+    assert(p.contains("xxhash64"))
+    assert(p.contains("FullOuter"))
+  }
+
+  test("q85: heavy hitters plans as partial+final ObjectHashAggregate") {
+    val p = planOf("q85_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.contains("partial_heavy_hitters") || p.contains("heavy_hitters"))
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
