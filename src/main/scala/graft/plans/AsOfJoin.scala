@@ -43,7 +43,8 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     forward: Boolean = false,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    broadcastRight: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -53,11 +54,15 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner rule: one physical choice — the co-partitioned merge. */
+/** Planner rule: the co-partitioned merge, or — when the caller marked the
+  * right side broadcast-small — the zero-shuffle broadcast probe. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, fwd, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, fwd, tol, bcast) =>
+      if (bcast)
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -129,6 +134,117 @@ case class AsOfJoinExec(
         new AsOfMergeIterator(lIter, rIter, lOut, rOut, lKeys, rKeys,
           lTime, rTime, fwd, tol, outAttrs, numOutputRows, numMatchedRows)
     }
+  }
+}
+
+/** Zero-shuffle as-of: the right side (a dimension history — SCD state,
+  * config timeline, rate table) is collected, per-key time-sorted, and
+  * broadcast; the left side streams through a narrow binary-search probe
+  * with its existing partitioning untouched. The as-of analogue of
+  * BroadcastHashJoin: at 100 TB this is the difference between shuffling
+  * the fact table on the key and not touching it at all. Caller asserts
+  * the right side is control-plane small (same contract as broadcast()). */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    forward: Boolean,
+    tolerance: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  require(tolerance.isEmpty || AsOfJoinExec.longBacked(leftTime.dataType),
+    s"tolerance needs a long-backed time type, got ${leftTime.dataType}")
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "buildRows" -> SQLMetrics.createMetric(sparkContext, "broadcast build rows"))
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val buildRows = longMetric("buildRows")
+    val rOut = right.output
+    val lOut = left.output
+    val (lKeys, rKeys) = (leftKeys, rightKeys)
+    val (lTime, rTime) = (leftTime, rightTime)
+    val (fwd, tol) = (forward, tolerance)
+    val timeType = leftTime.dataType
+    val outAttrs = output
+
+    // Build on the driver: key -> time-ascending rows. executeCollect
+    // returns materialized copies, safe to retain and broadcast.
+    val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+    val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+    val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(rTime.dataType))
+    val grouped = scala.collection.mutable.HashMap
+      .empty[InternalRow, scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]]
+    right.executeCollect().foreach { row =>
+      val k = rKeyProj(row)
+      val t = rTimeProj(row)
+      if (!k.anyNull && !t.isNullAt(0)) {
+        buildRows += 1
+        grouped.getOrElseUpdate(k.copy(),
+          scala.collection.mutable.ArrayBuffer.empty) += ((t.copy(), row))
+      }
+    }
+    val built: Map[InternalRow, Array[(InternalRow, InternalRow)]] =
+      grouped.view.mapValues(_.sortBy(_._1)(timeOrd: Ordering[InternalRow]).toArray).toMap
+    val bc = sparkContext.broadcast(built)
+
+    left.execute().mapPartitions({ lIter =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      val probeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val lookup = bc.value
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTimeR = lTimeProj(lRow)
+        var matched: InternalRow = null
+        if (!lKey.anyNull && !lTimeR.isNullAt(0)) {
+          lookup.get(lKey).foreach { arr =>
+            // binary search: last index with time <= probe (backward) /
+            // first with time >= probe (forward)
+            var lo = 0; var hi = arr.length - 1; var found = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              val c = probeOrd.compare(arr(mid)._1, lTimeR)
+              if (if (fwd) c >= 0 else c <= 0) {
+                found = mid
+                if (fwd) hi = mid - 1 else lo = mid + 1
+              } else {
+                if (fwd) lo = mid + 1 else hi = mid - 1
+              }
+            }
+            if (found >= 0) {
+              // backward converges to the LAST admissible index, forward to
+              // the FIRST — matching the merge exec's tie behavior exactly
+              val ok = tol.forall { t =>
+                val lt = AsOfJoinExec.timeLong(lTimeR, timeType)
+                val rt = AsOfJoinExec.timeLong(arr(found)._1, timeType)
+                (if (fwd) rt - lt else lt - rt) <= t
+              }
+              if (ok) matched = arr(found)._2
+            }
+          }
+        }
+        numOutputRows += 1
+        if (matched != null) resultProj(joined(lRow, matched))
+        else resultProj(joined(lRow, nullRight))
+      }
+    }, preservesPartitioning = true)
   }
 }
 
@@ -302,22 +418,25 @@ object AsOfJoinOps {
   def asofBackward(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
-      tolerance: Option[Long] = None): DataFrame =
+      tolerance: Option[Long] = None,
+      broadcastRight: Boolean = false): DataFrame =
     asof(left, right, leftKeys, rightKeys, leftTime, rightTime,
-      forward = false, tolerance)
+      forward = false, tolerance, broadcastRight)
 
   /** Forward as-of: the EARLIEST right row with `rightTime >= leftTime`. */
   def asofForward(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
-      tolerance: Option[Long] = None): DataFrame =
+      tolerance: Option[Long] = None,
+      broadcastRight: Boolean = false): DataFrame =
     asof(left, right, leftKeys, rightKeys, leftTime, rightTime,
-      forward = true, tolerance)
+      forward = true, tolerance, broadcastRight)
 
   private def asof(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
-      forward: Boolean, tolerance: Option[Long]): DataFrame = {
+      forward: Boolean, tolerance: Option[Long],
+      broadcastRight: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -330,7 +449,8 @@ object AsOfJoinOps {
           s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
     val node = AsOfJoin(lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), forward, tolerance)
+      attr(lPlan, leftTime), attr(rPlan, rightTime), forward, tolerance,
+      broadcastRight)
     org.apache.spark.sql.graft.Bridge.ofRows(spark, node)
   }
 

@@ -171,6 +171,45 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("broadcast as-of: zero-shuffle plan, results ≡ co-partitioned merge") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"event_id", $"ts_us")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id".as("s_uid"), $"ts_us".as("s_ts"))
+    val bcast = AsOfJoinOps.asofBackward(errors, signups,
+      Seq("user_id"), Seq("s_uid"), "ts_us", "s_ts", broadcastRight = true)
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), plan.take(600))
+    assert(!plan.contains("Exchange"), s"broadcast path must not shuffle: ${plan.take(900)}")
+    val shuffled = AsOfJoinOps.asofBackward(errors, signups,
+      Seq("user_id"), Seq("s_uid"), "ts_us", "s_ts")
+    val a = bcast.select($"user_id", $"event_id", $"s_ts")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val b = shuffled.select($"user_id", $"event_id", $"s_ts")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("property: broadcast path ≡ merge path, both directions with tolerance") {
+    val rnd = new scala.util.Random(99)
+    for (c <- 1 to 4; fwd <- Seq(false, true)) {
+      val nl = 1 + rnd.nextInt(30)
+      val nr = rnd.nextInt(30)
+      def nk: java.lang.Long = if (rnd.nextInt(12) == 0) null else (rnd.nextInt(4).toLong: java.lang.Long)
+      def nt: java.lang.Long = if (rnd.nextInt(12) == 0) null else (rnd.nextInt(15).toLong: java.lang.Long)
+      val l = leftDf((1 to nl).map(i => (nk, nt, i.toLong)))
+      val r = rightDf((1 to nr).map(i => (nk, nt, 100L + i)))
+      val tol = if (rnd.nextBoolean()) Some(rnd.nextInt(5).toLong) else None
+      def run(bcast: Boolean) = (if (fwd)
+          AsOfJoinOps.asofForward(l, r, Seq("k"), Seq("rk"), "t", "rt", tol, bcast)
+        else AsOfJoinOps.asofBackward(l, r, Seq("k"), Seq("rk"), "t", "rt", tol, bcast))
+        .select($"lid", $"rt").as[(Long, Option[Long])].collect().toMap
+      assert(run(true) == run(false), s"case $c fwd=$fwd tol=$tol")
+    }
+  }
+
   test("multi-key as-of join partitions on the full compound key") {
     val left = Seq((1L, 1L, 10L, 1L), (1L, 2L, 10L, 2L), (2L, 1L, 10L, 3L))
       .toDF("k", "k2", "t", "lid")
