@@ -257,7 +257,7 @@ class EavScan(path: String, chunkSize: Int, required: StructType,
     ids.grouped(chunkSize).map(g => EavChunk(g.toArray): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new EavReaderFactory(path, required, pushed, limit, topN, sample)
+    new EavReaderFactory(path, required, pushed, limit, topN, sample, columnar = true)
 }
 
 /** Stream position: number of record-id chunks fully processed. */
@@ -429,10 +429,67 @@ class EavAggPartitionReader(path: String, chunk: EavChunk,
 class EavReaderFactory(path: String, required: StructType,
     pushed: Array[Filter], limit: Int = -1,
     topN: Array[(Int, Boolean)] = Array.empty,
-    sample: Option[(Double, Double, Long)] = None) extends PartitionReaderFactory {
+    sample: Option[(Double, Double, Long)] = None,
+    columnar: Boolean = false) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new EavPartitionReader(path, partition.asInstanceOf[EavChunk], required,
       pushed, limit, topN, sample)
+
+  /** Vectorized path for plain scans (filters/sample/pruning still apply
+    * inside the fetch). Limit/top-n scans stay row-based — their early
+    * termination doesn't batch well — as does the streaming face. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && topN.isEmpty && limit < 0
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new EavColumnarPartitionReader(path, partition.asInstanceOf[EavChunk],
+      required, pushed, sample)
+}
+
+/** Batched reader: rows decode straight into OnHeapColumnVectors, 4096 per
+  * ColumnarBatch — the scan feeds Spark's columnar pipeline and reaches
+  * rows through one codegen'd ColumnarToRow, like the built-in parquet
+  * vectorized reader (visible as ColumnarToRow in the plan). */
+class EavColumnarPartitionReader(path: String, chunk: EavChunk,
+    required: StructType, pushed: Array[Filter],
+    sample: Option[(Double, Double, Long)])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  private val capacity = 4096
+  private val requiredIdx = required.fieldNames.map(EavSource.schema.fieldIndex)
+  private val rows: Iterator[Array[String]] = {
+    val idSet = chunk.recordIds.toSet
+    EavSource.readAllLines(path).iterator
+      .filter(r => idSet.contains(r(0)))
+      .filter(r => pushed.forall(EavSource.matches(r, _)))
+      .filter(r => sample.forall { case (lo, hi, seed) =>
+        EavSource.sampleKeep(r, lo, hi, seed) })
+  }
+  private val vectors = OnHeapColumnVector.allocateColumns(capacity, required)
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+
+  override def next(): Boolean = {
+    if (!rows.hasNext) return false
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < capacity && rows.hasNext) {
+      val r = rows.next()
+      var c = 0
+      while (c < requiredIdx.length) {
+        val bytes = r(requiredIdx(c)).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        vectors(c).putByteArray(n, bytes, 0, bytes.length)
+        c += 1
+      }
+      n += 1
+    }
+    batch.setNumRows(n)
+    true
+  }
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = batch.close()
 }
 
 class EavPartitionReader(path: String, chunk: EavChunk,

@@ -118,6 +118,26 @@ class EavSourceSpec extends SparkSpec {
     assert(residual.as[(String, Long)].collect().toMap == Map("np_dob" -> 250L))
   }
 
+  test("columnar read path: plain scans vectorize (ColumnarToRow in plan), " +
+      "values identical to the row reader") {
+    val df = read.load()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"scan not vectorized: ${plan.take(600)}")
+    assert(df.count() == 750)
+    // values identical to the plain CSV reader (same column set + content)
+    // (csv reads blank as null; the EAV plane carries empty strings)
+    val viaCsv = spark.read.option("header", true).csv(fixture)
+      .na.fill("").collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == viaCsv)
+    // filter + pruning still vectorized; limit/top-n fall back to rows
+    val filtered = read.load().filter($"field_name" === "age").select("record_id", "value")
+    assert(filtered.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(filtered.count() == 250)
+    val limited = read.load().limit(7)
+    assert(!limited.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(limited.count() == 7)
+  }
+
   test("table-sample pushdown: Sample evaluated inside the fetch, " +
       "deterministic, roughly proportional") {
     val df = read.load().sample(0.3, seed = 17)
