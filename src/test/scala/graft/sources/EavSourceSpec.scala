@@ -211,6 +211,35 @@ class EavSourceSpec extends SparkSpec {
       .as[String].collect().forall(_ == "age"))
   }
 
+  test("runtime filtering: selective broadcast join prunes whole chunk " +
+      "fetches at execution (DSv2 dynamic pruning)") {
+    // cohort table on disk so the selective predicate survives as a Filter
+    // node (a LocalRelation would constant-fold it away and DPP needs a
+    // visible selective filter on the build side)
+    val dimDir = Files.createTempDirectory("eavdim").resolve("cohort").toString
+    (1 to 250).map(r => (s"r$r", if (r <= 3) "keep" else "drop"))
+      .toDF("record_id", "cohort").write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"cohort" === "keep")
+
+    val fact = read.load() // 250 ids / 100-id chunks = 3 chunks
+    val joined = fact.join(dim, "record_id")
+    EavSource.chunkFetches.set(0L)
+    val rows = joined.collect()
+    assert(rows.length == 9, s"expected 3 ids x 3 rows, got ${rows.length}")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [") && !plan.contains("RuntimeFilters: []"),
+      s"no runtime filter on the scan: ${plan.take(800)}")
+    // r1,r2,r3 all sort into the first id chunk -> 1 fetch instead of 3:
+    // at scale, 2 of 3 REST requests were never issued
+    assert(EavSource.chunkFetches.get() == 1L,
+      s"expected 1 chunk fetch, got ${EavSource.chunkFetches.get()}")
+
+    // without a runtime-filterable join, all 3 chunks fetch
+    EavSource.chunkFetches.set(0L)
+    assert(fact.count() == 750)
+    assert(EavSource.chunkFetches.get() == 3L)
+  }
+
   test("feeds the ETL pipeline end-to-end") {
     val fm = Seq(("age", "Include", null.asInstanceOf[String]),
       ("visit_date", "TransformDate", null.asInstanceOf[String]),
