@@ -225,6 +225,97 @@ object Relational3 {
     """SELECT event_type, COUNT(*) AS cnt FROM events
       |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  // SCD Type 2 history build (ops/Temporal.scd2): the events feed as a
+  // change log of each user's state (event_type), collapsed to versions
+  // with effective-dated validity. One shuffle on user_id, two window
+  // passes over the same sort — no joins. The oracle replays the
+  // collapse + lead() in DuckDB.
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
+    graft.ops.Temporal.scd2(ev, $"user_id", $"ts_us", $"event_id", $"event_type")
+      .select($"user_id", $"version", $"event_type".as("state"),
+        $"valid_from", $"valid_to", $"is_current")
+      .orderBy($"user_id", $"version")
+  }
+  private val q86Sql =
+    """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      |           FROM events),
+      |w AS (SELECT *, lag(ts_us) OVER ue AS pts, lag(event_type) OVER ue AS pst
+      |      FROM c WINDOW ue AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |ch AS (SELECT user_id, event_id, ts_us, event_type FROM w
+      |       WHERE pts IS NULL OR event_type IS DISTINCT FROM pst)
+      |SELECT user_id, row_number() OVER ue AS version, event_type AS state,
+      |  ts_us AS valid_from, lead(ts_us) OVER ue AS valid_to,
+      |  lead(ts_us) OVER ue IS NULL AS is_current
+      |FROM ch WINDOW ue AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  // ---------------------------------------------------------------- q87
+  // CDC changelog compaction (ops/Temporal.cdcCompact): events mapped to an
+  // insert/update/delete log per user; latest op wins, deletes drop the
+  // key. One shuffle + one window pass — the lakehouse "apply changes"
+  // operator (the reference's full re-extraction is the degenerate form).
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val log = Tables.events(s, d).select(
+      $"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"value",
+      when($"event_type" === "error", "D")
+        .when($"event_type" === "signup", "I").otherwise("U").as("op"))
+    graft.ops.Temporal.cdcCompact(log, $"user_id", $"ts_us", $"event_id", $"op", "D")
+      .select($"user_id", $"op".as("last_op"), $"ts_us".as("last_ts_us"),
+        $"value".as("last_value"))
+      .orderBy($"user_id")
+  }
+  private val q87Sql =
+    """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+      |    CASE WHEN event_type = 'error' THEN 'D'
+      |         WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op
+      |  FROM events),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+      |      FROM c)
+      |SELECT user_id, op AS last_op, ts_us AS last_ts_us, value AS last_value
+      |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  // Attribution (as-of with tolerance, through the custom operator): each
+  // purchase attributes to the user's most recent click within the
+  // preceding 30 minutes. Gates AsOfJoinExec's tolerance path under the
+  // DuckDB oracle (q83 gates the plain backward probe); the oracle is the
+  // running-max-click window with the tolerance applied as a bound.
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts_us")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_uid"), $"ts_us".as("c_ts"))
+    graft.plans.AsOfJoinOps.asofBackward(
+        purchases, clicks, Seq("user_id"), Seq("c_uid"), "ts_us", "c_ts",
+        tolerance = Some(30L * 60 * 1000000))
+      .select($"user_id", $"event_id", $"c_ts".as("click_ts_us"))
+      .orderBy($"user_id", $"event_id")
+  }
+  private val q88Sql =
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      |            FROM events),
+      |u AS (SELECT user_id, event_id, ts_us, event_type,
+      |        max(CASE WHEN event_type = 'click' THEN ts_us END) OVER (
+      |          PARTITION BY user_id
+      |          ORDER BY ts_us, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+      |                   event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+      |      FROM ev)
+      |SELECT user_id, event_id,
+      |  CASE WHEN last_click >= ts_us - 1800000000 THEN last_click END
+      |    AS click_ts_us
+      |FROM u WHERE event_type = 'purchase'
+      |ORDER BY user_id, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -235,5 +326,8 @@ object Relational3 {
     QueryDef("q76_topk_agg", q76, Some(q76Sql)),
     QueryDef("q79_bucketed_range_join", q79, Some(q79Sql)),
     QueryDef("q85_heavy_hitters", q85, Some(q85Sql)),
+    QueryDef("q86_scd2_history", q86, Some(q86Sql)),
+    QueryDef("q87_cdc_apply", q87, Some(q87Sql)),
+    QueryDef("q88_attribution", q88, Some(q88Sql)),
   )
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def history(rows: (String, Long, Long, String)*) = {
+    val df = rows.toDF("k", "ts", "tie", "v")
+    Temporal.scd2(df, col("k"), col("ts"), col("tie"), col("v"))
+      .select("k", "version", "v", "valid_from", "valid_to", "is_current")
+      .as[(String, Int, String, Long, Option[Long], Boolean)]
+      .collect().toList.sortBy(r => (r._1, r._2))
+  }
+
+  test("scd2: consecutive no-op observations collapse; intervals chain") {
+    val h = history(
+      ("a", 1L, 1L, "x"), ("a", 2L, 2L, "x"), ("a", 3L, 3L, "y"),
+      ("a", 4L, 4L, "y"), ("a", 5L, 5L, "x"))
+    assert(h == List(
+      ("a", 1, "x", 1L, Some(3L), false),
+      ("a", 2, "y", 3L, Some(5L), false),
+      ("a", 3, "x", 5L, None, true)))
+  }
+
+  test("scd2: null tracked values are versions, null↔null is a no-op") {
+    val h = history(
+      ("a", 1L, 1L, "x"), ("a", 2L, 2L, null), ("a", 3L, 3L, null),
+      ("a", 4L, 4L, "x"))
+    assert(h.map(r => (r._2, r._3, r._4, r._5)) == List(
+      (1, "x", 1L, Some(2L)), (2, null, 2L, Some(4L)), (3, "x", 4L, None)))
+  }
+
+  test("scd2: equal timestamps order by the tie-break (deterministic)") {
+    val h = history(("a", 1L, 2L, "y"), ("a", 1L, 1L, "x"))
+    assert(h.map(r => (r._2, r._3)) == List((1, "x"), (2, "y")))
+  }
+
+  test("scd2: single observation is the open current version") {
+    assert(history(("a", 7L, 1L, "x")) == List(("a", 1, "x", 7L, None, true)))
+  }
+
+  test("cdcCompact: latest op wins; a trailing delete removes the key") {
+    val log = Seq(
+      ("a", 1L, 1L, "I", 10.0), ("a", 2L, 2L, "U", 20.0),
+      ("b", 1L, 1L, "I", 1.0), ("b", 2L, 2L, "D", 0.0),
+      ("c", 5L, 1L, "D", 0.0), ("c", 6L, 2L, "I", 3.0))
+      .toDF("k", "ts", "tie", "op", "v")
+    val got = Temporal.cdcCompact(log, col("k"), col("ts"), col("tie"),
+        col("op"), deleteOp = "D")
+      .select("k", "op", "v").as[(String, String, Double)]
+      .collect().toList.sortBy(_._1)
+    // a: update survives; b: deleted; c: delete then re-insert survives
+    assert(got == List(("a", "U", 20.0), ("c", "I", 3.0)))
+  }
+
+  test("cdcCompact: equal timestamps resolve by tie-break descending") {
+    val log = Seq(("a", 1L, 1L, "U", 1.0), ("a", 1L, 2L, "D", 0.0))
+      .toDF("k", "ts", "tie", "op", "v")
+    assert(Temporal.cdcCompact(log, col("k"), col("ts"), col("tie"),
+      col("op"), "D").count() == 0)
+  }
+}
