@@ -316,6 +316,77 @@ object Relational3 {
       |FROM u WHERE event_type = 'purchase'
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  // Recursive hierarchy closure (WITH RECURSIVE family, which Spark SQL
+  // lacks): ancestors of every part in a synthetic decimal-digit tree
+  // (parent = key div 10), via ops/Hierarchy's bounded iterative join.
+  // DuckDB's native recursive CTE is the oracle.
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.part(s, d)
+      .select(expr("CAST(p_partkey AS BIGINT)").as("child"),
+        expr("CAST(p_partkey AS BIGINT) DIV 10").as("parent"))
+      .filter($"child" >= 10)
+    graft.ops.Hierarchy.ancestors(edges, "child", "parent")
+      .orderBy($"node", $"depth")
+  }
+  private val q89Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS child,
+      |         CAST(p_partkey AS BIGINT) // 10 AS parent
+      |  FROM part WHERE p_partkey >= 10),
+      |anc AS (
+      |  SELECT child AS node, parent AS anc, 1 AS depth FROM e
+      |  UNION ALL
+      |  SELECT a.node, e.parent AS anc, a.depth + 1
+      |  FROM anc a JOIN e ON a.anc = e.child)
+      |SELECT node, anc, depth FROM anc ORDER BY node, depth""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+  // Statistical aggregates (corr/stddev/mean) with CROSS-ENGINE EXACT
+  // moments: cents-quantized values accumulate as decimal sums (x, y, x²,
+  // y², xy — reduction-order-independent), and the float formulas run once
+  // per group on those exact integers, so both engines perform the
+  // identical IEEE operation sequence. Native corr()/stddev() would drift
+  // by partial-aggregation order.
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val li = Tables.lineitem(s, d).select($"l_returnflag",
+      floor($"l_quantity" * 100 + 0.5).cast(dec).as("x"),
+      floor($"l_extendedprice" * 100 + 0.5).cast(dec).as("y"))
+    li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .select($"l_returnflag", $"n",
+        ($"sy".cast("double") / $"n" / 100.0).as("mean_price"),
+        (sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double") /
+          ($"n" * ($"n" - 1)).cast("double")) / 100.0).as("std_price"),
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+           sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))))
+          .as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+  private val q90Sql =
+    """WITH q AS (SELECT l_returnflag,
+      |    CAST(floor(l_quantity*100 + 0.5) AS HUGEINT) AS x,
+      |    CAST(floor(l_extendedprice*100 + 0.5) AS HUGEINT) AS y
+      |  FROM lineitem),
+      |a AS (SELECT l_returnflag, COUNT(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      |  FROM q GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  CAST(sy AS DOUBLE) / n / 100.0 AS mean_price,
+      |  sqrt(CAST(n*syy - sy*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) / 100.0
+      |    AS std_price,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) /
+      |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+      |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_price
+      |FROM a ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -329,5 +400,7 @@ object Relational3 {
     QueryDef("q86_scd2_history", q86, Some(q86Sql)),
     QueryDef("q87_cdc_apply", q87, Some(q87Sql)),
     QueryDef("q88_attribution", q88, Some(q88Sql)),
+    QueryDef("q89_hierarchy", q89, Some(q89Sql)),
+    QueryDef("q90_stats_moments", q90, Some(q90Sql)),
   )
 }
