@@ -43,5 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // bare AggregateFunction: the analyzer wraps it in AggregateExpression
         graft.functions.HeavyHitters(children.head, cap)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("token_windows"),
+      new ExpressionInfo(classOf[graft.functions.TokenWindows].getName, "token_windows"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "token_windows(text, window, overlap) takes three arguments")
+        graft.functions.TokenWindows(children(0), children(1), children(2))
+      }))
   }
 }
