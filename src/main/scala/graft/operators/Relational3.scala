@@ -387,6 +387,61 @@ object Relational3 {
       |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_price
       |FROM a ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  // Column profiler (ops/Profile): exact per-column stats in ONE scan
+  // (multi-count-distinct Expand + stack unpivot). The oracle is the
+  // naive per-column UNION ALL — same rows, #cols scans; the point of the
+  // operator is that the Spark plan does it in one.
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Profile.profile(Tables.orders(s, d), Seq(
+        "o_orderkey" -> $"o_orderkey",
+        "o_orderstatus" -> $"o_orderstatus",
+        "o_orderpriority" -> $"o_orderpriority",
+        "o_totalprice_cents" -> floor($"o_totalprice" * 100 + 0.5).cast("long"),
+        "o_orderdate" -> $"o_orderdate".cast("date")))
+      .orderBy($"col_name")
+  }
+  private val q91Sql = {
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority",
+      "o_totalprice_cents", "o_orderdate")
+    val base = """WITH q AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |  CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS o_totalprice_cents,
+      |  CAST(o_orderdate AS DATE) AS o_orderdate FROM orders)
+      |""".stripMargin
+    base + cols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_value,
+         |  CAST(MAX($c) AS VARCHAR) AS max_value FROM q""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+  }
+
+  // ---------------------------------------------------------------- q92
+  // Incremental aggregate maintenance (ops/Incremental): history and delta
+  // batches aggregate to mergeable states, merge(history_state,
+  // delta_state) must equal the direct aggregate over everything — which
+  // is exactly what the oracle computes. History is never rescanned on
+  // refresh.
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_returnflag", $"l_quantity", $"l_extendedprice")
+    val keys = Seq("l_returnflag")
+    val vals = Seq("l_quantity", "l_extendedprice")
+    val hist = graft.ops.Incremental.aggState(li.filter($"l_orderkey" % 5 =!= 0), keys, vals)
+    val delta = graft.ops.Incremental.aggState(li.filter($"l_orderkey" % 5 === 0), keys, vals)
+    graft.ops.Incremental.merge(hist, delta, keys)
+      .select($"l_returnflag", $"n_rows",
+        $"sum_l_quantity".as("sum_qty"), $"sum_l_extendedprice".as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+  private val q92Sql =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -402,5 +457,7 @@ object Relational3 {
     QueryDef("q88_attribution", q88, Some(q88Sql)),
     QueryDef("q89_hierarchy", q89, Some(q89Sql)),
     QueryDef("q90_stats_moments", q90, Some(q90Sql)),
+    QueryDef("q91_profile", q91, Some(q91Sql)),
+    QueryDef("q92_incremental_agg", q92, Some(q92Sql)),
   )
 }
