@@ -442,6 +442,36 @@ object Relational3 {
       |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  // Gaps and islands: maximal runs of consecutive active days per user via
+  // the anchor trick (day minus per-user row_number is constant within a
+  // run). One distinct + one window + one aggregate, all on the same
+  // user_id exchange.
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val days = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    days
+      .withColumn("anchor", date_sub($"day", row_number().over(w)))
+      .groupBy($"user_id", $"anchor")
+      .agg(min($"day").as("streak_start"), max($"day").as("streak_end"),
+        count(lit(1)).as("streak_days"))
+      .select("user_id", "streak_start", "streak_end", "streak_days")
+      .orderBy($"user_id", $"streak_start")
+  }
+  private val q93Sql =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |              FROM events),
+      |g AS (SELECT user_id, day,
+      |        day - CAST(row_number() OVER (
+      |          PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+      |      FROM days)
+      |SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+      |  COUNT(*) AS streak_days
+      |FROM g GROUP BY user_id, anchor
+      |ORDER BY user_id, streak_start""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -459,5 +489,6 @@ object Relational3 {
     QueryDef("q90_stats_moments", q90, Some(q90Sql)),
     QueryDef("q91_profile", q91, Some(q91Sql)),
     QueryDef("q92_incremental_agg", q92, Some(q92Sql)),
+    QueryDef("q93_islands", q93, Some(q93Sql)),
   )
 }
