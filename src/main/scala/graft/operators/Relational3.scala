@@ -445,13 +445,17 @@ object Relational3 {
   // ---------------------------------------------------------------- q93
   // Gaps and islands: maximal runs of consecutive active days per user via
   // the anchor trick (day minus per-user row_number is constant within a
-  // run). One distinct + one window + one aggregate, all on the same
-  // user_id exchange.
+  // run). Day-dedup runs as a lag filter INSIDE the user_id window (a
+  // distinct() would add a second exchange on (user_id, day)); the dedup,
+  // ranking, and aggregate all ride ONE user_id exchange + sort.
   private def q93(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val days = Tables.events(s, d)
-      .select($"user_id", to_date($"ts").as("day")).distinct()
     val w = Window.partitionBy($"user_id").orderBy($"day")
+    val days = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day"))
+      .withColumn("__prev", lag($"day", 1).over(w))
+      .filter($"__prev".isNull || $"__prev" =!= $"day")
+      .drop("__prev")
     days
       .withColumn("anchor", date_sub($"day", row_number().over(w)))
       .groupBy($"user_id", $"anchor")

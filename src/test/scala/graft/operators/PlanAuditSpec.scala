@@ -104,6 +104,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_heavy_hitters") || p.contains("heavy_hitters"))
   }
 
+  test("q86/q87/q93: keyed window ops shuffle ONCE on the entity key") {
+    for (q <- Seq("q86_scd2_history", "q87_cdc_apply", "q93_islands")) {
+      val p = planOf(q)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx == 1, s"$q: expected 1 hash exchange, got $hashEx")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: window ops must not plan joins")
+    }
+  }
+
+  test("q88: tolerance attribution goes through the custom as-of merge") {
+    val p = planOf("q88_attribution")
+    assert(p.contains("AsOfJoin"), p.take(500))
+    assert(!p.contains("Window") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q89: hierarchy rounds are equi-joins over checkpointed frontiers") {
+    val p = planOf("q89_hierarchy")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // localCheckpoint per round: levels arrive as materialized RDD scans,
+    // not re-executed lineage
+    assert(p.contains("Scan ExistingRDD"))
+  }
+
+  test("q91: profiler reads the table ONCE (Expand, single scan)") {
+    val p = planOf("q91_profile")
+    assert(p.contains("Expand"))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected 1 scan:\n${p.take(800)}")
+  }
+
+  test("q92: incremental merge is pure aggregation — no joins, no windows") {
+    val p = planOf("q92_incremental_agg")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
