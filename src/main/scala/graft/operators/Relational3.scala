@@ -476,6 +476,85 @@ object Relational3 {
       |FROM g GROUP BY user_id, anchor
       |ORDER BY user_id, streak_start""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  // Ordered funnel: earliest signup, then earliest click at-or-after it,
+  // then earliest purchase at-or-after that — per user, in ONE exchange:
+  // per-type sorted timestamp lists aggregate per user and the stage
+  // chaining is a higher-order filter + head in a projection (stage k+1's
+  // bound depends on stage k's result, which no single conditional-min
+  // pass can express). List size is bounded by per-user funnel activity;
+  // a bot-skewed feed would cap the lists (slice after sort_array) or
+  // fall back to the oracle's join-per-stage shape.
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .filter($"event_type".isin("signup", "click", "purchase"))
+      .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    val perUser = ev.groupBy($"user_id").agg(
+      min(when($"event_type" === "signup", $"ts_us")).as("t_signup"),
+      sort_array(collect_list(when($"event_type" === "click", $"ts_us"))).as("clicks"),
+      sort_array(collect_list(when($"event_type" === "purchase", $"ts_us"))).as("purchases"))
+    perUser
+      .withColumn("t_click",
+        get(filter($"clicks", c => c >= $"t_signup"), lit(0)))
+      .withColumn("t_purchase",
+        get(filter($"purchases", c => c >= $"t_click"), lit(0)))
+      .select($"user_id", $"t_signup", $"t_click", $"t_purchase")
+      .filter($"t_signup".isNotNull)
+      .orderBy($"user_id")
+  }
+  private val q94Sql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+      |s AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts_us END)
+      |        AS t_signup FROM ev GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts_us) AS t_click
+      |      FROM ev e JOIN s ON e.user_id = s.user_id
+      |      WHERE e.event_type = 'click' AND e.ts_us >= s.t_signup
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts_us) AS t_purchase
+      |      FROM ev e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts_us >= c.t_click
+      |      GROUP BY e.user_id)
+      |SELECT s.user_id, s.t_signup, c.t_click, p.t_purchase
+      |FROM s LEFT JOIN c ON s.user_id = c.user_id
+      |       LEFT JOIN p ON s.user_id = p.user_id
+      |WHERE s.t_signup IS NOT NULL
+      |ORDER BY s.user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q95
+  // Cohort retention: users grouped by signup week; for each cohort ×
+  // week-offset, how many distinct users were still active. One narrow
+  // (user, week) dedup, a broadcast-sized cohort join, one final agg.
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("week"),
+        $"event_type")
+    val cohorts = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    val active = ev.select($"user_id", $"week").distinct()
+    active.join(cohorts, "user_id")
+      .filter($"week" >= $"cohort_week")
+      .groupBy($"cohort_week",
+        floor(datediff($"week", $"cohort_week") / 7).cast("int").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+  private val q95Sql =
+    """WITH ev AS (SELECT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS week, event_type
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM ev
+      |            WHERE event_type = 'signup' GROUP BY user_id),
+      |active AS (SELECT DISTINCT user_id, week FROM ev)
+      |SELECT c.cohort_week,
+      |  CAST((a.week - c.cohort_week) // 7 AS INT) AS week_offset,
+      |  COUNT(DISTINCT a.user_id) AS n_active
+      |FROM active a JOIN cohorts c ON a.user_id = c.user_id
+      |WHERE a.week >= c.cohort_week
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -494,5 +573,7 @@ object Relational3 {
     QueryDef("q91_profile", q91, Some(q91Sql)),
     QueryDef("q92_incremental_agg", q92, Some(q92Sql)),
     QueryDef("q93_islands", q93, Some(q93Sql)),
+    QueryDef("q94_funnel", q94, Some(q94Sql)),
+    QueryDef("q95_retention", q95, Some(q95Sql)),
   )
 }
