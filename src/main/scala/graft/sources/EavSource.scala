@@ -240,7 +240,21 @@ class EavScan(path: String, chunkSize: Int, required: StructType,
     topN: Array[(Int, Boolean)] = Array.empty,
     maxChunksPerTrigger: Int = -1,
     sample: Option[(Double, Double, Long)] = None)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+
+  /** Size/row estimates from the transport (here: file metadata; a REST
+    * deployment would use the project's record-count endpoint). Without
+    * this, DataSourceV2Relation falls back to "assume huge" and a small
+    * extraction can never be the broadcast side of a join. Sample pushdown
+    * scales the estimate by its fraction. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val fileBytes = new java.io.File(path).length()
+    private val frac = sample.map { case (lo, hi, _) => hi - lo }.getOrElse(1.0)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, (fileBytes * frac).toLong))
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   /** Runtime (DPP-style) id-set filter, delivered after the build side of a
     * selective join materializes. Whole chunks drop out of

@@ -240,6 +240,28 @@ class EavSourceSpec extends SparkSpec {
     assert(EavSource.chunkFetches.get() == 3L)
   }
 
+  test("reported statistics let Catalyst broadcast a small extraction") {
+    // big probe side (parquet, beyond broadcast threshold is irrelevant —
+    // what matters is the SMALL side is the v2 scan, which without
+    // SupportsReportStatistics would report "huge" and force a shuffle)
+    val dimDir = Files.createTempDirectory("eavstats").resolve("users").toString
+    (1 to 250).flatMap(r => (1 to 40).map(i => (s"r$r", i)))
+      .toDF("record_id", "i").write.parquet(dimDir)
+    val big = spark.read.parquet(dimDir)
+    val joined = big.join(read.load().filter($"field_name" === "age"), "record_id")
+    assert(joined.count() == 250L * 40)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast in: ${plan.take(600)}")
+    // the estimate itself (not AQE) makes the scan broadcastable: the v2
+    // relation must report the transport size, not the "assume huge" default
+    val v2Stats = joined.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats.sizeInBytes
+    }
+    assert(v2Stats.nonEmpty && v2Stats.head < BigInt(1000000),
+      s"v2 scan stats not reported: $v2Stats")
+  }
+
   test("feeds the ETL pipeline end-to-end") {
     val fm = Seq(("age", "Include", null.asInstanceOf[String]),
       ("visit_date", "TransformDate", null.asInstanceOf[String]),
