@@ -360,6 +360,24 @@ object EventStreams {
         .write.mode("overwrite").text(s"$path/batch_$batchId")
     }
 
+  /** Streaming CDC apply — the streaming face of
+    * `ops/Temporal.cdcCompact`: an insert/update/delete changelog compacts
+    * to the current snapshot as a stateful latest-per-key aggregation
+    * (update output mode; `max_by` under the (ts, tie) total order, which
+    * makes cross-batch out-of-order changes land identically to batch).
+    * Deletes stay in state as tombstones so a later out-of-order
+    * non-delete can't resurrect the key incorrectly; readers of the
+    * materialized snapshot filter `op != deleteOp` — exactly
+    * `cdcCompact`'s contract. State per key is ONE row.
+    */
+  def cdcSnapshotStream(changelog: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, opCol: String, valueCols: Seq[String]): DataFrame = {
+    val payload = struct((Seq(opCol, tsCol, tieCol) ++ valueCols).map(col): _*)
+    changelog.groupBy(col(keyCol))
+      .agg(max_by(payload, struct(col(tsCol), col(tieCol))).as("latest"))
+      .select(col(keyCol), col("latest.*"))
+  }
+
   /** Batch-equivalence helper: the tumbling aggregation expressed as a plain
     * batch query — used by specs and the oracle gate to pin streaming
     * results to batch results on the same input. */

@@ -55,6 +55,28 @@ class TemporalSpec extends SparkSpec {
     assert(got == List(("a", "U", 20.0), ("c", "I", 3.0)))
   }
 
+  test("scd2 ≡ per-key reference fold on random collision-heavy input") {
+    val rnd = new scala.util.Random(42)
+    // few keys, few timestamps, few values → dense ties and no-op runs
+    val rows = (1 to 400).map { i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(12).toLong, i.toLong,
+        if (rnd.nextBoolean()) "a" else "b")
+    }
+    val got = history(rows: _*)
+    val expected = rows.groupBy(_._1).toList.flatMap { case (k, rs) =>
+      val ordered = rs.sortBy(r => (r._2, r._3))
+      val changes = ordered.foldLeft(List.empty[(Long, String)]) {
+        case (acc, (_, ts, _, v)) =>
+          if (acc.nonEmpty && acc.head._2 == v) acc else (ts, v) :: acc
+      }.reverse
+      changes.zipWithIndex.map { case ((ts, v), i) =>
+        val next = changes.lift(i + 1).map(_._1)
+        (k, i + 1, v, ts, next, next.isEmpty)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == expected)
+  }
+
   test("cdcCompact: equal timestamps resolve by tie-break descending") {
     val log = Seq(("a", 1L, 1L, "U", 1.0), ("a", 1L, 2L, "D", 0.0))
       .toDF("k", "ts", "tie", "op", "v")

@@ -256,4 +256,37 @@ class EventStreamsSpec extends SparkSpec {
       .agg(sum("n")).as[Long].head()
     assert(streamed == Tables.events(spark, sfDir).count())
   }
+
+  test("streaming CDC compaction ≡ batch cdcCompact across out-of-order " +
+      "micro-batches; deletes tombstone, re-inserts resurrect") {
+    val input = MemoryStream[Ev](spark)
+    def op(e: Ev): String = e.event_type
+    // batch 1: inserts + an update; batch 2: out-of-order late update (must
+    // NOT win), a delete, and a delete-then-reinsert key
+    val b1 = Seq(
+      Ev(1, ts(1), 1, "I", 10.0), Ev(2, ts(5), 1, "U", 11.0),
+      Ev(3, ts(2), 2, "I", 20.0), Ev(4, ts(3), 3, "I", 30.0))
+    val b2 = Seq(
+      Ev(5, ts(3), 1, "U", 99.0),  // late: older than key 1's ts(5) update
+      Ev(6, ts(6), 2, "D", 0.0),   // delete key 2
+      Ev(7, ts(4), 3, "D", 0.0), Ev(8, ts(7), 3, "I", 31.0)) // del+reinsert
+    input.addData(b1: _*)
+    val q = EventStreams.cdcSnapshotStream(input.toDF(),
+        "user_id", "ts", "event_id", "event_type", Seq("value"))
+      .writeStream.format("memory").queryName("cdc_snap")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cdc_snap")
+      .filter(col("event_type") =!= "D")
+      .select("user_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSet
+    val batch = graft.ops.Temporal.cdcCompact((b1 ++ b2).toDF(),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"), "D")
+      .select("user_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, "U", 11.0), (3L, "I", 31.0)))
+  }
 }
