@@ -555,6 +555,28 @@ object Relational3 {
       |WHERE a.week >= c.cohort_week
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  // Mode / arg-max aggregate with a total-order tie-break (native mode()
+  // breaks ties engine-specifically — unusable under a cross-engine hash
+  // gate): count per (group, value), rank by (count desc, value asc).
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cnts = Tables.orders(s, d)
+      .groupBy($"o_orderstatus", $"o_orderpriority").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"n".desc, $"o_orderpriority")
+    cnts.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"o_orderstatus", $"o_orderpriority".as("modal_priority"), $"n")
+      .orderBy($"o_orderstatus")
+  }
+  private val q96Sql =
+    """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |           FROM orders GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+      |        ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+      |SELECT o_orderstatus, o_orderpriority AS modal_priority, n
+      |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -575,5 +597,6 @@ object Relational3 {
     QueryDef("q93_islands", q93, Some(q93Sql)),
     QueryDef("q94_funnel", q94, Some(q94Sql)),
     QueryDef("q95_retention", q95, Some(q95Sql)),
+    QueryDef("q96_mode", q96, Some(q96Sql)),
   )
 }
