@@ -531,6 +531,32 @@ object CorpusQueries {
       |   OR p.text IS DISTINCT FROM c.text
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  // Record-linkage fuzzy key join (ops/RecordLinkage): all document pairs
+  // whose normalized 24-char prefix keys are within Hamming distance 2,
+  // via EXACT pigeonhole blocking (3 positional segments — recall 1.0 by
+  // construction, no LSH probability). The oracle verifies every pair with
+  // DuckDB's mismatches() over the all-pairs join.
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keys = Tables.documents(s, d)
+      .filter($"text".isNotNull)
+      .select($"doc_id",
+        substring(graft.ops.Dedup.normalized($"text"), 1, 24).as("key"))
+    graft.ops.RecordLinkage.hammingKeyJoin(keys, "doc_id", "key",
+        keyLen = 24, maxDist = 2)
+      .orderBy($"id_a", $"id_b")
+  }
+  private val q97Sql =
+    s"""WITH k AS (SELECT doc_id, substr($normSql, 1, 24) AS key
+       |  FROM documents WHERE text IS NOT NULL
+       |    AND length(substr($normSql, 1, 24)) = 24)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  mismatches(a.key, b.key) AS dist
+       |FROM k a JOIN k b ON a.doc_id < b.doc_id
+       |WHERE mismatches(a.key, b.key) <= 2
+       |ORDER BY id_a, id_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q64_decontaminate", q64, Some(q64Sql)),
     QueryDef("q65_pack_sequences", q65, Some(q65Sql)),
@@ -549,5 +575,6 @@ object CorpusQueries {
     QueryDef("q81_kmeans", q81, Some(q81Sql)),
     QueryDef("q82_chunking", q82, Some(q82Sql)),
     QueryDef("q84_corpus_diff", q84, Some(q84Sql)),
+    QueryDef("q97_fuzzy_key_join", q97, Some(q97Sql)),
   )
 }

@@ -577,6 +577,46 @@ object Relational3 {
       |SELECT o_orderstatus, o_orderpriority AS modal_priority, n
       |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  // Per-entity anomaly detection: events whose value deviates > 2σ from
+  // that user's OWN mean. Moments (n, Σx, Σx²) come from exact decimal
+  // window sums over one user_id exchange (q90's trick, windowed); the
+  // z-score math runs on those exact integers so both engines execute the
+  // identical IEEE sequence. Degenerate users (n < 2, zero variance)
+  // filter out on exact integer predicates, never float ones.
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    val st = Tables.events(s, d)
+      .select($"user_id", $"event_id",
+        floor($"value" * 100 + 0.5).cast("decimal(38,0)").as("vc"))
+      .select($"user_id", $"event_id", $"vc",
+        count(lit(1)).over(w).as("n"),
+        sum($"vc").over(w).as("sx"),
+        sum($"vc" * $"vc").over(w).as("sxx"))
+    // z = (v*n - Σx) / sqrt((n*Σx² - Σx²ᵗᵒᵗ) * n / (n-1)), all from exact ints
+    st.filter($"n" >= 2 && ($"n" * $"sxx" - $"sx" * $"sx") > 0)
+      .withColumn("z", ($"vc" * $"n" - $"sx").cast("double") /
+        sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") * $"n" / ($"n" - 1)))
+      .filter(abs($"z") > 2.0)
+      .select($"user_id", $"event_id", $"z")
+      .orderBy($"user_id", $"event_id")
+  }
+  private val q98Sql =
+    """WITH q AS (SELECT user_id, event_id,
+      |    CAST(floor(value*100 + 0.5) AS HUGEINT) AS vc FROM events),
+      |st AS (SELECT user_id, event_id, vc,
+      |    COUNT(*) OVER u AS n, SUM(vc) OVER u AS sx,
+      |    SUM(vc*vc) OVER u AS sxx
+      |  FROM q WINDOW u AS (PARTITION BY user_id))
+      |SELECT user_id, event_id,
+      |  CAST(vc*n - sx AS DOUBLE) /
+      |    sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * n / (n - 1)) AS z
+      |FROM st WHERE n >= 2 AND n*sxx - sx*sx > 0
+      |  AND abs(CAST(vc*n - sx AS DOUBLE) /
+      |        sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * n / (n - 1))) > 2.0
+      |ORDER BY user_id, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -598,5 +638,6 @@ object Relational3 {
     QueryDef("q94_funnel", q94, Some(q94Sql)),
     QueryDef("q95_retention", q95, Some(q95Sql)),
     QueryDef("q96_mode", q96, Some(q96Sql)),
+    QueryDef("q98_anomaly", q98, Some(q98Sql)),
   )
 }
