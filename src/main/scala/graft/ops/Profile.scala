@@ -22,11 +22,21 @@ object Profile {
     * n_distinct, min_value, max_value). Pass columns pre-projected to
     * types whose string rendering is canonical for downstream comparison
     * (ints/strings/dates are; raw doubles render engine-specifically).
+    *
+    * `approxDistinct = true` is the 100 TB path: HLL++ distinct estimates
+    * drop the Expand entirely — the whole profile becomes one ordinary
+    * partial+final aggregate (constant state per column) at the cost of
+    * ±rsd on n_distinct. Exact mode is the oracle-gated default; at a
+    * measured 30× scale the exact multi-distinct Expand over two
+    * ~4.5M-distinct columns costs ~11 s vs ~1 s approx.
     */
-  def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[(String, Column)],
+      approxDistinct: Boolean = false, rsd: Double = 0.01): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { case (n, c) =>
-      Seq(count(c).as(s"__nn_$n"), countDistinct(c).as(s"__nd_$n"),
+      Seq(count(c).as(s"__nn_$n"),
+        (if (approxDistinct) approx_count_distinct(c, rsd)
+         else countDistinct(c)).as(s"__nd_$n"),
         min(c).cast("string").as(s"__mn_$n"),
         max(c).cast("string").as(s"__mx_$n"))
     } :+ count(lit(1)).as("__rows")

@@ -41,5 +41,18 @@ class IncrementalSpec extends SparkSpec {
     val planStr = prof.queryExecution.executedPlan.toString
     val scans = "Scan parquet".r.findAllIn(planStr).size
     assert(scans == 1, s"expected 1 scan, got $scans in:\n$planStr")
+    // approx mode (the 100 TB path): no Expand, estimates within rsd
+    val apx = Profile.profile(orders,
+      Seq("o_orderkey" -> col("o_orderkey"), "o_orderstatus" -> col("o_orderstatus")),
+      approxDistinct = true)
+    apx.count()
+    assert(!apx.queryExecution.executedPlan.toString.contains("Expand"))
+    val exact = Profile.profile(orders,
+        Seq("o_orderkey" -> col("o_orderkey")))
+      .select("n_distinct").as[Long].head()
+    val est = apx.filter(col("col_name") === "o_orderkey")
+      .select("n_distinct").as[Long].head()
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"estimate $est vs exact $exact")
   }
 }
