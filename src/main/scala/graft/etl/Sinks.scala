@@ -52,6 +52,27 @@ object Sinks {
       .write.mode(mode).parquet(path)
   }
 
+  /** Bloom-filtered parquet: per-column bloom filters in the file footers,
+    * so point-lookup scans (`key = x`, `key IN (…)`) skip row groups whose
+    * filter proves absence — the data-skipping complement to min/max stats
+    * (which only help when the file is SORTED on the probe column; blooms
+    * prune on high-cardinality columns in any order). This is the native
+    * parquet-mr feature, enabled per column via writer options; Spark's
+    * vectorized reader consumes the filters transparently.
+    *
+    * Use for 100 TB lookup tables probed by equality on non-cluster keys
+    * (the z-order/range sinks own the range-scan case). `fpp`/`ndv` size
+    * the filter per row group.
+    */
+  def bloomFilteredParquet(df: DataFrame, path: String, bloomCols: Seq[String],
+      ndv: Long = 100000L, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = bloomCols.foldLeft(df.write) { (wr, c) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.mode(mode).parquet(path)
+  }
+
   /** Z-order (Morton) clustered parquet: multi-dimensional locality, so
     * file-level min/max statistics prune on ANY clustered dimension — a
     * lexicographic sort ([[rangeClusteredParquet]]) prunes only on its

@@ -2,7 +2,8 @@ package graft.etl
 
 import graft.SparkSpec
 import java.nio.file.Files
-import org.apache.spark.sql.functions.{input_file_name, max, min}
+import org.apache.spark.sql.functions.{concat, input_file_name, lit, max, min}
+import scala.jdk.CollectionConverters._
 
 /** Static so the transmit closure reaches it from executor threads
   * (local mode shares the JVM — a stand-in for the HTTP endpoint). */
@@ -121,5 +122,34 @@ class SinksSpec extends SparkSpec {
     Sinks.rangeClusteredParquet(df, rDir, files = 16, clusterCols = Seq("x", "y"))
     val ry = filesTouched(rDir, $"y" >= 0 && $"y" < 400)
     assert(ry > zy, s"lexicographic y-slab touched $ry files, z-order $zy")
+  }
+
+  test("bloomFilteredParquet: footers carry blooms on the requested column; " +
+      "point lookups stay exact") {
+    val dir = Files.createTempDirectory("bloomed").toFile.getAbsolutePath
+    val df = spark.range(0, 5000).toDF("id")
+      .select($"id", concat(lit("key-"), $"id").as("k"))
+    Sinks.bloomFilteredParquet(df, dir, bloomCols = Seq("k"), ndv = 5000)
+    // footer check via parquet-mr: the bloom must exist for k, not for id
+    val file = new java.io.File(dir).listFiles()
+      .map(_.getAbsolutePath).filter(_.endsWith(".parquet")).head
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      val block = reader.getRowGroups.get(0)
+      val bloomOf = block.getColumns.asScala
+        .map(c => c.getPath.toDotString ->
+          (reader.getBloomFilterDataReader(block).readBloomFilter(c) != null))
+        .toMap
+      assert(bloomOf("k"), s"no bloom filter on k: $bloomOf")
+      assert(!bloomOf("id"), s"unexpected bloom on id: $bloomOf")
+    } finally reader.close()
+    // correctness: point lookups through the bloom-filtered file are exact
+    val got = spark.read.parquet(dir).filter($"k" === "key-4242")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((4242L, "key-4242")))
+    assert(spark.read.parquet(dir).filter($"k" === "key-9999999").count() == 0)
   }
 }
