@@ -617,6 +617,43 @@ object Relational3 {
       |        sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * n / (n - 1))) > 2.0
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  // Interval-overlap join (temporal join): per customer, pairs of odd/even
+  // orders whose fulfillment windows (orderdate + key%14 days) overlap.
+  // ops/RangeJoin.intervalOverlapJoin tiles both interval sides so the
+  // theta condition becomes an equi-join; DuckDB evaluates the raw
+  // inequality join as the oracle.
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_custkey", $"o_orderkey",
+      datediff($"o_orderdate".cast("date"), to_date(lit("1970-01-01")))
+        .cast("long").as("s0"))
+      .withColumn("e0", $"s0" + $"o_orderkey" % 14)
+    val a = o.filter($"o_orderkey" % 2 === 1)
+      .select($"o_custkey", $"o_orderkey".as("key_a"),
+        $"s0".as("sa"), $"e0".as("ea"))
+    val b = o.filter($"o_orderkey" % 2 === 0)
+      .select($"o_custkey", $"o_orderkey".as("key_b"),
+        $"s0".as("sb"), $"e0".as("eb"))
+    graft.ops.RangeJoin.intervalOverlapJoin(a, b, Seq("o_custkey"),
+        "key_a", "key_b", "sa", "ea", "sb", "eb", bucketWidth = 7L)
+      .select($"o_custkey".as("custkey"), $"key_a", $"key_b")
+      .orderBy($"custkey", $"key_a", $"key_b")
+  }
+  private val q99Sql =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+      |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS s0,
+      |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' + o_orderkey % 14 AS e0
+      |  FROM orders),
+      |a AS (SELECT o_custkey, o_orderkey AS key_a, s0 AS sa, e0 AS ea
+      |      FROM o WHERE o_orderkey % 2 = 1),
+      |b AS (SELECT o_custkey, o_orderkey AS key_b, s0 AS sb, e0 AS eb
+      |      FROM o WHERE o_orderkey % 2 = 0)
+      |SELECT a.o_custkey AS custkey, key_a, key_b
+      |FROM a JOIN b ON a.o_custkey = b.o_custkey
+      |  AND sa <= eb AND sb <= ea
+      |ORDER BY custkey, key_a, key_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -639,5 +676,6 @@ object Relational3 {
     QueryDef("q95_retention", q95, Some(q95Sql)),
     QueryDef("q96_mode", q96, Some(q96Sql)),
     QueryDef("q98_anomaly", q98, Some(q98Sql)),
+    QueryDef("q99_interval_overlap", q99, Some(q99Sql)),
   )
 }

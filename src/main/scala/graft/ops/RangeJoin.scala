@@ -36,4 +36,34 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join (temporal join of two interval tables): all
+    * (a, b) pairs sharing `keys` whose CLOSED intervals overlap
+    * (`a.start <= b.end && b.start <= a.end`). Catalyst would plan the
+    * raw theta condition as a per-key nested loop; bucketizing both sides
+    * to `bucketWidth` tiles converts it to an equi-join on
+    * (keys, bucket) — an interval joins every tile it touches, a pair
+    * meets in at least one shared tile, and duplicates from multi-tile
+    * overlaps are dropped ON THE PAIR IDS (`aId`/`bId`), so the exchange
+    * stays an equi-shuffle and the residual filter is exact.
+    *
+    * Both sides' columns survive in the output (caller projects).
+    * `bucketWidth` tunes tiles-per-interval (cost) against bucket
+    * population (selectivity): ~the median interval length is right.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
+      aId: String, bId: String,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def tiles(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bucket",
+        explode(sequence(floor(col(lo) / bucketWidth),
+          floor(col(hi) / bucketWidth))))
+    tiles(a, aStart, aEnd)
+      .join(tiles(b, bStart, bEnd), keys :+ "__bucket")
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .drop("__bucket")
+      .dropDuplicates(keys :+ aId :+ bId)
+  }
 }

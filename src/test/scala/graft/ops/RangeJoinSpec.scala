@@ -33,4 +33,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(joined.count() ==
       points.join(intervals, $"x" >= $"lo" && $"x" < $"hi").count())
   }
+
+  test("interval overlap join ≡ theta join; multi-tile overlaps dedupe; " +
+      "plans equi, not nested-loop") {
+    val a = Seq((1L, 10L, 0L, 10L), (1L, 11L, 20L, 45L), (2L, 12L, 0L, 5L))
+      .toDF("k", "aid", "sa", "ea")
+    val b = Seq(
+      (1L, 20L, 10L, 12L),  // touches aid 10 at the closed endpoint
+      (1L, 21L, 5L, 40L),   // overlaps both of key 1's intervals, many tiles
+      (1L, 22L, 46L, 50L),  // gap: matches nothing
+      (2L, 23L, 5L, 6L),    // closed-endpoint touch again
+      (3L, 24L, 0L, 100L))  // different key: never joins
+      .toDF("k", "bid", "sb", "eb")
+    val tiled = RangeJoin.intervalOverlapJoin(a, b, Seq("k"),
+        "aid", "bid", "sa", "ea", "sb", "eb", bucketWidth = 7L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    val theta = a.join(b, a("k") === b("k") &&
+        $"sa" <= $"eb" && $"sb" <= $"ea")
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(tiled == theta)
+    assert(tiled == Set((10L, 20L), (10L, 21L), (11L, 21L), (12L, 23L)))
+    val plan = RangeJoin.intervalOverlapJoin(a, b, Seq("k"),
+        "aid", "bid", "sa", "ea", "sb", "eb", 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+  }
 }
