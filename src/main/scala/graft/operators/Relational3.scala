@@ -654,6 +654,26 @@ object Relational3 {
       |  AND sa <= eb AND sb <= ea
       |ORDER BY custkey, key_a, key_b""".stripMargin
 
+  // ---------------------------------------------------------------- q100
+  // String aggregation (LISTAGG family): order-insensitive input, sorted
+  // before joining so the result is deterministic under any partitioning
+  // (bare listagg/string_agg order is engine- and plan-specific).
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        concat_ws(",", array_sort(collect_set($"o_orderstatus"))).as("statuses"),
+        countDistinct($"o_orderstatus").as("n_statuses"))
+      .orderBy($"o_orderpriority")
+  }
+  private val q100Sql =
+    """SELECT o_orderpriority,
+      |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+      |    AS statuses,
+      |  COUNT(DISTINCT o_orderstatus) AS n_statuses
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -677,5 +697,6 @@ object Relational3 {
     QueryDef("q96_mode", q96, Some(q96Sql)),
     QueryDef("q98_anomaly", q98, Some(q98Sql)),
     QueryDef("q99_interval_overlap", q99, Some(q99Sql)),
+    QueryDef("q100_string_agg", q100, Some(q100Sql)),
   )
 }
