@@ -674,6 +674,47 @@ object Relational3 {
       |  COUNT(DISTINCT o_orderstatus) AS n_statuses
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  // Concentration / Pareto analysis: per order priority, the share of
+  // total revenue carried by the top decile of orders. Cumulative-share
+  // windows (ratio-to-report) over exact cents sums; the decile boundary
+  // is a row-count rank (integer), not a float percentile, so the cut is
+  // engine-exact.
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_orderpriority",
+      floor($"o_totalprice" * 100 + 0.5).cast("decimal(18,0)").as("cents"))
+    val byPrice = Window.partitionBy($"o_orderpriority")
+      .orderBy($"cents".desc, $"o_orderpriority") // cents ties: any order sums the same
+    val grp = Window.partitionBy($"o_orderpriority")
+    o.select($"o_orderpriority",
+        $"cents",
+        row_number().over(byPrice).as("rn"),
+        count(lit(1)).over(grp).as("n"),
+        sum($"cents").over(grp).as("total"))
+      .filter($"rn" * 10 <= $"n") // top decile by count
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_top"),
+        (sum($"cents").cast("double") / first($"total").cast("double"))
+          .as("top_decile_share"))
+      .orderBy($"o_orderpriority")
+  }
+  private val q101Sql =
+    """WITH o AS (SELECT o_orderpriority,
+      |    CAST(floor(o_totalprice*100 + 0.5) AS HUGEINT) AS cents
+      |  FROM orders),
+      |r AS (SELECT o_orderpriority, cents,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY cents DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n,
+      |    SUM(cents) OVER (PARTITION BY o_orderpriority) AS total
+      |  FROM o)
+      |SELECT o_orderpriority, COUNT(*) AS n_top,
+      |  CAST(SUM(cents) AS DOUBLE) / CAST(ANY_VALUE(total) AS DOUBLE)
+      |    AS top_decile_share
+      |FROM r WHERE rn * 10 <= n
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -698,5 +739,6 @@ object Relational3 {
     QueryDef("q98_anomaly", q98, Some(q98Sql)),
     QueryDef("q99_interval_overlap", q99, Some(q99Sql)),
     QueryDef("q100_string_agg", q100, Some(q100Sql)),
+    QueryDef("q101_pareto_share", q101, Some(q101Sql)),
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
@@ -376,6 +376,54 @@ object EventStreams {
     changelog.groupBy(col(keyCol))
       .agg(max_by(payload, struct(col(tsCol), col(tieCol))).as("latest"))
       .select(col(keyCol), col("latest.*"))
+  }
+
+  /** Streaming materialized-view refresh: each micro-batch aggregates to
+    * its mergeable state (`ops/Incremental.aggState`) and merges into a
+    * parquet state table via `foreachBatch` — the production shape of
+    * incremental aggregate maintenance: history is NEVER rescanned, each
+    * refresh costs O(micro-batch) + one exchange over the state.
+    *
+    * Replay safety: the merge is NOT idempotent (re-merging a replayed
+    * batch double-counts), so the state directory is versioned by batch id
+    * and a replayed id overwrites its own version — the same
+    * batch-id-keyed idempotence contract as [[writeEnvelopes]] and the
+    * near-dup signature store. Read the view with [[readAggView]].
+    */
+  def aggViewStream(stream: DataFrame, statePath: String,
+      keys: Seq[String], values: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val deltaState = graft.ops.Incremental.aggState(batch, keys, values)
+      val merged = prevView(spark, statePath, batchId) match {
+        case Some(prev) => graft.ops.Incremental.merge(prev, deltaState, keys)
+        case None => deltaState
+      }
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(s"$statePath/v_$batchId")
+    }
+
+  /** Latest materialized state strictly BEFORE `batchId` (replay of batch
+    * n must merge onto the state of n-1, not onto its own output). */
+  private def prevView(spark: SparkSession, statePath: String,
+      batchId: Long): Option[DataFrame] = {
+    val dir = new java.io.File(statePath)
+    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+      .map(_.getName.stripPrefix("v_").toLong).filter(_ < batchId)
+    if (versions.isEmpty) None
+    else Some(spark.read.parquet(s"$statePath/v_${versions.max}"))
+  }
+
+  /** The current materialized aggregate (latest version). */
+  def readAggView(spark: SparkSession, statePath: String): DataFrame = {
+    val dir = new java.io.File(statePath)
+    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+      .map(_.getName.stripPrefix("v_").toLong)
+    require(versions.nonEmpty, s"no materialized view under $statePath")
+    spark.read.parquet(s"$statePath/v_${versions.max}")
   }
 
   /** Batch-equivalence helper: the tumbling aggregation expressed as a plain

@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.sources.Tables
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import java.nio.file.Files
 import java.sql.Timestamp
 
 /** Top-level so Spark's product encoder needs no outer instance. */
@@ -288,5 +289,39 @@ class EventStreamsSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().toSet
     assert(streamed == batch)
     assert(streamed == Set((1L, "U", 11.0), (3L, "I", 31.0)))
+  }
+
+  test("streaming materialized-view refresh ≡ direct aggregate over all " +
+      "batches; history never rescanned") {
+    val statePath = Files.createTempDirectory("aggview").toFile.getAbsolutePath
+    val input = MemoryStream[Ev](spark)
+    val b1 = Seq(Ev(1, ts(1), 1, "click", 10.0), Ev(2, ts(2), 1, "view", 2.5),
+      Ev(3, ts(3), 2, "click", 7.0))
+    val b2 = Seq(Ev(4, ts(4), 1, "click", 1.0), Ev(5, ts(5), 3, "error", 4.0))
+    val q = EventStreams.aggViewStream(input.toDF(), statePath,
+        keys = Seq("event_type"), values = Seq("value"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("aggck").toFile.getAbsolutePath)
+      .start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val view = EventStreams.readAggView(spark, statePath)
+      .select($"event_type", $"n_rows", $"sum_value".cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    val direct = graft.ops.Incremental.aggState(
+        (b1 ++ b2).toDF(), Seq("event_type"), Seq("value"))
+      .select($"event_type", $"n_rows", $"sum_value".cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(view == direct)
+    assert(view == Set(("click", 3L, 18.0), ("view", 1L, 2.5), ("error", 1L, 4.0)))
+    // replay safety: re-merging batch 1 onto the state of batch 0 (not onto
+    // the latest) keeps versions self-consistent — v_0 + b2-state == v_1
+    val v0 = spark.read.parquet(s"$statePath/v_0")
+    val remerged = graft.ops.Incremental.merge(v0,
+        graft.ops.Incremental.aggState(b2.toDF(), Seq("event_type"), Seq("value")),
+        Seq("event_type"))
+      .select($"event_type", $"n_rows", $"sum_value".cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(remerged == view)
   }
 }
