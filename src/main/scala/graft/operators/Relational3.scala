@@ -715,6 +715,58 @@ object Relational3 {
       |FROM r WHERE rn * 10 <= n
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  // Co-occurrence mining (market-basket pairs): parts bought together in
+  // an order, top-20 pairs. Per-order item sets are bounded (≤7 lines in
+  // TPC-H shape), so the self-join fan-out is O(items²) per order — a
+  // bounded constant — and the pair counts partial-aggregate map-side.
+  // Distinct (order, part) first: duplicate lines of one part must not
+  // multiply pair counts.
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val a = li.select($"l_orderkey", $"l_partkey".as("part_a"))
+    val b = li.select($"l_orderkey", $"l_partkey".as("part_b"))
+    a.join(b, Seq("l_orderkey")).filter($"part_a" < $"part_b")
+      .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_orders".desc, $"part_a", $"part_b").limit(20)
+  }
+  private val q102Sql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |  COUNT(*) AS n_orders
+      |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |  AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q103
+  // Event-transition matrix (first-order Markov counts): how often each
+  // event type follows each other type within a user's timeline. One
+  // lead() over the user exchange, one aggregate.
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"from_type", $"to_type")
+  }
+  private val q103Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      |           FROM events),
+      |t AS (SELECT event_type AS from_type,
+      |        lead(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY ts_us, event_id) AS to_type
+      |      FROM e)
+      |SELECT from_type, to_type, COUNT(*) AS n
+      |FROM t WHERE to_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -740,5 +792,7 @@ object Relational3 {
     QueryDef("q99_interval_overlap", q99, Some(q99Sql)),
     QueryDef("q100_string_agg", q100, Some(q100Sql)),
     QueryDef("q101_pareto_share", q101, Some(q101Sql)),
+    QueryDef("q102_copurchase", q102, Some(q102Sql)),
+    QueryDef("q103_transitions", q103, Some(q103Sql)),
   )
 }
