@@ -767,6 +767,30 @@ object Relational3 {
       |FROM t WHERE to_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  // Rolling active users: distinct users in the trailing 7 days, per day.
+  // COUNT(DISTINCT) cannot ride a sliding window frame, so each (user,
+  // day) activity fact contributes itself to the 7 window-days it belongs
+  // to (a bounded 7× explode of the DEDUPED day-grain facts — never of raw
+  // events) and a plain distinct aggregate finishes per window-day.
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    ud.select($"user_id",
+        explode(sequence($"day", date_add($"day", 6))).as("win_day"))
+      .groupBy($"win_day")
+      .agg(countDistinct($"user_id").as("active_users"))
+      .orderBy($"win_day")
+  }
+  private val q104Sql =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |            FROM events),
+      |c AS (SELECT user_id, day + CAST(i AS INT) AS win_day
+      |      FROM ud, LATERAL unnest(range(7)) u(i))
+      |SELECT win_day, COUNT(DISTINCT user_id) AS active_users
+      |FROM c GROUP BY win_day ORDER BY win_day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -794,5 +818,6 @@ object Relational3 {
     QueryDef("q101_pareto_share", q101, Some(q101Sql)),
     QueryDef("q102_copurchase", q102, Some(q102Sql)),
     QueryDef("q103_transitions", q103, Some(q103Sql)),
+    QueryDef("q104_rolling_active", q104, Some(q104Sql)),
   )
 }
