@@ -60,11 +60,11 @@ object CorpusQueries {
   private val q65Sql =
     s"""WITH t AS (SELECT doc_id, $ntSql AS nt, $fpSql AS fp FROM documents),
        |o AS (SELECT doc_id, nt,
-       |        COALESCE(SUM(nt) OVER (ORDER BY fp, doc_id
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+       |        CAST(COALESCE(SUM(nt) OVER (ORDER BY fp, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
        |      FROM t)
        |SELECT doc_id, nt AS n_tokens, st AS start_tok,
-       |  st // 2048 AS seq_id, st % 2048 AS seq_pos
+       |  CAST(st // 2048 AS BIGINT) AS seq_id, CAST(st % 2048 AS BIGINT) AS seq_pos
        |FROM o ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q66
@@ -84,8 +84,8 @@ object CorpusQueries {
   private val q66Sql =
     s"""WITH t AS (SELECT doc_id, source, $ntSql AS nt, $fpSql AS fp FROM documents),
        |o AS (SELECT doc_id, source,
-       |        COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY fp, doc_id
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |        CAST(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY fp, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
        |      FROM t)
        |SELECT doc_id, source, start_tok FROM o
        |WHERE start_tok < 600 ORDER BY doc_id""".stripMargin
@@ -181,10 +181,11 @@ object CorpusQueries {
        |train AS (SELECT doc_id, $ntSql AS nt, $fpSql AS fp FROM c3
        |  WHERE $qualitySql >= 0.7 AND $fpSql % 100 < 80),
        |o AS (SELECT doc_id, nt,
-       |        COALESCE(SUM(nt) OVER (ORDER BY fp, doc_id
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+       |        CAST(COALESCE(SUM(nt) OVER (ORDER BY fp, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
        |      FROM train)
-       |SELECT doc_id, nt AS n_tokens, st AS start_tok, st // 2048 AS seq_id
+       |SELECT doc_id, nt AS n_tokens, st AS start_tok,
+       |  CAST(st // 2048 AS BIGINT) AS seq_id
        |FROM o ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q69
@@ -456,7 +457,8 @@ object CorpusQueries {
        |c1 AS (SELECT a.cid, q.dim,
        |         CAST(floor(CAST(sum(q.qv) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv
        |       FROM a1 a JOIN q USING (vec_id) GROUP BY a.cid, q.dim),
-       |d2 AS (SELECT q.vec_id, c.cid, sum((q.qv - c.cv)*(q.qv - c.cv)) AS dist
+       |d2 AS (SELECT q.vec_id, c.cid,
+       |         CAST(sum((q.qv - c.cv)*(q.qv - c.cv)) AS BIGINT) AS dist
        |       FROM q JOIN c1 c USING (dim) GROUP BY q.vec_id, c.cid)
        |SELECT vec_id, cid AS cluster, dist AS qdist FROM (
        |  SELECT vec_id, cid, dist,
@@ -502,7 +504,7 @@ object CorpusQueries {
   private def q84(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    def h(c: org.apache.spark.sql.Column) = xxhash64(coalesce(c, lit("<null>")))
+    def h(c: org.apache.spark.sql.Column) = xxhash64(c.isNull, coalesce(c, lit("")))
     val prev = docs.filter($"doc_id" % 7 =!= 0)
       .select($"doc_id", h($"text").as("prev_h"))
     val curr = docs.filter($"doc_id" % 5 =!= 0)

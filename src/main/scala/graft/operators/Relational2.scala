@@ -389,19 +389,34 @@ object Relational2 {
       |ORDER BY e.user_id, e.event_id""".stripMargin
 
   // ---------------------------------------------------------------- q24
-  // Sketches (A9): HLL++ distinct + approximate percentiles. No SQL oracle —
-  // approximation algorithms differ by engine; driver records rows>0.
+  // Sketches (A9): HLL++ distinct + approximate percentiles, with an
+  // EXACT-REGIME oracle gate. Sketch estimates differ by engine, so the
+  // query emits (a) the exact distinct count (fully verified) and (b)
+  // deterministic bounds-check booleans: HLL++ at rsd=0.01 must land
+  // within 5% (5 sigma) of exact, and the approx median (accuracy 10000 →
+  // rank error <= n/10000, ~2 ranks at sf0.01) must lie inside the exact
+  // [p45, p55] band (~2000 ranks). The oracle emits TRUE literals — the
+  // hash matches only when the sketches genuinely hit their bounds, so
+  // this is a real accuracy gate, not a rows-only smoke check.
   private def q24(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, d)
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey", 0.01).as("apx_parts"),
-        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("apx_median"),
-        percentile_approx($"l_extendedprice", lit(0.25), lit(10000)).as("apx_p25"),
-        percentile_approx($"l_extendedprice", lit(0.75), lit(10000)).as("apx_p75"))
+        countDistinct($"l_partkey").as("exact_parts"),
+        approx_count_distinct($"l_partkey", 0.01).as("apx"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("apx_med"),
+        expr("percentile(l_extendedprice, 0.45)").as("lo"),
+        expr("percentile(l_extendedprice, 0.55)").as("hi"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"apx" - $"exact_parts") <= $"exact_parts" * 0.05).as("parts_ok"),
+        ($"apx_med" >= $"lo" && $"apx_med" <= $"hi").as("median_ok"))
       .orderBy($"l_returnflag")
   }
+  private val q24Sql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS parts_ok, TRUE AS median_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q25
   // Exact percentiles (linear interpolation — same formula in both engines).
@@ -461,7 +476,7 @@ object Relational2 {
     QueryDef("q21_case_when", q21, Some(q21Sql)),
     QueryDef("q22_range_join", q22, Some(q22Sql)),
     QueryDef("q23_asof_join", q23, Some(q23Sql)),
-    QueryDef("q24_approx_sketches", q24, None),
+    QueryDef("q24_approx_sketches", q24, Some(q24Sql)),
     QueryDef("q25_percentiles", q25, Some(q25Sql)),
     QueryDef("q26_correlated_avg", q26, Some(q26Sql)),
     QueryDef("q83_asof_custom", q83, Some(q83Sql)),

@@ -433,13 +433,18 @@ object Relational3 {
     val delta = graft.ops.Incremental.aggState(li.filter($"l_orderkey" % 5 === 0), keys, vals)
     graft.ops.Incremental.merge(hist, delta, keys)
       .select($"l_returnflag", $"n_rows",
-        $"sum_l_quantity".as("sum_qty"), $"sum_l_extendedprice".as("sum_price"))
+        // Decimal states merge exactly; render as DOUBLE on both engines so
+        // the driver's pandas hash compares like for like (q69Sql pattern —
+        // DuckDB SUM(DECIMAL(18,2)) widens to DECIMAL(38,2), which pandas
+        // renders differently from Spark's decimal string).
+        $"sum_l_quantity".cast("double").as("sum_qty"),
+        $"sum_l_extendedprice".cast("double").as("sum_price"))
       .orderBy($"l_returnflag")
   }
   private val q92Sql =
     """SELECT l_returnflag, COUNT(*) AS n_rows,
-      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q93

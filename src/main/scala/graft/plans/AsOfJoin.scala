@@ -70,8 +70,13 @@ object AsOfJoinStrategy extends SparkStrategy {
 /** Sort-merge backward as-of join.
   *
   * Children are hash-clustered on the full key set (so EnsureRequirements
-  * co-partitions them — AQE's coalescing/skew handling then applies exactly
-  * as it does to SortMergeJoin) and sorted by (keys…, time). `doExecute`
+  * co-partitions them and AQE coalesces small shuffle partitions; note
+  * OptimizeSkewedJoin's skew-SPLITTING only matches SortMergeJoinExec /
+  * ShuffledHashJoinExec, so a custom node gets coalescing but not skew
+  * splits — which would anyway be incorrect here, since splitting a key's
+  * right-side history across tasks breaks the per-key merge; skewed keys
+  * should go through the broadcast path) and sorted by (keys…, time).
+  * `doExecute`
   * zips partitions and runs a forward-only merge: the right cursor only
   * advances, each consumed right row either becomes the current candidate
   * (copied — sorter iterators reuse row buffers) or is discarded, and every
@@ -154,8 +159,18 @@ case class BroadcastAsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
+  // Same parity contract as AsOfJoinExec: the probe map keys on UnsafeRow
+  // BYTE equality, so an int left key vs bigint right key would silently
+  // match nothing (every left row null-extended) instead of failing fast.
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    "as-of join needs matching non-empty key lists")
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    "as-of join key types must match pairwise")
+  require(leftTime.dataType == rightTime.dataType,
+    "as-of join time types must match")
   require(tolerance.isEmpty || AsOfJoinExec.longBacked(leftTime.dataType),
     s"tolerance needs a long-backed time type, got ${leftTime.dataType}")
+  require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),

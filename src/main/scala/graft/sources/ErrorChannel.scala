@@ -21,10 +21,26 @@ object ErrorChannel {
 
   val corruptCol = "_corrupt_record"
 
+  /** The two channels plus the lifetime of the shared cached parse: both
+    * `clean` and `rejects` read the same persisted frame, so the CALLER
+    * decides when both have been consumed and calls [[unpersist]] —
+    * otherwise a long-lived session calling csv()/json() repeatedly leaks
+    * cached partitions. Destructures like a pair:
+    * `val Channels(clean, rejects) = ErrorChannel.csv(...)`. */
+  final case class Channels(clean: DataFrame, rejects: DataFrame)(
+      parsed: DataFrame) {
+    /** Release the shared cached parse. Call AFTER both channels are
+      * consumed: Spark disallows recomputing a query that references only
+      * the corrupt-record column straight from the raw file
+      * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the
+      * channels are not re-readable once the cache is dropped. */
+    def unpersist(): Unit = { parsed.unpersist(); () }
+  }
+
   /** Read a CSV with a declared schema; rows that don't parse land on the
-    * reject side with their raw line intact. Returns (clean, rejects). */
+    * reject side with their raw line intact. */
   def csv(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = true): (DataFrame, DataFrame) =
+      header: Boolean = true): Channels =
     split(spark.read
       .option("header", header.toString)
       .option("mode", "PERMISSIVE")
@@ -33,7 +49,7 @@ object ErrorChannel {
       .csv(path))
 
   /** Same contract for NDJSON. */
-  def json(spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) =
+  def json(spark: SparkSession, path: String, schema: StructType): Channels =
     split(spark.read
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
@@ -43,13 +59,13 @@ object ErrorChannel {
   private def withCorrupt(schema: StructType): StructType =
     StructType(schema.fields :+ StructField(corruptCol, StringType))
 
-  private def split(raw: DataFrame): (DataFrame, DataFrame) = {
+  private def split(raw: DataFrame): Channels = {
     // Spark requires caching (or re-reading) when filtering on the corrupt
     // column alone; persist the narrow parsed frame once for both sides
     val parsed = raw.cache()
     val clean = parsed.filter(col(corruptCol).isNull).drop(corruptCol)
     val rejects = parsed.filter(col(corruptCol).isNotNull)
       .select(col(corruptCol).as("raw_line"))
-    (clean, rejects)
+    Channels(clean, rejects)(parsed)
   }
 }

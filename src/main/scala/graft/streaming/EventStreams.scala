@@ -389,6 +389,14 @@ object EventStreams {
     * and a replayed id overwrites its own version — the same
     * batch-id-keyed idempotence contract as [[writeEnvelopes]] and the
     * near-dup signature store. Read the view with [[readAggView]].
+    *
+    * State paths resolve through the Hadoop FileSystem API (not
+    * java.io.File), so the view lives wherever the checkpoint does — local
+    * disk in tests, the lake in production. After each successful write,
+    * versions older than the one batch `v_batchId` merged from are
+    * deleted: a restart can only replay the most recent uncommitted batch,
+    * which needs exactly its predecessor's state, so the directory holds
+    * at most two versions instead of one full state copy per micro-batch.
     */
   def aggViewStream(stream: DataFrame, statePath: String,
       keys: Seq[String], values: Seq[String])
@@ -396,34 +404,41 @@ object EventStreams {
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val deltaState = graft.ops.Incremental.aggState(batch, keys, values)
-      val merged = prevView(spark, statePath, batchId) match {
-        case Some(prev) => graft.ops.Incremental.merge(prev, deltaState, keys)
-        case None => deltaState
-      }
+      val prev = versions(spark, statePath).filter(_ < batchId)
+      val merged =
+        if (prev.isEmpty) deltaState
+        else graft.ops.Incremental.merge(
+          spark.read.parquet(s"$statePath/v_${prev.max}"), deltaState, keys)
       merged.coalesce(1).write.mode("overwrite")
         .parquet(s"$statePath/v_$batchId")
+      // Prune: keep v_batchId and the version it merged from (needed if
+      // this batch id is replayed after a crash); drop everything older.
+      val keep = Set(batchId) ++ prev.maxOption
+      val (fsys, _) = fsPath(spark, statePath)
+      versions(spark, statePath).filterNot(keep)
+        .foreach(v => fsys.delete(new org.apache.hadoop.fs.Path(s"$statePath/v_$v"), true))
     }
 
-  /** Latest materialized state strictly BEFORE `batchId` (replay of batch
-    * n must merge onto the state of n-1, not onto its own output). */
-  private def prevView(spark: SparkSession, statePath: String,
-      batchId: Long): Option[DataFrame] = {
-    val dir = new java.io.File(statePath)
-    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
-      .map(_.getName.stripPrefix("v_").toLong).filter(_ < batchId)
-    if (versions.isEmpty) None
-    else Some(spark.read.parquet(s"$statePath/v_${versions.max}"))
+  private def fsPath(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Materialized-state versions present under `statePath`. */
+  private def versions(spark: SparkSession, statePath: String): Seq[Long] = {
+    val (fsys, p) = fsPath(spark, statePath)
+    if (!fsys.exists(p)) Seq.empty
+    else fsys.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+      .map(_.getPath.getName.stripPrefix("v_").toLong)
   }
 
   /** The current materialized aggregate (latest version). */
   def readAggView(spark: SparkSession, statePath: String): DataFrame = {
-    val dir = new java.io.File(statePath)
-    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
-      .map(_.getName.stripPrefix("v_").toLong)
-    require(versions.nonEmpty, s"no materialized view under $statePath")
-    spark.read.parquet(s"$statePath/v_${versions.max}")
+    val vs = versions(spark, statePath)
+    require(vs.nonEmpty, s"no materialized view under $statePath")
+    spark.read.parquet(s"$statePath/v_${vs.max}")
   }
 
   /** Batch-equivalence helper: the tumbling aggregation expressed as a plain

@@ -20,11 +20,13 @@ class ErrorChannelSpec extends SparkSpec {
     w.println("2,not-a-number,beta") // qty fails the int cast
     w.println("3,30,gamma")
     w.close()
-    val (clean, rejects) = ErrorChannel.csv(spark, f.getAbsolutePath, schema)
+    val ch @ ErrorChannel.Channels(clean, rejects) =
+      ErrorChannel.csv(spark, f.getAbsolutePath, schema)
     assert(clean.as[(Long, Int, String)].collect().toSet ==
       Set((1L, 10, "alpha"), (3L, 30, "gamma")))
     val bad = rejects.as[String].collect().toSeq
     assert(bad == Seq("2,not-a-number,beta")) // raw line, full fidelity
+    ch.unpersist() // both channels consumed — release the shared cache
   }
 
   test("json: junk lines rejected, valid rows parse") {
@@ -35,9 +37,11 @@ class ErrorChannelSpec extends SparkSpec {
     w.println("""this is not json""")
     w.println("""{"id": 2, "qty": 20, "name": "beta"}""")
     w.close()
-    val (clean, rejects) = ErrorChannel.json(spark, f.getAbsolutePath, schema)
+    val ch @ ErrorChannel.Channels(clean, rejects) =
+      ErrorChannel.json(spark, f.getAbsolutePath, schema)
     assert(clean.count() == 2)
     assert(rejects.as[String].collect().toSeq == Seq("this is not json"))
+    ch.unpersist()
   }
 
   test("all-clean input: empty reject channel, nothing dropped") {
@@ -46,7 +50,9 @@ class ErrorChannelSpec extends SparkSpec {
     val w = new java.io.PrintWriter(f)
     w.println("id,qty,name"); w.println("1,1,a"); w.println("2,2,b")
     w.close()
-    val (clean, rejects) = ErrorChannel.csv(spark, f.getAbsolutePath, schema)
+    val ch @ ErrorChannel.Channels(clean, rejects) =
+      ErrorChannel.csv(spark, f.getAbsolutePath, schema)
     assert(clean.count() == 2 && rejects.count() == 0)
+    ch.unpersist()
   }
 }
