@@ -1,8 +1,16 @@
 package graft
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line {"metric":…,"queries":{…}}. `count()` forces full
-  * plan execution without driver-side result materialization. */
+  * prints ONE JSON line. `count()` forces full plan execution without
+  * driver-side result materialization.
+  *
+  * Two measured passes at the bench SF — "cold" (first touch of the bench
+  * data; OS page cache and shuffle reuse empty) and "warm" (steady state) —
+  * are reported as explicit `cold_total`/`warm_total` fields, with the
+  * headline `value` = the cold pass, the honest number for a first run on
+  * a cluster. Scalar fields come FIRST and per-query timings are rounded
+  * to ms so a consumer that truncates long lines still parses the totals.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,26 +19,34 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm every query's codegen/JIT path on the smallest SF first: cold
-    // runs cost 5-10x (classloading + whole-stage compilation), which would
-    // measure the JVM, not the plan. sf0.001 is ~1% of bench data, so the
-    // warmup adds negligible I/O.
+    // Warm every query's codegen/JIT path on the smallest SF first: without
+    // this the "cold" pass measures classloading + whole-stage compilation
+    // (5-10x), i.e. the JVM, not the plan. sf0.001 is ~1% of bench data, so
+    // the warmup adds negligible I/O and leaves the bench data untouched.
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
     // a failed query is reported as -1, never as a (fast-looking) timing
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    val cold = pass()
+    val warm = pass()
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    def total(xs: Seq[(String, Double)]) = r3(xs.map(_._2).filter(_ >= 0).sum)
+    val qs = warm.zip(cold).map { case ((k, w), (_, c)) =>
+      val v = if (w < 0 || c < 0) -1.0 else r3(w)
+      "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
+      s""""cold_total":${total(cold)},"warm_total":${total(warm)},""" +
+      s""""n_queries":${warm.size},"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }
