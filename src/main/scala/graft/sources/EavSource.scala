@@ -30,9 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `record_id` / `field_name` / `redcap_event_name` evaluate inside the
   *    fetch, everything else stays a residual Spark filter.
   *
-  * The transport here is a local CSV file standing in for the REST endpoint
-  * (zero-egress environment); [[EavPartitionReader.fetchChunk]] is the
-  * single seam where an HTTP POST would replace the file read.
+  * Transport is pluggable behind [[EavTransport]]: `option("path", p)`
+  * reads a local CSV standing in for the endpoint (zero-egress test mode);
+  * `option("url", u).option("token", t)` issues real form-encoded POSTs
+  * with the reference's error semantics (abort on non-2xx, bounded
+  * retry/backoff on 5xx — see [[HttpEavTransport]]).
   *
   * Usage: `spark.read.format("graft-eav").option("path", p).load()`.
   */
@@ -110,18 +112,19 @@ object EavSource {
 }
 
 class EavTable(props: Map[String, String]) extends Table with SupportsRead {
-  override def name(): String = s"graft-eav(${props.getOrElse("path", "?")})"
+  override def name(): String =
+    s"graft-eav(${props.get("url").orElse(props.get("path")).getOrElse("?")})"
   override def schema(): StructType = EavSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EavScanBuilder(
-      options.get("path"),
+      EavTransport.fromOptions(options.asScala.toMap),
       Option(options.get("chunk_size")).map(_.toInt).getOrElse(100),
       Option(options.get("max_chunks_per_trigger")).map(_.toInt).getOrElse(-1))
 }
 
-class EavScanBuilder(path: String, chunkSize: Int, maxChunksPerTrigger: Int = -1) extends ScanBuilder
+class EavScanBuilder(transport: EavTransport, chunkSize: Int, maxChunksPerTrigger: Int = -1) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownAggregates with SupportsPushDownTableSample {
@@ -228,14 +231,14 @@ class EavScanBuilder(path: String, chunkSize: Int, maxChunksPerTrigger: Int = -1
 
   override def build(): Scan =
     if (aggregationPushed)
-      new EavAggScan(path, chunkSize, pushed, aggGroupBy, aggFuncs, sample)
-    else new EavScan(path, chunkSize, required, pushed, limit, topN,
+      new EavAggScan(transport, chunkSize, pushed, aggGroupBy, aggFuncs, sample)
+    else new EavScan(transport, chunkSize, required, pushed, limit, topN,
       maxChunksPerTrigger, sample)
 }
 
 final case class EavChunk(recordIds: Array[String]) extends InputPartition
 
-class EavScan(path: String, chunkSize: Int, required: StructType,
+class EavScan(transport: EavTransport, chunkSize: Int, required: StructType,
     pushed: Array[Filter], limit: Int = -1,
     topN: Array[(Int, Boolean)] = Array.empty,
     maxChunksPerTrigger: Int = -1,
@@ -249,7 +252,7 @@ class EavScan(path: String, chunkSize: Int, required: StructType,
     * extraction can never be the broadcast side of a join. Sample pushdown
     * scales the estimate by its fraction. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val fileBytes = new java.io.File(path).length()
+    private val fileBytes = transport.sizeHintBytes()
     private val frac = sample.map { case (lo, hi, _) => hi - lo }.getOrElse(1.0)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(1L, (fileBytes * frac).toLong))
@@ -279,7 +282,7 @@ class EavScan(path: String, chunkSize: Int, required: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new EavMicroBatchStream(path, chunkSize, required, pushed, maxChunksPerTrigger)
+    new EavMicroBatchStream(transport, chunkSize, required, pushed, maxChunksPerTrigger)
   override def description(): String =
     s"graft-eav PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"PushedLimit: ${if (limit >= 0) limit else "none"}, " +
@@ -294,12 +297,12 @@ class EavScan(path: String, chunkSize: Int, required: StructType,
     * cheap driver-side pass that yields only ids, then 1 partition per
     * `chunkSize` ids. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val all = EavSource.readAllLines(path).map(_(0)).distinct.sorted
+    val all = transport.recordIds()
     val ids = runtimeIds.fold(all)(keep => all.filter(keep.contains))
     ids.grouped(chunkSize).map(g => EavChunk(g.toArray): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new EavReaderFactory(path, required, pushed, limit, topN, sample, columnar = true)
+    new EavReaderFactory(transport, required, pushed, limit, topN, sample, columnar = true)
 }
 
 /** Stream position: number of record-id chunks fully processed. */
@@ -322,14 +325,14 @@ final case class EavOffset(chunks: Long)
   * upstream). `max_chunks_per_trigger` rate-limits via admission control —
   * restart-safe because the limited latestOffset is computed from the
   * checkpointed start offset, not connector state. */
-class EavMicroBatchStream(path: String, chunkSize: Int, required: StructType,
+class EavMicroBatchStream(transport: EavTransport, chunkSize: Int, required: StructType,
     pushed: Array[Filter], maxChunksPerTrigger: Int)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
 
   private def allChunks(): Array[EavChunk] = {
-    val ids = EavSource.readAllLines(path).map(_(0)).distinct.sorted
+    val ids = transport.recordIds()
     ids.grouped(chunkSize).map(g => EavChunk(g.toArray)).toArray
   }
 
@@ -365,7 +368,7 @@ class EavMicroBatchStream(path: String, chunkSize: Int, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EavReaderFactory(path, required, pushed)
+    new EavReaderFactory(transport, required, pushed)
 
   override def stop(): Unit = ()
 }
@@ -373,7 +376,7 @@ class EavMicroBatchStream(path: String, chunkSize: Int, required: StructType,
 /** Scan with a pushed (partial) aggregation: one output row per group per
   * chunk. readSchema order is the V2 contract: group-by columns first, then
   * one column per aggregate (counts as BIGINT, min/max as the column type). */
-class EavAggScan(path: String, chunkSize: Int, pushed: Array[Filter],
+class EavAggScan(transport: EavTransport, chunkSize: Int, pushed: Array[Filter],
     groupBy: Array[Int], aggs: Array[EavSource.EavAgg],
     sample: Option[(Double, Double, Long)] = None) extends Scan with Batch {
   import EavSource._
@@ -396,25 +399,25 @@ class EavAggScan(path: String, chunkSize: Int, pushed: Array[Filter],
       s"GroupBy: [${groupBy.map(EavSource.schema.fieldNames(_)).mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val ids = EavSource.readAllLines(path).map(_(0)).distinct.sorted
+    val ids = transport.recordIds()
     ids.grouped(chunkSize).map(g => EavChunk(g.toArray): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new EavAggReaderFactory(path, pushed, groupBy, aggs, sample)
+    new EavAggReaderFactory(transport, pushed, groupBy, aggs, sample)
 }
 
-class EavAggReaderFactory(path: String, pushed: Array[Filter],
+class EavAggReaderFactory(transport: EavTransport, pushed: Array[Filter],
     groupBy: Array[Int], aggs: Array[EavSource.EavAgg],
     sample: Option[(Double, Double, Long)] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new EavAggPartitionReader(path, partition.asInstanceOf[EavChunk], pushed,
+    new EavAggPartitionReader(transport, partition.asInstanceOf[EavChunk], pushed,
       groupBy, aggs, sample)
 }
 
 /** Per-chunk grouped aggregation — the map-side combine running INSIDE the
   * fetch: the chunk's payload shrinks from its row count to its group
   * count before anything reaches Spark. */
-class EavAggPartitionReader(path: String, chunk: EavChunk,
+class EavAggPartitionReader(transport: EavTransport, chunk: EavChunk,
     pushed: Array[Filter], groupBy: Array[Int], aggs: Array[EavSource.EavAgg],
     sample: Option[(Double, Double, Long)] = None)
     extends PartitionReader[InternalRow] {
@@ -426,7 +429,9 @@ class EavAggPartitionReader(path: String, chunk: EavChunk,
   private val it: Iterator[InternalRow] = {
     EavSource.chunkFetches.incrementAndGet()
     val idSet = chunk.recordIds.toSet
-    val rows = EavSource.readAllLines(path).iterator
+    // one transport request for this chunk; id/filter re-applied locally
+    // (transports may over-return — the pushes are hints, not guarantees)
+    val rows = transport.fetchChunk(chunk.recordIds, pushed).iterator
       .filter(r => idSet.contains(r(0)))
       .filter(r => pushed.forall(EavSource.matches(r, _)))
       .filter(r => sample.forall { case (lo, hi, seed) =>
@@ -469,13 +474,13 @@ class EavAggPartitionReader(path: String, chunk: EavChunk,
   override def close(): Unit = ()
 }
 
-class EavReaderFactory(path: String, required: StructType,
+class EavReaderFactory(transport: EavTransport, required: StructType,
     pushed: Array[Filter], limit: Int = -1,
     topN: Array[(Int, Boolean)] = Array.empty,
     sample: Option[(Double, Double, Long)] = None,
     columnar: Boolean = false) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new EavPartitionReader(path, partition.asInstanceOf[EavChunk], required,
+    new EavPartitionReader(transport, partition.asInstanceOf[EavChunk], required,
       pushed, limit, topN, sample)
 
   /** Vectorized path for plain scans (filters/sample/pruning still apply
@@ -485,7 +490,7 @@ class EavReaderFactory(path: String, required: StructType,
     columnar && topN.isEmpty && limit < 0
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new EavColumnarPartitionReader(path, partition.asInstanceOf[EavChunk],
+    new EavColumnarPartitionReader(transport, partition.asInstanceOf[EavChunk],
       required, pushed, sample)
 }
 
@@ -493,7 +498,7 @@ class EavReaderFactory(path: String, required: StructType,
   * ColumnarBatch — the scan feeds Spark's columnar pipeline and reaches
   * rows through one codegen'd ColumnarToRow, like the built-in parquet
   * vectorized reader (visible as ColumnarToRow in the plan). */
-class EavColumnarPartitionReader(path: String, chunk: EavChunk,
+class EavColumnarPartitionReader(transport: EavTransport, chunk: EavChunk,
     required: StructType, pushed: Array[Filter],
     sample: Option[(Double, Double, Long)])
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
@@ -505,7 +510,7 @@ class EavColumnarPartitionReader(path: String, chunk: EavChunk,
   private val rows: Iterator[Array[String]] = {
     EavSource.chunkFetches.incrementAndGet()
     val idSet = chunk.recordIds.toSet
-    EavSource.readAllLines(path).iterator
+    transport.fetchChunk(chunk.recordIds, pushed).iterator
       .filter(r => idSet.contains(r(0)))
       .filter(r => pushed.forall(EavSource.matches(r, _)))
       .filter(r => sample.forall { case (lo, hi, seed) =>
@@ -536,7 +541,7 @@ class EavColumnarPartitionReader(path: String, chunk: EavChunk,
   override def close(): Unit = batch.close()
 }
 
-class EavPartitionReader(path: String, chunk: EavChunk,
+class EavPartitionReader(transport: EavTransport, chunk: EavChunk,
     required: StructType, pushed: Array[Filter],
     limit: Int = -1, topN: Array[(Int, Boolean)] = Array.empty,
     sample: Option[(Double, Double, Long)] = None)
@@ -547,7 +552,9 @@ class EavPartitionReader(path: String, chunk: EavChunk,
   private def fetchChunk(): Iterator[Array[String]] = {
     EavSource.chunkFetches.incrementAndGet()
     val idSet = chunk.recordIds.toSet
-    val rows = EavSource.readAllLines(path).iterator
+    // one transport request for this chunk; id/filter re-applied locally
+    // (transports may over-return — the pushes are hints, not guarantees)
+    val rows = transport.fetchChunk(chunk.recordIds, pushed).iterator
       .filter(r => idSet.contains(r(0)))
       .filter(r => pushed.forall(EavSource.matches(r, _)))
       .filter(r => sample.forall { case (lo, hi, seed) =>

@@ -66,4 +66,22 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every test table as a temp view (events through the same
+    * ts/ts_ns normalization as [[events]]), plus the EAV connector as
+    * `eav` when `eavPath` is given — so the whole engine is drivable from
+    * pure SQL: `spark.sql("SELECT … FROM lineitem JOIN orders …")`.
+    * Temp views are metadata-only: each query still plans straight against
+    * the parquet scan (pruning/pushdown intact), nothing is materialized.
+    */
+  def registerAll(s: SparkSession, d: String, eavPath: Option[String] = None): Unit = {
+    all.foreach {
+      case "events" => events(s, d).createOrReplaceTempView("events")
+      case t => load(s, d, t).createOrReplaceTempView(t)
+    }
+    eavPath.foreach { p =>
+      s.read.format("graft-eav").option("path", p).load()
+        .createOrReplaceTempView("eav")
+    }
+  }
 }
