@@ -41,6 +41,22 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: degenerate partition counts (1, n rows, 2n rows)") {
+    // The two-phase prefix sum must survive the edges: everything in ONE
+    // partition (phase-2 base offsets collapse to [0]), one partition PER
+    // row, and more partitions than rows (empty partitions must contribute
+    // zero to the running base, not shift it).
+    val n = 30
+    val base = Packing.packSequences(corpus(n), "doc_id", "nt",
+      Seq("fp", "doc_id"), seqTokens = 8).orderBy("id").collect()
+    for (parts <- Seq(1, n, 2 * n)) {
+      val out = Packing.packSequences(corpus(n), "doc_id", "nt",
+        Seq("fp", "doc_id"), seqTokens = 8, partitions = parts)
+        .orderBy("id").collect()
+      assert(out.sameElements(base), s"partitions=$parts")
+    }
+  }
+
   test("packSequences: null/zero token docs occupy no tokens but keep a slot") {
     val docs = Seq((1L, 5L, 1L), (2L, 0L, 2L), (3L, 3L, 3L))
       .toDF("doc_id", "nt", "fp")
