@@ -13,7 +13,8 @@ object SparkEntry {
   /** All registered query definitions, in module order. */
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ Relational2.defs ++ Relational3.defs ++
-      EtlQueries.defs ++ LlmQueries.defs ++ CorpusQueries.defs
+      EtlQueries.defs ++ LlmQueries.defs ++ CorpusQueries.defs ++
+      MixtureQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full ETL shape in one plan: EAV synthesis → PHI rule cascade →

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Dedup, Mixture, TextAnalysis}
+
+/** Data-mixture planning queries (ops/Mixture + the cross-corpus dedup
+  * face of ops/Dedup): temperature-scaled source allocation, deterministic
+  * epoch shuffles, curriculum buckets, corpus-vs-corpus near-dup audit —
+  * the "which data, in what proportion, in what order" layer of a
+  * training-data pipeline. */
+object MixtureQueries {
+  import LlmQueries.{fpSqlOf, qualitySql, shSetSqlFrom, toksSql}
+
+  private val ntSql =
+    s"CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0 ELSE len($toksSql) END AS BIGINT)"
+
+  // ---------------------------------------------------------------- q105
+  // Temperature-scaled source mixture (alpha=0.5): per-source token mass →
+  // sqrt-scaled sampling weights and an integer token allocation for a
+  // 100k-token budget. The sqrt basis quantizes to longs (floor(sqrt·1e6)),
+  // so weights/allocations are cross-engine exact — see
+  // Mixture.temperatureAllocation's exactness contract.
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(
+      $"source", TextAnalysis.tokenCount($"text").cast("long").as("nt"))
+    Mixture.temperatureAllocation(docs, $"source", $"nt",
+        alpha = 0.5, budgetTokens = 100000L)
+      .withColumnRenamed("group", "source")
+      .orderBy($"source")
+  }
+  private val q105Sql =
+    s"""WITH t AS (SELECT source, $ntSql AS nt FROM documents),
+       |s AS (SELECT source, COUNT(*) AS n_docs,
+       |        CAST(SUM(nt) AS BIGINT) AS n_tokens
+       |      FROM t GROUP BY source),
+       |b AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS basis
+       |      FROM s),
+       |tot AS (SELECT CAST(SUM(basis) AS BIGINT) AS basis_total FROM b)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(basis AS DOUBLE) / CAST(basis_total AS DOUBLE) AS weight,
+       |  CAST(100000 * basis // basis_total AS BIGINT) AS alloc_tokens
+       |FROM b, tot ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q106
+  // Deterministic 2-epoch corpus shuffle: per-epoch dense positions under
+  // md5_low64(doc_id ':' epoch) order (≡ DuckDB md5_number_lower — a real
+  // mixing hash; a rolling fingerprint would be order-preserving here).
+  // The oracle replays each epoch's permutation with a windowed
+  // row_number — exactly the single-partition plan the two-phase operator
+  // refuses to produce at scale.
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Mixture.epochShuffle(Tables.documents(s, d), "doc_id", epochs = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"epoch", $"doc_id")
+  }
+  private val q106Sql =
+    s"""WITH e AS (SELECT unnest([0, 1]) AS epoch),
+       |d AS (SELECT e.epoch, doc_id,
+       |        md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR)) AS efp
+       |      FROM documents, e)
+       |SELECT epoch, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY efp, doc_id) - 1 AS BIGINT) AS pos
+       |FROM d ORDER BY epoch, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q107
+  // Quality-curriculum buckets: corpus ranked by quantized quality score
+  // (descending, id tie-break), cut into 4 equal slices — bucket 0 is the
+  // cleanest quartile a curriculum schedule consumes first.
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id",
+      floor(TextAnalysis.qualityScore($"text") * 1e6).cast("long").as("q6"))
+    Mixture.curriculumBuckets(docs, "doc_id", $"q6", k = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+  private val q107Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |        CAST(floor(($qualitySql) * 1e6) AS BIGINT) AS q6 FROM documents),
+       |p AS (SELECT doc_id,
+       |        CAST(row_number() OVER (ORDER BY -q6, doc_id) - 1 AS BIGINT) AS pos
+       |      FROM t),
+       |n AS (SELECT COUNT(*) AS n FROM t)
+       |SELECT doc_id, pos, CAST(pos * 4 // n AS BIGINT) AS bucket
+       |FROM p, n ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q108
+  // Cross-corpus near-dup audit: snapshot A (doc_id % 3 = 0) vs snapshot B
+  // (the rest), LSH-bucketed candidates + exact-verified Jaccard ≥ 0.5.
+  // Same recall argument as q41: at k=64/b=16 the synthetic corpus has no
+  // pairs in the banding's miss window, so the brute-force oracle is
+  // reproduced exactly.
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    Dedup.crossCorpusPairs(
+        docs.filter($"doc_id" % 3 === 0), docs.filter($"doc_id" % 3 =!= 0),
+        threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+  private val q108Sql =
+    s"""WITH sa AS (${shSetSqlFrom("(SELECT * FROM documents WHERE doc_id % 3 = 0) x")}),
+       |sb AS (${shSetSqlFrom("(SELECT * FROM documents WHERE doc_id % 3 <> 0) y")})
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  FROM sa a, sb b)
+       |WHERE jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q105_temperature_mix", q105, Some(q105Sql)),
+    QueryDef("q106_epoch_shuffle", q106, Some(q106Sql)),
+    QueryDef("q107_curriculum", q107, Some(q107Sql)),
+    QueryDef("q108_cross_corpus_dups", q108, Some(q108Sql)),
+  )
+}

@@ -401,6 +401,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate pairs: docs in `a` whose normalized text
+    * is near-duplicate (exact-verified Jaccard ≥ threshold) of a doc in
+    * `b` — the corpus-vs-corpus face of [[minhashDuplicatePairs]], used
+    * for train-vs-train overlap between two snapshots/crawls and as the
+    * document-level big sibling of eval decontamination (which is gram-
+    * level, [[contaminationHits]]).
+    *
+    * Same scale posture as the single-corpus path: both sides reduce to
+    * (id, band, bh) in the zero-shuffle kernel, candidates come from ONE
+    * bucket join on (band, bh) with per-side bucket caps (an oversized
+    * boilerplate bucket on either side cannot cross-explode), and exact
+    * verification re-shingles only semi-join-pruned candidate docs. Text
+    * never crosses an exchange. */
+  def crossCorpusPairs(a: DataFrame, b: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    val ga = minhashBandRows(a, textCol, idCol, k, bands)
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("ids_a"))
+      .filter(size(col("ids_a")) <= maxBucketSize)
+    val gb = minhashBandRows(b, textCol, idCol, k, bands)
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("ids_b"))
+      .filter(size(col("ids_b")) <= maxBucketSize)
+    val candidates = ga.join(gb, Seq("band", "bh"))
+      .select(explode(col("ids_a")).as("id_a"), col("ids_b"))
+      .select(col("id_a"), explode(col("ids_b")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val aDocs = a.join(candidates.select(col("id_a").as("cid")).distinct(),
+      col(idCol) === col("cid"), "left_semi")
+    val bDocs = b.join(candidates.select(col("id_b").as("cid")).distinct(),
+      col(idCol) === col("cid"), "left_semi")
+    val sa = hashedShingleSets(aDocs, textCol, idCol)
+      .select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val sb = hashedShingleSets(bDocs, textCol, idCol)
+      .select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   // ----------------------------------------------------- decontamination
   /** Benchmark decontamination hits: corpus docs sharing at least one
     * distinct word n-gram with the benchmark/eval set → `(id, n_shared)`.
