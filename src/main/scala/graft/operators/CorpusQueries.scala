@@ -100,7 +100,7 @@ object CorpusQueries {
       .select($"id".as("vec_id"), $"cluster_id")
       .orderBy($"vec_id")
   }
-  private def cosSql(a: String, b: String): String =
+  private[operators] def cosSql(a: String, b: String): String =
     s"""CAST(list_sum(list_transform(range(1, len($a)+1), i -> ($a)[i]*($b)[i])) AS DOUBLE)
        |    / (sqrt(CAST(list_sum(list_transform($a, x->x*x)) AS DOUBLE))
        |       * sqrt(CAST(list_sum(list_transform($b, x->x*x)) AS DOUBLE)))""".stripMargin

@@ -11,7 +11,7 @@ import graft.ops.{Dedup, Mixture, TextAnalysis}
   * the "which data, in what proportion, in what order" layer of a
   * training-data pipeline. */
 object MixtureQueries {
-  import LlmQueries.{fpSqlOf, qualitySql, shSetSqlFrom, toksSql}
+  import LlmQueries.{fpSql, qualitySql, shSetSqlFrom, toksSql}
 
   private val ntSql =
     s"CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0 ELSE len($toksSql) END AS BIGINT)"
@@ -113,10 +113,75 @@ object MixtureQueries {
        |WHERE jaccard >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  // Length-bucketed packing (dynamic batching): docs bucketed by token
+  // count (64-token bands, capped at 7), then packed into 2048-token
+  // sequences PER BUCKET — batches of like-length docs minimize padding
+  // waste in training. Exercises the grouped two-phase prefix sum: the
+  // oracle's per-bucket window is exactly the giant-group plan
+  // packSequencesGrouped avoids.
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(
+        $"doc_id",
+        TextAnalysis.tokenCount($"text").cast("long").as("nt"),
+        TextAnalysis.fingerprint($"text").as("fp"))
+      .withColumn("len_bucket", least(expr("nt div 64"), lit(7L)))
+    graft.ops.Packing.packSequencesGrouped(docs, "len_bucket", "doc_id",
+        "nt", orderCols = Seq("fp", "doc_id"), seqTokens = 2048)
+      .select($"id".as("doc_id"), $"group".as("len_bucket"),
+        $"n_tokens", $"start_tok", $"seq_id")
+      .orderBy($"doc_id")
+  }
+  private val q109Sql =
+    s"""WITH t AS (SELECT doc_id, $ntSql AS nt, $fpSql AS fp FROM documents),
+       |b AS (SELECT *, least(nt // 64, 7) AS len_bucket FROM t),
+       |o AS (SELECT doc_id, len_bucket, nt,
+       |        CAST(COALESCE(SUM(nt) OVER (PARTITION BY len_bucket ORDER BY fp, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+       |      FROM b)
+       |SELECT doc_id, CAST(len_bucket AS BIGINT) AS len_bucket, nt AS n_tokens,
+       |  st AS start_tok, CAST(st // 2048 AS BIGINT) AS seq_id
+       |FROM o ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q110
+  // Embedding outliers: max-cosine centroid assignment (q67's replayable
+  // contract), flag dist² > 2× cluster mean via cross-multiplied integer
+  // comparison — junk/mis-embedded vectors a similarity pipeline should
+  // quarantine. The oracle replays assignment, distance, and the flag.
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Similarity.embeddingOutliers(Tables.embeddings(s, d),
+        nCentroids = 8, factor = 2)
+      .orderBy($"vec_id")
+  }
+  private val q110Sql = {
+    import CorpusQueries.cosSql
+    s"""WITH v AS (SELECT vec_id AS id, ${LlmQueries.quantSql} AS qv FROM embeddings),
+       |c AS (SELECT id AS cid, qv AS cv FROM v WHERE id < 8),
+       |asg AS (SELECT id, cluster_id, qv FROM (
+       |    SELECT v.id, c.cid AS cluster_id, v.qv,
+       |      ROW_NUMBER() OVER (PARTITION BY v.id
+       |        ORDER BY ${cosSql("v.qv", "c.cv")} DESC, c.cid) AS rn
+       |    FROM v, c) WHERE rn = 1),
+       |d AS (SELECT a.id, a.cluster_id,
+       |        CAST(list_sum(list_transform(range(1, len(a.qv)+1),
+       |          i -> (a.qv[i] - c.cv[i]) * (a.qv[i] - c.cv[i]))) AS BIGINT) AS dist
+       |      FROM asg a JOIN c ON a.cluster_id = c.cid),
+       |s AS (SELECT cluster_id, CAST(SUM(dist) AS BIGINT) AS sum_dist,
+       |        COUNT(*) AS cnt
+       |      FROM d GROUP BY cluster_id)
+       |SELECT d.id AS vec_id, d.cluster_id, d.dist,
+       |  d.dist * s.cnt > 2 * s.sum_dist AS is_outlier
+       |FROM d JOIN s USING (cluster_id) ORDER BY vec_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q105_temperature_mix", q105, Some(q105Sql)),
     QueryDef("q106_epoch_shuffle", q106, Some(q106Sql)),
     QueryDef("q107_curriculum", q107, Some(q107Sql)),
     QueryDef("q108_cross_corpus_dups", q108, Some(q108Sql)),
+    QueryDef("q109_length_buckets", q109, Some(q109Sql)),
+    QueryDef("q110_embed_outliers", q110, Some(q110Sql)),
   )
 }

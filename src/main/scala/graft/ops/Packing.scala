@@ -91,4 +91,82 @@ object Packing {
     ordered.unpersist()
     packed
   }
+
+  /** Per-GROUP sequence packing: like [[packSequences]], but offsets
+    * restart at 0 within each `groupCol` value — one independent token
+    * stream per group (per-source training shards, length-bucketed
+    * batching, any "row_number within giant groups" need).
+    *
+    * The naive plan — `Window.partitionBy(group).orderBy(...)` — puts each
+    * ENTIRE group in one task, which is exactly as unscalable as the
+    * global window when groups are corpus-sized (a handful of length
+    * buckets over 100 TB). Instead the two-phase prefix sum generalizes:
+    * range-partition on (group, orderCols…) so each group spans a
+    * contiguous partition range and groups never interleave within a
+    * partition; collect per-(partition, group) totals — at most
+    * #partitions + #groups entries, since a group's run is contiguous —
+    * and broadcast per-(partition, group) exclusive base offsets; a
+    * mapPartitions pass resets its running sum at group boundaries.
+    *
+    * @return one row per doc: `id, group, n_tokens, start_tok, seq_id,
+    *         seq_pos` with offsets dense per group
+    */
+  def packSequencesGrouped(docs: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, orderCols: Seq[String], seqTokens: Long,
+      partitions: Int = 0): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    val spark = docs.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keyCols = col(groupCol) +: orderCols.map(col)
+    val ordered = docs
+      .select((Seq(groupCol, idCol, tokenCol) ++ orderCols).map(col): _*)
+      .repartitionByRange(n, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Phase 2: (pid, group) totals — ≤ n + |groups| rows by contiguity.
+    val totals = ordered
+      .groupBy(spark_partition_id().as("pid"), col(groupCol).as("g"))
+      .agg(sum(col(tokenCol).cast("long")).as("t"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1)) ->
+        (if (r.isNullAt(2)) 0L else r.getLong(2)))
+    // exclusive prefix per group across its pid run, in pid order
+    val bases = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
+    totals.groupBy(_._1._2).foreach { case (g, entries) =>
+      var acc = 0L
+      entries.sortBy(_._1._1).foreach { case ((pid, _), t) =>
+        bases((pid, g)) = acc; acc += t
+      }
+    }
+    val bc = spark.sparkContext.broadcast(bases.toMap)
+    val in = ordered.select(col(groupCol), col(idCol), col(tokenCol).cast("long"))
+    val schema = StructType(
+      in.schema.fields(1).copy(name = "id") +:
+        in.schema.fields(0).copy(name = "group") +:
+        Seq(StructField("n_tokens", LongType, false),
+          StructField("start_tok", LongType, false)))
+    val packed = in.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var currentGroup: Any = null
+      var started = false
+      var off = 0L
+      it.map { r =>
+        val g = r.get(0)
+        if (!started || g != currentGroup) {
+          currentGroup = g; started = true
+          off = bc.value.getOrElse((pid, g), 0L)
+        }
+        val t = if (r.isNullAt(2)) 0L else r.getLong(2)
+        val start = off
+        off += t
+        Row(r.get(1), g, t, start)
+      }
+    }(Encoders.row(schema))
+      .withColumn("seq_id", expr(s"start_tok div $seqTokens"))
+      .withColumn("seq_pos", pmod(col("start_tok"), lit(seqTokens)))
+      .localCheckpoint()
+    ordered.unpersist()
+    packed
+  }
 }

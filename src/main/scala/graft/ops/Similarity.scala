@@ -694,4 +694,56 @@ object Similarity {
         m.iterator.collect { case (id, _, _) if !dropped(id) => (id, c) }
       }.toDF("id", "cluster_id")
   }
+
+  /** Embedding-space outlier detection: assign every vector to its
+    * max-cosine seed centroid (identical assignment contract to
+    * [[semanticDedup]] — deterministic, externally replayable), then flag
+    * vectors whose squared-L2 distance to their centroid exceeds `factor`×
+    * the cluster mean — likely junk/mis-embedded/adversarial documents
+    * that no similarity pipeline should trust.
+    *
+    * Exactness: distances are integer sums over milli-quantized vectors
+    * and the mean comparison is cross-multiplied integer arithmetic
+    * (`dist·cnt > factor·Σdist`) — no division, no floats, bit-identical
+    * everywhere. Scale shape: centroids broadcast, one narrow shuffle on
+    * cluster_id for the stats aggregate, stats broadcast back (≤ k rows).
+    * (At extreme cluster cardinalities the cross-product `dist·cnt` can
+    * overflow long — ANSI mode throws rather than wraps; switch the
+    * comparison to DECIMAL or double-mean at that point.) */
+  def embeddingOutliers(emb: DataFrame, nCentroids: Int, factor: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = emb.filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
+      .sortBy(_._1)
+      .map { case (cid, v) => val q = quantizeJvm(v); (cid, q, normJvm(q)) }
+    require(cents.nonEmpty, s"no centroid ids below $nCentroids")
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          val q = quantizeJvm(v); val nq = normJvm(q)
+          var best = -2.0; var bestC = Long.MaxValue; var bestQ: Array[Long] = null
+          cs.foreach { case (cid, cq, nc) =>
+            val cos = cosJvm(dotJvm(q, cq), nq, nc)
+            if (cos > best) { best = cos; bestC = cid; bestQ = cq }
+          }
+          var dist = 0L; var i = 0
+          while (i < q.length) {
+            val dlt = q(i) - bestQ(i); dist += dlt * dlt; i += 1
+          }
+          (id, bestC, dist)
+        }
+      }.toDF("vec_id", "cluster_id", "dist")
+    val stats = assigned.groupBy(col("cluster_id"))
+      .agg(sum(col("dist")).as("sum_dist"), count(lit(1)).as("cnt"))
+    assigned.join(broadcast(stats), Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("dist"),
+        (col("dist") * col("cnt") > lit(factor.toLong) * col("sum_dist"))
+          .as("is_outlier"))
+  }
 }

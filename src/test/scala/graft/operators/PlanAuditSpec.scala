@@ -141,6 +141,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"))
   }
 
+  test("q105: mixture allocation — one grouping exchange, broadcast total") {
+    val p = planOf("q105_temperature_mix")
+    assert(p.contains("HashAggregate"))
+    // the normalization total joins as a 1-row broadcast, never a window
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Window"))
+  }
+
+  test("q106/q107: global positions via prefix sum — no global-order window") {
+    for (q <- Seq("q106_epoch_shuffle", "q107_curriculum")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"),
+        s"$q: a global-order window would single-partition the corpus")
+      assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), q)
+    }
+  }
+
+  test("q108: cross-corpus dedup shuffles band hashes, never text") {
+    val p = planOf("q108_cross_corpus_dups")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "candidate generation must stay a bucketed equi-join")
+  }
+
+  test("q109: grouped packing — per-bucket offsets without per-bucket windows") {
+    val p = planOf("q109_length_buckets")
+    assert(!p.contains("Window"),
+      "a giant-group window would single-task each length bucket")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"))
+  }
+
+  test("q110: outlier stats broadcast back — no corpus re-shuffle for the flag") {
+    val p = planOf("q110_embed_outliers")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

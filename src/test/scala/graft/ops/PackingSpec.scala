@@ -57,6 +57,30 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packSequencesGrouped: offsets restart per group, invariant under " +
+      "partitioning incl. degenerate counts") {
+    val docs = (1 to 60).map(i =>
+      (i.toLong, (i % 3).toLong, (i % 5 + 1).toLong, ((i * 17) % 11).toLong))
+      .toDF("doc_id", "grp", "nt", "fp")
+    val base = Packing.packSequencesGrouped(docs, "grp", "doc_id", "nt",
+      Seq("fp", "doc_id"), seqTokens = 8).orderBy("id").collect()
+    // per group: ordering by (fp, doc_id) gives the exclusive prefix sum
+    base.groupBy(_.getAs[Long]("group")).values.foreach { rows =>
+      var expect = 0L
+      rows.sortBy(_.getAs[Long]("start_tok")).foreach { r =>
+        assert(r.getAs[Long]("start_tok") == expect)
+        expect += r.getAs[Long]("n_tokens")
+      }
+    }
+    // partition-shape invariance, including 1, n-rows, 2n-rows
+    for (parts <- Seq(1, 7, 60, 120)) {
+      val out = Packing.packSequencesGrouped(docs.repartition(5), "grp",
+        "doc_id", "nt", Seq("fp", "doc_id"), seqTokens = 8, partitions = parts)
+        .orderBy("id").collect()
+      assert(out.sameElements(base), s"partitions=$parts")
+    }
+  }
+
   test("packSequences: null/zero token docs occupy no tokens but keep a slot") {
     val docs = Seq((1L, 5L, 1L), (2L, 0L, 2L), (3L, 3L, 3L))
       .toDF("doc_id", "nt", "fp")

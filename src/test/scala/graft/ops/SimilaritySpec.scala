@@ -124,6 +124,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"SRP near-dup recall = $recall (bits=2, tables=8)")
   }
 
+  test("embeddingOutliers: planted far vector flagged, cluster members not") {
+    // 20 near-identical vectors around two centroid seeds + one far point
+    def vec(base: Float, jitter: Float) = Seq.tabulate(8)(i =>
+      base + (if (i == 0) jitter else 0f))
+    val rows = (0L until 10L).map(i => (i, vec(1f, i * 0.001f))) ++
+      (10L until 20L).map(i => (i, vec(-1f, (i - 10) * 0.001f))) ++
+      Seq((20L, Seq.tabulate(8)(i => if (i % 2 == 0) 5f else 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>"))
+    val out = Similarity.embeddingOutliers(df, nCentroids = 2, factor = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Boolean]("is_outlier")).toMap
+    assert(out(20L), "the far vector must be flagged")
+    assert((0L until 20L).forall(i => !out(i)), "tight cluster members must not")
+  }
+
   test("near-dup pairs: symmetric threshold filter, a<b ordering") {
     val sub = emb.filter($"vec_id" < 100)
     val pairs = Similarity.cosineNearDupPairs(sub, threshold = 0.2)
