@@ -63,8 +63,11 @@ object Sampling {
     * Scale: one window partitioned by the group key — the running sum
     * shuffles fixed-width (group, order-key, tokens) projections, never
     * text, and each group streams through a single sorted pass. Groups are
-    * the unit of parallelism; a corpus-dominating group is the same skew
-    * case as any hot aggregation key (AQE/salting notes in SCALE.md).
+    * the unit of parallelism; when a single group is corpus-dominating
+    * (one giant source), switch to
+    * [[Packing.packSequencesGrouped]] + `filter(start_tok < quota)` — the
+    * grouped two-phase prefix sum computes the identical running offset
+    * without putting the whole group in one window task.
     *
     * @return input rows that fit the quota, plus `start_tok` — the group's
     *         running token count before this doc
