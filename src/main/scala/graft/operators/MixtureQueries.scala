@@ -176,6 +176,78 @@ object MixtureQueries {
        |FROM d JOIN s USING (cluster_id) ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q111
+  // Self-trained bigram NLL (perplexity filter, next step up from q77's
+  // unigram): P(t2|t1) = n(t1,t2)/n(t1,·), both count joins SHUFFLE joins
+  // (a bigram table doesn't broadcast). Docs with <2 tokens drop out.
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.bigramNll(Tables.documents(s, d))
+      .select($"id".as("doc_id"), $"dl", $"avg_nll")
+      .orderBy($"doc_id")
+  }
+  private val q111Sql =
+    s"""WITH ts AS (SELECT doc_id, $toksSql AS ts FROM documents),
+       |bg AS (SELECT doc_id, ts[i+1] AS t1, ts[i+2] AS t2
+       |       FROM ts, LATERAL unnest(range(len(ts) - 1)) AS u(i)
+       |       WHERE len(ts) >= 2),
+       |c12 AS (SELECT t1, t2, count(*) AS n12 FROM bg GROUP BY t1, t2),
+       |c1 AS (SELECT t1, count(*) AS n1 FROM bg GROUP BY t1),
+       |sc AS (SELECT doc_id,
+       |         CAST(floor(ln(CAST(n12 AS DOUBLE) / n1) * 1e6) AS BIGINT) AS c6
+       |       FROM bg JOIN c12 USING (t1, t2) JOIN c1 USING (t1)),
+       |agg AS (SELECT doc_id, CAST(sum(c6) AS BIGINT) AS s, count(*) AS dl
+       |        FROM sc GROUP BY doc_id)
+       |SELECT doc_id, dl, CAST(-s AS DOUBLE) / dl / 1e6 AS avg_nll
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q112
+  // Salted JOIN under oracle (the join face of q75's salted agg): events
+  // enriched with per-type counts through Skew.saltedJoin — the dominant
+  // event_type is the single-hot-key join AQE's skew split handles for
+  // SMJ but salting handles for ANY join shape; the oracle's plain join
+  // pins that salting is invisible in the result.
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type", $"user_id")
+    val dim = ev.groupBy($"event_type").agg(count(lit(1)).as("n_type"))
+    Skew.saltedJoin(ev, dim, "event_type", saltBuckets = 8)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"user_id" * $"n_type").as("weighted"))
+      .orderBy($"event_type")
+  }
+  private val q112Sql =
+    """WITH dim AS (SELECT event_type, count(*) AS n_type FROM events GROUP BY event_type)
+      |SELECT e.event_type, count(*) AS n,
+      |  CAST(sum(e.user_id * d.n_type) AS BIGINT) AS weighted
+      |FROM events e JOIN dim d USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q113
+  // Tokenizer-training prep: adjacent character-pair frequencies inside
+  // normalized words — the counting kernel of the first BPE merge
+  // iteration. Pure map-side counting + total-order top-20 (count desc,
+  // pair asc): a TakeOrdered, never a global sort.
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(split(graft.ops.Dedup.normalized(
+        coalesce($"text", lit(""))), " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, length(w)-2), i -> substr(w, i+1, 2))")).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(20)
+  }
+  private val q113Sql =
+    s"""WITH w AS (SELECT unnest($toksSql) AS w FROM documents),
+       |p AS (SELECT w[i+1:i+2] AS pair
+       |      FROM w, LATERAL unnest(range(len(w) - 1)) AS u(i)
+       |      WHERE len(w) >= 2)
+       |SELECT pair, count(*) AS n FROM p GROUP BY pair
+       |ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q105_temperature_mix", q105, Some(q105Sql)),
     QueryDef("q106_epoch_shuffle", q106, Some(q106Sql)),
@@ -183,5 +255,8 @@ object MixtureQueries {
     QueryDef("q108_cross_corpus_dups", q108, Some(q108Sql)),
     QueryDef("q109_length_buckets", q109, Some(q109Sql)),
     QueryDef("q110_embed_outliers", q110, Some(q110Sql)),
+    QueryDef("q111_bigram_nll", q111, Some(q111Sql)),
+    QueryDef("q112_salted_join", q112, Some(q112Sql)),
+    QueryDef("q113_bpe_pairs", q113, Some(q113Sql)),
   )
 }

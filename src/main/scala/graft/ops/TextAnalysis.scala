@@ -51,6 +51,39 @@ object TextAnalysis {
         ((-col("s")).cast("double") / col("dl") / 1e6).as("avg_nll"))
   }
 
+  /** Self-trained BIGRAM NLL: score each doc by -mean log P(t2|t1) with
+    * conditional probabilities n(t1,t2)/n(t1,·) estimated from the corpus
+    * itself — the next step up from [[unigramNll]] as a perplexity-filter
+    * signal (catches word-salad docs whose unigram mix looks fine).
+    *
+    * Unlike the unigram vocab (always broadcast here), the bigram table
+    * scales with corpus token diversity squared-ish, so neither count
+    * join carries a broadcast HINT: Catalyst picks broadcast while the
+    * table is under the threshold (test scale) and falls back to shuffle
+    * hash joins from its size stats at corpus scale — the adaptive choice
+    * is the point. Docs with < 2 tokens emit no bigrams and drop out,
+    * same convention as the oracle. Log quantization (floor(ln·1e6)
+    * longs) keeps per-row values cross-engine exact; sums are exact. */
+  def bigramNll(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toksArr = docs.select(col(idCol).as("id"),
+        split(Dedup.normalized(coalesce(col(textCol), lit(""))), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val bg = toksArr.select(col("id"), explode(expr(
+        "transform(sequence(0, size(ts)-2), i -> struct(ts[i] AS t1, ts[i+1] AS t2))")).as("b"))
+      .select(col("id"), col("b.t1"), col("b.t2"))
+      .localCheckpoint() // one tokenize+explode pass shared by all 3 consumers
+    val c12 = bg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n12"))
+    val c1 = bg.groupBy(col("t1")).agg(count(lit(1)).as("n1"))
+    bg.join(c12, Seq("t1", "t2")).join(c1, Seq("t1"))
+      .select(col("id"),
+        floor(log(col("n12").cast("double") / col("n1")) * 1e6).as("c6"))
+      .groupBy(col("id"))
+      .agg(sum(col("c6")).as("s"), count(lit(1)).as("dl"))
+      .select(col("id"), col("dl"),
+        ((-col("s")).cast("double") / col("dl") / 1e6).as("avg_nll"))
+  }
+
   /** Whitespace token count; empty/blank text → 0. */
   def tokenCount(text: Column): Column =
     when(trim(text) === "" || text.isNull, 0).otherwise(size(toks(text)))

@@ -177,6 +177,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q111: bigram joins stay equi-joins; explode pass shared via checkpoint") {
+    val p = planOf("q111_bigram_nll")
+    // no hint in the operator: Catalyst may broadcast the (tiny, test-scale)
+    // count tables, but must never degrade to a nested loop; the bigram
+    // explode materializes once (checkpoint) for all three consumers
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Scan ExistingRDD"))
+  }
+
+  test("q113: BPE pair top-20 is a TakeOrdered, not a global sort") {
+    val p = planOf("q113_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

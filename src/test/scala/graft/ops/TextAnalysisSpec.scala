@@ -143,6 +143,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert((out(1)._3, out(1)._4, out(1)._5) == ((0, 0, 0)))
   }
 
+  test("bigramNll: predictable bigrams score low, rare transitions high, " +
+      "short docs drop out") {
+    // "a b" repeated → P(b|a)=1 inside those docs; the shuffled doc uses
+    // transitions that appear once → higher NLL
+    val df = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "a b a b a b a b"),
+      (3L, "b b a a b a a b"),
+      (4L, "x"), // single token: no bigrams, must drop out
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(df).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("avg_nll")).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == out(2L)) // identical docs, identical scores
+    assert(out(3L) > out(1L), s"rare transitions must score higher: $out")
+  }
+
   test("fingerprint: deterministic, normalization-invariant, content-sensitive") {
     val df = Seq(
       ("a", "Hello World Foo"),
