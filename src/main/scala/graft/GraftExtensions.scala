@@ -31,6 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RollingFingerprint(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("md5_low64"),
+      new ExpressionInfo(classOf[graft.functions.Md5Low64].getName, "md5_low64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "md5_low64(str) takes exactly one argument")
+        graft.functions.Md5Low64(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[graft.functions.HeavyHitters].getName, "heavy_hitters"),
       (children: Seq[Expression]) => {

@@ -17,4 +17,17 @@ class GraftExtensionsSpec extends SparkSpec {
       .as[Long].collect()
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
+
+  test("md5_low64 is callable from SQL and matches the kernel hash") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    Bridge.registerExtensionFunctions(ext, spark)
+    Seq("42", "hello").toDF("s").createOrReplaceTempView("ext_md5")
+    val got = spark.sql("SELECT md5_low64(s) AS h FROM ext_md5").as[Long].collect()
+    // the SQL face, the Column face, and the JVM kernel agree bit-for-bit
+    assert(got(0) == graft.functions.Md5Low64.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("42")))
+    assert(got(1) == graft.functions.Md5Low64.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello")))
+  }
 }
