@@ -248,6 +248,56 @@ object MixtureQueries {
        |SELECT pair, count(*) AS n FROM p GROUP BY pair
        |ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q114
+  // Per-source uniform k-sample: exactly min(k, |group|) docs per source,
+  // chosen by unsigned md5 order (deterministic "reservoir" — content-
+  // keyed, retry/layout-invariant). Pure composition: grouped prefix sum
+  // with every doc counting 1 → per-group dense rank, filter rank < k.
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(
+      $"source", $"doc_id", lit(1L).as("one"),
+      graft.functions.Md5Low64($"doc_id".cast("string"))
+        .bitwiseXOR(Long.MinValue).as("mh"))
+    graft.ops.Packing.packSequencesGrouped(docs, "source", "doc_id",
+        "one", orderCols = Seq("mh", "doc_id"), seqTokens = Long.MaxValue)
+      .filter($"start_tok" < 5)
+      .select($"id".as("doc_id"), $"group".as("source"), $"start_tok".as("rank"))
+      .orderBy($"doc_id")
+  }
+  private val q114Sql =
+    """SELECT doc_id, source, CAST(rn - 1 AS BIGINT) AS rank FROM (
+      |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+      |    ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) WHERE rn <= 5 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q115
+  // Quality-first token quota (curriculum knapsack): per source, keep the
+  // HIGHEST-quality docs until 600 tokens — q66's quota with quality-desc
+  // order instead of content-hash order; same grouped prefix sum, so a
+  // corpus-dominating source never single-tasks.
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(
+      $"source", $"doc_id",
+      TextAnalysis.tokenCount($"text").cast("long").as("nt"),
+      (-floor(TextAnalysis.qualityScore($"text") * 1e6).cast("long")).as("negq"))
+    graft.ops.Packing.packSequencesGrouped(docs, "source", "doc_id",
+        "nt", orderCols = Seq("negq", "doc_id"), seqTokens = Long.MaxValue)
+      .filter($"start_tok" < 600)
+      .select($"id".as("doc_id"), $"group".as("source"), $"start_tok")
+      .orderBy($"doc_id")
+  }
+  private val q115Sql =
+    s"""WITH t AS (SELECT doc_id, source, $ntSql AS nt,
+       |        CAST(floor(($qualitySql) * 1e6) AS BIGINT) AS q6 FROM documents),
+       |o AS (SELECT doc_id, source,
+       |        CAST(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY -q6, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+       |      FROM t)
+       |SELECT doc_id, source, start_tok FROM o
+       |WHERE start_tok < 600 ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q105_temperature_mix", q105, Some(q105Sql)),
     QueryDef("q106_epoch_shuffle", q106, Some(q106Sql)),
@@ -258,5 +308,7 @@ object MixtureQueries {
     QueryDef("q111_bigram_nll", q111, Some(q111Sql)),
     QueryDef("q112_salted_join", q112, Some(q112Sql)),
     QueryDef("q113_bpe_pairs", q113, Some(q113Sql)),
+    QueryDef("q114_group_ksample", q114, Some(q114Sql)),
+    QueryDef("q115_quality_quota", q115, Some(q115Sql)),
   )
 }
