@@ -43,9 +43,12 @@ class EavSourceProvider extends TableProvider
   override def shortName(): String = "graft-eav"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     EavSource.schema
+  // writes pass the frame's own schema through getTable (the sink takes a
+  // single JSON-record string column, not the EAV read plane)
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new EavTable(properties.asScala.toMap)
+    new EavTable(properties.asScala.toMap, schema)
 }
 
 object EavSource {
@@ -111,12 +114,20 @@ object EavSource {
   final case class MaxColAgg(colIdx: Int) extends EavAgg
 }
 
-class EavTable(props: Map[String, String]) extends Table with SupportsRead {
+class EavTable(props: Map[String, String],
+    tableSchema: StructType = EavSource.schema)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"graft-eav(${props.get("url").orElse(props.get("path")).getOrElse("?")})"
-  override def schema(): StructType = EavSource.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new EavWriteBuilder(props ++ info.options.asScala.toMap, info)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EavScanBuilder(
       EavTransport.fromOptions(options.asScala.toMap),
