@@ -38,6 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.Md5Low64(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[graft.functions.StripAccents].getName, "strip_accents"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "strip_accents(str) takes exactly one argument")
+        graft.functions.StripAccents(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[graft.functions.HeavyHitters].getName, "heavy_hitters"),
       (children: Seq[Expression]) => {

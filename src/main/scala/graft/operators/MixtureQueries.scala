@@ -11,7 +11,7 @@ import graft.ops.{Dedup, Mixture, TextAnalysis}
   * the "which data, in what proportion, in what order" layer of a
   * training-data pipeline. */
 object MixtureQueries {
-  import LlmQueries.{fpSql, qualitySql, shSetSqlFrom, toksSql}
+  import LlmQueries.{fpSql, normSql, qualitySql, shSetSqlFrom, toksSql}
 
   private val ntSql =
     s"CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0 ELSE len($toksSql) END AS BIGINT)"
@@ -298,6 +298,44 @@ object MixtureQueries {
        |SELECT doc_id, source, start_tok FROM o
        |WHERE start_tok < 600 ORDER BY doc_id""".stripMargin
 
+
+  // ---------------------------------------------------------------- q116
+  // Accent-insensitive vocabulary stats per language: docs containing
+  // accents, and the distinct folded-token vocabulary size — the
+  // normalization a multilingual tokenizer/matcher applies before
+  // counting. strip_accents is the new native codegen expression,
+  // bit-identical to DuckDB's (canonical decomposition only).
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    // doc-level stats and token-level vocab are SEPARATE aggregates joined
+    // on lang (both |langs|-sized): folding vocab through a per-group
+    // collect_list would materialize each language's token set in one
+    // task, and counting docs after an explode would inflate them
+    val perDoc = docs
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(graft.functions.StripAccents(coalesce($"text", lit(""))) =!=
+          coalesce($"text", lit("")), 1L).otherwise(0L)).as("n_accented"))
+    val vocab = docs
+      .select($"lang", explode(split(graft.functions.StripAccents(
+        graft.ops.Dedup.normalized(coalesce($"text", lit("")))), " ")).as("tok"))
+      .groupBy($"lang")
+      .agg(countDistinct($"tok").as("fold_vocab"))
+    perDoc.join(vocab, Seq("lang")).orderBy($"lang")
+  }
+  private val q116Sql =
+    s"""WITH d AS (SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN strip_accents(COALESCE(text, '')) <> COALESCE(text, '')
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_accented
+       |  FROM documents GROUP BY lang),
+       |v AS (SELECT lang, CAST(COUNT(DISTINCT u.tok) AS BIGINT) AS fold_vocab
+       |  FROM (SELECT lang, strip_accents($normSql) AS ft FROM documents) t,
+       |       LATERAL unnest(string_split(ft, ' ')) AS u(tok)
+       |  GROUP BY lang)
+       |SELECT lang, n_docs, n_accented, fold_vocab
+       |FROM d JOIN v USING (lang) ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q105_temperature_mix", q105, Some(q105Sql)),
     QueryDef("q106_epoch_shuffle", q106, Some(q106Sql)),
@@ -310,5 +348,6 @@ object MixtureQueries {
     QueryDef("q113_bpe_pairs", q113, Some(q113Sql)),
     QueryDef("q114_group_ksample", q114, Some(q114Sql)),
     QueryDef("q115_quality_quota", q115, Some(q115Sql)),
+    QueryDef("q116_accent_fold", q116, Some(q116Sql)),
   )
 }
