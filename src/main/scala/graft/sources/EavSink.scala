@@ -75,9 +75,10 @@ class EavWrite(opts: Map[String, String], schema: StructType)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
 
+  private def chunkRows: Int = opts.get("chunk_rows").map(_.toInt).getOrElse(50000)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new EavWriterFactory(opts,
-      opts.get("chunk_rows").map(_.toInt).getOrElse(50000))
+    new EavWriterFactory(opts, chunkRows)
 
   /** The manifest IS the commit: receivers gate on it. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -91,6 +92,39 @@ class EavWrite(opts: Map[String, String], schema: StructType)
     * overwrites on the next attempt; without a manifest they are garbage
     * by contract. */
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  /** Streaming face (`df.writeStream.format("graft-eav")`): identical
+    * envelope protocol, with the EPOCH folded into the chunk id —
+    * `(epoch << 48) | (partition << 32) | seq` — so a replayed micro-batch
+    * re-POSTs byte-identical ids and the idempotent receiver converges
+    * (the same batch-id-keyed contract as EventStreams.writeEnvelopes,
+    * here enforced by the engine's epoch plumbing instead of foreachBatch).
+    * Each epoch commit posts a per-epoch manifest carrying the epoch id. */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new EavStreamingWrite(opts, chunkRows)
+}
+
+class EavStreamingWrite(opts: Map[String, String], chunkRows: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new EavStreamingWriterFactory(opts, chunkRows)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.collect { case m: EavCommitMessage => m }
+    EavSink.poster(opts)(
+      s"""{"chunk_number":0,"manifest":true,"epoch":$epochId,""" +
+        s""""n_chunks":${ms.map(_.nChunks).sum},"n_rows":${ms.map(_.nRows).sum}}""")
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class EavStreamingWriterFactory(opts: Map[String, String], chunkRows: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new EavDataWriter(partitionId, EavSink.poster(opts), chunkRows,
+      idBase = (epochId << 48) | (partitionId.toLong << 32))
 }
 
 class EavWriterFactory(opts: Map[String, String], chunkRows: Int)
@@ -100,11 +134,13 @@ class EavWriterFactory(opts: Map[String, String], chunkRows: Int)
 }
 
 /** Streams rows into fixed-size envelopes; holds at most one chunk. Chunk
-  * ids key on partitionId (NOT taskId) so a retried task reproduces the
+  * ids key on partitionId — and, in streaming mode, the epoch via
+  * `idBase` — NOT taskId, so a retried task/replayed batch reproduces the
   * identical envelope stream. */
-class EavDataWriter(partitionId: Int, post: String => Unit, chunkRows: Int)
-    extends DataWriter[InternalRow] {
+class EavDataWriter(partitionId: Int, post: String => Unit, chunkRows: Int,
+    idBase: Long = -1L) extends DataWriter[InternalRow] {
   private val buf = new util.ArrayList[String](chunkRows.min(1 << 16))
+  private val base = if (idBase >= 0) idBase else partitionId.toLong << 32
   private var seq = 0L
   private var rows = 0L
 
@@ -117,7 +153,7 @@ class EavDataWriter(partitionId: Int, post: String => Unit, chunkRows: Int)
   private def flush(): Unit = {
     if (buf.isEmpty) return
     seq += 1
-    val id = (partitionId.toLong << 32) + seq
+    val id = base + seq
     val sb = new java.lang.StringBuilder(64 + buf.size() * 32)
     sb.append(s"""{"chunk_number":$id,"redcap_records":[""")
     var i = 0
