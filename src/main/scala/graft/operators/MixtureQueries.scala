@@ -336,6 +336,45 @@ object MixtureQueries {
        |SELECT lang, n_docs, n_accented, fold_vocab
        |FROM d JOIN v USING (lang) ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q117
+  // Near-dup resolution keeping the BEST copy: connected components over
+  // the verified pair set (q60's machinery), survivor = argmax(quality,
+  // tie min id) per component, un-clustered docs pass through. The oracle
+  // extends q60's recursive transitive closure with the same argmax.
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.keepBestPerCluster(Tables.documents(s, d),
+        floor(TextAnalysis.qualityScore($"text") * 1e6).cast("long"),
+        threshold = 0.5)
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+  private val q117Sql =
+    s"""WITH RECURSIVE sh AS (${LlmQueries.shSetSql}),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id),
+       |comp AS (SELECT id, MIN(lbl) AS c FROM reach GROUP BY id),
+       |q AS (SELECT doc_id, CAST(floor(($qualitySql) * 1e6) AS BIGINT) AS q6
+       |      FROM documents),
+       |best AS (SELECT doc_id FROM (
+       |    SELECT comp.c, q.doc_id,
+       |      row_number() OVER (PARTITION BY comp.c ORDER BY q.q6 DESC, q.doc_id) AS rn
+       |    FROM comp JOIN q ON comp.id = q.doc_id) WHERE rn = 1)
+       |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM comp)
+       |UNION ALL SELECT doc_id FROM best
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q105_temperature_mix", q105, Some(q105Sql)),
     QueryDef("q106_epoch_shuffle", q106, Some(q106Sql)),
@@ -349,5 +388,6 @@ object MixtureQueries {
     QueryDef("q114_group_ksample", q114, Some(q114Sql)),
     QueryDef("q115_quality_quota", q115, Some(q115Sql)),
     QueryDef("q116_accent_fold", q116, Some(q116Sql)),
+    QueryDef("q117_keep_best", q117, Some(q117Sql)),
   )
 }

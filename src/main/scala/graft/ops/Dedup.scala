@@ -482,6 +482,35 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame =
     docs.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Near-dup resolution keeping the BEST member per cluster: real
+    * pipelines keep the highest-quality copy of duplicated content, not
+    * the smallest id ([[applyPairsDedup]]'s greedy convention). Clusters
+    * come from [[dedupClusters]] (exact connected components, so chained
+    * near-dups collapse to ONE survivor); the winner is
+    * argmax(quality, tie → min id); docs in no cluster pass through.
+    *
+    * `quality` must be integer-valued (quantize floats upstream —
+    * floor(q*1e6) — so the argmax is deterministic and cross-engine
+    * exact). Scale: the argmax is one `max_by` aggregate over the slim
+    * (id, component, quality) frame; the corpus is touched only by the
+    * cluster labeling itself and two semi/anti joins on ids. */
+  def keepBestPerCluster(docs: DataFrame, quality: Column,
+      textCol: String = "text", idCol: String = "doc_id", k: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val clusters = dedupClusters(docs, textCol, idCol, k, bands,
+      threshold, maxBucketSize)
+    val scored = docs.select(col(idCol).as("id"), quality.cast("long").as("__q"))
+    val best = clusters.join(scored, Seq("id"))
+      .groupBy(col("component"))
+      .agg(max_by(col("id"), struct(col("__q"), (-col("id")).as("nid"))).as("keep"))
+      .select(col("keep").as(idCol))
+    val untouched = docs
+      .join(clusters.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol))
+    docs.join(best.unionByName(untouched), Seq(idCol), "left_semi")
+  }
+
   /** Fused dedup-cluster labeling: exactly
     * `connectedComponents(minhashDuplicatePairs(docs))`, WITHOUT
     * materializing the clone-expanded pair set. Clone members connect

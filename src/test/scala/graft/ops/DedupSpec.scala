@@ -169,4 +169,20 @@ class DedupSpec extends SparkSpec {
     assert(local == dist)
     assert(local(20L) == 1L && local(300L) == 100L)
   }
+
+  test("keepBestPerCluster: highest quality survives per cluster, " +
+      "singletons and null-text pass through") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val df = Seq(
+      (1L, s"$base one", 10L),   // cluster A, low quality
+      (2L, s"$base two", 30L),   // cluster A, BEST
+      (3L, s"$base three", 20L), // cluster A, middle
+      (4L, "completely different content entirely unrelated words here", 5L),
+      (5L, null.asInstanceOf[String], 0L))
+      .toDF("doc_id", "text", "q")
+    val kept = Dedup.keepBestPerCluster(df, org.apache.spark.sql.functions.col("q"),
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 4L, 5L))
+  }
 }
