@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Corpus-curation queries (round 3 widening): intra-document repetition
+  * removal, embedding storage quantization, and train/eval split-leakage
+  * audit — the cleanup/audit layer that runs between raw crawl and
+  * training mix. */
+object CurationQueries {
+  import LlmQueries.{fpSql, quantSql, shSetSqlFrom}
+
+  // ---------------------------------------------------------------- q118
+  // Intra-document repeated-unit removal (C4's "dedupe lines within a
+  // page"): first occurrence of each distinct unit survives, order
+  // preserved, reassembled text returned. The synthetic docs carry no
+  // newlines, so the unit is the token (delim " ") — same operator,
+  // production passes "\n". Min-pos hash aggregate, not a window: the
+  // first-occurrence choice partial-aggregates map-side.
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.dedupeUnitsWithinDoc(Tables.documents(s, d), delim = " ")
+      .select($"id".as("doc_id"), $"n_units", $"n_kept", $"dedup_text")
+      .orderBy($"doc_id")
+  }
+  private val q118Sql =
+    """WITH ts AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ts
+      |            FROM documents),
+      |e AS (SELECT doc_id, ts[i+1] AS unit, i AS pos
+      |      FROM ts, LATERAL unnest(range(len(ts))) AS u(i)),
+      |k AS (SELECT doc_id, unit, MIN(pos) AS pos FROM e GROUP BY doc_id, unit),
+      |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |        string_agg(unit, ' ' ORDER BY pos) AS dedup_text
+      |      FROM k GROUP BY doc_id)
+      |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_units, n_kept, dedup_text
+      |FROM ts JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q119
+  // Embedding int8 quantization audit (faiss-SQ8 shape): per-vector
+  // affine codes + EXACT reconstruction error in the milli-quantized
+  // integer domain — the fidelity gate before swapping an ANN index to
+  // compressed storage. Pure projection: the whole audit rides the scan.
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Similarity.quantizeInt8(Tables.embeddings(s, d))
+      .orderBy($"vec_id")
+  }
+  private val q119Sql =
+    s"""WITH v AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+       |m AS (SELECT vec_id, qv, list_min(qv) AS vmin,
+       |        list_max(qv) - list_min(qv) AS vrange FROM v),
+       |c AS (SELECT vec_id, qv, vmin, vrange,
+       |        list_transform(qv, x -> CASE WHEN vrange = 0 THEN CAST(0 AS BIGINT)
+       |          ELSE CAST(floor(CAST((x - vmin) * 255 AS DOUBLE) / vrange) AS BIGINT)
+       |          END) AS codes
+       |      FROM m)
+       |SELECT vec_id, CAST(len(qv) AS BIGINT) AS n_dims, vmin, vrange,
+       |  CAST(list_max(codes) AS BIGINT) AS max_code,
+       |  CAST(list_sum(list_transform(range(1, len(qv)+1),
+       |    i -> abs(qv[i] - (vmin + CAST(floor(CAST(codes[i] * vrange AS DOUBLE) / 255)
+       |                                 AS BIGINT))))) AS BIGINT) AS abs_err
+       |FROM c ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q120
+  // Train/eval split-leakage audit: near-dup pairs (verified Jaccard ≥
+  // 0.5) that STRADDLE the content-keyed 80/10/10 split — documents whose
+  // near-copy sits in val/test while they sit in train, the document-level
+  // leak a gram-level decontamination pass (q64) can miss. Composes q57's
+  // deterministic split with the cross-corpus LSH audit (q108's recall
+  // argument applies unchanged: same corpus, same pair-jaccard spectrum).
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .withColumn("split", TextAnalysis.splitLabel($"text"))
+    val train = docs.filter($"split" === "train")
+    val heldout = docs.filter($"split" =!= "train")
+    Dedup.crossCorpusPairs(train, heldout, threshold = 0.5)
+      .join(heldout.select($"doc_id".as("id_b"), $"split".as("eval_split")),
+        Seq("id_b"))
+      .select($"id_a".as("train_id"), $"id_b".as("eval_id"),
+        $"eval_split", $"jaccard")
+      .orderBy($"train_id", $"eval_id")
+  }
+  private val q120Sql =
+    s"""WITH lab AS (SELECT doc_id, text,
+       |       CASE WHEN $fpSql % 100 < 80 THEN 'train'
+       |            WHEN $fpSql % 100 < 90 THEN 'val'
+       |            ELSE 'test' END AS split
+       |     FROM documents),
+       |sa AS (${shSetSqlFrom("(SELECT * FROM lab WHERE split = 'train') x")}),
+       |sb AS (${shSetSqlFrom("(SELECT * FROM lab WHERE split <> 'train') y")}),
+       |p AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+       |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |      FROM sa a, sb b)
+       |SELECT train_id, eval_id, l.split AS eval_split, jaccard
+       |FROM p JOIN lab l ON p.eval_id = l.doc_id
+       |WHERE jaccard >= 0.5
+       |ORDER BY train_id, eval_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q118_intradoc_dedup", q118, Some(q118Sql)),
+    QueryDef("q119_int8_quant", q119, Some(q119Sql)),
+    QueryDef("q120_split_leakage", q120, Some(q120Sql)),
+  )
+}

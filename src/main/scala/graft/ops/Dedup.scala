@@ -735,6 +735,43 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** INTRA-document repeated-unit removal (C4-style "dedupe lines within a
+    * page"): keep only the FIRST occurrence of each distinct unit inside a
+    * document and reassemble the survivors in original order. `delim` is
+    * the unit boundary — "\n" for real lines; corpora without line breaks
+    * (like the synthetic test docs) pass " " to dedupe at token grain.
+    *
+    * Scale shape: units shuffle keyed by (id, unit) into a min(pos)
+    * aggregate — partial-aggregated map-side, no window sort — so a giant
+    * document's units spread over many tasks; only the reassembly
+    * collect_list requires one document's SURVIVING units in one task,
+    * which is the same bound as holding the text column at all. Compare
+    * [[stripCommonLines]] (cross-document boilerplate, doc-frequency
+    * driven) — this is the within-document complement.
+    *
+    * @return (id, n_units, n_kept, dedup_text)
+    */
+  def dedupeUnitsWithinDoc(docs: DataFrame, delim: String = "\n",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val units = docs
+      .select(col(idCol).as("id"),
+        split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(delim)).as("us"))
+      .select(col("id"), size(col("us")).as("n_units"),
+        posexplode(col("us")).as(Seq("pos", "unit")))
+    // first occurrence = min(pos) per (id, unit): a hash aggregate, NOT a
+    // row_number window — no per-key sort, map-side combine does the bulk
+    val kept = units
+      .groupBy(col("id"), col("unit"))
+      .agg(min(col("pos")).as("pos"), first(col("n_units")).as("n_units"))
+    kept.groupBy(col("id"))
+      .agg(first(col("n_units")).cast("long").as("n_units"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("unit")))),
+          x => x("unit")), delim).as("dedup_text"))
+  }
+
   // ------------------------------------------------------------- simhash
   /** 64-bit SimHash per doc: bit i of the output is the sign of
     * Σ_tokens (±1 by bit i of xxhash64(token)). Explode + 64 codegen'd

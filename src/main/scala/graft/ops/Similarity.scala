@@ -746,4 +746,49 @@ object Similarity {
         (col("dist") * col("cnt") > lit(factor.toLong) * col("sum_dist"))
           .as("is_outlier"))
   }
+
+  /** Per-vector affine 8-bit quantization audit — the storage-compression
+    * step of a large ANN corpus (uint8 codes + per-vector (min, range)
+    * scale = 4× smaller than float32, the faiss `SQ8` shape), reported as
+    * codes plus the exact total reconstruction error so a pipeline can
+    * gate quantization on measured fidelity before swapping the index.
+    *
+    * Exactness contract: everything runs in the milli-quantized integer
+    * domain of [[quantize]]. Codes are `floor((q-min)·255 / range)` with
+    * the division done in DOUBLE on a numerator < 2^53 — both engines
+    * perform the identical IEEE divide+floor, so codes, reconstructions
+    * (`min + floor(code·range/255)`) and the absolute-error sum are
+    * cross-engine bit-identical (a raw float pipeline would not be:
+    * error sums are order-dependent).
+    *
+    * Scale shape: pure per-row projection — NO shuffle, no explode; the
+    * whole audit rides the parquet scan. Constant-range vectors quantize
+    * to all-zero codes (range 0) and reconstruct exactly.
+    *
+    * @return (vec_id, n_dims, vmin, vrange, max_code, abs_err)
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = quantize(col(vecCol))
+    def codeOf(x: Column, vmin: Column, vrange: Column): Column =
+      when(vrange === 0L, lit(0L)).otherwise(
+        floor(((x - vmin) * 255L).cast("double") / vrange).cast("long"))
+    def reconOf(c: Column, vmin: Column, vrange: Column): Column =
+      vmin + floor((c * vrange).cast("double") / 255d).cast("long")
+    emb
+      .select(col(idCol), q.as("qv"))
+      .select(col(idCol), col("qv"),
+        array_min(col("qv")).as("vmin"),
+        (array_max(col("qv")) - array_min(col("qv"))).as("vrange"))
+      .select(col(idCol), col("qv"), col("vmin"), col("vrange"),
+        transform(col("qv"), x => codeOf(x, col("vmin"), col("vrange"))).as("codes"))
+      .select(col(idCol),
+        size(col("qv")).cast("long").as("n_dims"),
+        col("vmin"), col("vrange"),
+        array_max(col("codes")).as("max_code"),
+        aggregate(
+          zip_with(col("qv"), col("codes"),
+            (x, c) => abs(x - reconOf(c, col("vmin"), col("vrange")))),
+          lit(0L), (acc, e) => acc + e).as("abs_err"))
+  }
 }

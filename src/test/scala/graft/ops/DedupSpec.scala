@@ -185,4 +185,23 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(2L, 4L, 5L))
   }
+
+  test("dedupeUnitsWithinDoc: first occurrence survives in order; " +
+      "null/empty and delimiter choice handled") {
+    val docs = Seq(
+      (1L, "header\nbody one\nheader\nbody two\nbody one"),
+      (2L, "only\nunique\nlines"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.dedupeUnitsWithinDoc(docs, delim = "\n")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 5L, 3L, "header\nbody one\nbody two")))
+    assert(out(1) == ((2L, 3L, 3L, "only\nunique\nlines")))
+    // null text → one empty unit, kept as-is
+    assert(out(2) == ((3L, 1L, 1L, "")))
+    // token-grain (space delim): repeated words collapse, order preserved
+    val tok = Dedup.dedupeUnitsWithinDoc(
+        Seq((7L, "a b a c b a d")).toDF("doc_id", "text"), delim = " ")
+      .as[(Long, Long, Long, String)].collect().head
+    assert(tok == ((7L, 7L, 4L, "a b c d")))
+  }
 }

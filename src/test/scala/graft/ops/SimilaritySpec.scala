@@ -147,4 +147,25 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2))
     assert(pairs.forall(_._3 >= 0.2))
   }
+
+  test("quantizeInt8: codes in [0,255], constant vector exact, " +
+      "per-dim error bounded by one quantization step") {
+    val df = Seq(
+      (1L, Seq(0.0f, 1.0f, 2.0f, 3.0f)),   // evenly spread
+      (2L, Seq(0.5f, 0.5f, 0.5f, 0.5f)),   // constant → range 0
+      (3L, Seq(-1.25f, 0.0f, 4.75f, 2.5f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>"))
+    val out = Similarity.quantizeInt8(df)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // (vec_id, n_dims, vmin, vrange, max_code, abs_err)
+    assert(out(2L) == ((2L, 4L, 500L, 0L, 0L, 0L)), "constant vector is lossless")
+    val (_, n1, _, r1, mc1, err1) = out(1L)
+    assert(mc1 == 255L, "max element must map to the top code")
+    assert(err1 <= n1 * (r1 / 255 + 1), "per-dim error bounded by one step")
+    val (_, n3, vmin3, r3, mc3, err3) = out(3L)
+    assert(vmin3 == -1250L && r3 == 6000L && mc3 == 255L)
+    assert(err3 <= n3 * (r3 / 255 + 1))
+  }
 }
