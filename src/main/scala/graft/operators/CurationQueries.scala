@@ -10,7 +10,7 @@ import graft.ops.{Dedup, Similarity, TextAnalysis}
   * audit — the cleanup/audit layer that runs between raw crawl and
   * training mix. */
 object CurationQueries {
-  import LlmQueries.{fpSql, quantSql, shSetSqlFrom}
+  import LlmQueries.{fpSql, quantSql, shSetSqlFrom, toksSql}
 
   // ---------------------------------------------------------------- q118
   // Intra-document repeated-unit removal (C4's "dedupe lines within a
@@ -100,9 +100,33 @@ object CurationQueries {
        |WHERE jaccard >= 0.5
        |ORDER BY train_id, eval_id""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  // Inverted-index build: (term, df, sorted posting list) for terms in the
+  // [2, 390] df band — stop-words above the band report df with NULL
+  // postings (deliberately unindexed, never a corpus-sized list in one
+  // task; see Retrieval.invertedIndex). The band is tuned so the tiny
+  // synthetic vocabulary exercises BOTH branches.
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Retrieval.invertedIndex(Tables.documents(s, d),
+        minDf = 2L, maxDf = 390L)
+      .orderBy($"term")
+  }
+  private val q121Sql =
+    s"""WITH p AS (SELECT DISTINCT doc_id, unnest($toksSql) AS term FROM documents),
+       |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p
+       |      GROUP BY term HAVING COUNT(*) >= 2),
+       |post AS (SELECT term,
+       |        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+       |      FROM p WHERE term IN (SELECT term FROM d WHERE df <= 390)
+       |      GROUP BY term)
+       |SELECT d.term, d.df, post.postings
+       |FROM d LEFT JOIN post USING (term) ORDER BY term""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q118_intradoc_dedup", q118, Some(q118Sql)),
     QueryDef("q119_int8_quant", q119, Some(q119Sql)),
     QueryDef("q120_split_leakage", q120, Some(q120Sql)),
+    QueryDef("q121_inverted_index", q121, Some(q121Sql)),
   )
 }

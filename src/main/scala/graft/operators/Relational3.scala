@@ -723,17 +723,23 @@ object Relational3 {
   // ---------------------------------------------------------------- q102
   // Co-occurrence mining (market-basket pairs): parts bought together in
   // an order, top-20 pairs. Per-order item sets are bounded (≤7 lines in
-  // TPC-H shape), so the self-join fan-out is O(items²) per order — a
-  // bounded constant — and the pair counts partial-aggregate map-side.
-  // Distinct (order, part) first: duplicate lines of one part must not
-  // multiply pair counts.
+  // TPC-H shape), so pairs are generated IN-ROW from one collect_set per
+  // order — a sorted-array double-transform — instead of a self-join:
+  // ONE shuffle builds the sets (set-agg partial-aggregates map-side and
+  // dedups duplicate lines of a part for free), pair counts partial-
+  // aggregate map-side, and the top-20 is a TakeOrdered. The former
+  // distinct + self-join shape paid two extra exchanges for the same
+  // bounded fan-out. Unbounded basket sizes would cap/filter the set
+  // before expansion (the LSH bucket-cap pattern).
   private def q102(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, d)
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val a = li.select($"l_orderkey", $"l_partkey".as("part_a"))
-    val b = li.select($"l_orderkey", $"l_partkey".as("part_b"))
-    a.join(b, Seq("l_orderkey")).filter($"part_a" < $"part_b")
+    val sets = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+    sets.select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x AS part_a, y AS part_b))))")).as("p"))
+      .select($"p.part_a", $"p.part_b")
       .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("n_orders"))
       .orderBy($"n_orders".desc, $"part_a", $"part_b").limit(20)
   }

@@ -74,4 +74,43 @@ object Retrieval {
       .limit(k)
       .select(col("id"), (col("score_x9").cast("double") / 1e9).as("score"))
   }
+
+  /** Materialized inverted index: one row per indexable term with its
+    * document frequency and the full sorted posting list — the artifact
+    * that turns [[bm25TopK]]'s ad-hoc corpus scan into an O(|postings|)
+    * lookup (build once per corpus snapshot, serve many queries).
+    *
+    * Scale posture: postings are collected ONLY for terms inside the
+    * [minDf, maxDf] band, decided by a map-side-combinable df count
+    * BEFORE any list is built. The maxDf cut is what makes the reducer
+    * safe: a stop-word's posting row would otherwise hold a corpus-sized
+    * list in one task — and carries no retrieval signal anyway (its IDF
+    * ≈ 0; BM25 serving treats missing terms as unindexed). Dropped terms
+    * are still visible: rows above the band report their df with a NULL
+    * posting list, so index consumers can distinguish "rare/absent" from
+    * "deliberately unindexed" — the same report-what-you-dropped contract
+    * as the LSH bucket-cap audits. Only (term-hash-sized string, id)
+    * pairs shuffle; doc text never does.
+    *
+    * @return (term, df, postings) — postings a comma-joined sorted id
+    *         string (cross-engine-stable rendering), NULL above maxDf
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long = 1L, maxDf: Long = Long.MaxValue,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // distinct terms per doc in-row (array_distinct) — the (id, term)
+    // stream enters the shuffle already deduped, so df = count(*)
+    val pairs = docs.select(col(idCol).as("id"),
+      explode(array_distinct(split(
+        Dedup.normalized(coalesce(col(textCol), lit(""))), " "))).as("term"))
+    val dfs = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val indexable = dfs.filter(col("df") <= maxDf)
+    val postings = pairs
+      .join(indexable.select(col("term")), Seq("term"), "left_semi")
+      .groupBy(col("term"))
+      .agg(array_join(transform(array_sort(collect_list(col("id"))),
+        x => x.cast("string")), ",").as("postings"))
+    dfs.join(postings, Seq("term"), "left")
+      .select(col("term"), col("df"), col("postings"))
+  }
 }

@@ -37,4 +37,21 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_._1).toSet == Set(1L, 2L))
     assert(out.head._1 == 2L) // two query-term types + higher tf wins
   }
+
+  test("invertedIndex: df band gates postings, stop-words keep df with NULL list, " +
+      "repeated in-doc terms count once") {
+    val docs = Seq(
+      (3L, "alpha beta common common"), // 'common' twice in-doc → df 1 each
+      (1L, "alpha common"),
+      (2L, "beta common"),
+      (4L, "common")).toDF("doc_id", "text")
+    val out = Retrieval.invertedIndex(docs, minDf = 2L, maxDf = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)))).sortBy(_._1)
+    // 'alpha' df=2 (docs 1,3) sorted postings; 'common' df=4 > maxDf → NULL
+    assert(out.toSeq == Seq(
+      ("alpha", 2L, Some("1,3")),
+      ("beta", 2L, Some("2,3")),
+      ("common", 4L, None)))
+  }
 }
