@@ -191,6 +191,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q102: in-row pair expansion — set-agg exchange + pair-count exchange, no join") {
+    val p = planOf("q102_copurchase")
+    assert(!p.contains("Join"), "pairs must come from collect_set, not a self-join")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges (sets, pair counts), got $hashEx")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q118: first-occurrence choice is a hash aggregate, not a window sort") {
+    val p = planOf("q118_intradoc_dedup")
+    assert(!p.contains("Window"), "min(pos) must partial-aggregate, not row_number")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q119: quantization audit is a pure projection — zero exchanges") {
+    val p = planOf("q119_int8_quant")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-vector audit must ride the scan without any shuffle")
+  }
+
+  test("q121: df band decided before postings; term text shuffles, never doc text") {
+    val p = planOf("q121_inverted_index")
+    assert(p.contains("LeftSemi"), "postings gated by the indexable-term semi join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
