@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Graph, RecordLinkage, Sampling}
+
+/** Entity-level operations (round 3 widening): per-key rate limiting,
+  * golden-record survivorship, co-purchase PageRank, and edit-distance
+  * vocabulary linkage — the per-entity governance/identity layer over the
+  * event and catalog tables. */
+object EntityQueries {
+
+  // ---------------------------------------------------------------- q122
+  // Event-time rate limiting: at most 3 events per (user, UTC day),
+  // keeping each window's FIRST events by (ts, event_id) — deterministic
+  // bot-burst throttling (no arrival-order dependence, so replays keep
+  // identical rows). One exchange keyed by (user, window).
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"))
+    Sampling.rateLimit(ev, Seq($"user_id"), $"ts_us", $"event_id",
+        maxPerWindow = 3, windowSecs = 86400L)
+      .select($"event_id", $"user_id", $"win_start", $"rn".cast("long").as("rn"))
+      .orderBy($"event_id")
+  }
+  private val q122Sql =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+      |w AS (SELECT event_id, user_id,
+      |        CAST((ts_us - ts_us % 86400000000) // 1000000 AS BIGINT) AS win_start,
+      |        CAST(row_number() OVER (
+      |          PARTITION BY user_id, ts_us - ts_us % 86400000000
+      |          ORDER BY ts_us, event_id) AS BIGINT) AS rn
+      |      FROM e)
+      |SELECT event_id, user_id, win_start, rn FROM w
+      |WHERE rn <= 3 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q123
+  // Golden-record survivorship (last observation carried forward): one
+  // profile row per user merging measures observed on DIFFERENT event
+  // types — latest 'click' value, latest 'view' props.k — plus lifetime
+  // stats. Each measure is a filtered keyed window (latest-by-ts with
+  // total tie-break) left-joined onto the base aggregate: users missing a
+  // measure keep NULL instead of dropping out.
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"event_id", $"user_id",
+      unix_micros($"ts").as("ts_us"), $"event_type", $"value",
+      get_json_object($"props", "$.k").cast("long").as("k"))
+    val base = e.groupBy($"user_id").agg(
+      count(lit(1)).as("n_events"),
+      min($"ts_us").as("first_seen_us"), max($"ts_us").as("last_seen_us"))
+    def latest(src: DataFrame, measure: Column, name: String): DataFrame = {
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us".desc, $"event_id".desc)
+      src.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", measure.as(name))
+    }
+    base
+      .join(latest(e.filter($"event_type" === "click"), $"value", "last_click_value"),
+        Seq("user_id"), "left")
+      .join(latest(e.filter($"event_type" === "view"), $"k", "last_view_k"),
+        Seq("user_id"), "left")
+      .orderBy($"user_id")
+  }
+  private val q123Sql =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+      |        value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events),
+      |base AS (SELECT user_id, COUNT(*) AS n_events,
+      |        CAST(MIN(ts_us) AS BIGINT) AS first_seen_us,
+      |        CAST(MAX(ts_us) AS BIGINT) AS last_seen_us
+      |      FROM e GROUP BY user_id),
+      |lc AS (SELECT user_id, value AS last_click_value FROM (
+      |        SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts_us DESC, event_id DESC) AS rn
+      |        FROM e WHERE event_type = 'click') WHERE rn = 1),
+      |lv AS (SELECT user_id, k AS last_view_k FROM (
+      |        SELECT user_id, k, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts_us DESC, event_id DESC) AS rn
+      |        FROM e WHERE event_type = 'view') WHERE rn = 1)
+      |SELECT base.user_id, n_events, first_seen_us, last_seen_us,
+      |  lc.last_click_value, lv.last_view_k
+      |FROM base LEFT JOIN lc USING (user_id) LEFT JOIN lv USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q124
+  // Co-purchase PageRank: parts ranked by random-surfer centrality over
+  // the undirected bought-together graph, 5 integer-scaled iterations
+  // (1e12 units — see Graph.pageRank's exactness contract). The oracle
+  // unrolls the same five rounds as chained CTEs.
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey").distinct()
+    val edges = li.as("a").join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    Graph.pageRank(edges, iterations = 5).orderBy($"node")
+  }
+  private val q124Sql = {
+    val rounds = (1 to 5).map { i =>
+      val prev = if (i == 1) "pr0" else s"it${i - 1}"
+      s"""it$i AS (
+         |  SELECT nodes.node,
+         |    CAST(150000000000 // nn.n + (85 * COALESCE(s.sc, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(p.pr // d.deg) AS BIGINT) AS sc
+         |    FROM e JOIN $prev p ON e.src = p.node JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) s ON nodes.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pe AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |         AND a.l_partkey <> b.l_partkey),
+       |e AS (SELECT DISTINCT src, dst FROM pe),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |pr0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS pr
+       |        FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, pr FROM it5 ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q125
+  // Edit-distance-1 vocabulary linkage via FastSS deletion neighborhoods
+  // (RecordLinkage.editDistance1Join): spelling-variant detection over the
+  // part-name vocabulary, verified against DuckDB's all-pairs levenshtein.
+  // Complements q97's hammingKeyJoin (fixed-width keys) with
+  // insert/delete-tolerant variable-length matching.
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.part(s, d).select(explode(split($"p_name", " ")).as("w"))
+    RecordLinkage.editDistance1Join(vocab, "w")
+      .orderBy($"key_a", $"key_b")
+  }
+  private val q125Sql =
+    """WITH w AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS k FROM part)
+      |SELECT a.k AS key_a, b.k AS key_b
+      |FROM w a JOIN w b ON a.k < b.k
+      |WHERE levenshtein(a.k, b.k) = 1
+      |ORDER BY key_a, key_b""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q122_rate_limit", q122, Some(q122Sql)),
+    QueryDef("q123_survivorship", q123, Some(q123Sql)),
+    QueryDef("q124_pagerank", q124, Some(q124Sql)),
+    QueryDef("q125_editdist_join", q125, Some(q125Sql)),
+  )
+}

@@ -87,4 +87,40 @@ object RecordLinkage {
       .withColumn("dist", lit(0))
     inter.unionByName(intra)
   }
+
+  /** Edit-distance-1 vocabulary join via DELETION NEIGHBORHOODS (the
+    * FastSS blocking): each distinct key emits itself plus its |k|
+    * single-character deletions; any two keys within Levenshtein
+    * distance 1 (one substitution, insertion, or deletion) share at
+    * least one variant — substitution pairs meet at the common deletion
+    * position, insert/delete pairs meet at the shorter key itself — so
+    * recall is 1.0 BY CONSTRUCTION (like [[hammingKeyJoin]]'s pigeonhole
+    * blocking, but for variable-length keys where positional segments
+    * don't align). Candidates dedupe, then one codegen `levenshtein`
+    * verify drops the false positives (sharing a deletion variant does
+    * NOT imply distance ≤ 1: "ab" and "ba" share the variants "a" and
+    * "b" but are a transposition apart, distance 2).
+    *
+    * Scale: variant buckets are bounded by alphabet size × key length
+    * (each variant is reachable from ≤ |Σ|·(len+1) keys), so the
+    * candidate join cannot quadratically explode the way raw LSH
+    * buckets can; only (variant, key) string pairs shuffle.
+    *
+    * @param keys one column of key strings (deduped internally)
+    * @return (key_a, key_b) with key_a < key_b, Levenshtein distance
+    *         exactly 1
+    */
+  def editDistance1Join(keys: DataFrame, keyCol: String = "key"): DataFrame = {
+    val k = keys.select(col(keyCol).cast("string").as("k"))
+      .filter(col("k").isNotNull).distinct()
+    val variants = k.select(col("k"), explode(expr(
+      "array_union(array(k), transform(sequence(1, length(k)), " +
+        "i -> concat(substr(k, 1, i - 1), substr(k, i + 1, length(k)))))"))
+      .as("v"))
+    variants.as("a").join(variants.as("b"), col("a.v") === col("b.v"))
+      .filter(col("a.k") < col("b.k"))
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"))
+      .distinct()
+      .filter(levenshtein(col("key_a"), col("key_b")) === 1)
+  }
 }

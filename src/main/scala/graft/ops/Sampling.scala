@@ -80,4 +80,37 @@ object Sampling {
     df.withColumn("start_tok", coalesce(sum(tokens.cast("long")).over(w), lit(0L)))
       .filter(col("start_tok") < quota)
   }
+
+  /** Per-key rate limiting in event time: within each (keys, tumbling
+    * window of `windowSecs`) bucket, keep the FIRST `maxPerWindow` events
+    * by (`tsMicros`, `tieBreak`) — batch-side throttling/downsampling of
+    * runaway emitters (bot bursts, log storms) that preserves each key's
+    * earliest evidence in every window instead of dropping windows
+    * wholesale.
+    *
+    * Deterministic by construction (event-time order + total tie-break,
+    * no arrival-order dependence), so replays and retries keep identical
+    * rows. Scale: ONE exchange keyed by (keys, window); window partitions
+    * are bounded by per-key-per-window volume — the quantity this
+    * operator exists to cap. The streaming face of the same policy is a
+    * counter in `transformWithState` keyed the same way.
+    *
+    * @return input rows that fit the cap, plus `win_start` (epoch secs)
+    *         and `rn` (1-based rank within the window)
+    */
+  def rateLimit(df: DataFrame, keys: Seq[Column], tsMicros: Column,
+      tieBreak: Column, maxPerWindow: Int, windowSecs: Long): DataFrame = {
+    // exact integer window start: subtract the remainder, then the /1e6 is
+    // a division of an exact multiple (Column./ is double division — fine
+    // here because the result is integral and < 2^53)
+    val us = tsMicros.cast("long")
+    val winStart =
+      ((us - pmod(us, lit(windowSecs * 1000000L))) / lit(1000000L)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys :+ col("win_start"): _*)
+      .orderBy(tsMicros, tieBreak)
+    df.withColumn("win_start", winStart)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxPerWindow)
+  }
 }

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local replica of Graph.pageRank's integer recurrence — the spec's
+    * oracle, independent of any DataFrame machinery. */
+  private def localPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size.toLong
+    var pr = nodes.map(_ -> 1000000000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val sc = e.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      pr = nodes.map(v => v -> (150000000000L / n + 85 * sc.getOrElse(v, 0L) / 100)).toMap
+    }
+    pr
+  }
+
+  test("pageRank ≡ local integer recurrence; hub outranks leaves") {
+    // star (hub 100 ← leaves 1..5, bidirectional) + a disconnected 2-cycle
+    val star = (1L to 5L).flatMap(i => Seq((i, 100L), (100L, i)))
+    val edges = star ++ Seq((200L, 201L), (201L, 200L))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == localPageRank(edges, 5))
+    assert(got(100L) > got(1L), "hub must outrank a leaf")
+    assert(got(200L) == got(201L), "symmetric cycle nodes rank equally")
+  }
+
+  test("pageRank is partition-layout-invariant (exact integer equality)") {
+    val edges = (1L to 40L).map(i => (i, i % 7 + 1)) ++ (1L to 7L).map(i => (i, 8L))
+    val df = edges.toDF("src", "dst")
+    val a = Graph.pageRank(df, iterations = 3).as[(Long, Long)].collect().toMap
+    val b = Graph.pageRank(df.repartition(13), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+}

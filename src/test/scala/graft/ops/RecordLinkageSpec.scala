@@ -42,4 +42,27 @@ class RecordLinkageSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(got == Set((2L, 3L, 1)))
   }
+
+  test("editDistance1Join ≡ brute-force levenshtein=1 over a typo'd vocabulary") {
+    val words = Seq("spark", "spar", "sparc", "spork", "sparks", "query",
+      "quer", "queries", "plan", "plant", "pant", "flan", "ab", "ba", "a")
+    val df = words.toDF("key")
+    val got = RecordLinkage.editDistance1Join(df)
+      .as[(String, String)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i.max(j))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = Seq(d(i - 1)(j) + 1, d(i)(j - 1) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)).min
+      d(a.length)(b.length)
+    }
+    val exp = (for (x <- words; y <- words if x < y && lev(x, y) == 1)
+      yield (x, y)).toSet
+    assert(got == exp)
+    // the transposition pair shares deletion variants but is distance 2
+    assert(!got.contains(("ab", "ba")))
+    // substitution, deletion, and insertion all present
+    assert(got.contains(("spark", "spork")) && got.contains(("spar", "spark"))
+      && got.contains(("plan", "plant")))
+  }
 }

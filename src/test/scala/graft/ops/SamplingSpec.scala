@@ -37,4 +37,24 @@ class SamplingSpec extends SparkSpec {
     val big = Sampling.hashSample(df, $"id", 50).as[Long].collect().toSet
     assert(small.subsetOf(big))
   }
+
+  test("rateLimit: first k per (key, window) survive; partition-layout-invariant") {
+    // user 1: 4 events in window [0,10s), 1 in [10,20s); user 2: 2 in [0,10s)
+    val ev = Seq(
+      (1L, 1L, 1000000L), (2L, 1L, 2000000L), (3L, 1L, 3000000L),
+      (4L, 1L, 9000000L), (5L, 1L, 12000000L),
+      (6L, 2L, 500000L), (7L, 2L, 700000L)).toDF("event_id", "user_id", "ts_us")
+    val kept = Sampling.rateLimit(ev, Seq($"user_id"), $"ts_us", $"event_id",
+        maxPerWindow = 2, windowSecs = 10L)
+      .select($"event_id", $"win_start", $"rn").as[(Long, Long, Int)]
+      .collect().sortBy(_._1)
+    // events 3, 4 (3rd/4th of user 1's first window) are throttled
+    assert(kept.map(_._1).toSeq == Seq(1L, 2L, 5L, 6L, 7L))
+    assert(kept.map(_._2).toSeq == Seq(0L, 0L, 10L, 0L, 0L))
+    assert(kept.map(_._3).toSeq == Seq(1, 2, 1, 1, 2))
+    val shuffled = Sampling.rateLimit(ev.repartition(7), Seq($"user_id"),
+        $"ts_us", $"event_id", maxPerWindow = 2, windowSecs = 10L)
+      .select($"event_id").as[Long].collect().sorted
+    assert(shuffled.toSeq == kept.map(_._1).toSeq, "replay must keep identical rows")
+  }
 }
