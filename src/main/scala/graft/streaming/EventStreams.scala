@@ -236,6 +236,74 @@ object EventStreams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  final case class RateLimited(event_id: Long, user_id: Long,
+      win_start: Long, rn: Int)
+  final case class KeptBuffer(entries: Seq[(Long, Long)]) // (ts_us, event_id)
+
+  /** Streaming face of `Sampling.rateLimit` — EVENT-TIME-EXACT, not
+    * first-arrival: per (user, tumbling window) the state holds only the
+    * k smallest (ts, event_id) seen so far (a bounded top-k buffer — a
+    * late-but-within-watermark event can still displace a kept one), and
+    * the window's survivors are emitted by an event-time TIMER at window
+    * end once the watermark guarantees no further displacement. Stream ≡
+    * batch is therefore exact (the spec pins it), unlike an arrival-order
+    * counter which admits whichever burst arrives first.
+    *
+    * State per key is ≤ k entries BY CONSTRUCTION — the rate limiter's
+    * own cap bounds its state, regardless of burst size; keys expire with
+    * their window timer. Requires RocksDB (StateStores.withRocksDB). */
+  final class RateLimitProcessor(maxPerWindow: Int, windowUs: Long)
+      extends StatefulProcessor[(Long, Long), TimedEvent, RateLimited] {
+    @transient private var kept: ValueState[KeptBuffer] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      kept = getHandle.getValueState[KeptBuffer]("kept",
+        org.apache.spark.sql.Encoders.product[KeptBuffer], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, Long), rows: Iterator[TimedEvent],
+        tv: TimerValues): Iterator[RateLimited] = {
+      val incoming = rows.map(e => (e.ts.getTime * 1000L, e.event_id)).toSeq
+      if (incoming.isEmpty) return Iterator.empty
+      val first = !kept.exists()
+      val prev = if (first) Nil else kept.get().entries
+      kept.update(KeptBuffer(
+        (prev ++ incoming).sorted.take(maxPerWindow)))
+      // one timer per (key, window), at window end (ms grain) — the fixed
+      // deadline makes re-registration idempotent, but register once anyway
+      if (first) {
+        val winEndMs = (key._2 * 1000000L + windowUs) / 1000L
+        getHandle.registerTimer(winEndMs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (Long, Long), tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[RateLimited] = {
+      if (!kept.exists()) return Iterator.empty
+      val out = kept.get().entries.zipWithIndex.map { case ((_, id), i) =>
+        RateLimited(id, key._1, key._2, i + 1)
+      }
+      kept.clear()
+      out.iterator
+    }
+  }
+
+  /** [[RateLimitProcessor]] over a TimedEvent stream; `win_start` in
+    * epoch seconds, mirroring the batch operator's output. */
+  def rateLimitStream(events: Dataset[TimedEvent], maxPerWindow: Int,
+      windowSecs: Long, watermark: String = "10 minutes"): Dataset[RateLimited] = {
+    import events.sparkSession.implicits._
+    val windowUs = windowSecs * 1000000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey { e =>
+        val us = e.ts.getTime * 1000L
+        (e.user_id, (us - us % windowUs) / 1000000L)
+      }
+      .transformWithState(new RateLimitProcessor(maxPerWindow, windowUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   // ---- streaming as-of enrichment (the q83 operator's streaming face)
 
   /** Error event enriched with the latest signup at or before it. */

@@ -324,4 +324,42 @@ class EventStreamsSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
     assert(remerged == view)
   }
+
+  test("streaming rate limit ≡ batch rateLimit " +
+      "(late-but-admitted event displaces an already-kept row)") {
+    StateStores.withRocksDB(spark) {
+      def te(id: Long, uid: Long, m: Int) =
+        EventStreams.TimedEvent(id, uid, "click", 0.0, ts(m))
+      val all = Seq(te(1, 1, 2), te(2, 1, 5), te(6, 2, 3), te(7, 2, 4),
+        te(3, 1, 1), te(9, 9, 40))
+      val input = MemoryStream[EventStreams.TimedEvent](spark)
+      val q = EventStreams.rateLimitStream(input.toDS(), maxPerWindow = 2,
+          windowSecs = 600L)
+        .writeStream.format("memory").queryName("rl").outputMode("append").start()
+      input.addData(te(1, 1, 2), te(2, 1, 5), te(6, 2, 3), te(7, 2, 4))
+      q.processAllAvailable()
+      // late event (ts 10:01 < the kept 10:05) must displace event 2
+      input.addData(te(3, 1, 1))
+      q.processAllAvailable()
+      // watermark push (10:40 - 10min > window end 10:10) fires the timers
+      input.addData(te(9, 9, 40))
+      q.processAllAvailable(); q.stop()
+      val w0 = ts(0).getTime / 1000
+      val got = spark.table("rl").as[EventStreams.RateLimited].collect().toSet
+      assert(got == Set(
+        EventStreams.RateLimited(3, 1, w0, 1), EventStreams.RateLimited(1, 1, w0, 2),
+        EventStreams.RateLimited(6, 2, w0, 1), EventStreams.RateLimited(7, 2, w0, 2)))
+      // batch face agrees exactly on the closed window
+      val batch = graft.ops.Sampling.rateLimit(
+          all.toDF().select($"event_id", $"user_id",
+            (col("ts").cast("long") * 1000000L).as("ts_us")),
+          Seq($"user_id"), $"ts_us", $"event_id",
+          maxPerWindow = 2, windowSecs = 600L)
+        .filter($"win_start" === w0)
+        .select($"event_id", $"user_id", $"win_start", $"rn")
+        .as[(Long, Long, Long, Int)].collect()
+        .map(r => EventStreams.RateLimited(r._1, r._2, r._3, r._4)).toSet
+      assert(batch == got)
+    }
+  }
 }
