@@ -123,10 +123,49 @@ object CurationQueries {
        |SELECT d.term, d.df, post.postings
        |FROM d LEFT JOIN post USING (term) ORDER BY term""".stripMargin
 
+  // ---------------------------------------------------------------- q128
+  // Incremental dedup maintenance (the nightly-ingest shape): a new batch
+  // (doc_id % 4 = 0) is near-dup-checked against the EXISTING corpus
+  // (cross-corpus LSH — the corpus is touched only through its bucketed
+  // signatures, never re-paired against itself) plus within itself, each
+  // hit tagged with its scope. This is what replaces "re-dedupe the whole
+  // lake" once a corpus is live: cost scales with the batch, not the lake.
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val existing = docs.filter($"doc_id" % 4 =!= 0)
+    val batch = docs.filter($"doc_id" % 4 === 0)
+    val vsExisting = Dedup.crossCorpusPairs(batch, existing, threshold = 0.5)
+      .select($"id_a".as("new_id"), $"id_b".as("other_id"), $"jaccard",
+        lit("existing").as("scope"))
+    val inBatch = Dedup.minhashDuplicatePairs(batch, threshold = 0.5)
+      .select($"id_a".as("new_id"), $"id_b".as("other_id"), $"jaccard",
+        lit("batch").as("scope"))
+    vsExisting.unionByName(inBatch).orderBy($"new_id", $"other_id")
+  }
+  private val q128Sql =
+    s"""WITH sa AS (${shSetSqlFrom("(SELECT * FROM documents WHERE doc_id % 4 = 0) x")}),
+       |sb AS (${shSetSqlFrom("(SELECT * FROM documents WHERE doc_id % 4 <> 0) y")}),
+       |vs AS (SELECT a.doc_id AS new_id, b.doc_id AS other_id,
+       |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard,
+       |        'existing' AS scope
+       |      FROM sa a, sb b),
+       |ib AS (SELECT a.doc_id AS new_id, b.doc_id AS other_id,
+       |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard,
+       |        'batch' AS scope
+       |      FROM sa a JOIN sa b ON a.doc_id < b.doc_id)
+       |SELECT new_id, other_id, jaccard, scope
+       |FROM (SELECT * FROM vs UNION ALL SELECT * FROM ib)
+       |WHERE jaccard >= 0.5
+       |ORDER BY new_id, other_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q118_intradoc_dedup", q118, Some(q118Sql)),
     QueryDef("q119_int8_quant", q119, Some(q119Sql)),
     QueryDef("q120_split_leakage", q120, Some(q120Sql)),
     QueryDef("q121_inverted_index", q121, Some(q121Sql)),
+    QueryDef("q128_incremental_dedup", q128, Some(q128Sql)),
   )
 }

@@ -143,10 +143,79 @@ object EntityQueries {
       |WHERE levenshtein(a.k, b.k) = 1
       |ORDER BY key_a, key_b""".stripMargin
 
+  // ---------------------------------------------------------------- q126
+  // Histogram quantiles — the SCALE-path percentile: integer-binned value
+  // counts (5-unit bins on exact cents) + one cumulative pass give
+  // bin-resolution p50/p95/p99 per group with fixed-width mergeable state,
+  // where q25's exact percentile must buffer each group's values. Every
+  // step is integer arithmetic (cross-multiplied rank test, floor-div
+  // binning on non-negative cents) — bit-identical across engines.
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val binned = Tables.events(s, d)
+      .select($"event_type",
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 500").as("bin"))
+      .groupBy($"event_type", $"bin").agg(count(lit(1)).as("n_b"))
+    val c = binned
+      .withColumn("cum", sum($"n_b").over(
+        Window.partitionBy($"event_type").orderBy($"bin")))
+      .withColumn("n", sum($"n_b").over(Window.partitionBy($"event_type")))
+    def pLo(pct: Int) =
+      (min(when($"cum" * 100 >= $"n" * pct, $"bin")) * 5.0).cast("double")
+    c.groupBy($"event_type").agg(
+        first($"n").as("n"), pLo(50).as("p50_lo"),
+        pLo(95).as("p95_lo"), pLo(99).as("p99_lo"))
+      .orderBy($"event_type")
+  }
+  private val q126Sql =
+    """WITH b AS (SELECT event_type,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) // 500 AS bin,
+      |        COUNT(*) AS n_b
+      |      FROM events GROUP BY 1, 2),
+      |c AS (SELECT event_type, bin,
+      |        CAST(SUM(n_b) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+      |        CAST(SUM(n_b) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |      FROM b)
+      |SELECT event_type, CAST(ANY_VALUE(n) AS BIGINT) AS n,
+      |  CAST(MIN(CASE WHEN cum*100 >= n*50 THEN bin END) * 5.0 AS DOUBLE) AS p50_lo,
+      |  CAST(MIN(CASE WHEN cum*100 >= n*95 THEN bin END) * 5.0 AS DOUBLE) AS p95_lo,
+      |  CAST(MIN(CASE WHEN cum*100 >= n*99 THEN bin END) * 5.0 AS DOUBLE) AS p99_lo
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q127
+  // Shuffle-key skew report: the top-10 heaviest join/agg keys with their
+  // row share (ppm) and multiple-of-mean — the diagnostic that decides
+  // between plain, AQE-skew, and salted plans (q75/q112). Per-key counts
+  // partial-aggregate; corpus stats ride back as a 1-row broadcast; the
+  // top-10 is a TakeOrdered. Integer arithmetic throughout.
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.orders(s, d).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("cnt"))
+    val stats = keyed.agg(sum($"cnt").as("n_rows"),
+      count(lit(1)).as("n_keys"), max($"cnt").as("max_cnt"))
+    keyed.crossJoin(broadcast(stats))
+      .select($"o_custkey".as("key"), $"cnt",
+        expr("cnt * 1000000 div n_rows").as("share_ppm"),
+        expr("cnt * n_keys * 100 div n_rows").as("x_mean_pct"),
+        $"max_cnt")
+      .orderBy($"cnt".desc, $"key").limit(10)
+  }
+  private val q127Sql =
+    """WITH k AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1),
+      |s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+      |        CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM k)
+      |SELECT key, cnt, CAST(cnt * 1000000 // n_rows AS BIGINT) AS share_ppm,
+      |  CAST(cnt * n_keys * 100 // n_rows AS BIGINT) AS x_mean_pct, max_cnt
+      |FROM k CROSS JOIN s
+      |ORDER BY cnt DESC, key LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q122_rate_limit", q122, Some(q122Sql)),
     QueryDef("q123_survivorship", q123, Some(q123Sql)),
     QueryDef("q124_pagerank", q124, Some(q124Sql)),
     QueryDef("q125_editdist_join", q125, Some(q125Sql)),
+    QueryDef("q126_hist_quantiles", q126, Some(q126Sql)),
+    QueryDef("q127_skew_report", q127, Some(q127Sql)),
   )
 }
