@@ -161,11 +161,65 @@ object CurationQueries {
        |WHERE jaccard >= 0.5
        |ORDER BY new_id, other_id""".stripMargin
 
+  // ---------------------------------------------------------------- q129
+  // c-TF-IDF (BERTopic): each source treated as one pseudo-document, its
+  // 5 most DISTINCTIVE terms by tf_c · quantized ln(1 + A/f_t) — segment
+  // characterization over a labeled/clustered corpus (q63 ranks within a
+  // single document; this ranks across classes). Integer score ranking.
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.classTfidf(Tables.documents(s, d), classCol = "source", topK = 5)
+      .orderBy($"class", $"rn")
+  }
+  private val q129Sql =
+    s"""WITH tok AS (SELECT source AS class, unnest($toksSql) AS term FROM documents),
+       |ct AS (SELECT class, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |ft AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS f_t FROM ct GROUP BY term),
+       |a AS (SELECT CAST(SUM(tf) AS DOUBLE) / COUNT(DISTINCT class)
+       |        AS avg_class_toks FROM ct),
+       |sc AS (SELECT class, term, tf, f_t,
+       |        CAST(floor(ln(1.0 + avg_class_toks / f_t) * 1e6) AS BIGINT) AS w6
+       |      FROM ct JOIN ft USING (term) CROSS JOIN a),
+       |r AS (SELECT class, term, tf, f_t, CAST(tf * w6 AS BIGINT) AS score_x6,
+       |        CAST(row_number() OVER (PARTITION BY class
+       |          ORDER BY tf * w6 DESC, term) AS INT) AS rn
+       |      FROM sc)
+       |SELECT class, term, tf, f_t, score_x6, rn
+       |FROM r WHERE rn <= 5 ORDER BY class, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q130
+  // Adjacent-bigram PMI collocations (phrase-vocabulary prep): top-20
+  // associated token pairs with n12 ≥ 5 — the min-count cut runs BEFORE
+  // the count joins (PMI's low-frequency instability is pruned, and the
+  // joins see only survivors). Quantized-ln integer rank, TakeOrdered.
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.pmiPairs(Tables.documents(s, d), minCount = 5, topK = 20)
+      .orderBy($"pmi_x6".desc, $"t1", $"t2")
+  }
+  private val q130Sql =
+    s"""WITH ts AS (SELECT $toksSql AS ts FROM documents),
+       |bg AS (SELECT ts[i+1] AS t1, ts[i+2] AS t2
+       |       FROM ts, LATERAL unnest(range(len(ts) - 1)) AS u(i)
+       |       WHERE len(ts) >= 2),
+       |c12 AS (SELECT t1, t2, COUNT(*) AS n12 FROM bg
+       |        GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+       |c1 AS (SELECT t1, COUNT(*) AS n1 FROM bg GROUP BY 1),
+       |c2 AS (SELECT t2, COUNT(*) AS n2 FROM bg GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS nn FROM bg)
+       |SELECT t1, t2, n12,
+       |  CAST(floor(ln(CAST(n12 * nn AS DOUBLE) / (n1 * n2)) * 1e6) AS BIGINT)
+       |    AS pmi_x6
+       |FROM c12 JOIN c1 USING (t1) JOIN c2 USING (t2) CROSS JOIN n
+       |ORDER BY pmi_x6 DESC, t1, t2 LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q118_intradoc_dedup", q118, Some(q118Sql)),
     QueryDef("q119_int8_quant", q119, Some(q119Sql)),
     QueryDef("q120_split_leakage", q120, Some(q120Sql)),
     QueryDef("q121_inverted_index", q121, Some(q121Sql)),
     QueryDef("q128_incremental_dedup", q128, Some(q128Sql)),
+    QueryDef("q129_class_tfidf", q129, Some(q129Sql)),
+    QueryDef("q130_pmi_pairs", q130, Some(q130Sql)),
   )
 }

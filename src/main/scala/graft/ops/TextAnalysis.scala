@@ -399,4 +399,73 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_shingles"),
         (col("n_common").cast("double") / col("n_shingles").cast("double")).as("common_frac"))
   }
+
+  /** Class-based TF-IDF (the BERTopic "c-TF-IDF"): treat each class
+    * (cluster label, source, language) as ONE pseudo-document and rank
+    * the terms that distinguish it — topic/segment characterization over
+    * an already-clustered corpus, where [[distinctiveTerms]] ranks within
+    * a single document. score = tf_c · floor(ln(1 + A/f_t)·1e6) with A =
+    * avg tokens per class and f_t the corpus term frequency — a LONG, so
+    * ranking is cross-engine exact (same quantized-ln discipline as the
+    * BM25 IDF; the raw double rides along for readability).
+    *
+    * Scale: the exploded token stream aggregates once into (class, term)
+    * counts — everything downstream (corpus term totals, class totals, A)
+    * derives from that slim frame; the per-class top-k is a rank window
+    * over |classes|·|vocab| rows, not tokens. */
+  def classTfidf(docs: DataFrame, classCol: String, topK: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    val ct = docs.select(col(classCol).as("class"),
+        explode(split(Dedup.normalized(coalesce(col(textCol), lit(""))), " ")).as("term"))
+      .groupBy(col("class"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // one token pass; three consumers below
+    val ft = ct.groupBy(col("term")).agg(sum(col("tf")).as("f_t"))
+    val a = ct.agg((sum(col("tf")).cast("double") /
+      countDistinct(col("class"))).as("avg_class_toks"))
+    val scored = ct.join(ft, Seq("term")).crossJoin(broadcast(a))
+      .withColumn("w6",
+        floor(log(lit(1.0) + col("avg_class_toks") / col("f_t")) * 1e6).cast("long"))
+      .withColumn("score_x6", col("tf") * col("w6"))
+    val w = Window.partitionBy(col("class"))
+      .orderBy(col("score_x6").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= topK)
+      .select(col("class"), col("term"), col("tf"), col("f_t"),
+        col("score_x6"), col("rn"))
+  }
+
+  /** Adjacent-bigram PMI collocations: ln((n12·N)/(n1·n2)) over the
+    * corpus's bigram stream — the classic association measure that finds
+    * multi-word expressions ("new york") for tokenizer/phrase-vocab prep.
+    * `minCount` drops the unstable low-frequency tail FIRST (PMI's known
+    * bias), so the expensive joins see only surviving bigrams. The PMI
+    * ratio is a division of exact integer products (counts are bounded by
+    * the bigram total, so n1·n2 < 2^63 long before any realistic corpus
+    * overflows ln's useful range); both engines perform the identical
+    * IEEE divide+ln, quantized floor(·1e6) for the rank. Top-k is a
+    * TakeOrdered.
+    *
+    * @return (t1, t2, n12, pmi_x6) — top `topK` by (pmi_x6 desc, t1, t2)
+    */
+  def pmiPairs(docs: DataFrame, minCount: Int = 5, topK: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toksArr = docs.select(
+        split(Dedup.normalized(coalesce(col(textCol), lit(""))), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val bg = toksArr.select(explode(expr(
+        "transform(sequence(0, size(ts)-2), i -> struct(ts[i] AS t1, ts[i+1] AS t2))")).as("b"))
+      .select(col("b.t1"), col("b.t2"))
+      .localCheckpoint() // one tokenize+explode pass; four consumers
+    val c12 = bg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= minCount)
+    val c1 = bg.groupBy(col("t1")).agg(count(lit(1)).as("n1"))
+    val c2 = bg.groupBy(col("t2")).agg(count(lit(1)).as("n2"))
+    val n = bg.agg(count(lit(1)).as("nn"))
+    c12.join(c1, Seq("t1")).join(c2, Seq("t2")).crossJoin(broadcast(n))
+      .withColumn("pmi_x6", floor(log(
+        (col("n12") * col("nn")).cast("double") / (col("n1") * col("n2")))
+        * 1e6).cast("long"))
+      .orderBy(col("pmi_x6").desc, col("t1"), col("t2")).limit(topK)
+      .select(col("t1"), col("t2"), col("n12"), col("pmi_x6"))
+  }
 }

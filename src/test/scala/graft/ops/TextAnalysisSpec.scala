@@ -171,4 +171,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m("a") != m("c"))
     assert(m.values.forall(v => v >= 0 && v < (1L << 53)))
   }
+
+  test("classTfidf: class-exclusive term outranks the everywhere-term") {
+    val df = Seq(
+      (1L, "sci", "quantum physics shared shared"),
+      (2L, "sci", "quantum theory shared"),
+      (3L, "biz", "market finance shared shared"),
+      (4L, "biz", "market growth shared")).toDF("doc_id", "source", "text")
+    val top = TextAnalysis.classTfidf(df, "source", topK = 2)
+      .select($"class", $"term", $"rn").as[(String, String, Int)]
+      .collect().groupBy(_._1).map { case (c, xs) =>
+        c -> xs.sortBy(_._3).map(_._2).toSeq }
+    // 'shared' has the same tf as the exclusive terms but a 2x corpus
+    // frequency, so the exclusive term must rank first in both classes
+    assert(top("sci").head == "quantum", s"got $top")
+    assert(top("biz").head == "market")
+    assert(!top("sci").contains("market") && !top("biz").contains("quantum"))
+  }
+
+  test("pmiPairs: planted collocation outranks independent pairs; minCount prunes") {
+    // 'aa bb' always adjacent (8x); 'xx' pairs with varied successors
+    val rows = (1L to 8L).map(i => (i, s"aa bb xx s$i")) :+
+      (9L, "rare pair")
+    val out = TextAnalysis.pmiPairs(rows.toDF("doc_id", "text"), minCount = 5,
+        topK = 10).as[(String, String, Long, Long)].collect()
+    assert(out.head._1 == "aa" && out.head._2 == "bb",
+      s"perfect collocation must rank first: ${out.toSeq}")
+    assert(!out.exists(p => p._1 == "rare"), "n12 < minCount must be pruned")
+    assert(out.forall(_._3 >= 5))
+  }
 }
