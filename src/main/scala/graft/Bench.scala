@@ -15,6 +15,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // dev convenience: SPARK_GRAFT_BENCH_ONLY=q102_copurchase,q124_pagerank
+    // restricts the run for A/B iteration; the driver never sets it
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    def selected(n: String) = only.forall(_.contains(n))
     val spark = GraftSession.builder("graft-bench", Some(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
@@ -24,12 +29,14 @@ object Bench {
     // (5-10x), i.e. the JVM, not the plan. sf0.001 is ~1% of bench data, so
     // the warmup adds negligible I/O and leaves the bench data untouched.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
-    }
+    SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
+      .sortBy(_._1).foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      }
     // a failed query is reported as -1, never as a (fast-looking) timing
     def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
+        .sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case e: Throwable =>

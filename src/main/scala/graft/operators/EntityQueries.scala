@@ -92,10 +92,14 @@ object EntityQueries {
   // unrolls the same five rounds as chained CTEs.
   private def q124(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey").distinct()
-    val edges = li.as("a").join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
-      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    // q102's in-row pair expansion (codegen double explode), both
+    // directions; one set-agg exchange, no self-join
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+      .filter(size($"ps") >= 2)
+    val edges = sets.select($"ps", explode($"ps").as("src"))
+      .select($"src", explode($"ps").as("dst"))
+      .filter($"src" =!= $"dst")
     Graph.pageRank(edges, iterations = 5).orderBy($"node")
   }
   private val q124Sql = {
@@ -210,6 +214,46 @@ object EntityQueries {
       |FROM k CROSS JOIN s
       |ORDER BY cnt DESC, key LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q131
+  // Multi-touch LINEAR attribution: every click in the 30-minute lookback
+  // before a same-user purchase shares the credit equally (weight = 1e6
+  // div n, integer — credits sum to ≤1e6 with deterministic floor
+  // remainder), where q88 gives the LAST touch 100% via the custom as-of
+  // join. Per-user equi-join + range predicate (the equi key bounds the
+  // pair fan-out; the tiled interval join is for the no-equi-key case),
+  // then one count window per purchase.
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"event_id", $"user_id",
+      unix_micros($"ts").as("ts_us"), $"event_type")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts_us".as("cts"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts_us".as("pts"))
+    purchases.join(clicks, Seq("user_id"))
+      .filter($"cts" <= $"pts" && $"cts" > $"pts" - lit(1800000000L))
+      .withColumn("n_touches",
+        count(lit(1)).over(Window.partitionBy($"purchase_id")))
+      .select($"purchase_id", $"click_id", $"n_touches",
+        expr("1000000 div n_touches").as("weight_x6"))
+      .orderBy($"purchase_id", $"click_id")
+  }
+  private val q131Sql =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+      |           FROM events),
+      |c AS (SELECT user_id, event_id AS click_id, ts_us AS cts
+      |      FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts_us AS pts
+      |      FROM e WHERE event_type = 'purchase'),
+      |t AS (SELECT purchase_id, click_id FROM p JOIN c USING (user_id)
+      |      WHERE cts <= pts AND cts > pts - 1800000000),
+      |n AS (SELECT purchase_id, click_id,
+      |        CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches
+      |      FROM t)
+      |SELECT purchase_id, click_id, n_touches,
+      |  CAST(1000000 // n_touches AS BIGINT) AS weight_x6
+      |FROM n ORDER BY purchase_id, click_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q122_rate_limit", q122, Some(q122Sql)),
     QueryDef("q123_survivorship", q123, Some(q123Sql)),
@@ -217,5 +261,6 @@ object EntityQueries {
     QueryDef("q125_editdist_join", q125, Some(q125Sql)),
     QueryDef("q126_hist_quantiles", q126, Some(q126Sql)),
     QueryDef("q127_skew_report", q127, Some(q127Sql)),
+    QueryDef("q131_linear_attribution", q131, Some(q131Sql)),
   )
 }

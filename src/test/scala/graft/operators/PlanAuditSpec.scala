@@ -217,6 +217,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q124: PageRank rounds consume checkpointed frontiers, equi-joins only") {
+    val p = planOf("q124_pagerank")
+    assert(p.contains("Scan ExistingRDD"), "edge/state tables must be materialized")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q126: histogram quantiles = bin agg + one keyed window, no join") {
+    val p = planOf("q126_hist_quantiles")
+    assert(!p.contains("Join"), "the scale-path percentile must not join")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges (bins, per-type window), got $hashEx")
+  }
+
+  test("q127: skew report ends in a TakeOrdered; stats ride a 1-row broadcast") {
+    val p = planOf("q127_skew_report")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"), "1-row stats must broadcast, not cartesian")
+  }
+
+  test("q130: PMI top-k is a TakeOrdered; bigram pass materializes once") {
+    val p = planOf("q130_pmi_pairs")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("Scan ExistingRDD"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
