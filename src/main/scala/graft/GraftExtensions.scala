@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.StripAccents(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "jaro_winkler(a, b) takes exactly two arguments")
+        graft.functions.JaroWinkler(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[graft.functions.HeavyHitters].getName, "heavy_hitters"),
       (children: Seq[Expression]) => {

@@ -254,6 +254,70 @@ object EntityQueries {
       |  CAST(1000000 // n_touches AS BIGINT) AS weight_x6
       |FROM n ORDER BY purchase_id, click_id""".stripMargin
 
+
+  // ---------------------------------------------------------------- q132
+  // Top session paths: ordered event-type journeys per 30-min-gap session
+  // (first 10 steps — the bounded-width cut), counted corpus-wide — the
+  // "what do user journeys look like" rollup composing the q59 sessionizer
+  // with an in-exchange ordered collect. Top-20 is a TakeOrdered.
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Sessionize.sessionPaths(Tables.events(s, d),
+        gapSeconds = 1800L, topK = 20, maxLen = 10)
+      .orderBy($"n_sessions".desc, $"path")
+  }
+  private val q132Sql =
+    """WITH sess AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |    SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM (SELECT user_id, event_id, event_type, ts,
+      |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |            AS prev_us
+      |        FROM events)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_idx
+      |        ORDER BY ts_us, event_id) AS rn
+      |      FROM sess),
+      |p AS (SELECT user_id, session_idx,
+      |        string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+      |      FROM r WHERE rn <= 10 GROUP BY 1, 2)
+      |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q133
+  // Jaro-Winkler vocabulary scoring via the native codegen expression
+  // (≡ DuckDB jaro_winkler_similarity at 1e-6 quantization): all DISTINCT
+  // vocab pairs ≥ 0.85 — the name-matching scorer Levenshtein
+  // over-penalizes on transpositions. All-pairs here is deliberate and
+  // vocabulary-sized (distinct keys, not rows); corpus-scale candidate
+  // generation goes through the blocked joins (q97/q125) first.
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.part(s, d).select(explode(split($"p_name", " ")).as("k"))
+      .unionByName(Tables.documents(s, d).select(explode(split(
+        graft.ops.Dedup.normalized(coalesce($"text", lit(""))), " ")).as("k")))
+      .distinct()
+    vocab.select($"k".as("key_a"))
+      .crossJoin(vocab.select($"k".as("key_b")))
+      .filter($"key_a" < $"key_b")
+      .withColumn("jw_x6",
+        floor(graft.functions.JaroWinkler($"key_a", $"key_b") * 1e6).cast("long"))
+      .filter($"jw_x6" >= 850000L)
+      .orderBy($"key_a", $"key_b")
+  }
+  private val q133Sql = {
+    import LlmQueries.toksSql
+    s"""WITH w AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS k FROM part
+       |           UNION SELECT DISTINCT unnest($toksSql) FROM documents),
+       |p AS (SELECT a.k AS key_a, b.k AS key_b,
+       |        CAST(floor(jaro_winkler_similarity(a.k, b.k) * 1e6) AS BIGINT) AS jw_x6
+       |      FROM w a JOIN w b ON a.k < b.k)
+       |SELECT key_a, key_b, jw_x6 FROM p
+       |WHERE jw_x6 >= 850000 ORDER BY key_a, key_b""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q122_rate_limit", q122, Some(q122Sql)),
     QueryDef("q123_survivorship", q123, Some(q123Sql)),
@@ -262,5 +326,8 @@ object EntityQueries {
     QueryDef("q126_hist_quantiles", q126, Some(q126Sql)),
     QueryDef("q127_skew_report", q127, Some(q127Sql)),
     QueryDef("q131_linear_attribution", q131, Some(q131Sql)),
+    QueryDef("q132_session_paths", q132, Some(q132Sql)),
+    QueryDef("q133_jaro_winkler", q133, Some(q133Sql)),
   )
+
 }

@@ -48,4 +48,28 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
+
+  /** Top session PATHS: the ordered event-type sequence of each session
+    * (truncated to its first `maxLen` steps — the standard cut that keeps
+    * path cardinality and row width bounded no matter how long a bot
+    * session runs), counted across all sessions — the "what do journeys
+    * look like" rollup over [[byGap]]'s assignment.
+    *
+    * Plan shape: the per-session collect rides the SAME user-keyed
+    * exchange as the sessionizing windows (partitioning by user co-locates
+    * every (user, session) group), path counts partial-aggregate, and the
+    * top-k is a TakeOrdered. Deterministic: in-session order is (ts, tie),
+    * ties across paths break lexicographically. */
+  def sessionPaths(events: DataFrame, gapSeconds: Long, topK: Int = 20,
+      maxLen: Int = 10, userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", tieCol: String = "event_id"): DataFrame =
+    byGap(events, gapSeconds, userCol, tsCol, tieCol)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(array_join(transform(
+        slice(array_sort(collect_list(struct(
+          unix_micros(col(tsCol)).as("us"), col(tieCol).as("tie"),
+          col(typeCol).as("et")))), 1, maxLen),
+        x => x("et")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(topK)
 }
