@@ -52,6 +52,29 @@ object Sinks {
       .write.mode(mode).parquet(path)
   }
 
+  /** Training-shard writer: pack documents into ≈`shardTokens`-token
+    * shards with the deterministic two-phase prefix sum (content-keyed
+    * `orderCols` ⇒ the same corpus always yields the same shards, across
+    * retries, partitionings, and clusters) and lay each shard out as its
+    * own hive partition — the unit a training loader streams, checkpoints,
+    * and resumes by. Per-shard overshoot is bounded by one document (a doc
+    * belongs to the shard its first token lands in).
+    *
+    * Scale: the packing output is a slim (id, shard) frame joined back to
+    * the full rows; `repartitionByRange` on shard keeps each output
+    * directory written by few tasks (shards are contiguous in the range
+    * partitioner) instead of every task appending to every partition. */
+  def tokenShardedParquet(docs: DataFrame, path: String, tokenCol: String,
+      orderCols: Seq[String], shardTokens: Long, idCol: String = "doc_id",
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val shards = graft.ops.Packing
+      .packSequences(docs, idCol, tokenCol, orderCols, shardTokens)
+      .select(col("id").as(idCol), col("seq_id").as("shard"))
+    docs.join(shards, Seq(idCol))
+      .repartitionByRange(col("shard"))
+      .write.mode(mode).partitionBy("shard").parquet(path)
+  }
+
   /** Bloom-filtered parquet: per-column bloom filters in the file footers,
     * so point-lookup scans (`key = x`, `key IN (…)`) skip row groups whose
     * filter proves absence — the data-skipping complement to min/max stats

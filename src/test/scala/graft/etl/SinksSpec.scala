@@ -152,4 +152,30 @@ class SinksSpec extends SparkSpec {
     assert(got == Seq((4242L, "key-4242")))
     assert(spark.read.parquet(dir).filter($"k" === "key-9999999").count() == 0)
   }
+
+  test("tokenShardedParquet: every doc in exactly one shard, overshoot ≤ 1 doc, " +
+      "deterministic across partition layouts") {
+    val docs = (1L to 40L).map(i => (i, s"doc-$i", 1L + i % 7))
+      .toDF("doc_id", "text", "nt")
+    val dir = Files.createTempDirectory("shards").toFile.getAbsolutePath
+    Sinks.tokenShardedParquet(docs, dir, "nt", Seq("doc_id"), shardTokens = 25L)
+    val back = spark.read.parquet(dir)
+      .select($"doc_id", $"nt", $"shard".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    assert(back.map(_._1).sorted.toSeq == (1L to 40L).toSeq, "no loss, no dup")
+    val perShard = back.groupBy(_._3).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val maxDoc = back.map(_._2).max
+    perShard.foreach { case (s, tot) =>
+      assert(tot <= 25L + maxDoc - 1, s"shard $s holds $tot tokens") }
+    // shards are contiguous: ids 0..max all present
+    assert(perShard.keySet == (0L to perShard.keys.max).toSet)
+    // same corpus, different input layout → identical shard assignment
+    val dir2 = Files.createTempDirectory("shards2").toFile.getAbsolutePath
+    Sinks.tokenShardedParquet(docs.repartition(11), dir2, "nt", Seq("doc_id"),
+      shardTokens = 25L)
+    val a = back.map(r => r._1 -> r._3).toMap
+    val b = spark.read.parquet(dir2).select($"doc_id", $"shard".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
 }
