@@ -375,6 +375,33 @@ object MixtureQueries {
        |UNION ALL SELECT doc_id FROM best
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q134
+  // Proportional source interleave: the consumption ORDER of the mixed
+  // corpus — source s's r-th doc (md5 order) lands at Bresenham slot
+  // ((2r+1)·N) div (2·n_s), so every source spreads evenly through the
+  // stream at its own rate. All-integer; the oracle replays rank, counts,
+  // and the slot formula.
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Mixture.proportionalInterleave(Tables.documents(s, d), "doc_id", "source")
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("group", "source")
+      .orderBy($"doc_id")
+  }
+  private val q134Sql =
+    """WITH t AS (SELECT doc_id, source,
+      |        md5_number_lower(CAST(doc_id AS VARCHAR)) AS mh FROM documents),
+      |r AS (SELECT doc_id, source,
+      |        CAST(row_number() OVER (PARTITION BY source ORDER BY mh, doc_id) - 1
+      |             AS BIGINT) AS r
+      |      FROM t),
+      |c AS (SELECT source, COUNT(*) AS n_s FROM t GROUP BY source),
+      |tot AS (SELECT COUNT(*) AS total FROM t)
+      |SELECT doc_id, source, r,
+      |  CAST(((2*r + 1) * total) // (2 * n_s) AS BIGINT) AS ikey
+      |FROM r JOIN c USING (source) CROSS JOIN tot
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q105_temperature_mix", q105, Some(q105Sql)),
     QueryDef("q106_epoch_shuffle", q106, Some(q106Sql)),
@@ -389,5 +416,6 @@ object MixtureQueries {
     QueryDef("q115_quality_quota", q115, Some(q115Sql)),
     QueryDef("q116_accent_fold", q116, Some(q116Sql)),
     QueryDef("q117_keep_best", q117, Some(q117Sql)),
+    QueryDef("q134_interleave", q134, Some(q134Sql)),
   )
 }

@@ -122,4 +122,37 @@ object Mixture {
       .select(col("id"), col("pos"),
         expr(s"pos * $k div n").as("bucket")) // integer div — see above
   }
+
+  /** Proportional source interleave — the ORDER a mixed corpus is actually
+    * consumed in: each source's documents spread evenly through the global
+    * stream at its own rate (a corpus-dominating source never monopolizes
+    * a training stretch, a tail source never clumps at the end). Classic
+    * Bresenham scheduling, all-integer and cross-engine exact: a source
+    * with n_s docs out of N total emits its r-th doc at interleave key
+    * `((2r+1)·N) div (2·n_s)` — the r-th of n_s evenly-spaced slots in
+    * [0, N). Consumers sort by (ikey, group, r); within a source, docs
+    * take the deterministic md5 order of [[epochShuffle]].
+    *
+    * Scale: per-source ranks come from the grouped two-phase prefix sum
+    * (no per-source window task), counts are slim aggregates, N is a
+    * 1-row broadcast. Overflow bound: 2·N² < 2⁶³ ⇒ N < ~2.1e9 docs per
+    * interleave; shard the plan (per epoch slice) beyond that.
+    *
+    * @return (id, group, r, ikey)
+    */
+  def proportionalInterleave(docs: DataFrame, idCol: String,
+      groupCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol), col(groupCol).as("group"),
+      lit(1L).as("one"),
+      graft.functions.Md5Low64(col(idCol).cast("string"))
+        .bitwiseXOR(Long.MinValue).as("mh"))
+    val ranked = Packing.packSequencesGrouped(keyed, "group", idCol, "one",
+        orderCols = Seq("mh", idCol), seqTokens = Long.MaxValue)
+      .select(col("id"), col("group"), col("start_tok").as("r"))
+    val counts = ranked.groupBy(col("group")).agg(count(lit(1)).as("n_s"))
+    val total = ranked.agg(count(lit(1)).as("total"))
+    ranked.join(counts, Seq("group")).crossJoin(broadcast(total))
+      .select(col("id"), col("group"), col("r"),
+        expr("((2 * r + 1) * total) div (2 * n_s)").as("ikey"))
+  }
 }

@@ -70,4 +70,28 @@ class MixtureSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getAs[Long]("id_b") == 21L ||
       r.getAs[Long]("id_b") == 22L))
   }
+
+  test("proportionalInterleave: Bresenham slots — even spread, no clumping, " +
+      "layout-invariant") {
+    // source 'big' 8 docs, 'small' 2 docs → N = 10
+    val docs = ((1L to 8L).map(i => (i, "big")) ++ Seq((100L, "small"), (101L, "small")))
+      .toDF("doc_id", "source")
+    val out = Mixture.proportionalInterleave(docs, "doc_id", "source")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("group"),
+        r.getAs[Long]("r"), r.getAs[Long]("ikey")))
+    // small source: slots (2r+1)*10/4 = 2, 7 — spread across the stream,
+    // not clumped at the end
+    assert(out.filter(_._2 == "small").map(_._4).sorted.toSeq == Seq(2L, 7L))
+    // big source: slots (2r+1)*10/16 = 0,1,3,4,5,6,8,9
+    assert(out.filter(_._2 == "big").map(_._4).sorted.toSeq ==
+      Seq(0L, 1L, 3L, 4L, 5L, 6L, 8L, 9L))
+    // keys strictly increase with r inside a source (even pacing)
+    out.groupBy(_._2).foreach { case (_, xs) =>
+      val byR = xs.sortBy(_._3).map(_._4)
+      assert(byR.zip(byR.tail).forall { case (a, b) => a < b })
+    }
+    val out2 = Mixture.proportionalInterleave(docs.repartition(7), "doc_id", "source")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("ikey")).toMap
+    assert(out.map(r => r._1 -> r._4).toMap == out2)
+  }
 }
