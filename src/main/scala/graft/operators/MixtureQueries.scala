@@ -402,6 +402,33 @@ object MixtureQueries {
       |FROM r JOIN c USING (source) CROSS JOIN tot
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q135
+  // Negative-sampling table (unigram^0.75): per-token smoothed-mass
+  // ranges for embedding-training draws. n^0.75 = sqrt(sqrt(n^3)) — exact
+  // integer cube + correctly-rounded IEEE sqrt on both engines, where
+  // pow(n, 0.75) is platform-dependent in the last ulp. The oracle
+  // replays the basis and the (token-ordered) window prefix sum that the
+  // two-phase pack machinery computes distributively.
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Mixture.negativeSamplingTable(Tables.documents(s, d))
+      .orderBy($"token")
+  }
+  private val q135Sql =
+    s"""WITH c AS (SELECT unnest($toksSql) AS token FROM documents),
+       |n AS (SELECT token, COUNT(*) AS n FROM c GROUP BY token),
+       |b AS (SELECT token, n,
+       |        CAST(floor(sqrt(sqrt(CAST(n*n*n AS DOUBLE))) * 1e6) AS BIGINT) AS basis
+       |      FROM n),
+       |p AS (SELECT token, n, basis,
+       |        CAST(COALESCE(SUM(basis) OVER (ORDER BY token
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |          AS cum_start
+       |      FROM b)
+       |SELECT token, n, basis, cum_start,
+       |  CAST(cum_start + basis AS BIGINT) AS cum_end
+       |FROM p ORDER BY token""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q105_temperature_mix", q105, Some(q105Sql)),
     QueryDef("q106_epoch_shuffle", q106, Some(q106Sql)),
@@ -417,5 +444,6 @@ object MixtureQueries {
     QueryDef("q116_accent_fold", q116, Some(q116Sql)),
     QueryDef("q117_keep_best", q117, Some(q117Sql)),
     QueryDef("q134_interleave", q134, Some(q134Sql)),
+    QueryDef("q135_negsample_table", q135, Some(q135Sql)),
   )
 }

@@ -155,4 +155,41 @@ object Mixture {
       .select(col("id"), col("group"), col("r"),
         expr("((2 * r + 1) * total) div (2 * n_s)").as("ikey"))
   }
+
+  /** Negative-sampling table (word2vec's unigram^0.75 smoothing): each
+    * vocabulary token owns the half-open integer range [cum_start,
+    * cum_end) whose width is its smoothed mass — a sampler draws a
+    * uniform long below the table total and binary-searches the range,
+    * so frequent tokens are damped and the tail is boosted exactly as
+    * embedding training expects.
+    *
+    * EXACTNESS: n^0.75 is computed as sqrt(sqrt(n³)) — n³ is exact
+    * integer (< 2⁵³ for n < ~2.1e6 occurrences; quantize upstream or
+    * pre-scale counts beyond that), and IEEE sqrt is correctly rounded
+    * in every engine, where `pow(n, 0.75)` is NOT (platform-dependent
+    * last ulp). basis = floor(sqrt(sqrt(n³))·1e6) LONGS, prefix-summed —
+    * the same quantized-basis contract as [[temperatureAllocation]].
+    *
+    * Scale: the table is vocab-sized (post-aggregation), and the prefix
+    * sum is the two-phase pack machinery — no single global window even
+    * for billion-token vocabularies.
+    *
+    * @return (token, n, basis, cum_start, cum_end), token-ordered ranges
+    */
+  def negativeSamplingTable(docs: DataFrame, textCol: String = "text"):
+      DataFrame = {
+    val counts = docs.select(explode(split(
+        Dedup.normalized(coalesce(col(textCol), lit(""))), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("basis",
+        floor(sqrt(sqrt((col("n") * col("n") * col("n")).cast("double"))) * 1e6)
+          .cast("long"))
+    Packing.packSequences(counts, "token", "basis",
+        orderCols = Seq("token"), seqTokens = Long.MaxValue)
+      .select(col("id").as("token"), col("start_tok").as("cum_start"),
+        (col("start_tok") + col("n_tokens")).as("cum_end"))
+      .join(counts, Seq("token"))
+      .select(col("token"), col("n"), col("basis"),
+        col("cum_start"), col("cum_end"))
+  }
 }

@@ -94,4 +94,27 @@ class MixtureSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("ikey")).toMap
     assert(out.map(r => r._1 -> r._4).toMap == out2)
   }
+
+  test("negativeSamplingTable: contiguous ranges, width = n^0.75 basis, " +
+      "frequent tokens damped") {
+    // 'common' 16x, 'mid' 8x, 'rare' 1x
+    val docs = Seq((1L, ("common " * 16 + "mid " * 8 + "rare").trim))
+      .toDF("doc_id", "text")
+    val rows = Mixture.negativeSamplingTable(docs)
+      .orderBy("token").collect().map(r => (r.getAs[String]("token"),
+        r.getAs[Long]("n"), r.getAs[Long]("basis"),
+        r.getAs[Long]("cum_start"), r.getAs[Long]("cum_end")))
+    // basis = floor(n^0.75 * 1e6): 16^0.75 = 8, 8^0.75 = 4.7568..., 1 → 1
+    val m = rows.map(r => r._1 -> r).toMap
+    assert(m("common")._3 == 8000000L)
+    assert(m("rare")._3 == 1000000L)
+    assert(m("mid")._3 == 4756828L)
+    // token-ordered ranges tile [0, total) with no gaps or overlaps
+    val ordered = rows.sortBy(_._4)
+    assert(ordered.head._4 == 0L)
+    ordered.zip(ordered.tail).foreach { case (a, b) => assert(a._5 == b._4) }
+    rows.foreach(r => assert(r._5 - r._4 == r._3))
+    // damping: mass per occurrence shrinks as frequency grows
+    assert(m("common")._3 * m("rare")._2 < m("rare")._3 * m("common")._2)
+  }
 }
