@@ -318,6 +318,49 @@ object EntityQueries {
        |WHERE jw_x6 >= 850000 ORDER BY key_a, key_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q136
+  // Kaplan-Meier time-to-first-error: per-duration at-risk/event counts
+  // and the quantized log-survival running sum (survival = exp(cum/1e6),
+  // left to the caller — exp is not correctly rounded cross-engine).
+  // Users who never error are censored at their last observed day (they
+  // hold up at-risk counts, never events). Both cumulative passes are
+  // two-phase prefix sums in the engine; the oracle replays them as
+  // ordered windows.
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Survival.kaplanMeier(Tables.events(s, d),
+        $"event_type" === "error")
+      .orderBy($"duration")
+  }
+  private val q136Sql =
+    """WITH l AS (SELECT user_id,
+      |        MIN(epoch_us(ts) // 86400000000) AS fd,
+      |        MAX(epoch_us(ts) // 86400000000) AS ld,
+      |        MIN(CASE WHEN event_type = 'error'
+      |            THEN epoch_us(ts) // 86400000000 END) AS ed
+      |      FROM events GROUP BY user_id),
+      |s AS (SELECT COUNT(*) AS n_users FROM l),
+      |u AS (SELECT COALESCE(ed, ld) - fd AS duration,
+      |        (ed IS NOT NULL) AS hit, n_users
+      |      FROM l CROSS JOIN s),
+      |d AS (SELECT duration, COUNT(*) AS n_ending,
+      |        CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+      |        ANY_VALUE(n_users) AS n_users
+      |      FROM u GROUP BY duration),
+      |ar AS (SELECT duration, n_events,
+      |        CAST(n_users - COALESCE(SUM(n_ending) OVER (ORDER BY duration
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |          AS n_at_risk
+      |       FROM d),
+      |km AS (SELECT duration, n_at_risk, n_events,
+      |        CAST(floor(ln(CAST(n_at_risk - n_events AS DOUBLE) / n_at_risk)
+      |             * 1e6) AS BIGINT) AS lns
+      |       FROM ar WHERE n_events > 0 AND n_at_risk > n_events)
+      |SELECT CAST(duration AS BIGINT) AS duration, n_at_risk, n_events,
+      |  CAST(SUM(lns) OVER (ORDER BY duration
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_lns_x6
+      |FROM km ORDER BY duration""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q122_rate_limit", q122, Some(q122Sql)),
     QueryDef("q123_survivorship", q123, Some(q123Sql)),
@@ -328,6 +371,7 @@ object EntityQueries {
     QueryDef("q131_linear_attribution", q131, Some(q131Sql)),
     QueryDef("q132_session_paths", q132, Some(q132Sql)),
     QueryDef("q133_jaro_winkler", q133, Some(q133Sql)),
+    QueryDef("q136_kaplan_meier", q136, Some(q136Sql)),
   )
 
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Survival / churn analysis over event streams — the Kaplan-Meier
+  * estimator's exact integer state, computed without a single global
+  * window.
+  *
+  * Exactness contract: everything reported is integer — per-duration
+  * event and at-risk counts, and the KM log-survival as a SUM of
+  * quantized `floor(ln((n−d)/n)·1e6)` longs (the same quantized-ln
+  * discipline as BM25/PMI; survival itself is `exp(cum/1e6)`, left to
+  * the caller because `exp` is not correctly rounded cross-engine).
+  * Sums of longs are order-free, so the curve is bit-identical under
+  * any partitioning.
+  *
+  * Scale shape: per-entity lifetimes are one hash aggregate; the
+  * duration axis (≤ observation-window days) is the only ordered
+  * dimension, and both cumulative passes — users-ending-before (for
+  * at-risk) and the log-survival running sum — go through the two-phase
+  * prefix sum rather than an `ORDER BY duration` global window, so even
+  * a duration axis with millions of distinct points never single-tasks.
+  */
+object Survival {
+
+  /** Kaplan-Meier time-to-first-event curve from an event log.
+    *
+    * An entity's clock starts at its first observed day; the EVENT is its
+    * first day matching `eventPred` (duration = event day − first day).
+    * Entities that never match are CENSORED at their last observed day —
+    * they contribute to every at-risk count up to that duration but never
+    * to events, exactly the KM censoring rule (dropping them instead
+    * would bias survival down; counting them as events would bias it up).
+    *
+    * @param eventPred row predicate defining the event of interest
+    *                  (e.g. `col("event_type") === "error"`)
+    * @return one row per duration with ≥1 event:
+    *         (duration, n_at_risk, n_events, cum_lns_x6) where
+    *         `cum_lns_x6 = Σ_{d'≤d} floor(ln((n−e)/n)·1e6)` and survival
+    *         S(d) = exp(cum_lns_x6 / 1e6). Durations where the event
+    *         would hit zero survivors (n_at_risk = n_events) are excluded
+    *         (ln 0); they can only be terminal.
+    */
+  def kaplanMeier(events: DataFrame, eventPred: Column,
+      entityCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val day: Column = expr(s"unix_micros($tsCol) div 86400000000")
+    val lives = events.select(col(entityCol).as("entity"), day.as("day"),
+        eventPred.as("is_event"))
+      .groupBy(col("entity"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+        min(when(col("is_event"), col("day"))).as("event_day"))
+    val stats = lives.agg(count(lit(1)).as("n_users"))
+    val u = lives.crossJoin(broadcast(stats))
+      .select(
+        (coalesce(col("event_day"), col("last_day")) - col("first_day"))
+          .as("duration"),
+        col("event_day").isNotNull.as("hit"),
+        col("n_users"))
+    val byDur = u.groupBy(col("duration"))
+      .agg(count(lit(1)).as("n_ending"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_events"),
+        first(col("n_users")).as("n_users"))
+    // at-risk at d = users whose lifetime reaches d = total − ending before d:
+    // exclusive prefix sum over the duration axis (two-phase, no window)
+    val atRisk = Packing.packSequences(byDur.select(col("duration"),
+          col("n_ending"), col("n_events"), col("n_users")),
+        "duration", "n_ending", orderCols = Seq("duration"),
+        seqTokens = Long.MaxValue)
+      .select(col("id").as("duration"), col("start_tok").as("ended_before"))
+    val km = byDur.join(atRisk, Seq("duration"))
+      .select(col("duration"), (col("n_users") - col("ended_before")).as("n_at_risk"),
+        col("n_events"))
+      .filter(col("n_events") > 0 && col("n_at_risk") > col("n_events"))
+      .withColumn("lns_x6", floor(log(
+        (col("n_at_risk") - col("n_events")).cast("double") / col("n_at_risk"))
+        * 1e6).cast("long"))
+    // running log-survival: second exclusive prefix sum over event rows
+    Packing.packSequences(km, "duration", "lns_x6",
+        orderCols = Seq("duration"), seqTokens = Long.MaxValue)
+      .select(col("id").as("duration"),
+        (col("start_tok") + col("n_tokens")).as("cum_lns_x6"))
+      .join(km.select(col("duration"), col("n_at_risk"), col("n_events")),
+        Seq("duration"))
+      .select(col("duration"), col("n_at_risk"), col("n_events"),
+        col("cum_lns_x6"))
+  }
+}
