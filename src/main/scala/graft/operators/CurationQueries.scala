@@ -213,6 +213,26 @@ object CurationQueries {
        |FROM c12 JOIN c1 USING (t1) JOIN c2 USING (t2) CROSS JOIN n
        |ORDER BY pmi_x6 DESC, t1, t2 LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q137
+  // EXACT near-dup pairs via PPJoin prefix filtering — recall 1.0 by
+  // construction (vs q41's LSH banding, whose recall is an analysis).
+  // Same brute-force all-pairs oracle as q41: the two algorithms must
+  // produce the identical verified pair set.
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.prefixFilterPairs(Tables.documents(s, d), threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+  private val q137Sql =
+    s"""WITH sh AS (${LlmQueries.shSetSql})
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |WHERE jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q118_intradoc_dedup", q118, Some(q118Sql)),
     QueryDef("q119_int8_quant", q119, Some(q119Sql)),
@@ -221,5 +241,6 @@ object CurationQueries {
     QueryDef("q128_incremental_dedup", q128, Some(q128Sql)),
     QueryDef("q129_class_tfidf", q129, Some(q129Sql)),
     QueryDef("q130_pmi_pairs", q130, Some(q130Sql)),
+    QueryDef("q137_prefix_filter_pairs", q137, Some(q137Sql)),
   )
 }

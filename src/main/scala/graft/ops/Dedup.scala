@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (north-star EXT,
@@ -733,6 +734,51 @@ object Dedup {
       .select(col("id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** EXACT similarity join via PPJoin-style PREFIX FILTERING — recall 1.0
+    * BY CONSTRUCTION, unlike [[minhashDuplicatePairs]]' probabilistic LSH
+    * banding: any pair with Jaccard ≥ t over their hashed-shingle sets
+    * must overlap in ≥ ⌈t·|x|⌉ elements, so each set's PREFIX — its first
+    * |x| − ⌈t·|x|⌉ + 1 elements in GLOBAL rarity order (corpus frequency
+    * ascending, hash tie-break) — must share at least one element with
+    * any qualifying partner's prefix-extended set. Candidates come from
+    * one equi-join on prefix elements; exact Jaccard verifies.
+    *
+    * The rarity order is the scale lever: prefixes are built from the
+    * RAREST grams, so candidate buckets are small by construction —
+    * boilerplate grams that appear everywhere are pushed out of every
+    * prefix (the frequency table is the same slim aggregate the LSH path
+    * would never need; one extra pass buys exactness). Use this when a
+    * missed near-dup is unacceptable (eval decontamination, compliance
+    * deletion sweeps); LSH remains the cheaper open-web default.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, Jaccard ≥ threshold
+    */
+  def prefixFilterPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val sets = hashedShingleSets(docs, textCol, idCol).localCheckpoint()
+    val ex = sets.select(col("id"), explode(col("sh")).as("g"))
+    val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("f"))
+    // rank within each doc by global rarity; prefix keeps the first
+    // |sh| − ⌈t·|sh|⌉ + 1 — the PPJoin prefix bound
+    val w = Window.partitionBy(col("id")).orderBy(col("f"), col("g"))
+    val prefix = ex.join(freq, Seq("g"))
+      .withColumn("rk", row_number().over(w))
+      .join(sets.select(col("id"), size(col("sh")).as("sz")), Seq("id"))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("id"), col("g"))
+    val candidates = prefix.as("a").join(prefix.as("b"), col("a.g") === col("b.g"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** INTRA-document repeated-unit removal (C4-style "dedupe lines within a

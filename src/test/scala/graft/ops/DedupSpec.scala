@@ -186,6 +186,31 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 4L, 5L))
   }
 
+  test("prefixFilterPairs ≡ brute force, including borderline-jaccard pairs " +
+      "LSH banding can miss") {
+    // doc 2 shares roughly half its content with doc 1 (j ≈ 0.5-0.6):
+    // at k=64/b=16 LSH misses such a pair with ~20% probability; the
+    // prefix filter must find it deterministically
+    val half = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, s"$half india juliet kilo lima"),
+      (2L, s"$half mike november oscar papa"),
+      (3L, "totally different words here nothing shared at all today"),
+      (4L, s"$half india juliet kilo lima")) // exact dup of 1
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixFilterPairs(docs, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    // brute force over the same hashed shingle sets
+    val sets = Dedup.hashedShingleSets(docs).as[(Long, Seq[Long])].collect()
+    val exp = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      j = sa.toSet.intersect(sb.toSet).size.toDouble / sa.toSet.union(sb.toSet).size
+      if j >= 0.3
+    } yield (ia, ib)).toSet
+    assert(got == exp, s"got $got, expected $exp")
+    assert(got.contains((1L, 2L)) && got.contains((1L, 4L)))
+  }
+
   test("dedupeUnitsWithinDoc: first occurrence survives in order; " +
       "null/empty and delimiter choice handled") {
     val docs = Seq(
