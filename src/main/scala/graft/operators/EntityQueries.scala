@@ -361,6 +361,38 @@ object EntityQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_lns_x6
       |FROM km ORDER BY duration""".stripMargin
 
+  // ---------------------------------------------------------------- q138
+  // Triangle counts on the STRONG co-purchase graph (parts co-bought in
+  // ≥2 distinct orders): per-part triangle participation — the community
+  // cohesion signal degree alone misses. Degree orientation generates
+  // each triangle at exactly one corner (wedge fan-out capped near
+  // sqrt(|E|)); the oracle enumerates canonical u<v<w triangles directly.
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+      .filter(size($"ps") >= 2)
+    val strong = sets.select($"ps", explode($"ps").as("src"))
+      .select($"src", explode($"ps").as("dst"))
+      .filter($"src" < $"dst")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"src", $"dst")
+    Graph.triangleCounts(strong).orderBy($"node")
+  }
+  private val q138Sql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |      FROM p e1 JOIN p e2 ON e1.v = e2.u
+      |      JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |n AS (SELECT unnest([a, b, c]) AS node FROM t)
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |FROM n GROUP BY node ORDER BY node""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q122_rate_limit", q122, Some(q122Sql)),
     QueryDef("q123_survivorship", q123, Some(q123Sql)),
@@ -372,6 +404,7 @@ object EntityQueries {
     QueryDef("q132_session_paths", q132, Some(q132Sql)),
     QueryDef("q133_jaro_winkler", q133, Some(q133Sql)),
     QueryDef("q136_kaplan_meier", q136, Some(q136Sql)),
+    QueryDef("q138_triangles", q138, Some(q138Sql)),
   )
 
 }

@@ -41,4 +41,17 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("triangleCounts: K4 + pendant path, duplicate/reversed edges normalized") {
+    // K4 over {1,2,3,4}: 4 triangles, each node in 3; path 4-5-6: none new.
+    // Edges arrive duplicated and in both directions — normalization work.
+    val k4 = for (i <- 1L to 4L; j <- 1L to 4L if i != j) yield (i, j)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 4L), (5L, 6L), (6L, 5L), (1L, 2L)))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"got $got")
+    // triangle-free nodes are absent, not zero
+    assert(!got.contains(5L) && !got.contains(6L))
+  }
 }
