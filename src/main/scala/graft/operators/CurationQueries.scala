@@ -233,6 +233,34 @@ object CurationQueries {
        |WHERE jaccard >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+  // Cross-document duplicate substring spans (exact substring dedup, the
+  // Lee-et-al sweep): maximal char spans whose every 30-gram window
+  // recurs in >= 2 distinct docs. The finest dedup grain in the suite —
+  // catches a duplicated paragraph inside an otherwise-unique page that
+  // whole-doc and line-level dedup both miss.
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.duplicateSpans(Tables.documents(s, d), gramLen = 30)
+      .orderBy($"doc_id", $"span_start")
+  }
+  private val q139Sql =
+    """WITH g AS (SELECT doc_id, i AS pos, substr(text, i+1, 30) AS gram
+      |  FROM documents, LATERAL unnest(range(length(text) - 30 + 1)) AS u(i)
+      |  WHERE length(text) >= 30),
+      |dup AS (SELECT gram FROM g GROUP BY gram
+      |        HAVING COUNT(DISTINCT doc_id) >= 2),
+      |p AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+      |s AS (SELECT doc_id, pos,
+      |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |          <= 30 THEN 0 ELSE 1 END AS brk FROM p),
+      |i AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id
+      |        ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl FROM s)
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |  CAST(MAX(pos) + 30 AS BIGINT) AS span_end,
+      |  CAST(MAX(pos) + 30 - MIN(pos) AS BIGINT) AS span_len
+      |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q118_intradoc_dedup", q118, Some(q118Sql)),
     QueryDef("q119_int8_quant", q119, Some(q119Sql)),
@@ -242,5 +270,6 @@ object CurationQueries {
     QueryDef("q129_class_tfidf", q129, Some(q129Sql)),
     QueryDef("q130_pmi_pairs", q130, Some(q130Sql)),
     QueryDef("q137_prefix_filter_pairs", q137, Some(q137Sql)),
+    QueryDef("q139_duplicate_spans", q139, Some(q139Sql)),
   )
 }

@@ -904,4 +904,61 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucketSize)
   }
+
+  /** CROSS-document duplicate SUBSTRING spans — exact substring-level
+    * dedup (the "Deduplicating Training Data Makes Language Models
+    * Better" sweep): for every document, the maximal character spans of
+    * length ≥ `gramLen` whose every `gramLen`-char window also occurs in
+    * at least `minDocs` distinct documents. Complements the whole-doc
+    * ([[exact]]), near-dup ([[minhashDuplicatePairs]]) and line-grain
+    * ([[stripCommonLines]]) operators at the finest grain: a unique page
+    * that EMBEDS a duplicated paragraph is caught here and nowhere else.
+    *
+    * Shape: one pass turns text into (doc, pos, 8-byte gram hash) rows —
+    * explode + substring + xxhash64, all codegen builtins, so the only
+    * thing that ever crosses an exchange is 20 bytes/char-position, never
+    * text. The gram stream is localCheckpoint'd because BOTH the
+    * doc-frequency aggregate and the position semi-join consume it —
+    * re-deriving it would re-scan and re-hash the full corpus (the q68
+    * reused-subtree lesson). Overlapping duplicated windows merge into
+    * maximal spans per document with a per-doc (never global) window.
+    *
+    * Hash grain: xxhash64 over the gram, so two DIFFERENT grams colliding
+    * in 64 bits could merge spans; at 100 TB (~10^14 grams) expect ~300
+    * colliding pairs corpus-wide — harmless for a scrub/audit sweep where
+    * a span only widens by one window.
+    *
+    * @return (doc_id, span_start 0-based, span_end exclusive, span_len)
+    */
+  def duplicateSpans(docs: DataFrame, gramLen: Int = 30, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(gramLen >= 2 && minDocs >= 2, "need gramLen >= 2, minDocs >= 2")
+    val L = gramLen
+    val grams = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= L)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), length(col("__t")) - L)).as("pos"),
+        col("__t"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(expr(s"substring(__t, pos + 1, $L)")).as("__h"))
+      .localCheckpoint()
+    val dup = grams.groupBy(col("__h"))
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(dup, Seq("__h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= L, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("__isl", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + L).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+  }
 }

@@ -229,4 +229,45 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().head
     assert(tok == ((7L, 7L, 4L, "a b c d")))
   }
+
+  test("duplicateSpans: shared paragraph found at both hosts, merged maximal, " +
+      "unique text and short docs excluded") {
+    // A 40-char "paragraph" embedded in two otherwise-distinct docs at
+    // different offsets; doc 3 is unique; doc 4 is shorter than the gram.
+    val para = "0123456789abcdefghij0123456789ABCDEFGHIJ" // len 40
+    val d1 = "XX" + para + "YYYYYYYYYYYY"                  // span [2, 42)
+    val d2 = "zzzzzzzz" + para                             // span [8, 48)
+    val docs = Seq(
+      (1L, d1), (2L, d2),
+      (3L, "completely unrelated text that is long enough to gram over"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, gramLen = 20)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // every 20-gram inside para occurs in both docs; windows merge into
+    // ONE maximal span covering exactly the shared 40 chars
+    assert(got == Seq((1L, 2L, 42L, 40L), (2L, 8L, 48L, 40L)), s"got $got")
+  }
+
+  test("duplicateSpans: two separated shared snippets stay two spans; " +
+      "intra-doc-only repetition does not count") {
+    val snipA = "AAAAAAAAAAAAAAAAAAAA" // 20 chars
+    val snipB = "BBBBBBBBBBBBBBBBBBBB"
+    // fillers are UNIQUE PER DOC (a shared filler would itself be a
+    // legitimate cross-doc duplicate and bridge the spans) and longer
+    // than gramLen, so the two snippet islands must not merge
+    val docs = Seq(
+      (1L, snipA + "qrstuvwxyz0123456789qrstuvwxyz" + snipB),
+      (2L, snipB + "." * 25 + snipA),
+      // doc 3 repeats a snippet INTERNALLY only — minDocs counts
+      // DISTINCT docs, so this alone must produce nothing for snippet C
+      (3L, "CCCCCCCCCCCCCCCCCCCC" + "=" * 30 + "CCCCCCCCCCCCCCCCCCCC"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, gramLen = 20)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 20L, 20L), (1L, 50L, 70L, 20L),
+      (2L, 0L, 20L, 20L), (2L, 45L, 65L, 20L)), s"got $got")
+  }
 }
