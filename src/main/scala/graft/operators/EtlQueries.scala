@@ -239,6 +239,54 @@ object EtlQueries {
       |  '%Y-%m-%d %H:%M:%S') AS parsed
       |FROM events ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------- q140
+  // Data-quality constraint suite (S4's precondition assert generalized
+  // to data-shape contracts): null/range/domain/uniqueness/referential
+  // checks over lineitem, all non-referential checks in ONE scan. The
+  // range and domain thresholds are chosen to produce real violations so
+  // the violation census (not just all-pass booleans) is under oracle.
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Validation
+    import graft.ops.Validation._
+    Validation.report(Tables.lineitem(s, d), Seq(
+      NotNull("l_orderkey"),
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      InRange("l_quantity", 1, 50),
+      InRange("l_discount", 0.0, 0.08),
+      Accepted("l_returnflag", Seq("A", "N")),
+      RefIntegrity("l_orderkey", Tables.orders(s, d), "o_orderkey")))
+      .orderBy("check")
+  }
+  private val q140Sql =
+    """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem),
+      |r AS (
+      |  SELECT 'not_null(l_orderkey)' AS "check", n_rows,
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+      |      AS n_violations FROM n
+      |  UNION ALL
+      |  SELECT 'unique(l_orderkey,l_linenumber)', n_rows,
+      |    n_rows - (SELECT COUNT(DISTINCT (l_orderkey, l_linenumber))
+      |              FROM lineitem) FROM n
+      |  UNION ALL
+      |  SELECT 'in_range(l_quantity)', n_rows,
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NOT NULL
+      |       AND NOT (l_quantity >= 1 AND l_quantity <= 50)) FROM n
+      |  UNION ALL
+      |  SELECT 'in_range(l_discount)', n_rows,
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_discount IS NOT NULL
+      |       AND NOT (l_discount >= 0.0 AND l_discount <= 0.08)) FROM n
+      |  UNION ALL
+      |  SELECT 'accepted(l_returnflag)', n_rows,
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_returnflag IS NOT NULL
+      |       AND l_returnflag NOT IN ('A', 'N')) FROM n
+      |  UNION ALL
+      |  SELECT 'ref_integrity(l_orderkey)', n_rows,
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+      |       AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) FROM n)
+      |SELECT "check", n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+      |  n_violations = 0 AS passed
+      |FROM r ORDER BY "check"""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_eav_unpivot", q30, Some(q30Sql)),
     QueryDef("q31_eav_pivot", q31, Some(q31Sql)),
@@ -248,5 +296,6 @@ object EtlQueries {
     QueryDef("q35_dictionary_upsert", q35, Some(q35Sql)),
     QueryDef("q36_unknown_fields", q36, Some(q36Sql)),
     QueryDef("q37_lenient_dates", q37, Some(q37Sql)),
+    QueryDef("q140_data_quality", q140, Some(q140Sql)),
   )
 }
