@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Graph, RecordLinkage, Sampling}
+import graft.ops.{Graph, RecordLinkage, Regression, Sampling}
 
 /** Entity-level operations (round 3 widening): per-key rate limiting,
   * golden-record survivorship, co-purchase PageRank, and edit-distance
@@ -393,6 +393,39 @@ object EntityQueries {
       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
       |FROM n GROUP BY node ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  // Per-priority revenue trend: OLS slope/intercept of order value (cents)
+  // over time (days, centered mid-range so the exact-integer sufficient
+  // statistics stay far from 2^63). One aggregation pass for all groups;
+  // the only float ops are the two final divisions of exact longs,
+  // replicated operation-for-operation in the oracle.
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_orderpriority",
+      datediff(to_date($"o_orderdate"), to_date(lit("1998-01-01"))).as("x"),
+      floor($"o_totalprice" * 100).cast("long").as("y"))
+    Regression.trendFit(o, Seq("o_orderpriority"), $"x", $"y")
+      .orderBy($"o_orderpriority")
+  }
+  private val q141Sql =
+    """WITH q AS (SELECT o_orderpriority,
+      |  date_diff('day', DATE '1998-01-01', CAST(o_orderdate AS DATE)) AS x,
+      |  CAST(floor(o_totalprice * 100) AS BIGINT) AS y FROM orders),
+      |s AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |  CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+      |  FROM q GROUP BY 1),
+      |t AS (SELECT *, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM s)
+      |SELECT o_orderpriority, n,
+      |  CASE WHEN den <> 0
+      |    THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+      |  CASE WHEN den <> 0
+      |    THEN (CAST(sy AS DOUBLE)
+      |            - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+      |              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+      |  END AS intercept
+      |FROM t ORDER BY o_orderpriority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q122_rate_limit", q122, Some(q122Sql)),
     QueryDef("q123_survivorship", q123, Some(q123Sql)),
@@ -405,6 +438,7 @@ object EntityQueries {
     QueryDef("q133_jaro_winkler", q133, Some(q133Sql)),
     QueryDef("q136_kaplan_meier", q136, Some(q136Sql)),
     QueryDef("q138_triangles", q138, Some(q138Sql)),
+    QueryDef("q141_trend_fit", q141, Some(q141Sql)),
   )
 
 }
