@@ -426,6 +426,60 @@ object EntityQueries {
       |  END AS intercept
       |FROM t ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  // Per-returnflag correlation matrix of (quantity, discount-cents,
+  // tax-cents): one aggregation pass computes all 3+3+3 exact-integer
+  // sufficient statistics; the pair fan-out is an in-row explode of the
+  // aggregated row. The oracle replicates the double operation tree
+  // num/(sqrt(vx)*sqrt(vy)) term for term.
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, d)
+    Regression.corrPairs(
+      l, Seq("l_returnflag"),
+      Seq(
+        "qty" -> floor($"l_quantity"),
+        "disc_c" -> floor($"l_discount" * 100),
+        "tax_c" -> floor($"l_tax" * 100)))
+      .orderBy($"l_returnflag", $"var_x", $"var_y")
+  }
+  private val q142Sql =
+    """WITH q AS (SELECT l_returnflag,
+      |  CAST(floor(l_quantity) AS BIGINT) AS qty,
+      |  CAST(floor(l_discount * 100) AS BIGINT) AS disc_c,
+      |  CAST(floor(l_tax * 100) AS BIGINT) AS tax_c FROM lineitem),
+      |s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(qty) AS BIGINT) AS s1, CAST(SUM(qty*qty) AS BIGINT) AS q1,
+      |  CAST(SUM(disc_c) AS BIGINT) AS s2,
+      |  CAST(SUM(disc_c*disc_c) AS BIGINT) AS q2,
+      |  CAST(SUM(tax_c) AS BIGINT) AS s3,
+      |  CAST(SUM(tax_c*tax_c) AS BIGINT) AS q3,
+      |  CAST(SUM(qty*disc_c) AS BIGINT) AS p12,
+      |  CAST(SUM(qty*tax_c) AS BIGINT) AS p13,
+      |  CAST(SUM(disc_c*tax_c) AS BIGINT) AS p23
+      |  FROM q GROUP BY 1),
+      |e AS (
+      |  SELECT l_returnflag, n, 'qty' AS var_x, 'disc_c' AS var_y,
+      |    s1 AS sx, q1 AS qx, s2 AS sy, q2 AS qy, p12 AS p FROM s
+      |  UNION ALL
+      |  SELECT l_returnflag, n, 'qty', 'tax_c',
+      |    s1, q1, s3, q3, p13 FROM s
+      |  UNION ALL
+      |  SELECT l_returnflag, n, 'disc_c', 'tax_c',
+      |    s2, q2, s3, q3, p23 FROM s),
+      |c AS (SELECT l_returnflag, n, var_x, var_y,
+      |  CAST(n AS DOUBLE) * CAST(p AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+      |  CAST(n AS DOUBLE) * CAST(qx AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |  CAST(n AS DOUBLE) * CAST(qy AS DOUBLE)
+      |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+      |  FROM e)
+      |SELECT l_returnflag, n, var_x, var_y,
+      |  CASE WHEN vx > 0 AND vy > 0 THEN num / (sqrt(vx) * sqrt(vy)) END
+      |    AS corr
+      |FROM c ORDER BY l_returnflag, var_x, var_y""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q122_rate_limit", q122, Some(q122Sql)),
     QueryDef("q123_survivorship", q123, Some(q123Sql)),
@@ -439,6 +493,7 @@ object EntityQueries {
     QueryDef("q136_kaplan_meier", q136, Some(q136Sql)),
     QueryDef("q138_triangles", q138, Some(q138Sql)),
     QueryDef("q141_trend_fit", q141, Some(q141Sql)),
+    QueryDef("q142_corr_matrix", q142, Some(q142Sql)),
   )
 
 }

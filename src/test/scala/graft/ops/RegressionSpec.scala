@@ -34,6 +34,35 @@ class RegressionSpec extends SparkSpec {
     assert(got(2).isNullAt(2) && got(2).isNullAt(3))
   }
 
+  test("corrPairs: perfect/anti/zero-variance correlations; one pass") {
+    val df = Seq(
+      // y = 2x (corr 1), z = -x + 10 (corr -1 with x), w constant
+      (1L, 2L, 9L, 5L), (2L, 4L, 8L, 5L), (3L, 6L, 7L, 5L), (4L, 8L, 6L, 5L))
+      .toDF("x", "y", "z", "w")
+    val got = Regression.corrPairs(df, Nil,
+      Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z"),
+        "w" -> col("w")))
+      .orderBy("var_x", "var_y")
+      .select("var_x", "var_y", "corr").collect()
+    val byPair = got.map(r =>
+      (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // ±1 up to sqrt-rounding ulps (the contract is cross-engine
+    // bit-identity of the fixed double op tree, not algebraic exactness)
+    assert(math.abs(byPair(("x", "y")).get - 1.0) < 1e-12)
+    assert(math.abs(byPair(("x", "z")).get + 1.0) < 1e-12)
+    assert(math.abs(byPair(("y", "z")).get + 1.0) < 1e-12)
+    assert(byPair(("x", "w")) == None) // zero variance → null
+    assert(got.length == 6)
+    // single aggregation pass: exactly one Aggregate above the scan
+    val plan = Regression.corrPairs(df, Nil,
+      Seq("x" -> col("x"), "y" -> col("y"))).queryExecution.optimizedPlan
+    val nAgg = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAgg == 1)
+  }
+
   test("trendFit: partition-count invariant (exact integer statistics)") {
     val base = (0 until 1000).map { i =>
       ("k" + (i % 7), (i % 101).toLong - 50L, (i * 37 % 997).toLong - 400L)
