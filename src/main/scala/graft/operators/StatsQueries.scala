@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.Stats
+
+/** Statistical-testing / drift-audit queries (round 3 widening): term–class
+  * chi-square association, grouped A/B two-proportion z-test, per-key
+  * time-weighted averages, and per-source Jensen–Shannon drift — the
+  * experimentation layer over the corpus and event tables. Every formula
+  * runs in double over exact-integer sufficient statistics with the
+  * identical operation tree replicated in the DuckDB oracle. */
+object StatsQueries {
+  import LlmQueries.toksSql
+
+  // ---------------------------------------------------------------- q143
+  // Characteristic vocabulary per language by 2×2 chi-square on doc-level
+  // term presence (Yang & Pedersen feature selection) — the statistical
+  // complement of q129's frequency-weighted c-TF-IDF. Over-represented
+  // terms only; ranking by the quantized χ² long.
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Stats.termClassChiSquare(Tables.documents(s, d), classCol = "lang",
+        minDf = 3, topK = 5)
+      .orderBy($"class", $"rn")
+  }
+  private val q143Sql =
+    s"""WITH pres AS (SELECT lang AS class,
+       |        unnest(list_distinct($toksSql)) AS term FROM documents),
+       |a AS (SELECT class, term, CAST(COUNT(*) AS BIGINT) AS df_in_class
+       |      FROM pres GROUP BY 1, 2),
+       |ft AS (SELECT term, CAST(SUM(df_in_class) AS BIGINT) AS f_t
+       |       FROM a GROUP BY 1 HAVING SUM(df_in_class) >= 3),
+       |cc AS (SELECT lang AS class, CAST(COUNT(*) AS BIGINT) AS n_class
+       |       FROM documents GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |j AS (SELECT class, term, df_in_class, f_t,
+       |        CAST(df_in_class AS DOUBLE) AS ad,
+       |        CAST(f_t - df_in_class AS DOUBLE) AS bd,
+       |        CAST(n_class - df_in_class AS DOUBLE) AS cd,
+       |        CAST(n_docs - f_t - n_class + df_in_class AS DOUBLE) AS dd,
+       |        CAST(n_docs AS DOUBLE) AS nd,
+       |        CAST(f_t AS DOUBLE) AS ftd, CAST(n_class AS DOUBLE) AS ccd
+       |      FROM a JOIN ft USING (term) JOIN cc USING (class) CROSS JOIN n),
+       |sc AS (SELECT class, term, df_in_class, f_t,
+       |        ((ad + bd) * (cd + dd)) * ((ad + cd) * (bd + dd)) AS den,
+       |        ad * dd - bd * cd AS det, nd
+       |      FROM j WHERE ad * nd > ftd * ccd),
+       |r AS (SELECT class, term, df_in_class, f_t,
+       |        CAST(floor(((nd * (det * det)) / den) * 1e3) AS BIGINT)
+       |          AS chi2_x3
+       |      FROM sc WHERE den > 0),
+       |w AS (SELECT *, CAST(row_number() OVER (PARTITION BY class
+       |        ORDER BY chi2_x3 DESC, term) AS INT) AS rn FROM r)
+       |SELECT class, term, df_in_class, f_t, chi2_x3, rn
+       |FROM w WHERE rn <= 5 ORDER BY class, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q144
+  // Grouped two-proportion z-test: per event type, does the even-user
+  // cohort produce high-value events (≥ $50, compared in exact cents) at
+  // a different rate than the odd-user cohort? The A/B readout from one
+  // aggregation pass; z from the pooled-SE fixed double tree.
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"event_type",
+      ($"user_id" % 2 === 0).as("ca"),
+      (expr("CAST(floor(value * 100 + 0.5) AS BIGINT)") >= 5000L).as("sc"))
+    Stats.twoProportionZ(e, Seq("event_type"), $"ca", $"sc")
+      .orderBy($"event_type")
+  }
+  private val q144Sql =
+    """WITH e AS (SELECT event_type, user_id % 2 = 0 AS ca,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) >= 5000 AS sc
+      |      FROM events),
+      |s AS (SELECT event_type,
+      |        CAST(SUM(CASE WHEN ca THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |        CAST(SUM(CASE WHEN ca AND sc THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+      |        CAST(SUM(CASE WHEN NOT ca THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |        CAST(SUM(CASE WHEN NOT ca AND sc THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS x_b
+      |      FROM e GROUP BY 1),
+      |t AS (SELECT event_type, n_a, x_a, n_b, x_b,
+      |        CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+      |        CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2,
+      |        CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+      |      FROM s)
+      |SELECT event_type, n_a, x_a, n_b, x_b,
+      |  CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0 AND pp < 1
+      |    THEN (p1 - p2) / sqrt((pp * (1.0 - pp))
+      |           * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+      |  END AS z
+      |FROM t ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q145
+  // Per-user time-weighted average event value (cents): each value is
+  // weighted by the seconds until the user's next event — the irregular-
+  // sampling mean a plain AVG gets wrong under bursty activity. One
+  // keyed window + one keyed aggregation, exact-integer Σ(v·dt)/Σdt.
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"user_id", $"event_id",
+      unix_micros($"ts").as("ts_us"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
+    Stats.timeWeightedAvg(e, Seq("user_id"), $"ts_us", $"event_id", $"vc")
+      .select($"user_id", $"n_events", $"total_sec", $"twa")
+      .orderBy($"user_id")
+  }
+  private val q145Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |d AS (SELECT user_id, vc,
+      |        (lead(ts_us) OVER (PARTITION BY user_id
+      |           ORDER BY ts_us, event_id) - ts_us) // 1000000 AS dt_s
+      |      FROM e)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COALESCE(SUM(dt_s), 0) AS BIGINT) AS total_sec,
+      |  CASE WHEN COALESCE(SUM(dt_s), 0) > 0
+      |    THEN CAST(SUM(vc * dt_s) AS DOUBLE) / CAST(SUM(dt_s) AS DOUBLE)
+      |  END AS twa
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q146
+  // Source drift audit: per-source Jensen–Shannon divergence of the
+  // language mix against the corpus-wide mix — 2·JSD·10⁹ as a long via
+  // per-term quantization (order-independent category sum), so sources
+  // whose composition departs from the whole rank integer-exactly.
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Stats.jsDivergenceDrift(Tables.documents(s, d), "source", "lang")
+      .select($"g".as("source"), $"n_rows", $"jsd2_x9")
+      .orderBy($"source")
+  }
+  private val q146Sql =
+    """WITH a AS (SELECT source AS g, lang AS cat, CAST(COUNT(*) AS BIGINT) AS a
+      |      FROM documents GROUP BY 1, 2),
+      |ga AS (SELECT g, CAST(SUM(a) AS BIGINT) AS n_rows FROM a GROUP BY 1),
+      |gc AS (SELECT cat, CAST(SUM(a) AS BIGINT) AS gcat FROM a GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS gtot FROM a),
+      |f AS (SELECT ga.g, ga.n_rows, gc.cat, gc.gcat, tot.gtot,
+      |        COALESCE(a.a, 0) AS a0
+      |      FROM ga CROSS JOIN gc CROSS JOIN tot
+      |      LEFT JOIN a ON a.g = ga.g AND a.cat = gc.cat),
+      |pq AS (SELECT g, n_rows, a0,
+      |        CAST(a0 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS p,
+      |        CAST(gcat AS DOUBLE) / CAST(gtot AS DOUBLE) AS q
+      |      FROM f),
+      |t AS (SELECT g, n_rows,
+      |        CASE WHEN a0 > 0
+      |          THEN CAST(floor((p * ln((2.0 * p) / (p + q))) * 1e9) AS BIGINT)
+      |          ELSE 0 END AS tp,
+      |        CAST(floor((q * ln((2.0 * q) / (p + q))) * 1e9) AS BIGINT) AS tq
+      |      FROM pq)
+      |SELECT g AS source, n_rows, CAST(SUM(tp) + SUM(tq) AS BIGINT) AS jsd2_x9
+      |FROM t GROUP BY 1, 2 ORDER BY source""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q143_chisq_terms", q143, Some(q143Sql)),
+    QueryDef("q144_ab_ztest", q144, Some(q144Sql)),
+    QueryDef("q145_time_weighted", q145, Some(q145Sql)),
+    QueryDef("q146_js_drift", q146, Some(q146Sql)),
+  )
+}

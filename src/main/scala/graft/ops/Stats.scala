@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical-testing / drift-audit operators: the experimentation layer
+  * that sits on top of the curation engine — "is this term actually
+  * associated with that class", "did the A cohort convert differently",
+  * "has this source's language mix drifted from the corpus".
+  *
+  * Determinism contract (the engine's cross-engine float rule, see
+  * [[Regression]]): every sufficient statistic is an exact integer
+  * aggregate; the statistical formula is then evaluated in double with a
+  * FIXED operation tree (identical parenthesization on every engine), so
+  * each IEEE op is correctly rounded from identical inputs and the result
+  * is bit-identical. Scores that feed rankings are quantized to longs
+  * (floor(x·10^k)) so ordering is integer-exact.
+  *
+  * Scale: each operator is one fixed-width hash aggregation (map-side
+  * partial) plus broadcast-sized joins of the aggregate frames — nothing
+  * here shuffles raw text or grows with the token stream past the first
+  * (class, term)-level count.
+  */
+object Stats {
+
+  /** Per-class characteristic terms by 2×2 chi-square on DOC-LEVEL
+    * presence: for each (class, term), the contingency table is
+    * (docs-in-class-with-term a, docs-elsewhere-with-term b,
+    * docs-in-class-without c, docs-elsewhere-without d) and
+    * χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)). Complements c-TF-IDF
+    * ([[TextAnalysis.classTfidf]]): that ranks by frequency-weighted
+    * distinctiveness, this by statistical association strength — the
+    * classic feature-selection signal (Yang & Pedersen 1997).
+    *
+    * Only OVER-represented terms (observed a > expected) are ranked:
+    * chi-square is symmetric and would otherwise surface terms notable
+    * for their absence. All four cells derive from one token pass
+    * aggregated to (class, term) counts; the chi-square tree runs in
+    * double over the exact counts (cast-then-multiply on both engines —
+    * integer products like a·d would overflow int64 at corpus scale).
+    *
+    * @param minDf drop terms in fewer than this many docs corpus-wide
+    *              (chi-square is unstable at tiny expected counts)
+    * @return (class, term, df_in_class, f_t, chi2_x3, rn) — top `topK`
+    *         per class by (chi2_x3 desc, term)
+    */
+  def termClassChiSquare(docs: DataFrame, classCol: String,
+      minDf: Int = 3, topK: Int = 5, textCol: String = "text"): DataFrame = {
+    // doc-level presence via IN-ROW dedupe (array_distinct) — the token
+    // stream reaches its one shuffle already collapsed to per-doc term
+    // sets, instead of a distinct-then-count double exchange
+    val pres = docs.select(col(classCol).as("class"),
+      explode(array_distinct(
+        split(Dedup.normalized(coalesce(col(textCol), lit(""))), " ")))
+        .as("term"))
+    val a = pres.groupBy(col("class"), col("term"))
+      .agg(count(lit(1)).as("df_in_class"))
+      .localCheckpoint() // one token pass; term totals re-read it
+    val ft = a.groupBy(col("term")).agg(sum(col("df_in_class")).as("f_t"))
+      .filter(col("f_t") >= minDf)
+    val cc = docs.groupBy(col(classCol).as("class"))
+      .agg(count(lit(1)).as("n_class"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val joined = a.join(ft, Seq("term"))
+      .join(broadcast(cc), Seq("class"))
+      .crossJoin(broadcast(n))
+      .withColumn("b", col("f_t") - col("df_in_class"))
+      .withColumn("c", col("n_class") - col("df_in_class"))
+      .withColumn("d",
+        col("n_docs") - col("f_t") - col("n_class") + col("df_in_class"))
+    val aD = col("df_in_class").cast("double"); val bD = col("b").cast("double")
+    val cD = col("c").cast("double"); val dD = col("d").cast("double")
+    val nD = col("n_docs").cast("double")
+    val det = aD * dD - bD * cD
+    val den = ((aD + bD) * (cD + dD)) * ((aD + cD) * (bD + dD))
+    val scored = joined
+      // over-represented only: a·N > f_t·n_class (double; exact inputs)
+      .filter(aD * nD > col("f_t").cast("double") * col("n_class").cast("double"))
+      .filter(den > 0d)
+      .withColumn("chi2_x3",
+        floor(((nD * (det * det)) / den) * 1e3).cast("long"))
+    val w = Window.partitionBy(col("class"))
+      .orderBy(col("chi2_x3").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= topK)
+      .select(col("class"), col("term"), col("df_in_class"), col("f_t"),
+        col("chi2_x3"), col("rn"))
+  }
+
+  /** Grouped two-proportion z-test (the A/B-test workhorse): per group,
+    * compare the success rate of cohort A vs cohort B with the pooled
+    * standard error, z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)). One aggregation
+    * pass produces the four exact counts (n₁, x₁, n₂, x₂); the z formula
+    * is a fixed double tree over them. z is null when either cohort is
+    * empty or the pooled rate is degenerate (0 or 1 → zero SE).
+    *
+    * @param cohortA boolean column: row belongs to cohort A (else B)
+    * @param success boolean column: row counts as a success
+    * @return per group: n_a, x_a, n_b, x_b, z
+    */
+  def twoProportionZ(df: DataFrame, groupCols: Seq[String],
+      cohortA: Column, success: Column): DataFrame = {
+    val stats = df
+      .select(groupCols.map(col) :+ cohortA.as("__a") :+ success.as("__s"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a") && col("__s"), 1L).otherwise(0L)).as("x_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__a") && col("__s"), 1L).otherwise(0L)).as("x_b"))
+    val n1 = col("n_a").cast("double"); val n2 = col("n_b").cast("double")
+    val p1 = col("x_a").cast("double") / n1
+    val p2 = col("x_b").cast("double") / n2
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt((pp * (lit(1.0) - pp)) * (lit(1.0) / n1 + lit(1.0) / n2))
+    stats.withColumn("z",
+      when(col("n_a") > 0L && col("n_b") > 0L && pp > 0d && pp < 1d,
+        (p1 - p2) / se))
+  }
+
+  /** Per-key time-weighted average: each observation's value is weighted
+    * by how long it remained current (seconds until the key's next
+    * event); the last observation carries no weight. The irregular-
+    * sampling mean — "average price while it was in effect" — that a
+    * plain AVG gets wrong whenever sampling is bursty.
+    *
+    * One window (lead over the key's time order) and one aggregation,
+    * both keyed identically → a single exchange. Values arrive QUANTIZED
+    * (e.g. cents): Σ(v·dt) and Σdt are exact int64 (v ≤ 10⁶ quantum ×
+    * dt ≤ 10⁸ s × 10⁵ events/key stays under 2^63 for any realistic
+    * per-key history); the average is one final double division.
+    *
+    * @param tsUs   event time in epoch MICROSECONDS (long)
+    * @param ordCol total tie-break within equal timestamps
+    * @param valQ   quantized-long value column
+    * @return per key: n_events, total_sec, twa (null when the key has no
+    *         elapsed time — a single event or all-identical timestamps)
+    */
+  def timeWeightedAvg(df: DataFrame, keyCols: Seq[String], tsUs: Column,
+      ordCol: Column, valQ: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(tsUs, ordCol)
+    val withDt = df
+      .withColumn("__ts", tsUs)
+      .withColumn("__lead", lead(col("__ts"), 1).over(w))
+      // exact integer floor division — no double-rounding at any scale
+      .withColumn("__dt_s", expr("(__lead - __ts) div 1000000"))
+      .withColumn("__vq", valQ.cast("long"))
+    withDt.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(sum(col("__dt_s")), lit(0L)).as("total_sec"),
+        sum(col("__vq") * col("__dt_s")).as("__wsum"))
+      .withColumn("twa",
+        when(col("total_sec") > 0L,
+          col("__wsum").cast("double") / col("total_sec").cast("double")))
+      .drop("__wsum")
+  }
+
+  /** Per-group Jensen–Shannon divergence of a categorical distribution
+    * against the corpus-wide distribution — the drift score that flags a
+    * source whose language/topic/format mix departs from the whole
+    * (symmetric, bounded by ln 2, defined even when the group misses
+    * categories entirely). 2·JSD = Σₗ p·ln(2p/(p+q)) + Σₗ q·ln(2q/(p+q)).
+    *
+    * Every probability is a ratio of exact counts; each summand is
+    * evaluated in double with a fixed tree, quantized floor(·10⁹), and
+    * summed as LONGS — so the category-sum is order-independent and
+    * cross-engine exact (the q77 quantized-ln discipline). Missing
+    * (group, category) cells contribute only their q·ln 2 term (p = 0).
+    *
+    * Scale: two count aggregations and a |groups|×|categories| join of
+    * aggregate frames — the heavy input collapses to counts immediately.
+    *
+    * @return per group: n_rows, jsd2_x9 (= 2·JSD·10⁹, term-quantized)
+    */
+  def jsDivergenceDrift(df: DataFrame, groupCol: String, catCol: String)
+      : DataFrame = {
+    val a = df.groupBy(col(groupCol).as("g"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("a"))
+      .localCheckpoint() // one scan; group totals + global both re-read
+    val ga = a.groupBy(col("g")).agg(sum(col("a")).as("n_rows"))
+    val gc = a.groupBy(col("cat")).agg(sum(col("a")).as("gcat"))
+    val tot = a.agg(sum(col("a")).as("gtot"))
+    val full = ga.crossJoin(broadcast(gc)).crossJoin(broadcast(tot))
+      .join(a, Seq("g", "cat"), "left")
+      .withColumn("a0", coalesce(col("a"), lit(0L)))
+    val p = col("a0").cast("double") / col("n_rows").cast("double")
+    val q = col("gcat").cast("double") / col("gtot").cast("double")
+    val termP = when(col("a0") > 0L,
+      floor((p * log((lit(2.0) * p) / (p + q))) * 1e9).cast("long"))
+      .otherwise(0L)
+    val termQ = floor((q * log((lit(2.0) * q) / (p + q))) * 1e9).cast("long")
+    full.select(col("g"), col("n_rows"), termP.as("__tp"), termQ.as("__tq"))
+      .groupBy(col("g"), col("n_rows"))
+      .agg((sum(col("__tp")) + sum(col("__tq"))).as("jsd2_x9"))
+  }
+}

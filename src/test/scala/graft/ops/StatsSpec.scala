@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("termClassChiSquare: hand-computed 2x2; over-represented only") {
+    // 4 docs in class A, 4 in B. "alpha" in all A docs and no B docs:
+    // a=4 b=0 c=0 d=4 → chi2 = 8*16*16/(4*4*4*4) = 8. "common" in every
+    // doc: den has (c+d)=0 margin → dropped. "beta" in 1 A + 3 B docs:
+    // over-represented in B only.
+    val docs = Seq(
+      (1L, "A", "alpha common beta"), (2L, "A", "alpha common"),
+      (3L, "A", "alpha common"), (4L, "A", "alpha common"),
+      (5L, "B", "beta common"), (6L, "B", "beta common"),
+      (7L, "B", "beta common"), (8L, "B", "common"))
+      .toDF("doc_id", "class_col", "text")
+    val got = Stats.termClassChiSquare(docs, "class_col", minDf = 3, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    // alpha in A: chi2 = N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)) = 8*256/256 = 8
+    assert(got(("A", "alpha")) == ((4L, 4L, 8000L)))
+    // beta in B: a=3 b=1 c=1 d=3 → 8*(9-1)^2/(4*4*4*4) = 8*64/256 = 2
+    assert(got(("B", "beta")) == ((3L, 4L, 2000L)))
+    // beta NOT ranked for A (under-represented there); common nowhere
+    assert(!got.contains(("A", "beta")) && !got.contains(("A", "common"))
+      && !got.contains(("B", "common")))
+  }
+
+  test("twoProportionZ: hand-computed z; degenerate cohorts null") {
+    // g1: A = 8 trials 6 successes, B = 8 trials 2 successes.
+    // pp = 0.5, se = sqrt(0.25 * 0.25) = 0.25, z = (0.75-0.25)/0.25 = 2
+    val rows = (Seq.fill(6)(("g1", true, true)) ++ Seq.fill(2)(("g1", true, false)) ++
+      Seq.fill(2)(("g1", false, true)) ++ Seq.fill(6)(("g1", false, false)) ++
+      // g2: all successes in both cohorts → pp = 1 → null z
+      Seq(("g2", true, true), ("g2", false, true)) ++
+      // g3: cohort B empty → null z
+      Seq(("g3", true, true), ("g3", true, false)))
+      .toDF("g", "ca", "sc")
+    val got = Stats.twoProportionZ(rows, Seq("g"), col("ca"), col("sc"))
+      .orderBy("g").collect()
+    assert(got(0).getLong(1) == 8L && got(0).getLong(2) == 6L
+      && got(0).getLong(3) == 8L && got(0).getLong(4) == 2L)
+    assert(math.abs(got(0).getDouble(5) - 2.0) < 1e-12)
+    assert(got(1).isNullAt(5)) // pp = 1
+    assert(got(2).isNullAt(5)) // empty cohort
+  }
+
+  test("timeWeightedAvg: weights are time-to-next; last event unweighted") {
+    // user 1: v=100 held 10s, v=200 held 30s, v=999 last (no weight)
+    //   twa = (100*10 + 200*30) / 40 = 7000/40 = 175
+    // user 2: single event → no elapsed time → null
+    val e = Seq(
+      (1L, 1L, 0L, 100L), (1L, 2L, 10000000L, 200L),
+      (1L, 3L, 40000000L, 999L),
+      (2L, 4L, 5000000L, 50L))
+      .toDF("user_id", "event_id", "ts_us", "vc")
+    val got = Stats.timeWeightedAvg(e, Seq("user_id"), col("ts_us"),
+        col("event_id"), col("vc"))
+      .select("user_id", "n_events", "total_sec", "twa")
+      .orderBy("user_id").collect()
+    assert(got(0).getLong(1) == 3L && got(0).getLong(2) == 40L)
+    assert(got(0).getDouble(3) == 175.0)
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == 0L
+      && got(1).isNullAt(3))
+  }
+
+  test("jsDivergenceDrift: identical mix ~0; disjoint mix ~2·ln2; missing cats") {
+    // src_same mirrors the global 50/50 en/fr mix (up to its own counts);
+    // src_skew is all-en. Global: en 6, fr 2.
+    val docs = Seq(
+      ("src_same", "en"), ("src_same", "fr"), ("src_same", "en"), ("src_same", "fr"),
+      ("src_skew", "en"), ("src_skew", "en"), ("src_skew", "en"), ("src_skew", "en"))
+      .toDF("source", "lang")
+    val got = Stats.jsDivergenceDrift(docs, "source", "lang")
+      .orderBy("g").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (nSame, jSame) = got("src_same")
+    val (nSkew, jSkew) = got("src_skew")
+    assert(nSame == 4L && nSkew == 4L)
+    // src_same: p=(.5,.5) vs q=(.75,.25) → small positive JSD
+    assert(jSame > 0L && jSame < 200000000L)
+    // src_skew diverges much more; sanity: 2·JSD ≤ 2·ln2 ≈ 1.386e9
+    assert(jSkew > jSame && jSkew <= 1386294362L)
+    // exact check of src_skew term math:
+    //  p_en=1, q_en=.75 → 1·ln(2/1.75); p_fr=0 (term 0), q_fr=.25·ln(2·.25/.25)
+    val expSkew = math.floor(math.log(2.0 / 1.75) * 1e9).toLong +
+      math.floor(0.75 * math.log((2.0 * 0.75) / 1.75) * 1e9).toLong +
+      math.floor(0.25 * math.log(2.0) * 1e9).toLong
+    assert(jSkew == expSkew)
+  }
+}
