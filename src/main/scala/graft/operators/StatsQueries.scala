@@ -154,10 +154,144 @@ object StatsQueries {
       |SELECT g AS source, n_rows, CAST(SUM(tp) + SUM(tq) AS BIGINT) AS jsd2_x9
       |FROM t GROUP BY 1, 2 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q147
+  // Benford first-digit audit of order totals per priority class — the
+  // fabricated-numbers screen (synthetic TPC-H prices are uniform-ish,
+  // so the per-digit deviations are the point of the report). Leading
+  // digit from the decimal rendering; expectations via ln/ln 10.
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Stats.benfordAudit(Tables.orders(s, d), Seq("o_orderpriority"),
+        $"o_totalprice")
+      .orderBy($"o_orderpriority", $"digit")
+  }
+  private val q147Sql =
+    """WITH c AS (SELECT o_orderpriority,
+      |        CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+      |          1, 1) AS INT) AS digit
+      |      FROM orders),
+      |g AS (SELECT o_orderpriority, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      |      FROM c WHERE digit BETWEEN 1 AND 9 GROUP BY 1, 2),
+      |t AS (SELECT *, CAST(SUM(n_obs) OVER (PARTITION BY o_orderpriority)
+      |        AS BIGINT) AS n_group FROM g),
+      |e AS (SELECT o_orderpriority, digit, n_obs, n_group,
+      |        CAST(n_group AS DOUBLE)
+      |          * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)) AS expd
+      |      FROM t)
+      |SELECT o_orderpriority, digit, n_obs, n_group,
+      |  CAST(floor(expd * 1e6) AS BIGINT) AS exp_x6,
+      |  CAST(floor((((CAST(n_obs AS DOUBLE) - expd)
+      |    * (CAST(n_obs AS DOUBLE) - expd)) / expd) * 1e6) AS BIGINT) AS dev_x6
+      |FROM e ORDER BY o_orderpriority, digit""".stripMargin
+
+  // ---------------------------------------------------------------- q148
+  // Behavioral diversity per user: Shannon entropy (nats, quantized) of
+  // the user's event-type mix — the bot-vs-browser signal; one endpoint
+  // hammered = 0, uniform across the 5 types = ln 5 ≈ 1.609e9.
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Stats.categoricalEntropy(Tables.events(s, d), Seq("user_id"), "event_type")
+      .orderBy($"user_id")
+  }
+  private val q148Sql =
+    """WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS nc
+      |      FROM events GROUP BY 1, 2),
+      |t AS (SELECT *, CAST(SUM(nc) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      |      FROM c),
+      |q AS (SELECT user_id, n,
+      |        CAST(floor(((CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+      |          * ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))) * 1e9) AS BIGINT)
+      |          AS t9
+      |      FROM t)
+      |SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_cats, CAST(-SUM(t9) AS BIGINT) AS ent_x9
+      |FROM q GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q149
+  // Revenue concentration per nation: Gini coefficient of per-customer
+  // lifetime spend (exact cents) — the inequality readout over the
+  // rank-weighted exact sums; ranks are a keyed window with a total
+  // tie-break, never a global sort.
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, d).groupBy($"o_custkey")
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("x"))
+    val cust = Tables.customer(s, d).select($"c_custkey", $"c_nationkey")
+    val nat = Tables.nation(s, d).select($"n_nationkey", $"n_name")
+    val j = spend.join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+    Stats.giniByGroup(j, Seq("n_name"), $"x", $"c_custkey")
+      .orderBy($"n_name")
+  }
+  private val q149Sql =
+    """WITH s AS (SELECT o_custkey,
+      |        CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |          AS BIGINT) AS x
+      |      FROM orders GROUP BY 1),
+      |j AS (SELECT n_name, c_custkey, x FROM s
+      |      JOIN customer ON o_custkey = c_custkey
+      |      JOIN nation ON c_nationkey = n_nationkey),
+      |r AS (SELECT n_name, x, CAST(row_number() OVER (PARTITION BY n_name
+      |        ORDER BY x, c_custkey) AS BIGINT) AS i FROM j),
+      |g AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+      |        CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(i * x) AS BIGINT) AS sw
+      |      FROM r GROUP BY 1)
+      |SELECT n_name, n,
+      |  CASE WHEN s > 0 THEN (2.0 * CAST(sw AS DOUBLE)
+      |         - (CAST(n AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
+      |       / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) END AS gini
+      |FROM g ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q150
+  // kNN label-noise audit: for a probe set (contract: bounded, collected
+  // — q43's ANN pattern), the fraction of each probe's 5 exact-cosine
+  // nearest neighbors carrying a DIFFERENT label — the mislabeled-example
+  // screen run before training on a labeled corpus. Corpus streams; only
+  // probes broadcast.
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val nn = graft.ops.Similarity.bruteForceTopK(
+      emb, emb.filter($"vec_id" < 100), k = 5)
+    val qlbl = emb.select($"vec_id".as("qid"), $"label".as("qlabel"))
+    val nlbl = emb.select($"vec_id".as("eid"), $"label".as("nlabel"))
+    nn.join(broadcast(qlbl), Seq("qid")).join(nlbl, Seq("eid"))
+      .groupBy($"qid", $"qlabel")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when($"nlabel" =!= $"qlabel", 1L).otherwise(0L)).as("n_mismatch"))
+      .withColumn("noisy", $"n_mismatch" >= 4L)
+      .orderBy($"qid")
+  }
+  private val q150Sql = {
+    val quantSql = LlmQueries.quantSql
+    s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, $quantSql AS qv
+       |      FROM embeddings WHERE vec_id < 100),
+       |e AS (SELECT vec_id AS eid, label AS nlabel, $quantSql AS ev
+       |      FROM embeddings),
+       |sc AS (SELECT qid, qlabel, eid, nlabel,
+       |    CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*ev[i]))
+       |      AS DOUBLE)
+       |      / (sqrt(CAST(list_sum(list_transform(qv, x->x*x)) AS DOUBLE))
+       |         * sqrt(CAST(list_sum(list_transform(ev, x->x*x)) AS DOUBLE)))
+       |      AS cos
+       |  FROM q, e WHERE qid <> eid),
+       |r AS (SELECT qid, qlabel, nlabel, ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY cos DESC, eid) AS rn FROM sc)
+       |SELECT qid, qlabel, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       |  CAST(SUM(CASE WHEN nlabel <> qlabel THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_mismatch,
+       |  SUM(CASE WHEN nlabel <> qlabel THEN 1 ELSE 0 END) >= 4 AS noisy
+       |FROM r WHERE rn <= 5 GROUP BY qid, qlabel ORDER BY qid""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q143_chisq_terms", q143, Some(q143Sql)),
     QueryDef("q144_ab_ztest", q144, Some(q144Sql)),
     QueryDef("q145_time_weighted", q145, Some(q145Sql)),
     QueryDef("q146_js_drift", q146, Some(q146Sql)),
+    QueryDef("q147_benford", q147, Some(q147Sql)),
+    QueryDef("q148_behavior_entropy", q148, Some(q148Sql)),
+    QueryDef("q149_gini", q149, Some(q149Sql)),
+    QueryDef("q150_knn_label_noise", q150, Some(q150Sql)),
   )
 }

@@ -157,6 +157,92 @@ object Stats {
       .drop("__wsum")
   }
 
+  /** Per-group Benford first-digit audit: for each group, the observed
+    * count of each leading digit 1–9 of `amount` against the Benford
+    * expectation n·log₁₀(1+1/d) — the classic fabricated-numbers signal
+    * for financial/synthetic-data QA. Output stays per-digit (the audit
+    * report shape); the chi-square contribution of each digit rides along
+    * quantized, so a total is a plain integer SUM away.
+    *
+    * The leading digit comes from the DECIMAL RENDERING of floor(amount)
+    * (exact for positive amounts ≥ 1 — no log10-of-double edge cases);
+    * expectations use ln(1+1/d)/ln 10 so both engines run the same
+    * known-parity `ln`. One count aggregation; everything after is
+    * arithmetic on the 9·|groups| aggregate rows.
+    *
+    * @return (group…, digit, n_obs, n_group, exp_x6, dev_x6) where
+    *         exp_x6 = ⌊expected·10⁶⌋ and dev_x6 = ⌊(obs−exp)²/exp·10⁶⌋ */
+  def benfordAudit(df: DataFrame, groupCols: Seq[String], amount: Column)
+      : DataFrame = {
+    val digit = substring(floor(amount).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = df.select(groupCols.map(col) :+ digit.as("digit"): _*)
+      .filter(col("digit").between(1, 9))
+      .groupBy(groupCols.map(col) :+ col("digit"): _*)
+      .agg(count(lit(1)).as("n_obs"))
+    val wg = Window.partitionBy(groupCols.map(col): _*)
+    val withTot = counts.withColumn("n_group", sum(col("n_obs")).over(wg))
+    val expD = col("n_group").cast("double") *
+      (log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
+    val dev = col("n_obs").cast("double") - expD
+    withTot
+      .withColumn("exp_x6", floor(expD * 1e6).cast("long"))
+      .withColumn("dev_x6", floor(((dev * dev) / expD) * 1e6).cast("long"))
+  }
+
+  /** Per-key Shannon entropy of a categorical column (nats, quantized):
+    * H = −Σ p·ln p over the key's category mix — the behavioral-
+    * diversity signal (a bot hammering one endpoint scores 0; a uniform
+    * browser scores ln k). Each term is quantized floor(·10⁹) and summed
+    * as longs, so the category sum is order-independent and the score
+    * ranks integer-exactly. Two keyed aggregations, both partial-
+    * aggregating map-side; category cardinality per key is bounded by
+    * the domain, not the row count.
+    *
+    * @return per key: n_rows, n_cats, ent_x9 (= ⌊H·10⁹⌋-summed terms,
+    *         negated so larger = more diverse) */
+  def categoricalEntropy(df: DataFrame, keyCols: Seq[String], catCol: String)
+      : DataFrame = {
+    val c = df.groupBy(keyCols.map(col) :+ col(catCol).as("__cat"): _*)
+      .agg(count(lit(1)).as("__nc"))
+    val wg = Window.partitionBy(keyCols.map(col): _*)
+    val withTot = c.withColumn("__n", sum(col("__nc")).over(wg))
+    val p = col("__nc").cast("double") / col("__n").cast("double")
+    withTot
+      .withColumn("__t9", floor((p * log(p)) * 1e9).cast("long"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("__n")).as("n_rows"), count(lit(1)).as("n_cats"),
+        (-sum(col("__t9"))).as("ent_x9"))
+  }
+
+  /** Per-group Gini coefficient of a nonnegative quantized value (wealth/
+    * revenue concentration): G = (2Σᵢ i·xᵢ − (n+1)Σx) / (n·Σx) with xᵢ
+    * ascending and i the 1-based rank — 0 = perfectly even, →1 = all
+    * mass on one member. The rank is a keyed window (deterministic
+    * tie-break on `ordCol`); Σ i·x and Σx partial-aggregate as exact
+    * int64 (i ≤ n, so n²·max(x) must stay under 2^63 — rescale the
+    * quantum past ~10⁷ members·10⁴ units); the final G is a fixed double
+    * tree over the three exact longs.
+    *
+    * @return per group: n, gini (null for n·Σx = 0) */
+  def giniByGroup(df: DataFrame, groupCols: Seq[String], valQ: Column,
+      ordCol: Column): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(valQ, ordCol)
+    val ranked = df
+      .withColumn("__x", valQ.cast("long"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+    val stats = ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s"),
+        sum(col("__i") * col("__x")).as("__sw"))
+    val nD = col("n").cast("double"); val sD = col("__s").cast("double")
+    val swD = col("__sw").cast("double")
+    stats.withColumn("gini",
+        when(col("__s") > 0L,
+          (lit(2.0) * swD - (nD + lit(1.0)) * sD) / (nD * sD)))
+      .drop("__s", "__sw")
+  }
+
   /** Per-group Jensen–Shannon divergence of a categorical distribution
     * against the corpus-wide distribution — the drift score that flags a
     * source whose language/topic/format mix departs from the whole

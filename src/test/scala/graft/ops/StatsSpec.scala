@@ -68,6 +68,52 @@ class StatsSpec extends SparkSpec {
       && got(1).isNullAt(3))
   }
 
+  test("benfordAudit: digits, group totals, expected counts") {
+    // group g: amounts with first digits 1,1,1,2,9 (5 rows)
+    val df = Seq(("g", 123.4), ("g", 19.99), ("g", 1000.0), ("g", 250.0),
+      ("g", 9.5)).toDF("grp", "amt")
+    val got = Stats.benfordAudit(df, Seq("grp"), col("amt"))
+      .orderBy("digit").collect()
+    assert(got.map(_.getInt(1)).toSeq == Seq(1, 2, 9))
+    assert(got.map(_.getLong(2)).toSeq == Seq(3L, 1L, 1L)) // n_obs
+    assert(got.forall(_.getLong(3) == 5L)) // n_group
+    // digit 1 expectation: 5·log10(2) ≈ 1.50515
+    assert(got(0).getLong(4) == math.floor(
+      5.0 * (math.log(2.0) / math.log(10.0)) * 1e6).toLong)
+    // dev for digit 1: (3-e)²/e quantized
+    val e1 = 5.0 * (math.log(2.0) / math.log(10.0))
+    assert(got(0).getLong(5) ==
+      math.floor(((3.0 - e1) * (3.0 - e1)) / e1 * 1e6).toLong)
+  }
+
+  test("categoricalEntropy: uniform = ln k; constant = 0") {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),
+      (2L, "x"), (2L, "x"), (2L, "x")).toDF("k", "cat")
+    val got = Stats.categoricalEntropy(df, Seq("k"), "cat")
+      .orderBy("k").collect()
+    // key 1: 4 uniform cats → H = ln 4; each term floor(.25·ln .25·1e9)
+    val term = math.floor(0.25 * math.log(0.25) * 1e9).toLong
+    assert(got(0).getLong(1) == 4L && got(0).getLong(2) == 4L
+      && got(0).getLong(3) == -4L * term)
+    // key 2: single cat → p=1, ln 1 = 0 → entropy 0
+    assert(got(1).getLong(1) == 3L && got(1).getLong(2) == 1L
+      && got(1).getLong(3) == 0L)
+  }
+
+  test("giniByGroup: even split 0; concentration rises; ties broken") {
+    val df = Seq(
+      ("even", 1L, 10L), ("even", 2L, 10L), ("even", 3L, 10L), ("even", 4L, 10L),
+      ("skew", 5L, 0L), ("skew", 6L, 0L), ("skew", 7L, 0L), ("skew", 8L, 100L))
+      .toDF("g", "id", "x")
+    val got = Stats.giniByGroup(df, Seq("g"), col("x"), col("id"))
+      .orderBy("g").collect()
+    assert(got(0).getString(0) == "even" && got(0).getLong(1) == 4L
+      && got(0).getDouble(2) == 0.0)
+    // skew: sorted x = (0,0,0,100), sw = 400, s = 100, n = 4
+    // G = (800 - 500)/400 = 0.75
+    assert(got(1).getString(0) == "skew" && got(1).getDouble(2) == 0.75)
+  }
+
   test("jsDivergenceDrift: identical mix ~0; disjoint mix ~2·ln2; missing cats") {
     // src_same mirrors the global 50/50 en/fr mix (up to its own counts);
     // src_skew is all-en. Global: en 6, fr 2.
