@@ -243,6 +243,60 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q143: presence dedupe is in-row; class sizes broadcast back") {
+    val p = planOf("q143_chisq_terms")
+    // the (class, term) count frame materializes once (checkpoint) — the
+    // in-row array_distinct dedupe lives below it and is pinned in
+    // StatsSpec; above it everything joins aggregate frames
+    assert(p.contains("Scan ExistingRDD"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q144: z-test is one aggregation pass — no join, no window") {
+    val p = planOf("q144_ab_ztest")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange (group counts), got $hashEx")
+  }
+
+  test("q145: time-weighted avg shares one keyed exchange (window + agg)") {
+    val p = planOf("q145_time_weighted")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"window and aggregation are keyed identically — expected 1 exchange, got $hashEx")
+  }
+
+  test("q146: JSD joins only aggregate frames; category sum is integer") {
+    val p = planOf("q146_js_drift")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("Scan ExistingRDD"), "count frame materializes once")
+    assert(!p.contains("CartesianProduct"),
+      "group×category expansion must ride broadcasts of aggregate frames")
+  }
+
+  test("q147/q148: audit reports are agg + keyed window — no join") {
+    for (q <- Seq("q147_benford", "q148_behavior_entropy")) {
+      val p = planOf(q)
+      assert(!p.contains("Join"), q)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx == 2, s"$q: expected 2 hash exchanges (counts, group window), got $hashEx")
+    }
+  }
+
+  test("q149: Gini ranks are keyed windows; nation joins broadcast") {
+    val p = planOf("q149_gini")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q150: label-noise probes broadcast; corpus streams once") {
+    val p = planOf("q150_knn_label_noise")
+    assert(!p.contains("CartesianProduct"),
+      "probe×corpus scoring must stay a broadcast mapPartitions kernel")
+    assert(p.contains("BroadcastHashJoin"), "probe labels join as broadcast")
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -28,6 +28,14 @@ class StatsSpec extends SparkSpec {
     // beta NOT ranked for A (under-represented there); common nowhere
     assert(!got.contains(("A", "beta")) && !got.contains(("A", "common"))
       && !got.contains(("B", "common")))
+
+    // doc-LEVEL presence: a term repeated within one doc counts once
+    // (the in-row array_distinct dedupe, not term frequency)
+    val rep = Seq((1L, "X", "w w w w"), (2L, "X", "w v"), (3L, "Y", "v v"))
+      .toDF("doc_id", "class_col", "text")
+    val repGot = Stats.termClassChiSquare(rep, "class_col", minDf = 2, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(repGot(("X", "w")) == 2L) // 2 docs, not 5 occurrences
   }
 
   test("twoProportionZ: hand-computed z; degenerate cohorts null") {
