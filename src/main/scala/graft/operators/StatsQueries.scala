@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.Stats
+import graft.ops.{Privacy, Stats}
 
 /** Statistical-testing / drift-audit queries (round 3 widening): term–class
   * chi-square association, grouped A/B two-proportion z-test, per-key
@@ -284,6 +284,84 @@ object StatsQueries {
        |FROM r WHERE rn <= 5 GROUP BY qid, qlabel ORDER BY qid""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q151
+  // k-anonymity / l-diversity release audit: equivalence classes over
+  // the linkage quasi-identifiers (nation, market segment) with account-
+  // balance-band diversity — the re-identification risk report that
+  // belongs downstream of the PHI cascade (what left is grouped; how
+  // unique is each group). One fixed-width aggregation.
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Privacy.kAnonymity(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"),
+        expr("(CAST(floor(c_acctbal) AS BIGINT) + 1000) div 1000"),
+        k = 5, l = 3)
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+  private val q151Sql =
+    """WITH b AS (SELECT c_nationkey, c_mktsegment,
+      |        (CAST(floor(c_acctbal) AS BIGINT) + 1000) // 1000 AS sb
+      |      FROM customer)
+      |SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT sb) AS BIGINT) AS l_div,
+      |  COUNT(*) < 5 AS at_risk, COUNT(DISTINCT sb) < 3 AS low_diversity
+      |FROM b GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q152
+  // Windowed skip-gram co-occurrence (the word2vec statistic): ordered
+  // token pairs within ±3 positions weighted 1000000 div distance —
+  // exact-integer weight sums; the pair expansion never leaves the row.
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.TextAnalysis.skipgramCooc(Tables.documents(s, d),
+        window = 3, topK = 30)
+      .orderBy($"w_x6".desc, $"t1", $"t2")
+  }
+  private val q152Sql =
+    s"""WITH ts AS (SELECT $toksSql AS ts FROM documents),
+       |e AS (SELECT ts[i+1] AS t1, ts[i+1+j] AS t2,
+       |        CAST(1000000 // j AS BIGINT) AS w6
+       |      FROM ts, LATERAL unnest(range(len(ts))) u(i),
+       |        LATERAL unnest([1, 2, 3]) v(j)
+       |      WHERE i + j <= len(ts) - 1)
+       |SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(w6) AS BIGINT) AS w_x6
+       |FROM e GROUP BY 1, 2 ORDER BY w_x6 DESC, t1, t2 LIMIT 30""".stripMargin
+
+  // ---------------------------------------------------------------- q153
+  // Robust outliers by median/MAD (3σ-equivalent, integer-exact
+  // decision): the heavy-tail-safe complement of q98's z-scores — the
+  // event-value spikes that survive a mean/stddev dragged by themselves.
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"event_id", $"event_type",
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
+    Stats.madOutliers(e, Seq("event_type"), $"vc", $"event_id")
+      .filter($"outlier")
+      .select($"event_id", $"event_type", $"vc", $"med", $"mad", $"dev")
+      .orderBy($"event_id")
+  }
+  private val q153Sql =
+    """WITH e AS (SELECT event_id, event_type,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |m AS (SELECT event_type, vc AS med FROM (
+      |        SELECT event_type, vc, row_number() OVER (PARTITION BY event_type
+      |            ORDER BY vc, event_id) AS rn,
+      |          COUNT(*) OVER (PARTITION BY event_type) AS n
+      |        FROM e) WHERE rn = (n + 1) // 2),
+      |d AS (SELECT e.event_id, e.event_type, e.vc, m.med,
+      |        abs(e.vc - m.med) AS dev
+      |      FROM e JOIN m USING (event_type)),
+      |md AS (SELECT event_type, dev AS mad FROM (
+      |        SELECT event_type, dev, row_number() OVER (PARTITION BY event_type
+      |            ORDER BY dev, event_id) AS rn,
+      |          COUNT(*) OVER (PARTITION BY event_type) AS n
+      |        FROM d) WHERE rn = (n + 1) // 2)
+      |SELECT event_id, event_type, vc, med, mad, dev
+      |FROM d JOIN md USING (event_type)
+      |WHERE dev * 10000 > 44478 * mad
+      |ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q143_chisq_terms", q143, Some(q143Sql)),
     QueryDef("q144_ab_ztest", q144, Some(q144Sql)),
@@ -293,5 +371,8 @@ object StatsQueries {
     QueryDef("q148_behavior_entropy", q148, Some(q148Sql)),
     QueryDef("q149_gini", q149, Some(q149Sql)),
     QueryDef("q150_knn_label_noise", q150, Some(q150Sql)),
+    QueryDef("q151_k_anonymity", q151, Some(q151Sql)),
+    QueryDef("q152_skipgram_cooc", q152, Some(q152Sql)),
+    QueryDef("q153_mad_outliers", q153, Some(q153Sql)),
   )
 }

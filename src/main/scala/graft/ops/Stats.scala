@@ -243,6 +243,41 @@ object Stats {
       .drop("__s", "__sw")
   }
 
+  /** Per-group robust outlier flags via median/MAD — the heavy-tail-safe
+    * complement of z-scores (mean and stddev are themselves dragged by
+    * the outliers they're meant to find; the median and the median
+    * absolute deviation are not). A row is flagged when
+    * |x − med| · 10⁴ > `zTimes10000` · MAD — the integer-exact form of
+    * |x − med| > z·1.4826·MAD with z·1.4826 pre-quantized (default
+    * 4.4478 = 3σ-equivalent), so the decision never touches a float.
+    *
+    * The discrete median is the value at rank (n+1) div 2 under a total
+    * (value, tie-break) order — reproducible on any engine, no
+    * interpolation. Two keyed window sorts + two broadcast joins of
+    * |groups|-sized frames, all on the same partitioning key.
+    *
+    * @return input rows + med, mad, dev (=|x−med|), outlier */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valQ: Column,
+      ordCol: Column, zTimes10000: Long = 44478L): DataFrame = {
+    val base = df.withColumn("__x", valQ.cast("long"))
+    val wc = Window.partitionBy(groupCols.map(col): _*)
+    def rankPick(src: DataFrame, v: Column, out: String): DataFrame =
+      src
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(groupCols.map(col): _*).orderBy(v, ordCol)))
+        .withColumn("__n", count(lit(1)).over(wc))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(groupCols.map(col) :+ v.as(out): _*)
+    val med = rankPick(base, col("__x"), "med")
+    val withMed = base.join(broadcast(med), groupCols)
+      .withColumn("dev", abs(col("__x") - col("med")))
+    val mad = rankPick(withMed, col("dev"), "mad")
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn("outlier",
+        col("dev") * lit(10000L) > lit(zTimes10000) * col("mad"))
+      .drop("__x")
+  }
+
   /** Per-group Jensen–Shannon divergence of a categorical distribution
     * against the corpus-wide distribution — the drift score that flags a
     * source whose language/topic/format mix departs from the whole

@@ -468,4 +468,37 @@ object TextAnalysis {
       .orderBy(col("pmi_x6").desc, col("t1"), col("t2")).limit(topK)
       .select(col("t1"), col("t2"), col("n12"), col("pmi_x6"))
   }
+
+  /** Windowed skip-gram co-occurrence counts (the word2vec/GloVe
+    * statistic): every ordered token pair within `window` positions,
+    * weighted 1/distance — quantized to `1000000 div d` so the weight
+    * sum is an exact long. The pair expansion is IN-ROW (one fixed-size
+    * concat of position-shifted transforms per document — q102's
+    * no-join discipline): nothing position-level ever crosses an
+    * exchange, only (t1, t2) pair counts. Top-k is a TakeOrdered.
+    *
+    * @return (t1, t2, n_pairs, w_x6) — top `topK` by (w_x6 desc, t1, t2)
+    */
+  def skipgramCooc(docs: DataFrame, window: Int = 3, topK: Int = 30,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val toks = docs.select(
+      split(Dedup.normalized(coalesce(col(textCol), lit(""))), " ").as("ts"))
+    val pairTyp = "array<struct<t1:string,t2:string,w6:bigint>>"
+    val perDist = (1 to window).map { j =>
+      when(size(col("ts")) > j, expr(
+        s"""transform(sequence(0, size(ts)-1-$j),
+           |  i -> struct(ts[i] AS t1, ts[i+$j] AS t2,
+           |              CAST(${1000000 / j} AS BIGINT) AS w6))""".stripMargin))
+        .otherwise(lit(null).cast(pairTyp))
+    }
+    // docs shorter than a distance yield a typed-null slot — drop those
+    // and flatten the survivors (concat would null the whole row)
+    toks.select(explode(flatten(
+        filter(array(perDist: _*), c => c.isNotNull))).as("p"))
+      .select(col("p.t1"), col("p.t2"), col("p.w6"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("w6")).as("w_x6"))
+      .orderBy(col("w_x6").desc, col("t1"), col("t2")).limit(topK)
+  }
 }

@@ -122,6 +122,40 @@ class StatsSpec extends SparkSpec {
     assert(got(1).getString(0) == "skew" && got(1).getDouble(2) == 0.75)
   }
 
+  test("kAnonymity: class sizes, diversity, risk flags") {
+    val df = Seq(
+      // class (1,"A"): 3 rows, 2 distinct sensitive → at_risk (k=4), diverse (l=2)
+      (1, "A", 10), (1, "A", 10), (1, "A", 20),
+      // class (2,"B"): 4 rows, 1 distinct → not at_risk, low_diversity
+      (2, "B", 5), (2, "B", 5), (2, "B", 5), (2, "B", 5))
+      .toDF("qa", "qb", "sens")
+    val got = Privacy.kAnonymity(df, Seq("qa", "qb"), col("sens"), k = 4, l = 2)
+      .orderBy("qa").collect()
+    assert(got(0).getLong(2) == 3L && got(0).getLong(3) == 2L
+      && got(0).getBoolean(4) && !got(0).getBoolean(5))
+    assert(got(1).getLong(2) == 4L && got(1).getLong(3) == 1L
+      && !got(1).getBoolean(4) && got(1).getBoolean(5))
+  }
+
+  test("madOutliers: hand-computed median/MAD; integer decision; short groups") {
+    // group g: values 10,12,14,16,100 → med=14 (rank 3), devs 4,2,0,2,86
+    //   sorted devs 0,2,2,4,86 → mad=2 (rank 3)
+    //   outlier: dev·10⁴ > 44478·2 = 88956 → dev ≥ 9 → only 100 (dev 86)
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 12L), ("g", 3L, 14L),
+      ("g", 4L, 16L), ("g", 5L, 100L),
+      // single-row group: dev 0, mad 0 → 0 > 0 false → not outlier
+      ("solo", 6L, 7L))
+      .toDF("grp", "id", "v")
+    val got = Stats.madOutliers(df, Seq("grp"), col("v"), col("id"))
+      .orderBy("id")
+      .select("grp", "id", "med", "mad", "dev", "outlier").collect()
+    assert(got.filter(_.getBoolean(5)).map(_.getLong(1)).toSeq == Seq(5L))
+    assert(got(0).getLong(2) == 14L && got(0).getLong(3) == 2L)
+    assert(got(4).getLong(4) == 86L)
+    assert(got(5).getLong(2) == 7L && got(5).getLong(3) == 0L
+      && !got(5).getBoolean(5))
+  }
+
   test("jsDivergenceDrift: identical mix ~0; disjoint mix ~2·ln2; missing cats") {
     // src_same mirrors the global 50/50 en/fr mix (up to its own counts);
     // src_skew is all-en. Global: en 6, fr 2.

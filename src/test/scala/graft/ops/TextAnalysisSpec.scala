@@ -200,4 +200,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.exists(p => p._1 == "rare"), "n12 < minCount must be pruned")
     assert(out.forall(_._3 >= 5))
   }
+
+  test("skipgramCooc: exact pairs/weights per distance; short docs survive") {
+    val rows = Seq((1L, "a b c d"), (2L, "x"), (3L, "y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.skipgramCooc(rows, window = 3, topK = 100)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // distance 1 → w6 1000000; distance 2 → 500000; distance 3 → 333333
+    assert(got(("a", "b")) == ((1L, 1000000L)))
+    assert(got(("b", "c")) == ((1L, 1000000L)))
+    assert(got(("c", "d")) == ((1L, 1000000L)))
+    assert(got(("a", "c")) == ((1L, 500000L)))
+    assert(got(("b", "d")) == ((1L, 500000L)))
+    assert(got(("a", "d")) == ((1L, 333333L)))
+    assert(got(("y", "z")) == ((1L, 1000000L)))
+    // ordered pairs only — no reversed duplicates; single-token doc silent
+    assert(!got.contains(("b", "a")) && !got.keys.exists(_._1 == "x"))
+    assert(got.size == 7)
+  }
 }
