@@ -284,6 +284,125 @@ object StatsQueries {
        |FROM r WHERE rn <= 5 GROUP BY qid, qlabel ORDER BY qid""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q154
+  // Welch's t-test on event values (cents): the continuous-metric A/B
+  // readout beside q144's rate test — unequal variances, exact-integer
+  // sufficient statistics, t and Welch-Satterthwaite df as fixed trees.
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"event_type",
+      ($"user_id" % 2 === 0).as("ca"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
+    Stats.welchTTest(e, Seq("event_type"), $"ca", $"vc")
+      .orderBy($"event_type")
+  }
+  private val q154Sql =
+    """WITH e AS (SELECT event_type, user_id % 2 = 0 AS ca,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |s AS (SELECT event_type,
+      |        CAST(SUM(CASE WHEN ca THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |        CAST(SUM(CASE WHEN ca THEN vc ELSE 0 END) AS BIGINT) AS sa,
+      |        CAST(SUM(CASE WHEN ca THEN vc * vc ELSE 0 END) AS BIGINT) AS qa,
+      |        CAST(SUM(CASE WHEN NOT ca THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |        CAST(SUM(CASE WHEN NOT ca THEN vc ELSE 0 END) AS BIGINT) AS sb,
+      |        CAST(SUM(CASE WHEN NOT ca THEN vc * vc ELSE 0 END) AS BIGINT)
+      |          AS qb
+      |      FROM e GROUP BY 1),
+      |t AS (SELECT event_type, n_a, n_b,
+      |        CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+      |        CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+      |        ((CAST(qa AS DOUBLE) - (CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+      |            / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+      |          / CAST(n_a AS DOUBLE) AS sea,
+      |        ((CAST(qb AS DOUBLE) - (CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+      |            / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
+      |          / CAST(n_b AS DOUBLE) AS seb
+      |      FROM s)
+      |SELECT event_type, n_a, n_b,
+      |  CASE WHEN n_a > 0 THEN ma END AS mean_a,
+      |  CASE WHEN n_b > 0 THEN mb END AS mean_b,
+      |  CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0
+      |    THEN (ma - mb) / sqrt(sea + seb) END AS t,
+      |  CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0
+      |    THEN ((sea + seb) * (sea + seb))
+      |         / ((sea * sea) / (CAST(n_a AS DOUBLE) - 1.0)
+      |            + (seb * seb) / (CAST(n_b AS DOUBLE) - 1.0)) END AS df
+      |FROM t ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q155
+  // Mann-Whitney U rank-sum test, doubled-rank integer form: the
+  // distribution-free companion of q154 — tied values take average
+  // ranks, kept exact by doubling; U2 = 2U is an exact long and the
+  // normal-approximation z rides a fixed tree (no tie correction).
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"event_type",
+      ($"user_id" % 2 === 0).as("ca"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
+    Stats.mannWhitneyU2(e, Seq("event_type"), $"ca", $"vc")
+      .orderBy($"event_type")
+  }
+  private val q155Sql =
+    """WITH e AS (SELECT event_type, user_id % 2 = 0 AS ca,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |r AS (SELECT event_type, ca,
+      |        2 * rank() OVER (PARTITION BY event_type ORDER BY vc)
+      |          + COUNT(*) OVER (PARTITION BY event_type, vc) - 1 AS r2
+      |      FROM e),
+      |s AS (SELECT event_type,
+      |        CAST(SUM(CASE WHEN ca THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |        CAST(SUM(CASE WHEN NOT ca THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |        CAST(SUM(CASE WHEN ca THEN r2 ELSE 0 END) AS BIGINT) AS sr2
+      |      FROM r GROUP BY 1)
+      |SELECT event_type, n_a, n_b,
+      |  CAST(sr2 - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+      |  CASE WHEN n_a > 0 AND n_b > 0
+      |    THEN (CAST(sr2 - n_a * (n_a + 1) AS DOUBLE)
+      |            - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      |         / (2.0 * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |              * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0))
+      |              / 12.0))
+      |  END AS z
+      |FROM s ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q156
+  // CUSUM change-point over daily event volumes: per type, the day
+  // maximizing |n·P_k − k·S| (the division-free integer form of the
+  // cumulative deviation from the mean) — "when did the level shift".
+  // The day axis is bounded, so its keyed windows are scale-safe.
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select($"event_type", expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("x"))
+    Stats.cusumChangePoint(daily, Seq("event_type"), $"day", $"x")
+      .orderBy($"event_type")
+  }
+  private val q156Sql =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+      |      FROM events),
+      |dc AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |c AS (SELECT event_type, day,
+      |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |          AS BIGINT) AS k,
+      |        CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          AS p,
+      |        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |        CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      |      FROM dc),
+      |sc AS (SELECT event_type, day, n, n * p - k * s AS score_signed FROM c),
+      |r AS (SELECT event_type, n AS n_steps, day AS change_step,
+      |        abs(score_signed) AS score_abs, score_signed,
+      |        row_number() OVER (PARTITION BY event_type
+      |          ORDER BY abs(score_signed) DESC, day) AS rn
+      |      FROM sc)
+      |SELECT event_type, n_steps, change_step,
+      |  CAST(score_abs AS BIGINT) AS score_abs,
+      |  CAST(score_signed AS BIGINT) AS score_signed
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q151
   // k-anonymity / l-diversity release audit: equivalence classes over
   // the linkage quasi-identifiers (nation, market segment) with account-
@@ -371,6 +490,9 @@ object StatsQueries {
     QueryDef("q148_behavior_entropy", q148, Some(q148Sql)),
     QueryDef("q149_gini", q149, Some(q149Sql)),
     QueryDef("q150_knn_label_noise", q150, Some(q150Sql)),
+    QueryDef("q154_welch_ttest", q154, Some(q154Sql)),
+    QueryDef("q155_mann_whitney", q155, Some(q155Sql)),
+    QueryDef("q156_changepoint", q156, Some(q156Sql)),
     QueryDef("q151_k_anonymity", q151, Some(q151Sql)),
     QueryDef("q152_skipgram_cooc", q152, Some(q152Sql)),
     QueryDef("q153_mad_outliers", q153, Some(q153Sql)),

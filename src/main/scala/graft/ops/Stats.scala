@@ -157,6 +157,124 @@ object Stats {
       .drop("__wsum")
   }
 
+  /** Grouped Welch's t-test (unequal-variance two-sample means): per
+    * group, compare cohort A's mean of a quantized value against cohort
+    * B's — the continuous-metric A/B readout beside [[twoProportionZ]]'s
+    * rate test. One aggregation pass yields the six exact statistics
+    * (n, Σx, Σx² per cohort); t and the Welch–Satterthwaite df are fixed
+    * double trees over them. Null when either cohort has < 2 rows or
+    * both variances are zero.
+    *
+    * @return per group: n_a, n_b, mean_a, mean_b, t, df */
+  def welchTTest(df: DataFrame, groupCols: Seq[String], cohortA: Column,
+      valQ: Column): DataFrame = {
+    val stats = df
+      .select(groupCols.map(col) :+ cohortA.as("__a")
+        :+ valQ.cast("long").as("__x"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a"), col("__x")).otherwise(0L)).as("__sa"),
+        sum(when(col("__a"), col("__x") * col("__x")).otherwise(0L)).as("__qa"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__a"), col("__x")).otherwise(0L)).as("__sb"),
+        sum(when(!col("__a"), col("__x") * col("__x")).otherwise(0L)).as("__qb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val sa = col("__sa").cast("double"); val sb = col("__sb").cast("double")
+    val qa = col("__qa").cast("double"); val qb = col("__qb").cast("double")
+    val ma = sa / na; val mb = sb / nb
+    val va = (qa - (sa * sa) / na) / (na - lit(1.0))
+    val vb = (qb - (sb * sb) / nb) / (nb - lit(1.0))
+    val sea = va / na; val seb = vb / nb
+    val se2 = sea + seb
+    stats
+      .withColumn("mean_a", when(col("n_a") > 0L, ma))
+      .withColumn("mean_b", when(col("n_b") > 0L, mb))
+      .withColumn("t",
+        when(col("n_a") > 1L && col("n_b") > 1L && se2 > 0d,
+          (ma - mb) / sqrt(se2)))
+      .withColumn("df",
+        when(col("n_a") > 1L && col("n_b") > 1L && se2 > 0d,
+          (se2 * se2) / ((sea * sea) / (na - lit(1.0))
+            + (seb * seb) / (nb - lit(1.0)))))
+      .drop("__sa", "__qa", "__sb", "__qb")
+  }
+
+  /** Grouped Mann–Whitney U (rank-sum) test, exact-integer form: the
+    * distribution-free A/B test that survives the heavy tails Welch's
+    * t assumes away. Tied values take their average rank; to keep the
+    * statistic integral, everything is DOUBLED — a row's doubled rank is
+    * 2·rank_min + ties − 1 (exact), so U2 = 2·U = ΣR2_A − n_a(n_a+1) is
+    * an exact long on every engine. The normal approximation
+    * z = (U2/2 − μ)/σ (no tie correction; documented) rides a fixed
+    * double tree. Two windows over the same group partitioning + one
+    * aggregation.
+    *
+    * @return per group: n_a, n_b, u2_a, z */
+  def mannWhitneyU2(df: DataFrame, groupCols: Seq[String], cohortA: Column,
+      valQ: Column): DataFrame = {
+    val base = df.select(groupCols.map(col) :+ cohortA.as("__a")
+      :+ valQ.cast("long").as("__x"): _*)
+    val wRank = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__x"))
+    val wTies = Window.partitionBy(groupCols.map(col) :+ col("__x"): _*)
+    val ranked = base
+      .withColumn("__r2",
+        lit(2L) * rank().over(wRank).cast("long")
+          + count(lit(1)).over(wTies) - lit(1L))
+    val stats = ranked.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__a"), col("__r2")).otherwise(0L)).as("__sr2"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val u2 = col("__sr2") - col("n_a") * (col("n_a") + lit(1L))
+    val mu = na * nb
+    val sigma = sqrt((na * nb * (na + nb + lit(1.0))) / lit(12.0))
+    stats
+      .withColumn("u2_a", u2)
+      .withColumn("z",
+        when(col("n_a") > 0L && col("n_b") > 0L && sigma > 0d,
+          (col("u2_a").cast("double") - mu) / (lit(2.0) * sigma)))
+      .drop("__sr2")
+  }
+
+  /** Grouped CUSUM change-point detection over an ordered series of
+    * counts, exact-integer form: for each group, the step k maximizing
+    * |Σ_{i≤k} xᵢ − k·mean| — scaled through by n so the score is
+    * n·P_k − k·S (exact long, no division): the classic "where did the
+    * level shift" detector for daily volumes. The series axis (days,
+    * buckets) is bounded-cardinality, so the per-group window over it is
+    * safe at any row scale; counts partial-aggregate below it.
+    *
+    * @param df pre-aggregated series: one row per (group…, step) with a
+    *           long count column
+    * @return per group: n_steps, change_step (argmax, earliest on ties),
+    *         score_abs (=|n·P_k − k·S|), score_signed */
+  def cusumChangePoint(df: DataFrame, groupCols: Seq[String], stepCol: Column,
+      cnt: Column): DataFrame = {
+    val wOrd = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__step"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val scored = df
+      .select(groupCols.map(col) :+ stepCol.as("__step")
+        :+ cnt.cast("long").as("__x"): _*)
+      .withColumn("__k", row_number().over(wOrd).cast("long"))
+      .withColumn("__p", sum(col("__x")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col("__x")).over(wAll))
+      .withColumn("score_signed",
+        col("__n") * col("__p") - col("__k") * col("__s"))
+      .withColumn("score_abs", abs(col("score_signed")))
+    val wPick = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("score_abs").desc, col("__step"))
+    scored.withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(groupCols.map(col) :+ col("__n").as("n_steps")
+        :+ col("__step").as("change_step") :+ col("score_abs")
+        :+ col("score_signed"): _*)
+  }
+
   /** Per-group Benford first-digit audit: for each group, the observed
     * count of each leading digit 1–9 of `amount` against the Benford
     * expectation n·log₁₀(1+1/d) — the classic fabricated-numbers signal

@@ -122,6 +122,57 @@ class StatsSpec extends SparkSpec {
     assert(got(1).getString(0) == "skew" && got(1).getDouble(2) == 0.75)
   }
 
+  test("welchTTest: hand-computed equal-variance case; degenerate null") {
+    // A = (1,2,3), B = (4,5,6): ma=2 mb=5, va=vb=1, se2=2/3
+    // t = -3/sqrt(2/3); df = (2/3)²/(2·(1/3)²/2) = (4/9)/(1/9) = 4
+    val rows = Seq(("g", true, 1L), ("g", true, 2L), ("g", true, 3L),
+      ("g", false, 4L), ("g", false, 5L), ("g", false, 6L),
+      // h: constant values both cohorts → zero variance → null t
+      ("h", true, 7L), ("h", true, 7L), ("h", false, 7L), ("h", false, 7L))
+      .toDF("g", "ca", "v")
+    val got = Stats.welchTTest(rows, Seq("g"), col("ca"), col("v"))
+      .orderBy("g").collect()
+    assert(got(0).getLong(1) == 3L && got(0).getLong(2) == 3L)
+    assert(got(0).getDouble(3) == 2.0 && got(0).getDouble(4) == 5.0)
+    assert(math.abs(got(0).getDouble(5) - (-3.0 / math.sqrt(2.0 / 3.0))) < 1e-12)
+    assert(math.abs(got(0).getDouble(6) - 4.0) < 1e-9)
+    assert(got(1).isNullAt(5) && got(1).isNullAt(6))
+  }
+
+  test("mannWhitneyU2: clean separation and ties, doubled-rank exact") {
+    // A = (1,2), B = (3,4): ranks 1,2,3,4 → r2 = 2r (no ties)
+    // ΣR2_A = 2+4 = 6; U2 = 6 − 2·3 = 0 (A fully below B)
+    val clean = Seq(("g", true, 1L), ("g", true, 2L),
+      ("g", false, 3L), ("g", false, 4L)).toDF("g", "ca", "v")
+    val g1 = Stats.mannWhitneyU2(clean, Seq("g"), col("ca"), col("v")).collect()(0)
+    assert(g1.getLong(1) == 2L && g1.getLong(2) == 2L && g1.getLong(3) == 0L)
+    // z = (0/… ) → (U2 − n1n2)/(2σ) = (0−4)/(2·sqrt(4·5/12))
+    assert(math.abs(g1.getDouble(4) -
+      (-4.0 / (2.0 * math.sqrt(20.0 / 12.0)))) < 1e-12)
+
+    // ties: A = (5), B = (5): both avg rank 1.5 → r2 = 3 each
+    // ΣR2_A = 3, U2 = 3 − 1·2 = 1 (= 2·0.5, the tied half-win)
+    val tied = Seq(("t", true, 5L), ("t", false, 5L)).toDF("g", "ca", "v")
+    val g2 = Stats.mannWhitneyU2(tied, Seq("g"), col("ca"), col("v")).collect()(0)
+    assert(g2.getLong(3) == 1L)
+  }
+
+  test("cusumChangePoint: planted level shift found at the shift") {
+    // group g: steps 1..6 with counts 10,10,10,30,30,30 — the max
+    // |n·P_k − k·S| lands at k=3 (step 3): 6·30 − 3·120 = −180
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 10L), ("g", 3L, 10L),
+      ("g", 4L, 30L), ("g", 5L, 30L), ("g", 6L, 30L),
+      // flat series: all scores 0 → earliest step wins
+      ("flat", 1L, 5L), ("flat", 2L, 5L)).toDF("g", "step", "x")
+    val got = Stats.cusumChangePoint(df, Seq("g"), col("step"), col("x"))
+      .orderBy("g").collect()
+    assert(got(0).getString(0) == "flat" && got(0).getLong(2) == 1L
+      && got(0).getLong(3) == 0L)
+    assert(got(1).getString(0) == "g" && got(1).getLong(1) == 6L)
+    assert(got(1).getLong(2) == 3L && got(1).getLong(3) == 180L
+      && got(1).getLong(4) == -180L)
+  }
+
   test("kAnonymity: class sizes, diversity, risk flags") {
     val df = Seq(
       // class (1,"A"): 3 rows, 2 distinct sensitive → at_risk (k=4), diverse (l=2)
