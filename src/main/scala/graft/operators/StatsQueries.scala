@@ -403,6 +403,53 @@ object StatsQueries {
       |  CAST(score_signed AS BIGINT) AS score_signed
       |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q157
+  // Embedding-dimension separability (one-way ANOVA F per dim): which of
+  // the 64 dimensions carry the label signal — the feature-selection
+  // audit before training a linear probe. Quantized components (q72's
+  // 1e-3 grain) keep every sufficient statistic exact; output is a
+  // |dims|-row control-plane frame regardless of corpus size.
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"label", $"dim",
+        floor($"x".cast("double") * 1000 + 0.5).cast("long").as("qv"))
+    Stats.oneWayAnova(q, Seq("dim"), "label", $"qv")
+      .orderBy($"dim")
+  }
+  private val q157Sql =
+    """WITH q AS (SELECT label, CAST(u.i - 1 AS INT) AS dim,
+      |        CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000 + 0.5)
+      |          AS BIGINT) AS qv
+      |      FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1))
+      |        AS u(i)),
+      |l AS (SELECT dim, label, CAST(COUNT(*) AS BIGINT) AS nl,
+      |        CAST(SUM(qv) AS BIGINT) AS sl,
+      |        CAST(SUM(qv * qv) AS BIGINT) AS ql
+      |      FROM q GROUP BY 1, 2),
+      |t AS (SELECT dim, nl, sl, ql,
+      |        CAST(floor(((CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE))
+      |          / CAST(nl AS DOUBLE)) * 1e3) AS BIGINT) AS t3
+      |      FROM l),
+      |d AS (SELECT dim, CAST(SUM(nl) AS BIGINT) AS n,
+      |        CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |        CAST(SUM(sl) AS BIGINT) AS s, CAST(SUM(ql) AS BIGINT) AS qq,
+      |        CAST(SUM(t3) AS BIGINT) AS st3
+      |      FROM t GROUP BY 1),
+      |f AS (SELECT dim, n, n_classes,
+      |        st3 - CAST(floor(((CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      |          / CAST(n AS DOUBLE)) * 1e3) AS BIGINT) AS ssb_x3,
+      |        qq * 1000 - st3 AS ssw_x3
+      |      FROM d)
+      |SELECT dim, n, n_classes, ssb_x3, ssw_x3,
+      |  CASE WHEN ssw_x3 > 0 AND n_classes > 1 AND n > n_classes
+      |    THEN (CAST(ssb_x3 AS DOUBLE) / (CAST(n_classes AS DOUBLE) - 1.0))
+      |         / (CAST(ssw_x3 AS DOUBLE)
+      |            / (CAST(n AS DOUBLE) - CAST(n_classes AS DOUBLE)))
+      |  END AS f
+      |FROM f ORDER BY dim""".stripMargin
+
   // ---------------------------------------------------------------- q151
   // k-anonymity / l-diversity release audit: equivalence classes over
   // the linkage quasi-identifiers (nation, market segment) with account-
@@ -493,6 +540,7 @@ object StatsQueries {
     QueryDef("q154_welch_ttest", q154, Some(q154Sql)),
     QueryDef("q155_mann_whitney", q155, Some(q155Sql)),
     QueryDef("q156_changepoint", q156, Some(q156Sql)),
+    QueryDef("q157_anova_dims", q157, Some(q157Sql)),
     QueryDef("q151_k_anonymity", q151, Some(q151Sql)),
     QueryDef("q152_skipgram_cooc", q152, Some(q152Sql)),
     QueryDef("q153_mad_outliers", q153, Some(q153Sql)),

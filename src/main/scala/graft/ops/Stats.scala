@@ -238,6 +238,50 @@ object Stats {
       .drop("__sr2")
   }
 
+  /** Grouped one-way ANOVA (Fisher F) per unit: for every unit (an
+    * embedding dimension, a feature column, a metric), how well does the
+    * class label separate the value? F = (SSB/(L−1)) / (SSW/(N−L)) —
+    * the per-dimension separability audit that ranks which features
+    * carry the label signal before training a probe/classifier.
+    *
+    * Exactness: values arrive quantized; per-(unit, class) n/Σx/Σx² are
+    * exact longs. The class-level term s²/n is irrational, so it is
+    * quantized floor(·10³) per class and summed as longs — the class sum
+    * is order-independent — making SSB_x3/SSW_x3 exact integers and F
+    * one fixed double tree over them. Two aggregations: value-level →
+    * (unit, class), then class-level → unit; both partial-aggregate.
+    *
+    * @return per unit: n, n_classes, ssb_x3, ssw_x3, f (null when
+    *         degenerate: one class, zero within-variance, or n ≤ L) */
+  def oneWayAnova(df: DataFrame, unitCols: Seq[String], classCol: String,
+      valQ: Column): DataFrame = {
+    val perClass = df
+      .select(unitCols.map(col) :+ col(classCol).as("__c")
+        :+ valQ.cast("long").as("__x"): _*)
+      .groupBy(unitCols.map(col) :+ col("__c"): _*)
+      .agg(count(lit(1)).as("__nl"), sum(col("__x")).as("__sl"),
+        sum(col("__x") * col("__x")).as("__ql"))
+      .withColumn("__t3", floor(((col("__sl").cast("double")
+        * col("__sl").cast("double")) / col("__nl").cast("double")) * 1e3)
+        .cast("long"))
+    val perUnit = perClass.groupBy(unitCols.map(col): _*)
+      .agg(sum(col("__nl")).as("n"), count(lit(1)).as("n_classes"),
+        sum(col("__sl")).as("__s"), sum(col("__ql")).as("__q"),
+        sum(col("__t3")).as("__st3"))
+      .withColumn("ssb_x3", col("__st3")
+        - floor(((col("__s").cast("double") * col("__s").cast("double"))
+          / col("n").cast("double")) * 1e3).cast("long"))
+      .withColumn("ssw_x3", col("__q") * lit(1000L) - col("__st3"))
+    val nD = col("n").cast("double"); val lD = col("n_classes").cast("double")
+    perUnit
+      .withColumn("f",
+        when(col("ssw_x3") > 0L && col("n_classes") > 1L
+            && col("n") > col("n_classes"),
+          (col("ssb_x3").cast("double") / (lD - lit(1.0)))
+            / (col("ssw_x3").cast("double") / (nD - lD))))
+      .drop("__s", "__q", "__st3")
+  }
+
   /** Grouped CUSUM change-point detection over an ordered series of
     * counts, exact-integer form: for each group, the step k maximizing
     * |Σ_{i≤k} xᵢ − k·mean| — scaled through by n so the score is

@@ -173,6 +173,27 @@ class StatsSpec extends SparkSpec {
       && got(1).getLong(4) == -180L)
   }
 
+  test("oneWayAnova: separated classes high F; identical classes F=0; degenerate null") {
+    val rows = Seq(
+      // unit u1: class A = (10,20), class B = (110,120) → clear separation
+      ("u1", "A", 10L), ("u1", "A", 20L), ("u1", "B", 110L), ("u1", "B", 120L),
+      // unit u2: identical class means → SSB 0 → F 0
+      ("u2", "A", 5L), ("u2", "A", 15L), ("u2", "B", 5L), ("u2", "B", 15L),
+      // unit u3: one class only → null
+      ("u3", "A", 1L), ("u3", "A", 2L))
+      .toDF("unit", "cls", "v")
+    val got = Stats.oneWayAnova(rows, Seq("unit"), "cls", col("v"))
+      .orderBy("unit").collect()
+    // u1 by hand: sl²/n: A 900/2=450, B 52900/2=26450 → st3 = 26900000
+    //   S=260, N=4 → grand 16900000; SSB_x3 = 10000000
+    //   Q = 10+400+12100+14400... q: 100+400+12100+14400 = 27000; SSW_x3 =
+    //   27000000 − 26900000 = 100000; F = (1e7/1)/(1e5/2) = 200
+    assert(got(0).getLong(3) == 10000000L && got(0).getLong(4) == 100000L)
+    assert(got(0).getDouble(5) == 200.0)
+    assert(got(1).getLong(3) == 0L && got(1).getDouble(5) == 0.0)
+    assert(got(2).isNullAt(5))
+  }
+
   test("kAnonymity: class sizes, diversity, risk flags") {
     val df = Seq(
       // class (1,"A"): 3 rows, 2 distinct sensitive → at_risk (k=4), diverse (l=2)
