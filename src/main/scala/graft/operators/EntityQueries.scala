@@ -393,6 +393,52 @@ object EntityQueries {
       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
       |FROM n GROUP BY node ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------- q158
+  // k-core of the strong co-purchase graph (q138's edge set): the dense
+  // "community core" after 8 bounded peel rounds — semantics ARE the
+  // bounded-round peel, mirrored exactly by the unrolled oracle rounds
+  // (MATERIALIZED CTEs: each round reads its predecessor three times, so
+  // un-materialized inlining would re-derive e0 3^rounds times — the SQL
+  // analogue of the per-round localCheckpoint).
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+      .filter(size($"ps") >= 2)
+    val strong = sets.select($"ps", explode($"ps").as("src"))
+      .select($"src", explode($"ps").as("dst"))
+      .filter($"src" < $"dst")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"src", $"dst")
+    Graph.kCore(strong, k = 3, rounds = 8).orderBy($"node")
+  }
+  private val q158Sql = {
+    val rounds = 8
+    val sb = new StringBuilder(
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+        |      FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin)
+    for (i <- 1 to rounds) {
+      val p = s"e${i - 1}"
+      sb.append(s""",
+        |d$i AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM
+        |  (SELECT u AS n FROM $p UNION ALL SELECT v AS n FROM $p) GROUP BY 1),
+        |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE d >= 3),
+        |e$i AS MATERIALIZED (SELECT $p.u, $p.v FROM $p
+        |  JOIN k$i a ON $p.u = a.n JOIN k$i b ON $p.v = b.n)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+      |  (SELECT u AS node FROM e$rounds
+      |   UNION ALL SELECT v AS node FROM e$rounds)
+      |GROUP BY node ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   // ---------------------------------------------------------------- q141
   // Per-priority revenue trend: OLS slope/intercept of order value (cents)
   // over time (days, centered mid-range so the exact-integer sufficient
@@ -492,6 +538,7 @@ object EntityQueries {
     QueryDef("q133_jaro_winkler", q133, Some(q133Sql)),
     QueryDef("q136_kaplan_meier", q136, Some(q136Sql)),
     QueryDef("q138_triangles", q138, Some(q138Sql)),
+    QueryDef("q158_kcore", q158, Some(q158Sql)),
     QueryDef("q141_trend_fit", q141, Some(q141Sql)),
     QueryDef("q142_corr_matrix", q142, Some(q142Sql)),
   )

@@ -54,4 +54,22 @@ class GraphSpec extends SparkSpec {
     // triangle-free nodes are absent, not zero
     assert(!got.contains(5L) && !got.contains(6L))
   }
+
+  test("kCore: pendant chain cascades off; clique survives; bounded rounds") {
+    // K4 {1,2,3,4} + chain 4-5-6: the 3-core is exactly the clique, but
+    // the cascade takes two rounds (6 peels first, then 5)
+    val k4 = for (i <- 1L to 4L; j <- (i + 1L) to 4L) yield (i, j)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 3, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $core")
+
+    // bounded-round semantics: path 1-2-3-4-5 at k=2 peels one endpoint
+    // pair per round — after ONE round the middle survives with its
+    // recomputed degrees; full convergence empties it
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val r1 = Graph.kCore(path, k = 2, rounds = 1).as[(Long, Long)].collect().toMap
+    assert(r1 == Map(2L -> 1L, 3L -> 2L, 4L -> 1L), s"got $r1")
+    assert(Graph.kCore(path, k = 2, rounds = 3).count() == 0L)
+  }
 }
