@@ -528,6 +528,129 @@ object StatsQueries {
       |WHERE dev * 10000 > 44478 * mad
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q159
+  // Cohort LTV curves: customers grouped by first-order month; cumulative
+  // revenue per cohort by months-since-first — the retention-revenue
+  // readout (q95 counts activity; this accumulates value). Month indices
+  // are exact integers (year·12+month); the cumulative pass is a keyed
+  // window over the bounded age axis; LTV-per-customer is one division.
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_custkey",
+      (year(to_date($"o_orderdate")) * 12 + month(to_date($"o_orderdate")))
+        .cast("long").as("m"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val first = o.groupBy($"o_custkey").agg(min($"m").as("m0"))
+    val sized = first.groupBy($"m0".as("cohort"))
+      .agg(countDistinct($"o_custkey").as("n_customers"))
+    val byAge = o.join(first, "o_custkey")
+      .groupBy($"m0".as("cohort"), ($"m" - $"m0").as("age"))
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("rev"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"cohort")
+      .orderBy($"age")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byAge.withColumn("cum_rev", sum($"rev").over(w))
+      .join(broadcast(sized), "cohort")
+      .withColumn("ltv",
+        $"cum_rev".cast("double") / $"n_customers".cast("double"))
+      .select($"cohort", $"age", $"n_orders", $"cum_rev", $"n_customers", $"ltv")
+      .orderBy($"cohort", $"age")
+  }
+  private val q159Sql =
+    """WITH o AS (SELECT o_custkey,
+      |        CAST(year(CAST(o_orderdate AS DATE)) * 12
+      |          + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+      |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |      FROM orders),
+      |f AS (SELECT o_custkey, CAST(MIN(m) AS BIGINT) AS m0 FROM o GROUP BY 1),
+      |sz AS (SELECT m0 AS cohort, CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+      |        AS n_customers FROM f GROUP BY 1),
+      |ba AS (SELECT f.m0 AS cohort, o.m - f.m0 AS age,
+      |        CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |        CAST(SUM(cents) AS BIGINT) AS rev
+      |      FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+      |c AS (SELECT cohort, age, n_orders,
+      |        CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          AS cum_rev
+      |      FROM ba)
+      |SELECT cohort, age, n_orders, cum_rev, n_customers,
+      |  CAST(cum_rev AS DOUBLE) / CAST(n_customers AS DOUBLE) AS ltv
+      |FROM c JOIN sz USING (cohort) ORDER BY cohort, age""".stripMargin
+
+  // ---------------------------------------------------------------- q160
+  // Order-total reconciliation audit: per priority, does o_totalprice
+  // match the cents-quantized sum of its lines' extendedprice·(1−disc)·
+  // (1+tax)? Per-line quantization BEFORE the sum keeps the aggregate
+  // exact and order-independent; orders without lines surface as "off".
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lc = Tables.lineitem(s, d).select($"l_orderkey",
+      expr("""CAST(floor((l_extendedprice * (1.0 - l_discount))
+              * (1.0 + l_tax) * 100 + 0.5) AS BIGINT)""").as("lc"))
+      .groupBy($"l_orderkey").agg(sum($"lc").as("recon"))
+    val o = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority",
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("oc"))
+    o.join(lc, $"o_orderkey" === $"l_orderkey", "left")
+      .withColumn("diff", coalesce($"recon", lit(0L)) - $"oc")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when($"diff" === 0L, 1L).otherwise(0L)).as("n_exact"),
+        sum(when($"diff" =!= 0L && abs($"diff") <= 100L, 1L).otherwise(0L))
+          .as("n_near"),
+        sum(when(abs($"diff") > 100L, 1L).otherwise(0L)).as("n_off"),
+        max(abs($"diff")).as("max_abs_diff"))
+      .orderBy($"o_orderpriority")
+  }
+  private val q160Sql =
+    """WITH lc AS (SELECT l_orderkey,
+      |        CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))
+      |          * (1.0 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS recon
+      |      FROM lineitem GROUP BY 1),
+      |j AS (SELECT o_orderpriority,
+      |        COALESCE(recon, 0) - CAST(floor(o_totalprice * 100 + 0.5)
+      |          AS BIGINT) AS diff
+      |      FROM orders LEFT JOIN lc ON o_orderkey = l_orderkey)
+      |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      |  CAST(SUM(CASE WHEN diff <> 0 AND abs(diff) <= 100 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_near,
+      |  CAST(SUM(CASE WHEN abs(diff) > 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_off,
+      |  CAST(MAX(abs(diff)) AS BIGINT) AS max_abs_diff
+      |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q161
+  // Weekday seasonality index per event type: observed share of each
+  // epoch-weekday vs the uniform 1/7 — index 1e6 = flat. The weekday
+  // comes from INTEGER epoch-day arithmetic (day mod 7), never a
+  // calendar function, so engines cannot disagree on week-start
+  // conventions.
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"event_type",
+      expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
+    val c = e.groupBy($"event_type", $"dow").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+    c.withColumn("n_type", sum($"n").over(w))
+      .withColumn("index_x6",
+        floor((($"n".cast("double") * lit(7.0))
+          / $"n_type".cast("double")) * 1e6).cast("long"))
+      .orderBy($"event_type", $"dow")
+  }
+  private val q161Sql =
+    """WITH e AS (SELECT event_type,
+      |        (epoch_us(ts) // 86400000000) % 7 AS dow FROM events),
+      |c AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM e GROUP BY 1, 2),
+      |t AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+      |        AS n_type FROM c)
+      |SELECT event_type, dow, n, n_type,
+      |  CAST(floor(((CAST(n AS DOUBLE) * 7.0) / CAST(n_type AS DOUBLE)) * 1e6)
+      |    AS BIGINT) AS index_x6
+      |FROM t ORDER BY event_type, dow""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q143_chisq_terms", q143, Some(q143Sql)),
     QueryDef("q144_ab_ztest", q144, Some(q144Sql)),
@@ -541,6 +664,9 @@ object StatsQueries {
     QueryDef("q155_mann_whitney", q155, Some(q155Sql)),
     QueryDef("q156_changepoint", q156, Some(q156Sql)),
     QueryDef("q157_anova_dims", q157, Some(q157Sql)),
+    QueryDef("q159_ltv_curves", q159, Some(q159Sql)),
+    QueryDef("q160_order_recon", q160, Some(q160Sql)),
+    QueryDef("q161_seasonality", q161, Some(q161Sql)),
     QueryDef("q151_k_anonymity", q151, Some(q151Sql)),
     QueryDef("q152_skipgram_cooc", q152, Some(q152Sql)),
     QueryDef("q153_mad_outliers", q153, Some(q153Sql)),
