@@ -651,6 +651,75 @@ object StatsQueries {
       |    AS BIGINT) AS index_x6
       |FROM t ORDER BY event_type, dow""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+  // Functional-dependency audit across four candidate contracts: the
+  // schema-inference pass that tells a pipeline which "obvious" keys
+  // actually determine which attributes (order→customer holds by
+  // construction; nation→segment emphatically does not).
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Stats.fdAudit(Tables.nation(s, d), "nation_to_region",
+        Seq("n_nationkey"), "n_regionkey")
+      .unionByName(Stats.fdAudit(Tables.orders(s, d), "order_to_cust",
+        Seq("o_orderkey"), "o_custkey"))
+      .unionByName(Stats.fdAudit(Tables.customer(s, d), "nation_to_segment",
+        Seq("c_nationkey"), "c_mktsegment"))
+      .unionByName(Stats.fdAudit(Tables.lineitem(s, d), "order_to_returnflag",
+        Seq("l_orderkey"), "l_returnflag"))
+      .orderBy($"fd")
+  }
+  private val q162Sql = {
+    def one(name: String, a: String, b: String, t: String) =
+      s"""SELECT '$name' AS fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating_keys,
+         |  CAST(MAX(nb) AS BIGINT) AS max_rhs_per_key,
+         |  SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (SELECT $a, CAST(COUNT(DISTINCT $b) AS BIGINT) AS nb
+         |      FROM $t GROUP BY 1)""".stripMargin
+    Seq(
+      one("nation_to_region", "n_nationkey", "n_regionkey", "nation"),
+      one("order_to_cust", "o_orderkey", "o_custkey", "orders"),
+      one("nation_to_segment", "c_nationkey", "c_mktsegment", "customer"),
+      one("order_to_returnflag", "l_orderkey", "l_returnflag", "lineitem"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
+  // ---------------------------------------------------------------- q163
+  // Winsorized event values per type: clip at exact discrete p05/p95
+  // (ceiling-rank picks, no interpolation) and report bounds, clipped
+  // tail counts, and the winsorized mean — robust metric preprocessing
+  // with an integer-exact decision everywhere but the final division.
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"event_type", $"event_id",
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
+    Stats.winsorize(e, Seq("event_type"), $"vc", $"event_id")
+      .orderBy($"event_type")
+  }
+  private val q163Sql =
+    """WITH e AS (SELECT event_type, event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |r AS (SELECT event_type, vc,
+      |        CAST(row_number() OVER (PARTITION BY event_type
+      |          ORDER BY vc, event_id) AS BIGINT) AS rn,
+      |        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |      FROM e),
+      |b AS (SELECT event_type,
+      |        MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN vc END) AS p_lo,
+      |        MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN vc END) AS p_hi
+      |      FROM r GROUP BY 1)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MAX(p_lo) AS BIGINT) AS p_lo, CAST(MAX(p_hi) AS BIGINT) AS p_hi,
+      |  CAST(SUM(CASE WHEN vc < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_low,
+      |  CAST(SUM(CASE WHEN vc > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_high,
+      |  CAST(SUM(greatest(least(vc, p_hi), p_lo)) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS wmean
+      |FROM e JOIN b USING (event_type) GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q143_chisq_terms", q143, Some(q143Sql)),
     QueryDef("q144_ab_ztest", q144, Some(q144Sql)),
@@ -667,6 +736,8 @@ object StatsQueries {
     QueryDef("q159_ltv_curves", q159, Some(q159Sql)),
     QueryDef("q160_order_recon", q160, Some(q160Sql)),
     QueryDef("q161_seasonality", q161, Some(q161Sql)),
+    QueryDef("q162_fd_audit", q162, Some(q162Sql)),
+    QueryDef("q163_winsorize", q163, Some(q163Sql)),
     QueryDef("q151_k_anonymity", q151, Some(q151Sql)),
     QueryDef("q152_skipgram_cooc", q152, Some(q152Sql)),
     QueryDef("q153_mad_outliers", q153, Some(q153Sql)),

@@ -238,6 +238,71 @@ object Stats {
       .drop("__sr2")
   }
 
+  /** Functional-dependency audit for one candidate FD A → B: does every
+    * value of the determinant map to exactly one dependent value? The
+    * schema-inference / data-contract check (is order→customer really
+    * 1:1? does nation determine region?). One distinct-pair pass then a
+    * key-level aggregate — both partial-aggregating, nothing row-level
+    * retained.
+    *
+    * @return one row: fd (label), n_keys, n_violating_keys (determinant
+    *         values with ≥2 dependents), max_rhs_per_key, holds */
+  def fdAudit(df: DataFrame, fdName: String, lhs: Seq[String], rhs: String)
+      : DataFrame = {
+    val perKey = df.select(lhs.map(col) :+ col(rhs).as("__b"): _*)
+      .distinct()
+      .groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("__nb"))
+    perKey.agg(count(lit(1)).as("n_keys"),
+        sum(when(col("__nb") > 1L, 1L).otherwise(0L)).as("n_violating_keys"),
+        max(col("__nb")).as("max_rhs_per_key"))
+      .withColumn("fd", lit(fdName))
+      .withColumn("holds", col("n_violating_keys") === 0L)
+      .select(col("fd"), col("n_keys"), col("n_violating_keys"),
+        col("max_rhs_per_key"), col("holds"))
+  }
+
+  /** Per-group winsorization at exact discrete percentiles: values are
+    * clipped to [p_lo, p_hi] where the bounds are the values at CEILING
+    * ranks (n·q + 99) div 100 under a total (value, tie-break) order —
+    * integer-exact, interpolation-free, engine-identical. Reports the
+    * clip bounds, how many rows each tail clipped, and the winsorized
+    * mean — the standard heavy-tail-robust preprocessing for metrics
+    * feeding averages.
+    *
+    * One keyed window sort resolves BOTH bounds (conditional aggregation
+    * over the ranked frame), then the bounds broadcast back — two
+    * exchanges total on the same key.
+    *
+    * @param loPct/hiPct integer percents, 0 < lo < hi ≤ 100
+    * @return per group: n, p_lo, p_hi, n_clip_low, n_clip_high, wmean */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valQ: Column,
+      ordCol: Column, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(0 < loPct && loPct < hiPct && hiPct <= 100, "bad percentile bounds")
+    val wOrd = Window.partitionBy(groupCols.map(col): _*).orderBy(valQ, ordCol)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = df
+      .withColumn("__x", valQ.cast("long"))
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val bounds = ranked.groupBy(groupCols.map(col): _*)
+      .agg(
+        max(when(col("__rn") ===
+          expr(s"(__n * $loPct + 99) div 100"), col("__x"))).as("p_lo"),
+        max(when(col("__rn") ===
+          expr(s"(__n * $hiPct + 99) div 100"), col("__x"))).as("p_hi"))
+    df.withColumn("__x", valQ.cast("long"))
+      .join(broadcast(bounds), groupCols)
+      .withColumn("__w", greatest(least(col("__x"), col("p_hi")), col("p_lo")))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        max(col("p_lo")).as("p_lo"), max(col("p_hi")).as("p_hi"),
+        sum(when(col("__x") < col("p_lo"), 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("__x") > col("p_hi"), 1L).otherwise(0L)).as("n_clip_high"),
+        (sum(col("__w")).cast("double") / count(lit(1)).cast("double"))
+          .as("wmean"))
+  }
+
   /** Grouped one-way ANOVA (Fisher F) per unit: for every unit (an
     * embedding dimension, a feature column, a metric), how well does the
     * class label separate the value? F = (SSB/(L−1)) / (SSW/(N−L)) —

@@ -194,6 +194,31 @@ class StatsSpec extends SparkSpec {
     assert(got(2).isNullAt(5))
   }
 
+  test("fdAudit: holding and violated dependencies") {
+    val df = Seq((1, "x", "p"), (1, "x", "q"), (2, "y", "p"), (3, "y", "p"))
+      .toDF("a", "b", "c")
+    // a → b holds (each a maps to one b)
+    val holds = Stats.fdAudit(df, "a_to_b", Seq("a"), "b").collect()(0)
+    assert(holds.getLong(1) == 3L && holds.getLong(2) == 0L
+      && holds.getLong(3) == 1L && holds.getBoolean(4))
+    // a → c violated by a=1 (maps to p and q)
+    val viol = Stats.fdAudit(df, "a_to_c", Seq("a"), "c").collect()(0)
+    assert(viol.getLong(1) == 3L && viol.getLong(2) == 1L
+      && viol.getLong(3) == 2L && !viol.getBoolean(4))
+  }
+
+  test("winsorize: ceiling-rank bounds, tail counts, exact winsorized mean") {
+    // values 1..20: lo rank = (20·5+99)//100 = 1 → p_lo = 1;
+    // hi rank = (20·95+99)//100 = 19 → p_hi = 19; only 20 clips high;
+    // wmean = (Σ1..19 + 19)/20 = 209/20 = 10.45
+    val df = (1L to 20L).map(i => ("g", i, i)).toDF("g", "id", "v")
+    val got = Stats.winsorize(df, Seq("g"), col("v"), col("id")).collect()(0)
+    assert(got.getLong(1) == 20L && got.getLong(2) == 1L
+      && got.getLong(3) == 19L)
+    assert(got.getLong(4) == 0L && got.getLong(5) == 1L)
+    assert(got.getDouble(6) == 10.45)
+  }
+
   test("kAnonymity: class sizes, diversity, risk flags") {
     val df = Seq(
       // class (1,"A"): 3 rows, 2 distinct sensitive → at_risk (k=4), diverse (l=2)
