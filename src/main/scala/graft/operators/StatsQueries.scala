@@ -12,7 +12,7 @@ import graft.ops.{Privacy, Stats}
   * runs in double over exact-integer sufficient statistics with the
   * identical operation tree replicated in the DuckDB oracle. */
 object StatsQueries {
-  import LlmQueries.toksSql
+  import LlmQueries.{normSql, toksSql}
 
   // ---------------------------------------------------------------- q143
   // Characteristic vocabulary per language by 2×2 chi-square on doc-level
@@ -720,6 +720,107 @@ object StatsQueries {
       |FROM e JOIN b USING (event_type) GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q164
+  // Tokenizer fertility per language: chars-per-token and tokens-per-doc
+  // from exact corpus sums — the per-language cost model (zh text runs
+  // far fewer chars per whitespace token than en) that sizes token
+  // budgets before a mix is planned. Pure projection + one aggregation.
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.documents(s, d).select($"lang",
+      length(graft.ops.Dedup.normalized(coalesce($"text", lit(""))))
+        .cast("long").as("chars"),
+      size(split(graft.ops.Dedup.normalized(coalesce($"text", lit(""))), " "))
+        .cast("long").as("toks"))
+    t.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"),
+        sum($"chars").as("n_chars"))
+      .withColumn("chars_per_token",
+        $"n_chars".cast("double") / $"n_tokens".cast("double"))
+      .withColumn("tokens_per_doc",
+        $"n_tokens".cast("double") / $"n_docs".cast("double"))
+      .orderBy($"lang")
+  }
+  private val q164Sql =
+    s"""WITH t AS (SELECT lang, CAST(length($normSql) AS BIGINT) AS chars,
+       |        CAST(len($toksSql) AS BIGINT) AS toks FROM documents),
+       |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |        CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |        CAST(SUM(chars) AS BIGINT) AS n_chars
+       |      FROM t GROUP BY 1)
+       |SELECT lang, n_docs, n_tokens, n_chars,
+       |  CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token,
+       |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS tokens_per_doc
+       |FROM g ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q165
+  // Per-source document-length quantiles (exact discrete P10/P50/P90):
+  // the corpus-report length profile — one keyed sort resolves all three
+  // ceiling-rank picks via conditional aggregation.
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Stats.discreteQuantiles(Tables.documents(s, d), Seq("source"),
+        $"n_chars", $"doc_id", Seq(10, 50, 90))
+      .orderBy($"source")
+  }
+  private val q165Sql =
+    """WITH r AS (SELECT source, n_chars,
+      |        CAST(row_number() OVER (PARTITION BY source
+      |          ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+      |        CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |      FROM documents)
+      |SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(MAX(CASE WHEN rn = (n * 10 + 99) // 100 THEN n_chars END)
+      |    AS BIGINT) AS p10,
+      |  CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END)
+      |    AS BIGINT) AS p50,
+      |  CAST(MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END)
+      |    AS BIGINT) AS p90
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q166
+  // Vocabulary growth curve (Heaps' law): cumulative distinct terms vs
+  // cumulative tokens over 20 ingestion buckets in doc_id order — the
+  // diminishing-returns readout for corpus expansion. A term counts as
+  // new in the bucket of its FIRST document (min-aggregate, map-side);
+  // the cumulative pass is a window over the 20-row bucket axis.
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val width = docs.agg(expr("(max(doc_id) div 20) + 1").as("w"))
+    val tok = docs.crossJoin(broadcast(width))
+      .select(expr("doc_id div w").as("bucket"),
+        explode(split(graft.ops.Dedup.normalized(coalesce($"text", lit(""))),
+          " ")).as("term"))
+    val firstB = tok.groupBy($"term").agg(min($"bucket").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("new_terms"))
+    val tokens = tok.groupBy($"bucket").agg(count(lit(1)).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tokens.join(firstB, Seq("bucket"), "left")
+      .withColumn("new_terms", coalesce($"new_terms", lit(0L)))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("cum_terms", sum($"new_terms").over(w))
+      .orderBy($"bucket")
+  }
+  private val q166Sql =
+    s"""WITH wd AS (SELECT (MAX(doc_id) // 20) + 1 AS w FROM documents),
+       |tok AS (SELECT doc_id // w AS bucket, unnest($toksSql) AS term
+       |      FROM documents CROSS JOIN wd),
+       |fb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_terms FROM
+       |  (SELECT term, MIN(bucket) AS bucket FROM tok GROUP BY 1) GROUP BY 1),
+       |tk AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |      FROM tok GROUP BY 1)
+       |SELECT bucket, n_tokens, COALESCE(new_terms, 0) AS new_terms,
+       |  CAST(SUM(n_tokens) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_tokens,
+       |  CAST(SUM(COALESCE(new_terms, 0)) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_terms
+       |FROM tk LEFT JOIN fb USING (bucket) ORDER BY bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q143_chisq_terms", q143, Some(q143Sql)),
     QueryDef("q144_ab_ztest", q144, Some(q144Sql)),
@@ -738,6 +839,9 @@ object StatsQueries {
     QueryDef("q161_seasonality", q161, Some(q161Sql)),
     QueryDef("q162_fd_audit", q162, Some(q162Sql)),
     QueryDef("q163_winsorize", q163, Some(q163Sql)),
+    QueryDef("q164_fertility", q164, Some(q164Sql)),
+    QueryDef("q165_length_quantiles", q165, Some(q165Sql)),
+    QueryDef("q166_heaps_curve", q166, Some(q166Sql)),
     QueryDef("q151_k_anonymity", q151, Some(q151Sql)),
     QueryDef("q152_skipgram_cooc", q152, Some(q152Sql)),
     QueryDef("q153_mad_outliers", q153, Some(q153Sql)),

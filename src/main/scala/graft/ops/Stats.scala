@@ -303,6 +303,31 @@ object Stats {
           .as("wmean"))
   }
 
+  /** Per-group exact discrete quantiles: for each requested integer
+    * percent, the value at CEILING rank (n·pct + 99) div 100 under a
+    * total (value, tie-break) order — interpolation-free, integer-exact,
+    * engine-identical (the same rank rule as [[winsorize]]). ONE keyed
+    * window sort resolves every requested quantile via conditional
+    * aggregation — adding percentiles costs nothing extra.
+    *
+    * @return per group: n, then one `p<pct>` column per requested pct */
+  def discreteQuantiles(df: DataFrame, groupCols: Seq[String], valQ: Column,
+      ordCol: Column, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percents must be in 1..100")
+    val wOrd = Window.partitionBy(groupCols.map(col): _*).orderBy(valQ, ordCol)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = df
+      .withColumn("__x", valQ.cast("long"))
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val aggs = max(col("__n")).as("n") +: pcts.map { p =>
+      max(when(col("__rn") === expr(s"(__n * $p + 99) div 100"), col("__x")))
+        .as(s"p$p")
+    }
+    ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Grouped one-way ANOVA (Fisher F) per unit: for every unit (an
     * embedding dimension, a feature column, a metric), how well does the
     * class label separate the value? F = (SSB/(L−1)) / (SSW/(N−L)) —

@@ -219,6 +219,20 @@ class StatsSpec extends SparkSpec {
     assert(got.getDouble(6) == 10.45)
   }
 
+  test("discreteQuantiles: ceiling-rank picks; one-row group; all pcts one pass") {
+    val df = ((1L to 10L).map(i => ("g", i, i * 10L)) :+ (("solo", 99L, 7L)))
+      .toDF("grp", "id", "v")
+    val got = Stats.discreteQuantiles(df, Seq("grp"), col("v"), col("id"),
+        Seq(10, 50, 90, 100))
+      .orderBy("grp").collect()
+    // g: n=10 → ranks (10·p+99)//100: p10→1(ceil 1), p50→5, p90→9, p100→10
+    assert(got(0).getLong(1) == 10L && got(0).getLong(2) == 10L
+      && got(0).getLong(3) == 50L && got(0).getLong(4) == 90L
+      && got(0).getLong(5) == 100L)
+    // solo: every quantile is the single value
+    assert(got(1).getLong(1) == 1L && (2 to 5).forall(got(1).getLong(_) == 7L))
+  }
+
   test("kAnonymity: class sizes, diversity, risk flags") {
     val df = Seq(
       // class (1,"A"): 3 rows, 2 distinct sensitive → at_risk (k=4), diverse (l=2)
