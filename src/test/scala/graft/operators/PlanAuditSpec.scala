@@ -297,6 +297,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "probe labels join as broadcast")
   }
 
+  test("q151/q154/q162: audit aggregations never join or window") {
+    for (q <- Seq("q151_k_anonymity", "q154_welch_ttest")) {
+      val p = planOf(q)
+      assert(!p.contains("Join") && !p.contains("Window"), q)
+    }
+    val p162 = planOf("q162_fd_audit")
+    assert(!p162.contains("Window"), "FD audit is pure aggregation")
+    assert(!p162.contains("CartesianProduct"))
+  }
+
+  test("q153/q163: rank-picked medians/quantiles broadcast back to the data") {
+    for (q <- Seq("q153_mad_outliers", "q163_winsorize")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: group-level bound frames must broadcast, not shuffle the data side")
+    }
+  }
+
+  test("q157: ANOVA is two partial-aggregating passes, no join") {
+    val p = planOf("q157_anova_dims")
+    assert(!p.contains("Join"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges (class stats, unit), got $hashEx")
+  }
+
+  test("q160: reconciliation joins pre-aggregated line sums — no cartesian") {
+    val p = planOf("q160_order_recon")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q158: k-core rounds consume checkpointed edge frames") {
+    val p = planOf("q158_kcore")
+    assert(p.contains("Scan ExistingRDD"),
+      "per-round checkpoint barrier must cut lineage (3^rounds re-derivation)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q166: Heaps buckets — bucket width broadcasts, no cartesian blowup") {
+    val p = planOf("q166_heaps_curve")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
