@@ -821,6 +821,38 @@ object StatsQueries {
        |    AS cum_terms
        |FROM tk LEFT JOIN fb USING (bucket) ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+  // Quantile-normalize event values per type against the pooled
+  // distribution: after the transform every type draws from the same
+  // reference, so cross-type value comparisons lose their per-type
+  // shape confound. Pooled ranks via the two-phase prefix sum (never a
+  // global window); the oracle's global row_number is the semantic spec.
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"event_type", $"event_id",
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
+    Stats.quantileNormalize(e, Seq("event_type"), "event_id", $"vc")
+      .orderBy($"event_id")
+  }
+  private val q167Sql =
+    """WITH e AS (SELECT event_type, event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |g AS (SELECT event_id, vc,
+      |        CAST(row_number() OVER (ORDER BY vc, event_id) AS BIGINT)
+      |          AS grank FROM e),
+      |r AS (SELECT event_type, event_id, vc,
+      |        CAST(row_number() OVER (PARTITION BY event_type
+      |          ORDER BY vc, event_id) AS BIGINT) AS r,
+      |        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+      |          AS n_group
+      |      FROM e),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM e),
+      |t AS (SELECT r.*, ((r.r * n.nn) + r.n_group - 1) // r.n_group AS tg
+      |      FROM r CROSS JOIN n)
+      |SELECT t.event_type, t.event_id, t.vc AS v, t.r, t.n_group,
+      |  g.vc AS qnorm
+      |FROM t JOIN g ON t.tg = g.grank ORDER BY t.event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q143_chisq_terms", q143, Some(q143Sql)),
     QueryDef("q144_ab_ztest", q144, Some(q144Sql)),
@@ -842,6 +874,7 @@ object StatsQueries {
     QueryDef("q164_fertility", q164, Some(q164Sql)),
     QueryDef("q165_length_quantiles", q165, Some(q165Sql)),
     QueryDef("q166_heaps_curve", q166, Some(q166Sql)),
+    QueryDef("q167_quantile_norm", q167, Some(q167Sql)),
     QueryDef("q151_k_anonymity", q151, Some(q151Sql)),
     QueryDef("q152_skipgram_cooc", q152, Some(q152Sql)),
     QueryDef("q153_mad_outliers", q153, Some(q153Sql)),

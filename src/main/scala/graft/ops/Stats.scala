@@ -328,6 +328,48 @@ object Stats {
     ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Quantile normalization against the POOLED distribution: each row's
+    * value is replaced by the pooled value at the same relative rank —
+    * after it, every group's distribution is a subsample of the same
+    * reference, so cross-group comparisons stop being confounded by
+    * per-group scale/shape (the expression-array normalization, applied
+    * to any grouped metric). Target rank: ⌈r·N/n⌉ as exact integers.
+    *
+    * Scale: the pooled rank is [[Packing.packSequences]]'s two-phase
+    * prefix sum (range partition + broadcast offsets), NEVER a global
+    * window; the per-group rank is a keyed window; the reference lookup
+    * is an equi-join on the computed rank. No driver materialization
+    * beyond the #partitions offset array.
+    *
+    * @return (group…, id, v, r, n_group, qnorm) */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String], idCol: String,
+      valQ: Column): DataFrame = {
+    val base = df
+      .select(groupCols.map(col) :+ col(idCol) :+ valQ.cast("long").as("__x"): _*)
+      .localCheckpoint() // slim (groups, id, long); three consumers below
+    val keyed = base.select(col(idCol), lit(1L).as("one"), col("__x"))
+    val pooled = Packing.packSequences(keyed, idCol, "one",
+        orderCols = Seq("__x", idCol), seqTokens = Long.MaxValue)
+      .select(col("id").as("__pid"), (col("start_tok") + lit(1L)).as("__grank"))
+    val ref = pooled
+      .join(base.select(col(idCol).as("__pid"), col("__x").as("__refv")),
+        "__pid")
+      .select(col("__grank"), col("__refv"))
+    val wr = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__x"), col(idCol))
+    val wn = Window.partitionBy(groupCols.map(col): _*)
+    val total = base.agg(count(lit(1)).as("__nn"))
+    val ranked = base
+      .withColumn("__r", row_number().over(wr).cast("long"))
+      .withColumn("__gn", count(lit(1)).over(wn))
+      .crossJoin(broadcast(total))
+      .withColumn("__tg", expr("((__r * __nn) + __gn - 1) div __gn"))
+    ranked.join(ref, col("__tg") === col("__grank"))
+      .select(groupCols.map(col) ++ Seq(col(idCol), col("__x").as("v"),
+        col("__r").as("r"), col("__gn").as("n_group"),
+        col("__refv").as("qnorm")): _*)
+  }
+
   /** Grouped one-way ANOVA (Fisher F) per unit: for every unit (an
     * embedding dimension, a feature column, a metric), how well does the
     * class label separate the value? F = (SSB/(L−1)) / (SSW/(N−L)) —

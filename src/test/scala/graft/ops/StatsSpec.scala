@@ -233,6 +233,20 @@ class StatsSpec extends SparkSpec {
     assert(got(1).getLong(1) == 1L && (2 to 5).forall(got(1).getLong(_) == 7L))
   }
 
+  test("quantileNormalize: pooled-rank remap, hand-computed") {
+    // pooled sorted: 1,2,3,4,10,20 (granks 1..6); A=(10,20) n=2,
+    // B=(1,2,3,4) n=4 → targets A: ceil(6/2·r) = 3,6 → (3,20);
+    // B: 2,3,5,6 → (2,3,10,20)
+    val df = Seq(("A", 1L, 10L), ("A", 2L, 20L),
+      ("B", 3L, 1L), ("B", 4L, 2L), ("B", 5L, 3L), ("B", 6L, 4L))
+      .toDF("g", "id", "v")
+    val got = Stats.quantileNormalize(df, Seq("g"), "id", col("v"))
+      .orderBy("id")
+      .select("g", "id", "v", "r", "n_group", "qnorm").collect()
+    assert(got.map(_.getLong(5)).toSeq == Seq(3L, 20L, 2L, 3L, 10L, 20L))
+    assert(got.map(_.getLong(3)).toSeq == Seq(1L, 2L, 1L, 2L, 3L, 4L))
+  }
+
   test("kAnonymity: class sizes, diversity, risk flags") {
     val df = Seq(
       // class (1,"A"): 3 rows, 2 distinct sensitive → at_risk (k=4), diverse (l=2)
