@@ -100,15 +100,21 @@ object Stats {
     * @return per group: n_a, x_a, n_b, x_b, z
     */
   def twoProportionZ(df: DataFrame, groupCols: Seq[String],
-      cohortA: Column, success: Column): DataFrame = {
-    val stats = df
+      cohortA: Column, success: Column): DataFrame =
+    withPooledZ(df
       .select(groupCols.map(col) :+ cohortA.as("__a") :+ success.as("__s"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(
         sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(col("__a") && col("__s"), 1L).otherwise(0L)).as("x_a"),
         sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
-        sum(when(!col("__a") && col("__s"), 1L).otherwise(0L)).as("x_b"))
+        sum(when(!col("__a") && col("__s"), 1L).otherwise(0L)).as("x_b")))
+
+  /** The pooled-SE z tree over a frame carrying exact (n_a, x_a, n_b,
+    * x_b) counts — shared by the batch test above and the streaming face
+    * ([[graft.streaming.EventStreams.abTestStream]]), so both emit
+    * bit-identical z from identical counts. */
+  def withPooledZ(stats: DataFrame): DataFrame = {
     val n1 = col("n_a").cast("double"); val n2 = col("n_b").cast("double")
     val p1 = col("x_a").cast("double") / n1
     val p2 = col("x_b").cast("double") / n2

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
@@ -445,6 +445,29 @@ object EventStreams {
       .agg(max_by(payload, struct(col(tsCol), col(tieCol))).as("latest"))
       .select(col(keyCol), col("latest.*"))
   }
+
+  /** Streaming A/B test: the running two-proportion z per group from
+    * cumulative EXACT counts — the streaming face of
+    * [[graft.ops.Stats.twoProportionZ]]. The sufficient statistics
+    * (n_a, x_a, n_b, x_b) are long sums, so streaming state merges them
+    * across micro-batches exactly and the emitted z is bit-identical to
+    * the batch test over the same rows REGARDLESS of batch boundaries —
+    * the whole point of keeping test statistics in mergeable integer
+    * form. State is one fixed-width row per group (bounded by group
+    * cardinality, not throughput); use complete/update output mode.
+    *
+    * @param cohortA boolean column: row belongs to cohort A (else B)
+    * @param success boolean column: row counts as a success */
+  def abTestStream(events: DataFrame, groupCol: String, cohortA: Column,
+      success: Column): DataFrame =
+    graft.ops.Stats.withPooledZ(events
+      .select(col(groupCol), cohortA.as("__a"), success.as("__s"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a") && col("__s"), 1L).otherwise(0L)).as("x_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__a") && col("__s"), 1L).otherwise(0L)).as("x_b")))
 
   /** Streaming materialized-view refresh: each micro-batch aggregates to
     * its mergeable state (`ops/Incremental.aggState`) and merges into a

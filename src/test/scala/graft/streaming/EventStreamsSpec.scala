@@ -86,6 +86,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(last(11L) == ((1L, 10.0, 0L)))
   }
 
+  test("streaming A/B test ≡ batch twoProportionZ regardless of batch boundaries") {
+    import org.apache.spark.sql.functions.expr
+    val b1 = Seq(
+      EventStreams.UserEvent(1, 10, "click", 5.0), // A success
+      EventStreams.UserEvent(2, 11, "click", 5.0), // B success
+      EventStreams.UserEvent(3, 12, "click", 1.0), // A fail
+      EventStreams.UserEvent(4, 10, "view", 3.0))
+    val b2 = Seq(
+      EventStreams.UserEvent(5, 13, "click", 1.0), // B fail
+      EventStreams.UserEvent(6, 11, "view", 1.0),
+      EventStreams.UserEvent(7, 14, "click", 9.0)) // A success
+    val input = MemoryStream[EventStreams.UserEvent](spark)
+    val q = EventStreams.abTestStream(input.toDF(), "event_type",
+        expr("user_id % 2 = 0"), expr("value >= 2.0"))
+      .writeStream.format("memory").queryName("abtest")
+      .outputMode("complete").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("abtest")
+      .select("event_type", "n_a", "x_a", "n_b", "x_b", "z")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // batch reference over ALL rows at once — counts AND z must be
+    // bit-identical (mergeable integer statistics; shared z tree)
+    val batch = graft.ops.Stats.twoProportionZ(
+        (b1 ++ b2).toDF(), Seq("event_type"),
+        expr("user_id % 2 = 0"), expr("value >= 2.0"))
+      .select("event_type", "n_a", "x_a", "n_b", "x_b", "z")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.contains("click") && streamed.contains("view"))
+  }
+
   test("stream-static enrichment join carries dimension columns") {
     val input = MemoryStream[Ev](spark)
     input.addData(Ev(1, ts(1), 13, "click", 1.0), Ev(2, ts(2), 999, "view", 2.0))
