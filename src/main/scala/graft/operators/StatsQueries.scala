@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Privacy, Stats}
+import graft.ops.{Privacy, Regression, Stats}
 
 /** Statistical-testing / drift-audit queries (round 3 widening): term–class
   * chi-square association, grouped A/B two-proportion z-test, per-key
@@ -853,6 +853,96 @@ object StatsQueries {
       |  g.vc AS qnorm
       |FROM t JOIN g ON t.tg = g.grank ORDER BY t.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+  // Zipf-law fit of the term-frequency distribution: OLS slope of
+  // ln(freq) over ln(rank) for the top-1000 terms — the "is this corpus
+  // natural language or template spam" diagnostic (natural text slopes
+  // ≈ −1; generated boilerplate flattens). Reuses Regression.trendFit on
+  // quantized-ln integer points; the rank window runs over an
+  // explicitly LIMITed 1000-row control-plane frame, never the vocab.
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select(explode(split(
+        graft.ops.Dedup.normalized(coalesce($"text", lit(""))), " ")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("f"))
+      .orderBy($"f".desc, $"term").limit(1000)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"f".desc, $"term") // bounded: ≤1000 rows by the LIMIT above
+    val pts = tf.withColumn("rk", row_number().over(w).cast("long"))
+      .select(
+        floor(log($"rk".cast("double")) * 1e6).cast("long").as("x"),
+        floor(log($"f".cast("double")) * 1e6).cast("long").as("y"))
+    Regression.trendFit(pts, Nil, $"x", $"y")
+  }
+  private val q168Sql =
+    s"""WITH tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM
+       |  (SELECT unnest($toksSql) AS term FROM documents) GROUP BY 1),
+       |top AS (SELECT term, f FROM tf ORDER BY f DESC, term LIMIT 1000),
+       |r AS (SELECT f, CAST(row_number() OVER (ORDER BY f DESC, term)
+       |        AS BIGINT) AS rk FROM top),
+       |q AS (SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+       |        CAST(floor(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS y FROM r),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+       |        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+       |        CAST(SUM(x*x) AS BIGINT) AS sxx FROM q),
+       |t AS (SELECT *, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM s)
+       |SELECT n,
+       |  CASE WHEN den <> 0
+       |    THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+       |  CASE WHEN den <> 0
+       |    THEN (CAST(sy AS DOUBLE)
+       |            - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+       |              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+       |  END AS intercept
+       |FROM t""".stripMargin
+
+  // ---------------------------------------------------------------- q169
+  // Column-encoding advisor: per column, the distinct-value ratio that
+  // decides dictionary vs plain encoding (and whether a bloom filter
+  // pays) — the storage-layout audit behind the engine's parquet sinks.
+  // One exact aggregate per column, unioned into a control-plane report.
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def audit(df: DataFrame, table: String, cols: Seq[String]): DataFrame =
+      cols.map { c =>
+        df.agg(count(lit(1)).as("n"), countDistinct(col(c)).as("n_distinct"))
+          .select(lit(table).as("tbl"), lit(c).as("col_name"), $"n",
+            $"n_distinct",
+            floor(($"n_distinct".cast("double") / $"n".cast("double")) * 1e6)
+              .cast("long").as("ndv_ratio_x6"))
+      }.reduce(_ unionByName _)
+    audit(Tables.orders(s, d), "orders",
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"))
+      .unionByName(audit(Tables.documents(s, d), "documents",
+        Seq("lang", "source", "doc_id")))
+      .withColumn("advice",
+        when($"ndv_ratio_x6" < 10000L, lit("dictionary"))
+          .when($"ndv_ratio_x6" > 900000L, lit("plain+bloom"))
+          .otherwise(lit("plain")))
+      .orderBy($"tbl", $"col_name")
+  }
+  private val q169Sql = {
+    def one(t: String, c: String) =
+      s"""SELECT '$t' AS tbl, '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(floor((CAST(COUNT(DISTINCT $c) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS ndv_ratio_x6
+         |FROM $t""".stripMargin
+    val parts = Seq(
+      one("orders", "o_orderstatus"), one("orders", "o_orderpriority"),
+      one("orders", "o_custkey"), one("orders", "o_orderkey"),
+      one("documents", "lang"), one("documents", "source"),
+      one("documents", "doc_id"))
+      .mkString("WITH u AS (", "\nUNION ALL\n", ")")
+    parts + """
+      |SELECT tbl, col_name, n, n_distinct, ndv_ratio_x6,
+      |  CASE WHEN ndv_ratio_x6 < 10000 THEN 'dictionary'
+      |       WHEN ndv_ratio_x6 > 900000 THEN 'plain+bloom'
+      |       ELSE 'plain' END AS advice
+      |FROM u ORDER BY tbl, col_name""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q143_chisq_terms", q143, Some(q143Sql)),
     QueryDef("q144_ab_ztest", q144, Some(q144Sql)),
@@ -875,6 +965,8 @@ object StatsQueries {
     QueryDef("q165_length_quantiles", q165, Some(q165Sql)),
     QueryDef("q166_heaps_curve", q166, Some(q166Sql)),
     QueryDef("q167_quantile_norm", q167, Some(q167Sql)),
+    QueryDef("q168_zipf_fit", q168, Some(q168Sql)),
+    QueryDef("q169_encoding_advisor", q169, Some(q169Sql)),
     QueryDef("q151_k_anonymity", q151, Some(q151Sql)),
     QueryDef("q152_skipgram_cooc", q152, Some(q152Sql)),
     QueryDef("q153_mad_outliers", q153, Some(q153Sql)),
