@@ -211,6 +211,27 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 2L)) && got.contains((1L, 4L)))
   }
 
+  test("prefixFilterPairs clone-group wrapper ≡ direct pipeline on a " +
+      "mirrored corpus, jaccard values included") {
+    // two 3-clone groups of similar contents + one unrelated doc: the
+    // wrapper must emit the full clone-expanded pair set with the same
+    // jaccard the direct (no-pre-stage) pipeline computes
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india kilo"
+    val b = "alpha bravo charlie delta echo foxtrot golf hotel mike papa"
+    val docs = Seq(
+      (1L, a), (2L, b), (3L, a), (4L, b), (5L, a), (6L, b),
+      (7L, "nothing shared with anything else at all in this text"))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val wrapped = canon(Dedup.prefixFilterPairs(docs, threshold = 0.3))
+    val direct = canon(Dedup.prefixFilterPairsOnDistinct(docs, threshold = 0.3))
+    assert(wrapped == direct, s"wrapped $wrapped vs direct $direct")
+    // 6 similar docs → C(6,2) = 15 pairs; clone pairs carry jaccard 1.0
+    assert(wrapped.size == 15)
+    assert(wrapped.count(_._3 == 1.0) == 6) // 2 groups × C(3,2)
+  }
+
   test("dedupeUnitsWithinDoc: first occurrence survives in order; " +
       "null/empty and delimiter choice handled") {
     val docs = Seq(
