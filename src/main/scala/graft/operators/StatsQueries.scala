@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Privacy, Regression, Stats}
+import graft.ops.{Privacy, Profile, Regression, Stats}
 
 /** Statistical-testing / drift-audit queries (round 3 widening): term–class
   * chi-square association, grouped A/B two-proportion z-test, per-key
@@ -943,6 +943,213 @@ object StatsQueries {
       |FROM u ORDER BY tbl, col_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q170
+  // Classifier evaluation, exact: ROC-AUC per source of the English-
+  // stopword-ratio score against the lang label, via the rank-sum
+  // identity with doubled average tie ranks (Stats.aucByGroup). The
+  // "does our quality/language signal actually separate the classes"
+  // gate every curation heuristic should pass before it filters data.
+  private val enWordsSql = graft.ops.TextAnalysis.stopwords("en")
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+  private def enScored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toksC = split(graft.ops.Dedup.normalized(coalesce($"text", lit(""))), " ")
+    val enHits = size(filter(toksC,
+      t => t.isin(graft.ops.TextAnalysis.stopwords("en").map(lit(_)): _*)))
+    Tables.documents(s, d)
+      .select($"source", (coalesce($"lang", lit("")) === "en").as("pos"),
+        enHits.cast("long").as("enh"), size(toksC).cast("long").as("nt"))
+      .withColumn("x", expr("(enh * 1000000L) div nt"))
+  }
+  private val enScoredSql =
+    s"""SELECT source, (coalesce(lang, '') = 'en') AS pos,
+       |  (len(list_filter($toksSql, t -> list_contains($enWordsSql, t)))
+       |     * 1000000) // len($toksSql) AS x FROM documents""".stripMargin
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Stats.aucByGroup(enScored(s, d), Seq("source"), $"x", $"pos")
+      .orderBy($"source")
+  }
+  private val q170Sql =
+    s"""WITH t AS ($enScoredSql),
+       |r AS (SELECT source, pos, x,
+       |        CAST(2*rank() OVER (PARTITION BY source ORDER BY x)
+       |          + COUNT(*) OVER (PARTITION BY source, x) - 1 AS BIGINT)
+       |          AS r2 FROM t),
+       |g AS (SELECT source,
+       |        CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |        CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+       |        CAST(SUM(CASE WHEN pos THEN r2 ELSE 0 END) AS BIGINT) AS sr2
+       |      FROM r GROUP BY source)
+       |SELECT source, n_pos, n_neg,
+       |  CAST(sr2 - n_pos*(n_pos+1) AS BIGINT) AS u2_pos,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    CAST(sr2 - n_pos*(n_pos+1) AS DOUBLE)
+       |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) * 2.0)
+       |  END AS auc
+       |FROM g ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q171
+  // Calibration (reliability) table for the same score: fixed-width
+  // score deciles vs observed positive rate — the binned companion that
+  // stays one hash aggregate at any scale (no per-group rank sort).
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Stats.calibrationBins(enScored(s, d), $"x", $"pos").orderBy($"bin")
+  }
+  private val q171Sql =
+    s"""WITH t AS ($enScoredSql),
+       |b AS (SELECT least(x // 100000, 9) AS bin, pos, x FROM t),
+       |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |        CAST(SUM(x) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+       |          AS mean_score_x6
+       |      FROM b GROUP BY bin)
+       |SELECT bin, n, n_pos, mean_score_x6,
+       |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+       |FROM g ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------- q172
+  // Calendar densification with forward fill: the sparse per-customer
+  // monthly revenue series expanded onto the full month axis — missing
+  // months become explicit rows with revenue 0, the last observed
+  // monthly revenue carried forward, and months-since-last-order
+  // computed off the filled axis. Report scoped to a key range so the
+  // dump stays small; the operator is linear in keys × axis.
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, d)
+      .filter($"o_custkey" <= 150L)
+      .select($"o_custkey".as("custkey"),
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long")
+          .as("m"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"custkey", $"m").agg(sum($"cents").as("rev_cents"))
+    graft.ops.Temporal.gapFillForward(monthly, Seq("custkey"), "m",
+        Seq("rev_cents"))
+      .select($"custkey", $"m",
+        coalesce($"rev_cents", lit(0L)).as("rev_cents"),
+        $"rev_cents_ffill", $"periods_since_obs")
+      .orderBy($"custkey", $"m")
+  }
+  private val q172Sql =
+    """WITH o AS (SELECT o_custkey AS custkey,
+      |        CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) AS m,
+      |        CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+      |      FROM orders WHERE o_custkey <= 150),
+      |mo AS (SELECT custkey, m, CAST(SUM(cents) AS BIGINT) AS rev
+      |       FROM o GROUP BY 1, 2),
+      |b AS (SELECT min(m) AS lo, max(m) AS hi FROM mo),
+      |axis AS (SELECT unnest(generate_series(lo, hi)) AS m FROM b),
+      |grid AS (SELECT c.custkey, a.m
+      |         FROM (SELECT DISTINCT custkey FROM mo) c CROSS JOIN axis a),
+      |j AS (SELECT g.custkey, g.m, mo.rev
+      |      FROM grid g LEFT JOIN mo ON g.custkey = mo.custkey AND g.m = mo.m)
+      |SELECT custkey, m, CAST(coalesce(rev, 0) AS BIGINT) AS rev_cents,
+      |  last_value(rev IGNORE NULLS) OVER
+      |    (PARTITION BY custkey ORDER BY m
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS rev_cents_ffill,
+      |  m - last_value(CASE WHEN rev IS NOT NULL THEN m END IGNORE NULLS)
+      |    OVER (PARTITION BY custkey ORDER BY m
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS periods_since_obs
+      |FROM j ORDER BY custkey, m""".stripMargin
+
+  // ---------------------------------------------------------------- q173
+  // Join-cardinality audit: the cost-based-optimizer estimator
+  // Σ_k cnt_L(k)·cnt_R(k) computed exactly from per-key counts for the
+  // engine's two fact joins, verified against the real join count, with
+  // max key multiplicity as the skew-exposure signal.
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Profile.joinSizeAudit(Tables.orders(s, d), Tables.lineitem(s, d),
+        $"o_orderkey", $"l_orderkey", "orders_lineitem")
+      .unionByName(Profile.joinSizeAudit(Tables.customer(s, d),
+        Tables.orders(s, d), $"c_custkey", $"o_custkey", "customer_orders"))
+      .orderBy($"join_name")
+  }
+  private def joinAuditSql(name: String, lt: String, lk: String, rt: String,
+      rk: String): String =
+    s"""SELECT '$name' AS join_name,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $lt) AS n_left,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $rt) AS n_right,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+       |     (SELECT $lk AS k FROM $lt GROUP BY 1) lc
+       |     JOIN (SELECT $rk AS k FROM $rt GROUP BY 1) rc USING (k))
+       |    AS n_match_keys,
+       |  (SELECT CAST(coalesce(SUM(cl*cr), 0) AS BIGINT) FROM
+       |     (SELECT $lk AS k, CAST(COUNT(*) AS BIGINT) AS cl
+       |        FROM $lt GROUP BY 1) lc
+       |     JOIN (SELECT $rk AS k, CAST(COUNT(*) AS BIGINT) AS cr
+       |        FROM $rt GROUP BY 1) rc USING (k)) AS predicted_rows,
+       |  (SELECT CAST(coalesce(MAX(cl*cr), 0) AS BIGINT) FROM
+       |     (SELECT $lk AS k, CAST(COUNT(*) AS BIGINT) AS cl
+       |        FROM $lt GROUP BY 1) lc
+       |     JOIN (SELECT $rk AS k, CAST(COUNT(*) AS BIGINT) AS cr
+       |        FROM $rt GROUP BY 1) rc USING (k)) AS max_key_mult,
+       |  (SELECT CAST(COUNT(*) AS BIGINT)
+       |     FROM $lt JOIN $rt ON $lk = $rk) AS actual_rows""".stripMargin
+  private val q173Sql =
+    joinAuditSql("orders_lineitem", "orders", "o_orderkey",
+      "lineitem", "l_orderkey") +
+      "\nUNION ALL\n" +
+      joinAuditSql("customer_orders", "customer", "c_custkey",
+        "orders", "o_custkey") +
+      "\nORDER BY join_name"
+
+  // ---------------------------------------------------------------- q174
+  // Cohen's kappa between the engine's heuristic language ID (q46's
+  // expression) and the reference lang label — chance-corrected
+  // agreement from exact confusion marginals; the κ tree runs in double
+  // over exact counts with the identical parenthesization both engines.
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.documents(s, d).select(
+      graft.ops.TextAnalysis.langId($"text").as("pred"),
+      coalesce($"lang", lit("und")).as("actual"))
+    Stats.cohenKappa(t, $"pred", $"actual")
+  }
+  private def kappaHitsSql(lang: String): String = {
+    val words = graft.ops.TextAnalysis.stopwords(lang)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($toksSql, t -> list_contains($words, t)))"
+  }
+  private val q174Sql = {
+    val langCase =
+      s"""CASE WHEN greatest(${kappaHitsSql("en")}, ${kappaHitsSql("de")},
+         |       ${kappaHitsSql("es")}, ${kappaHitsSql("fr")}) = 0 THEN 'und'
+         |   WHEN ${kappaHitsSql("en")} >= ${kappaHitsSql("de")}
+         |     AND ${kappaHitsSql("en")} >= ${kappaHitsSql("es")}
+         |     AND ${kappaHitsSql("en")} >= ${kappaHitsSql("fr")} THEN 'en'
+         |   WHEN ${kappaHitsSql("de")} >= ${kappaHitsSql("es")}
+         |     AND ${kappaHitsSql("de")} >= ${kappaHitsSql("fr")} THEN 'de'
+         |   WHEN ${kappaHitsSql("es")} >= ${kappaHitsSql("fr")} THEN 'es'
+         |   ELSE 'fr' END""".stripMargin
+    s"""WITH t AS (SELECT $langCase AS a, coalesce(lang, 'und') AS b
+       |           FROM documents),
+       |j AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS n_agree FROM t),
+       |rm AS (SELECT a AS cls, CAST(COUNT(*) AS BIGINT) AS rm
+       |       FROM t GROUP BY 1),
+       |cm AS (SELECT b AS cls, CAST(COUNT(*) AS BIGINT) AS cm
+       |       FROM t GROUP BY 1),
+       |p AS (SELECT CAST(coalesce(SUM(rm.rm * cm.cm), 0) AS BIGINT)
+       |        AS pe_num FROM rm JOIN cm USING (cls)),
+       |q AS (SELECT n, n_agree, pe_num,
+       |        CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       |        CAST(pe_num AS DOUBLE)
+       |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+       |      FROM j CROSS JOIN p)
+       |SELECT n, n_agree, pe_num, po, pe,
+       |  CASE WHEN po = CAST(1.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE)
+       |       WHEN pe < CAST(1.0 AS DOUBLE)
+       |         THEN (po - pe) / (CAST(1.0 AS DOUBLE) - pe)
+       |  END AS kappa
+       |FROM q""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q143_chisq_terms", q143, Some(q143Sql)),
     QueryDef("q144_ab_ztest", q144, Some(q144Sql)),
@@ -970,5 +1177,10 @@ object StatsQueries {
     QueryDef("q151_k_anonymity", q151, Some(q151Sql)),
     QueryDef("q152_skipgram_cooc", q152, Some(q152Sql)),
     QueryDef("q153_mad_outliers", q153, Some(q153Sql)),
+    QueryDef("q170_classifier_auc", q170, Some(q170Sql)),
+    QueryDef("q171_calibration", q171, Some(q171Sql)),
+    QueryDef("q172_gap_fill", q172, Some(q172Sql)),
+    QueryDef("q173_join_size_audit", q173, Some(q173Sql)),
+    QueryDef("q174_cohen_kappa", q174, Some(q174Sql)),
   )
 }

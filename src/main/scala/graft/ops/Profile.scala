@@ -50,4 +50,44 @@ object Profile {
       .select("col_name", "n_rows", "n_nonnull", "n_distinct",
         "min_value", "max_value")
   }
+
+  /** Join-cardinality audit: the planner-statistics estimator
+    * |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k), computed exactly from per-key
+    * counts, optionally verified against the real join count. This is
+    * the number a cost-based optimizer needs before picking a join
+    * strategy — the audit both documents a join's fan-out (max key
+    * multiplicity ⇒ skew exposure) and proves the count-vector estimate
+    * exact on the live data.
+    *
+    * Scale: each side collapses to (key, count) in one partial-agg pass;
+    * the estimate then joins two aggregate frames (key-cardinality sized,
+    * not row-sized). `withActual = false` skips the real join — the 100 TB
+    * mode, where the estimate IS the product you'd buy the audit for.
+    *
+    * @return one row: join_name, n_left, n_right, n_match_keys,
+    *         predicted_rows, max_key_mult, actual_rows (null when
+    *         `withActual = false`) */
+  def joinSizeAudit(left: DataFrame, right: DataFrame, leftKey: Column,
+      rightKey: Column, joinName: String, withActual: Boolean = true)
+      : DataFrame = {
+    val lc = left.groupBy(leftKey.as("k")).agg(count(lit(1)).as("cl"))
+    val rc = right.groupBy(rightKey.as("k")).agg(count(lit(1)).as("cr"))
+    val nl = lc.agg(coalesce(sum(col("cl")), lit(0L)).as("n_left"))
+    val nr = rc.agg(coalesce(sum(col("cr")), lit(0L)).as("n_right"))
+    val est = lc.join(rc, Seq("k"), "inner")
+      .agg(count(lit(1)).as("n_match_keys"),
+        coalesce(sum(col("cl") * col("cr")), lit(0L)).as("predicted_rows"),
+        coalesce(max(col("cl") * col("cr")), lit(0L)).as("max_key_mult"))
+    val actual =
+      if (withActual)
+        left.select(leftKey.as("k")).join(right.select(rightKey.as("k")),
+            Seq("k"), "inner")
+          .agg(count(lit(1)).as("actual_rows"))
+      else est.select(lit(null).cast("long").as("actual_rows"))
+    est.crossJoin(broadcast(nl)).crossJoin(broadcast(nr))
+      .crossJoin(broadcast(actual))
+      .select(lit(joinName).as("join_name"), col("n_left"), col("n_right"),
+        col("n_match_keys"), col("predicted_rows"), col("max_key_mult"),
+        col("actual_rows"))
+  }
 }

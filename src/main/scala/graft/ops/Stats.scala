@@ -616,4 +616,103 @@ object Stats {
       .groupBy(col("g"), col("n_rows"))
       .agg((sum(col("__tp")) + sum(col("__tq"))).as("jsd2_x9"))
   }
+
+  /** Exact ROC-AUC per group via the rank-sum identity
+    * AUC = U⁺/(n⁺·n⁻): how well a score column separates a binary label,
+    * the standard evaluation for every quality/relevance classifier the
+    * curation layer trains. Ties get average ranks, carried as DOUBLED
+    * integers (2·rank + ties − 1, the [[mannWhitneyU2]] discipline) so
+    * tied scores contribute exactly ½ without any float rank. The final
+    * AUC is one double division of exact longs with a fixed tree —
+    * bit-identical cross-engine.
+    *
+    * Scale: one window sort per group (the inherent cost of exact rank
+    * statistics — same shape as [[mannWhitneyU2]]) then a fixed-width
+    * aggregate. For corpora where a per-group sort is too hot, bin the
+    * score and read separation from [[calibrationBins]] instead.
+    *
+    * @param scoreQ   quantized long score (higher = more positive)
+    * @param positive boolean label
+    * @return per group: n_pos, n_neg, u2_pos (doubled rank-sum U), auc
+    */
+  def aucByGroup(df: DataFrame, groupCols: Seq[String], scoreQ: Column,
+      positive: Column): DataFrame = {
+    val base = df.select(groupCols.map(col) :+ positive.as("__p")
+      :+ scoreQ.cast("long").as("__x"): _*)
+    val wRank = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__x"))
+    val wTies = Window.partitionBy(groupCols.map(col) :+ col("__x"): _*)
+    val ranked = base.withColumn("__r2",
+      lit(2L) * rank().over(wRank).cast("long")
+        + count(lit(1)).over(wTies) - lit(1L))
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("__p"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__p"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("__p"), col("__r2")).otherwise(0L)).as("__sr2"))
+      .withColumn("u2_pos",
+        col("__sr2") - col("n_pos") * (col("n_pos") + lit(1L)))
+      .withColumn("auc",
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          col("u2_pos").cast("double") /
+            (col("n_pos").cast("double") * col("n_neg").cast("double")
+              * lit(2.0))))
+      .drop("__sr2")
+  }
+
+  /** Calibration (reliability) table: fixed-width score bins vs observed
+    * positive rate — does a score of 0.8 actually mean 80%? The binned
+    * companion to [[aucByGroup]], and the scale path when an exact
+    * per-group rank sort is too expensive: one hash aggregate, no sort.
+    *
+    * @param scoreX6 quantized long score in [0, 10⁶]
+    * @return per bin: n, n_pos, mean_score_x6 (floor), pos_rate (double
+    *         over exact counts, fixed tree) */
+  def calibrationBins(df: DataFrame, scoreX6: Column, positive: Column,
+      nBins: Int = 10): DataFrame = {
+    val width = 1000000L / nBins
+    df.select(scoreX6.cast("long").as("__x"), positive.as("__p"))
+      .withColumn("bin",
+        least(expr(s"__x div ${width}L"), lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("n_pos"),
+        expr("sum(__x) div count(1)").as("mean_score_x6"))
+      .withColumn("pos_rate",
+        col("n_pos").cast("double") / col("n").cast("double"))
+  }
+
+  /** Cohen's kappa between two categorical raters — chance-corrected
+    * agreement, the standard consistency check between an automatic
+    * classifier and a reference label (or two annotator passes).
+    * κ = (p_o − p_e)/(1 − p_e) with p_o = agreements/n and
+    * p_e = Σ_c rm_c·cm_c / n², both ratios of exact integer counts;
+    * the κ tree is fixed, so the double is cross-engine exact.
+    *
+    * Scale: three fixed-width count aggregates (joint agree count plus
+    * one marginal per rater) and a |classes|-row join of aggregate
+    * frames — the data plane collapses to counts in the first pass.
+    *
+    * @return one row: n, n_agree, pe_num (Σ rm·cm), po, pe, kappa
+    *         (null when p_e = 1, i.e. both raters constant) */
+  def cohenKappa(df: DataFrame, rater1: Column, rater2: Column)
+      : DataFrame = {
+    val base = df.select(rater1.as("__a"), rater2.as("__b"))
+      .localCheckpoint() // one scan feeds the joint count + both marginals
+    val joint = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("n_agree"))
+    val rm = base.groupBy(col("__a").as("cls")).agg(count(lit(1)).as("rm"))
+    val cm = base.groupBy(col("__b").as("cls")).agg(count(lit(1)).as("cm"))
+    val peNum = rm.join(cm, Seq("cls"), "inner")
+      .agg(coalesce(sum(col("rm") * col("cm")), lit(0L)).as("pe_num"))
+    val po = col("n_agree").cast("double") / col("n").cast("double")
+    val pe = col("pe_num").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    joint.crossJoin(broadcast(peNum))
+      .withColumn("po", po)
+      .withColumn("pe", pe)
+      .withColumn("kappa",
+        when(col("po") === 1.0d, lit(1.0d))
+          .when(col("pe") < 1.0d,
+            (col("po") - col("pe")) / (lit(1.0d) - col("pe"))))
+  }
 }

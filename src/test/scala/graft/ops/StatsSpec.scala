@@ -305,4 +305,51 @@ class StatsSpec extends SparkSpec {
       math.floor(0.25 * math.log(2.0) * 1e9).toLong
     assert(jSkew == expSkew)
   }
+
+  test("aucByGroup: hand-computed AUC with a tie; degenerate group null") {
+    // g1: pos scores {3, 2}, neg scores {1, 2}. Concordant pairs 3, tied
+    // pair contributes 1/2 → U+ = 3.5, AUC = 3.5/4 = 0.875, u2 = 7.
+    val rows = Seq(("g1", 3L, true), ("g1", 2L, true),
+      ("g1", 1L, false), ("g1", 2L, false),
+      ("g2", 5L, true), ("g2", 9L, true)) // no negatives → null AUC
+      .toDF("g", "x", "p")
+    val got = Stats.aucByGroup(rows, Seq("g"), col("x"), col("p"))
+      .orderBy("g").collect()
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 2L)
+    assert(got(0).getLong(3) == 7L)
+    assert(got(0).getDouble(4) == 0.875)
+    assert(got(1).isNullAt(4))
+  }
+
+  test("calibrationBins: width-100k deciles, top bin capped, floor mean") {
+    val rows = Seq((50000L, true), (150000L, false),
+      (999999L, true), (1000000L, true)).toDF("x", "p")
+    val got = Stats.calibrationBins(rows, col("x"), col("p"))
+      .orderBy("bin").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(got(0L) == ((1L, 1L, 50000L, 1.0)))
+    assert(got(1L) == ((1L, 0L, 150000L, 0.0)))
+    // 1000000 caps into bin 9; mean = (999999 + 1000000) div 2 = 999999
+    assert(got(9L) == ((2L, 2L, 999999L, 1.0)))
+  }
+
+  test("cohenKappa: hand-computed κ; perfect and zero-overlap edges") {
+    // agree 3/5, marginals x:3/x:3 and y:2/y:2 → pe = 13/25, κ = 1/6
+    val t = Seq(("x", "x"), ("x", "x"), ("x", "y"), ("y", "x"), ("y", "y"))
+      .toDF("a", "b")
+    val r = Stats.cohenKappa(t, col("a"), col("b")).collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L && r.getLong(2) == 13L)
+    assert(math.abs(r.getDouble(5) - 1.0 / 6.0) < 1e-12)
+
+    // perfect agreement (even a constant one) → κ = 1
+    val perf = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Stats.cohenKappa(perf, col("a"), col("b"))
+      .collect()(0).getDouble(5) == 1.0)
+
+    // disjoint label sets: pe_num = 0 (empty marginal join) → κ = po = 0
+    val disj = Seq(("x", "y"), ("x", "y")).toDF("a", "b")
+    val dr = Stats.cohenKappa(disj, col("a"), col("b")).collect()(0)
+    assert(dr.getLong(2) == 0L && dr.getDouble(5) == 0.0)
+  }
 }

@@ -83,4 +83,26 @@ class TemporalSpec extends SparkSpec {
     assert(Temporal.cdcCompact(log, col("k"), col("ts"), col("tie"),
       col("op"), "D").count() == 0)
   }
+
+  test("gapFillForward: full axis per key, carry-forward, gap counter") {
+    // k1 observed at 5 (rev 10) and 8 (rev 7); k2 only at 6 (rev 3).
+    // Global axis [5, 8] → every key gets all four periods.
+    val obs = Seq(("k1", 5L, 10L), ("k1", 8L, 7L), ("k2", 6L, 3L))
+      .toDF("k", "m", "rev")
+    val got = Temporal.gapFillForward(obs, Seq("k"), "m", Seq("rev"))
+      .orderBy("k", "m").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(r.fieldIndex("rev_ffill"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("periods_since_obs")))
+            .map(_.asInstanceOf[Long]))).toMap
+    assert(got.size == 8)
+    assert(got(("k1", 5L)) == ((Some(10L), Some(0L))))
+    assert(got(("k1", 6L)) == ((Some(10L), Some(1L))))
+    assert(got(("k1", 7L)) == ((Some(10L), Some(2L))))
+    assert(got(("k1", 8L)) == ((Some(7L), Some(0L))))
+    // before k2's first observation: nothing to carry, gap undefined
+    assert(got(("k2", 5L)) == ((None, None)))
+    assert(got(("k2", 6L)) == ((Some(3L), Some(0L))))
+    assert(got(("k2", 8L)) == ((Some(3L), Some(2L))))
+  }
 }
