@@ -1150,6 +1150,195 @@ object StatsQueries {
        |FROM q""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q175
+  // CUPED variance-reduced A/B readout: per-user post-period spend
+  // adjusted by pre-period spend (θ pooled across arms). Cutoff is the
+  // experiment midpoint; arms are the deterministic user parity split.
+  private val cutUs = 1705363200000000L // 2024-01-16T00:00:00Z in epoch µs
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.events(s, d)
+      .select($"user_id", (unix_micros($"ts") < cutUs).as("pre"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"user_id")
+      .agg(sum(when($"pre", $"cents").otherwise(0L)).as("x"),
+        sum(when(!$"pre", $"cents").otherwise(0L)).as("y"))
+      .withColumn("arm",
+        when($"user_id" % 2 === 0, "even").otherwise("odd"))
+    Stats.cuped(perUser, $"arm", $"x", $"y").orderBy($"arm")
+  }
+  private val q175Sql =
+    s"""WITH pu AS (SELECT user_id,
+       |      CAST(SUM(CASE WHEN epoch_us(ts) < $cutUs
+       |        THEN CAST(floor(value*100 + 0.5) AS BIGINT) ELSE 0 END)
+       |        AS BIGINT) AS x,
+       |      CAST(SUM(CASE WHEN epoch_us(ts) >= $cutUs
+       |        THEN CAST(floor(value*100 + 0.5) AS BIGINT) ELSE 0 END)
+       |        AS BIGINT) AS y
+       |    FROM events GROUP BY 1),
+       |a AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+       |        AS arm, x, y FROM pu),
+       |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |        CAST(SUM(x*y) AS BIGINT) AS sxy,
+       |        CAST(SUM(x*x) AS BIGINT) AS sxx FROM a),
+       |g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_units,
+       |        CAST(SUM(x) AS BIGINT) AS sum_x,
+       |        CAST(SUM(y) AS BIGINT) AS sum_y FROM a GROUP BY 1),
+       |t AS (SELECT g.*, p.n, p.sx,
+       |        CASE WHEN p.n*p.sxx - p.sx*p.sx <> 0 THEN
+       |          CAST(p.n*p.sxy - p.sx*p.sy AS DOUBLE)
+       |            / CAST(p.n*p.sxx - p.sx*p.sx AS DOUBLE) END AS theta
+       |      FROM g CROSS JOIN p)
+       |SELECT arm, n_units, sum_x, sum_y,
+       |  CAST(sum_y AS DOUBLE) / CAST(n_units AS DOUBLE) AS mean_y, theta,
+       |  CAST(sum_y AS DOUBLE) / CAST(n_units AS DOUBLE)
+       |    - theta * (CAST(sum_x AS DOUBLE) / CAST(n_units AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS mean_y_adj
+       |FROM t ORDER BY arm""".stripMargin
+
+  // ---------------------------------------------------------------- q176
+  // Truncated-geometric EWMA (α=0.3, 8 lags, integer ⌊α(1−α)ʲ·2²⁰⌋
+  // weights) of daily event revenue per type — the engine-portable form
+  // of exponential smoothing: an integer dot product over the lag
+  // window, renormalized over the lags that exist. Sparse series would
+  // compose Temporal.gapFillForward first.
+  private val ewmaWeights: Seq[Long] = (0 until 8)
+    .map(j => math.floor(0.3 * math.pow(0.7, j) * (1 << 20)).toLong)
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select($"event_type",
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+    graft.ops.Temporal.ewmaLagged(daily, Seq("event_type"), "day", "v",
+        ewmaWeights)
+      .orderBy($"event_type", $"day")
+  }
+  private val q176Sql = {
+    val over = "OVER (PARTITION BY event_type ORDER BY day)"
+    val lagCols = ewmaWeights.indices.map {
+      case 0 => "v AS l0"
+      case j => s"lag(v, $j) $over AS l$j"
+    }.mkString(", ")
+    val num = ewmaWeights.zipWithIndex.map { case (wt, j) =>
+      s"CASE WHEN l$j IS NOT NULL THEN $wt * l$j ELSE 0 END"
+    }.mkString(" + ")
+    val den = ewmaWeights.zipWithIndex.map { case (wt, j) =>
+      s"CASE WHEN l$j IS NOT NULL THEN $wt ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT event_type,
+       |        epoch_us(ts) // 86400000000 AS day,
+       |        CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events),
+       |d AS (SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS v
+       |      FROM e GROUP BY 1, 2),
+       |l AS (SELECT event_type, day, v, $lagCols FROM d)
+       |SELECT event_type, day, v, ($num) // ($den) AS ewma
+       |FROM l ORDER BY event_type, day""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q177
+  // Difference-in-differences: per-event spend across the 2×2
+  // (parity-arm × pre/post-cutoff) design — the causal readout when the
+  // control arm carries the secular trend.
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Stats.diffInDiff(Tables.events(s, d)
+        .select(($"user_id" % 2 === 0).as("t"),
+          (unix_micros($"ts") >= cutUs).as("p"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents")),
+      $"t", $"p", $"cents")
+  }
+  private val q177Sql = {
+    def cell(t: String, p: String, sfx: String) =
+      s"""CAST(SUM(CASE WHEN $t AND $p THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_$sfx,
+         |  CAST(SUM(CASE WHEN $t AND $p
+         |    THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+         |    ELSE 0 END) AS BIGINT) AS sum_$sfx""".stripMargin
+    val tr = "user_id % 2 = 0"
+    val po = s"epoch_us(ts) >= $cutUs"
+    def mean(sfx: String) =
+      s"""CASE WHEN n_$sfx > 0
+         | THEN CAST(sum_$sfx AS DOUBLE) / CAST(n_$sfx AS DOUBLE) END"""
+        .stripMargin.replace("\n", "")
+    s"""WITH c AS (SELECT
+       |  ${cell(tr, s"NOT ($po)", "t0")},
+       |  ${cell(tr, po, "t1")},
+       |  ${cell(s"NOT ($tr)", s"NOT ($po)", "c0")},
+       |  ${cell(s"NOT ($tr)", po, "c1")}
+       |FROM events),
+       |m AS (SELECT *, ${mean("t0")} AS m_t0, ${mean("t1")} AS m_t1,
+       |        ${mean("c0")} AS m_c0, ${mean("c1")} AS m_c1 FROM c)
+       |SELECT n_t0, sum_t0, n_t1, sum_t1, n_c0, sum_c0, n_c1, sum_c1,
+       |  m_t0, m_t1, m_c0, m_c1,
+       |  CASE WHEN n_t0 > 0 AND n_t1 > 0 AND n_c0 > 0 AND n_c1 > 0
+       |    THEN (m_t1 - m_t0) - (m_c1 - m_c0) END AS did
+       |FROM m""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q178
+  // Item-item cosine neighborhood ("customers also bought"): binary-
+  // vector cosine over order co-occurrence, min-support 2, top-100.
+  // In-row pair expansion per order set; the cosine is one IEEE sqrt +
+  // division over exact counts, quantized for integer-exact ranking.
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Similarity.itemCosinePairs(
+      Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey"),
+      "l_orderkey", "l_partkey", minSupport = 2L, topK = 100)
+  }
+  private val q178Sql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |ci AS (SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM li GROUP BY 1),
+      |pr AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+      |         CAST(COUNT(*) AS BIGINT) AS c_ab
+      |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |         AND a.l_partkey < b.l_partkey
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |j AS (SELECT pr.item_a, pr.item_b, ca.c AS c_a, cb.c AS c_b, pr.c_ab
+      |      FROM pr JOIN ci ca ON pr.item_a = ca.item
+      |        JOIN ci cb ON pr.item_b = cb.item)
+      |SELECT item_a, item_b, c_a, c_b, c_ab,
+      |  CAST(floor((CAST(c_ab AS DOUBLE) * 1000000.0)
+      |    / sqrt(CAST(c_a * c_b AS DOUBLE))) AS BIGINT) AS cos_x6
+      |FROM j ORDER BY cos_x6 DESC, item_a, item_b LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q179
+  // Weight-of-evidence / information-value audit: how predictive is the
+  // document-length bucket for the English label, and which bins carry
+  // the signal. WOE as ln of one exact cross-ratio; IV terms quantized
+  // so the total is an order-independent long sum.
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = Tables.documents(s, d).select(
+      least(expr("n_chars div 200"), lit(9L)).as("bin"),
+      (coalesce($"lang", lit("")) === "en").as("pos"))
+    Stats.woeIv(b, $"bin", $"pos").orderBy($"bin")
+  }
+  private val q179Sql =
+    """WITH b AS (SELECT least(n_chars // 200, 9) AS bin,
+      |        coalesce(lang, '') = 'en' AS pos FROM documents),
+      |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |        CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |        CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+      |      FROM b GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+      |        CAST(SUM(n_neg) AS BIGINT) AS tn FROM g),
+      |w AS (SELECT g.*, t.tp, t.tn,
+      |        CASE WHEN n_pos > 0 AND n_neg > 0 AND tp > 0 AND tn > 0 THEN
+      |          ln(CAST(n_pos*tn AS DOUBLE) / CAST(n_neg*tp AS DOUBLE))
+      |        END AS woe
+      |      FROM g CROSS JOIN t)
+      |SELECT bin, n, n_pos, n_neg,
+      |  CAST(floor(woe * 1e6) AS BIGINT) AS woe_x6,
+      |  CAST(floor(((CAST(n_pos AS DOUBLE) / CAST(tp AS DOUBLE))
+      |    - (CAST(n_neg AS DOUBLE) / CAST(tn AS DOUBLE))) * woe * 1e9)
+      |    AS BIGINT) AS iv_term_x9
+      |FROM w ORDER BY bin""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q143_chisq_terms", q143, Some(q143Sql)),
     QueryDef("q144_ab_ztest", q144, Some(q144Sql)),
@@ -1182,5 +1371,10 @@ object StatsQueries {
     QueryDef("q172_gap_fill", q172, Some(q172Sql)),
     QueryDef("q173_join_size_audit", q173, Some(q173Sql)),
     QueryDef("q174_cohen_kappa", q174, Some(q174Sql)),
+    QueryDef("q175_cuped", q175, Some(q175Sql)),
+    QueryDef("q176_ewma_smooth", q176, Some(q176Sql)),
+    QueryDef("q177_diff_in_diff", q177, Some(q177Sql)),
+    QueryDef("q178_item_cosine", q178, Some(q178Sql)),
+    QueryDef("q179_woe_iv", q179, Some(q179Sql)),
   )
 }

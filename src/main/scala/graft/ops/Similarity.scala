@@ -791,4 +791,47 @@ object Similarity {
             (x, c) => abs(x - reconOf(c, col("vmin"), col("vrange")))),
           lit(0L), (acc, e) => acc + e).as("abs_err"))
   }
+
+  /** Item-item cosine similarity over co-occurrence sets (the
+    * neighborhood model behind "customers also bought"): for items i, j
+    * with basket counts cᵢ, cⱼ and co-count cᵢⱼ,
+    * cos = cᵢⱼ/√(cᵢ·cⱼ) — the binary-vector cosine. Quantized to a long
+    * (⌊·10⁶⌋ of a fixed double tree over exact counts: the product cᵢ·cⱼ
+    * stays a long, one IEEE sqrt, one division) so the top-k order is
+    * integer-exact.
+    *
+    * Scale shape: baskets are bounded (order lines), so pairs expand
+    * IN-ROW from one collect_set per basket — codegen double-explode,
+    * never a self-join of the item×basket table (the q102 lesson).
+    * `minSupport` prunes the long pair tail BEFORE the count joins, and
+    * the result is a TakeOrdered, never a global sort. Unbounded baskets
+    * would cap the set before expansion (the LSH bucket-cap pattern).
+    */
+  def itemCosinePairs(baskets: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L, topK: Int = 100): DataFrame = {
+    val sets = baskets.groupBy(col(basketCol))
+      .agg(collect_set(col(itemCol)).as("__is"))
+      .localCheckpoint() // feeds both the pair expansion and item counts
+    val ci = sets.select(explode(col("__is")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val pairs = sets
+      .select(col("__is"), explode(col("__is")).as("item_a"))
+      .select(col("item_a"), explode(col("__is")).as("item_b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+    val cos = floor((col("c_ab").cast("double") * lit(1000000.0)) /
+      sqrt((col("c_a") * col("c_b")).cast("double"))).cast("long")
+    pairs
+      .join(ci.withColumnRenamed("item", "item_a")
+        .withColumnRenamed("c", "c_a"), Seq("item_a"))
+      .join(ci.withColumnRenamed("item", "item_b")
+        .withColumnRenamed("c", "c_b"), Seq("item_b"))
+      .withColumn("cos_x6", cos)
+      .select(col("item_a"), col("item_b"), col("c_a"), col("c_b"),
+        col("c_ab"), col("cos_x6"))
+      .orderBy(col("cos_x6").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
 }

@@ -681,6 +681,111 @@ object Stats {
         col("n_pos").cast("double") / col("n").cast("double"))
   }
 
+  /** CUPED variance reduction (Deng et al., WSDM'13): adjust each unit's
+    * metric by its pre-experiment covariate, y' = y − θ(x − x̄), with
+    * θ = cov(x,y)/var(x) estimated POOLED across arms — the standard
+    * trick that typically cuts A/B metric variance 30-60% when the
+    * pre-period predicts the post-period. All sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) are exact longs from one aggregation pass;
+    * θ and the adjusted means are fixed double trees over them —
+    * cross-engine bit-identical.
+    *
+    * Scale: one unit-level aggregate then per-arm aggregates of the same
+    * frame joined against a broadcast 1-row pooled frame. Nothing beyond
+    * the unit grain survives the first pass.
+    *
+    * @param xQ pre-period covariate, quantized long; yQ the metric
+    * @return per arm: arm, n_units, sum_x, sum_y, mean_y, theta,
+    *         mean_y_adj (null θ when var(x) = 0) */
+  def cuped(units: DataFrame, armCol: Column, xQ: Column, yQ: Column)
+      : DataFrame = {
+    val base = units.select(armCol.as("arm"), xQ.cast("long").as("__x"),
+      yQ.cast("long").as("__y")).localCheckpoint()
+    val pooled = base.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+      sum(col("__y")).as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    val perArm = base.groupBy(col("arm")).agg(count(lit(1)).as("n_units"),
+      sum(col("__x")).as("sum_x"), sum(col("__y")).as("sum_y"))
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val theta = when(den =!= 0L, num.cast("double") / den.cast("double"))
+    val meanY = col("sum_y").cast("double") / col("n_units").cast("double")
+    val meanXArm = col("sum_x").cast("double") / col("n_units").cast("double")
+    val meanXAll = col("__sx").cast("double") / col("__n").cast("double")
+    perArm.crossJoin(broadcast(pooled))
+      .withColumn("mean_y", meanY)
+      .withColumn("theta", theta)
+      .withColumn("mean_y_adj",
+        meanY - col("theta") * (meanXArm - meanXAll))
+      .select(col("arm"), col("n_units"), col("sum_x"), col("sum_y"),
+        col("mean_y"), col("theta"), col("mean_y_adj"))
+  }
+
+  /** Difference-in-differences from a 2×2 (treated × post) design:
+    * DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), the standard
+    * causal readout when treatment lands at a known time and the control
+    * arm carries the secular trend. One aggregation pass produces the
+    * four exact cell sums; every mean and the DiD are fixed double trees.
+    *
+    * @return one row: n and sum per cell (t0/t1/c0/c1), the four means,
+    *         did (null if any cell is empty) */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+      metricQ: Column): DataFrame = {
+    val base = df.select(treated.as("__t"), post.as("__p"),
+      metricQ.cast("long").as("__m"))
+    def cell(t: Boolean, p: Boolean, suffix: String) = Seq(
+      sum(when(col("__t") === t && col("__p") === p, 1L).otherwise(0L))
+        .as(s"n_$suffix"),
+      sum(when(col("__t") === t && col("__p") === p, col("__m"))
+        .otherwise(0L)).as(s"sum_$suffix"))
+    val cells = cell(true, false, "t0") ++ cell(true, true, "t1") ++
+      cell(false, false, "c0") ++ cell(false, true, "c1")
+    val agg = base.agg(cells.head, cells.tail: _*)
+    def mean(sfx: String) = when(col(s"n_$sfx") > 0L,
+      col(s"sum_$sfx").cast("double") / col(s"n_$sfx").cast("double"))
+    agg
+      .withColumn("m_t0", mean("t0")).withColumn("m_t1", mean("t1"))
+      .withColumn("m_c0", mean("c0")).withColumn("m_c1", mean("c1"))
+      .withColumn("did",
+        when(col("n_t0") > 0L && col("n_t1") > 0L && col("n_c0") > 0L
+            && col("n_c1") > 0L,
+          (col("m_t1") - col("m_t0")) - (col("m_c1") - col("m_c0"))))
+  }
+
+  /** Weight-of-evidence / information-value audit of a binned feature
+    * against a binary label — the credit-scoring-style answer to "how
+    * predictive is this feature, and which bins carry the signal".
+    * WOE_b = ln((pos_b/POS)/(neg_b/NEG)), computed as the ln of one
+    * exact-integer cross-ratio (pos_b·NEG)/(neg_b·POS); the per-bin IV
+    * term (pos_b/POS − neg_b/NEG)·WOE_b is quantized to a long so the
+    * total IV (the consumer's SUM) is order-independent. Zero cells emit
+    * null WOE (the conventional "bin needs smoothing" signal) and
+    * contribute no IV.
+    *
+    * Scale: one hash aggregate to (bin, pos, neg) then a broadcast of the
+    * 1-row totals. @return per bin: n, n_pos, n_neg, woe_x6, iv_term_x9 */
+  def woeIv(df: DataFrame, binCol: Column, positive: Column): DataFrame = {
+    val byBin = df.select(binCol.as("bin"), positive.as("__p"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__p"), 1L).otherwise(0L)).as("n_neg"))
+    val tot = byBin.agg(sum(col("n_pos")).as("__tp"),
+      sum(col("n_neg")).as("__tn"))
+    val woe = log((col("n_pos") * col("__tn")).cast("double") /
+      (col("n_neg") * col("__tp")).cast("double"))
+    val ivTerm = (col("n_pos").cast("double") / col("__tp").cast("double")
+      - col("n_neg").cast("double") / col("__tn").cast("double")) * col("woe")
+    byBin.crossJoin(broadcast(tot))
+      .withColumn("woe",
+        when(col("n_pos") > 0L && col("n_neg") > 0L && col("__tp") > 0L
+          && col("__tn") > 0L, woe))
+      .withColumn("woe_x6", floor(col("woe") * 1e6).cast("long"))
+      .withColumn("iv_term_x9", floor(ivTerm * 1e9).cast("long"))
+      .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+        col("woe_x6"), col("iv_term_x9"))
+  }
+
   /** Cohen's kappa between two categorical raters — chance-corrected
     * agreement, the standard consistency check between an automatic
     * classifier and a reference label (or two annotator passes).

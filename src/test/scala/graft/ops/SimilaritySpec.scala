@@ -168,4 +168,24 @@ class SimilaritySpec extends SparkSpec {
     assert(vmin3 == -1250L && r3 == 6000L && mc3 == 255L)
     assert(err3 <= n3 * (r3 / 255 + 1))
   }
+
+  test("itemCosinePairs: binary cosine over co-baskets, min-support, " +
+      "in-basket duplicates count once") {
+    // baskets: {1,2} {1,2} {1,3} {2}; item counts 1→3 2→3 3→1.
+    // pair (1,2) co-count 2 → cos = 2/√9 = 2/3; (1,3) pruned (support 1).
+    val b = Seq((10L, 1L), (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 2L)).toDF("basket", "item")
+    val got = Similarity.itemCosinePairs(b, "basket", "item").collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L && r.getLong(4) == 2L)
+    assert(r.getLong(5) == math.floor(2e6 / 3.0).toLong) // 666666
+    // support 1 keeps the (1,3) pair too: cos = 1/√3
+    val all = Similarity.itemCosinePairs(b, "basket", "item",
+      minSupport = 1L).collect()
+    assert(all.length == 2)
+    assert(all.map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSet ==
+      Set((1L, 2L, 666666L), (1L, 3L, math.floor(1e6 / math.sqrt(3.0)).toLong)))
+  }
 }

@@ -352,4 +352,50 @@ class StatsSpec extends SparkSpec {
     val dr = Stats.cohenKappa(disj, col("a"), col("b")).collect()(0)
     assert(dr.getLong(2) == 0L && dr.getDouble(5) == 0.0)
   }
+
+  test("cuped: hand-computed pooled θ and adjusted means") {
+    // pooled: n=4 sx=6 sy=54 sxy=96 sxx=14 → θ = 60/20 = 3, x̄ = 1.5
+    val units = Seq(("A", 0L, 10L), ("A", 2L, 14L),
+      ("B", 1L, 11L), ("B", 3L, 19L)).toDF("arm", "x", "y")
+    val got = Stats.cuped(units, col("arm"), col("x"), col("y"))
+      .orderBy("arm").collect()
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 2L
+      && got(0).getLong(3) == 24L)
+    assert(got(0).getDouble(4) == 12.0 && got(0).getDouble(5) == 3.0)
+    assert(got(0).getDouble(6) == 12.0 - 3.0 * (1.0 - 1.5)) // 13.5
+    assert(got(1).getDouble(6) == 15.0 - 3.0 * (2.0 - 1.5)) // 13.5
+    // constant covariate → var(x)=0 → θ and adjustment null
+    val const = Seq(("A", 5L, 1L), ("B", 5L, 2L)).toDF("arm", "x", "y")
+    val c = Stats.cuped(const, col("arm"), col("x"), col("y")).collect()(0)
+    assert(c.isNullAt(5) && c.isNullAt(6))
+  }
+
+  test("diffInDiff: hand-computed 2x2; empty cell nulls the estimate") {
+    val rows = Seq((true, false, 10L), (true, true, 20L), (true, true, 22L),
+      (false, false, 5L), (false, true, 7L)).toDF("t", "p", "m")
+    val r = Stats.diffInDiff(rows, col("t"), col("p"), col("m")).collect()(0)
+    assert(r.getAs[Long]("n_t1") == 2L && r.getAs[Long]("sum_t1") == 42L)
+    assert(r.getAs[Double]("m_t1") == 21.0)
+    assert(r.getAs[Double]("did") == (21.0 - 10.0) - (7.0 - 5.0)) // 9
+    val noC0 = Stats.diffInDiff(rows.filter(col("t") || col("p")),
+      col("t"), col("p"), col("m")).collect()(0)
+    assert(noC0.isNullAt(noC0.fieldIndex("did")))
+  }
+
+  test("woeIv: ln cross-ratio, quantized IV terms, zero-cell null") {
+    // bin0: pos 2 / neg 1; bin1: pos 1 / neg 3; bin2: pos 0 / neg 1
+    // TP=3 TN=5. WOE0 = ln(2·5/(1·3)); bin2 → null
+    val rows = Seq((0L, true), (0L, true), (0L, false),
+      (1L, true), (1L, false), (1L, false), (1L, false),
+      (2L, false)).toDF("bin", "pos")
+    val got = Stats.woeIv(rows, col("bin"), col("pos"))
+      .orderBy("bin").collect()
+    val woe0 = math.log((2.0 * 5.0) / (1.0 * 3.0))
+    assert(got(0).getLong(4) == math.floor(woe0 * 1e6).toLong)
+    assert(got(0).getLong(5) ==
+      math.floor(((2.0 / 3.0) - (1.0 / 5.0)) * woe0 * 1e9).toLong)
+    val woe1 = math.log((1.0 * 5.0) / (3.0 * 3.0)) // negative bin
+    assert(got(1).getLong(4) == math.floor(woe1 * 1e6).toLong)
+    assert(got(2).isNullAt(4) && got(2).isNullAt(5))
+  }
 }

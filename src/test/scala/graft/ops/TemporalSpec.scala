@@ -105,4 +105,19 @@ class TemporalSpec extends SparkSpec {
     assert(got(("k2", 6L)) == ((Some(3L), Some(0L))))
     assert(got(("k2", 8L)) == ((Some(3L), Some(2L))))
   }
+
+  test("ewmaLagged: partial-window renormalization at series start") {
+    // weights (3, 1): t1 = 30/3 = 10; t2 = (3·20+10)/4 = 17 (floor);
+    // t3 = (3·30+20)/4 = 27 (floor)
+    val s = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 30L))
+      .toDF("g", "t", "v")
+    val got = Temporal.ewmaLagged(s, Seq("g"), "t", "v", Seq(3L, 1L))
+      .orderBy("t").collect().map(_.getAs[Long]("ewma")).toSeq
+    assert(got == Seq(10L, 17L, 27L))
+    // independent keys don't leak lags into each other
+    val two = s.union(Seq(("k2", 1L, 100L)).toDF("g", "t", "v"))
+    val k2 = Temporal.ewmaLagged(two, Seq("g"), "t", "v", Seq(3L, 1L))
+      .filter(col("g") === "k2").collect()(0).getAs[Long]("ewma")
+    assert(k2 == 100L)
+  }
 }
