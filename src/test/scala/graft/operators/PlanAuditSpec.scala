@@ -341,6 +341,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q170/q171: AUC sorts per group; calibration is agg-only (no sort)") {
+    val auc = planOf("q170_classifier_auc")
+    assert(auc.contains("Window") && auc.contains("HashAggregate"))
+    val cal = planOf("q171_calibration")
+    assert(!cal.contains("Window"),
+      "calibration must stay the no-sort scale path")
+    assert(cal.contains("HashAggregate"))
+  }
+
+  test("q172: gap-fill grid bounds broadcast; key filter reaches the scan") {
+    val p = planOf("q172_gap_fill")
+    // the 1-row bounds frame must join broadcast, never cartesian-shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("PushedFilters") && p.contains("o_custkey"))
+  }
+
+  test("q173: join-size estimate aggregates per-key counts — " +
+      "count frames join, raw rows never do (except the actual-check)") {
+    val p = planOf("q173_join_size_audit")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q175/q177: experiment readouts are one aggregation pass " +
+      "plus broadcast 1-row frames") {
+    for (q <- Seq("q175_cuped", "q177_diff_in_diff")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not shuffle-join aggregate frames")
+    }
+  }
+
+  test("q178: item cosine expands pairs in-row (Generate) and " +
+      "finishes with TakeOrdered, never a global sort") {
+    val p = planOf("q178_item_cosine")
+    assert(p.contains("Generate"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
