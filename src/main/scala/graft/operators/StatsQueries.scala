@@ -1339,6 +1339,73 @@ object StatsQueries {
       |    AS BIGINT) AS iv_term_x9
       |FROM w ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- q180
+  // RFM segmentation of the customer base: recency (days since last
+  // order vs the corpus horizon), frequency, monetary (exact cents),
+  // scored into quintiles against broadcast global cutpoints (two-phase
+  // prefix-sum ranks — never a global window) and bucketed into the
+  // classic segments. The oracle's global row_number is the semantic
+  // spec for the same ceiling-rank cuts.
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+      .select($"o_custkey".as("custkey"),
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"custkey")
+      .agg(max($"day").as("last_day"), count(lit(1)).as("f_orders"),
+        sum($"cents").as("m_cents"))
+    val mx = base.agg(max($"last_day").as("maxd"))
+    val units = base.crossJoin(broadcast(mx))
+      .select($"custkey", ($"maxd" - $"last_day").as("r_days"),
+        $"f_orders", $"m_cents")
+    Stats.rfmSegments(units, "custkey", "r_days", "f_orders", "m_cents")
+      .orderBy($"custkey")
+  }
+  private val q180Sql = {
+    val pcts = Seq(20, 40, 60, 80)
+    def cutsSql(v: String, pfx: String) = {
+      val sel = pcts.map(p =>
+        s"max(CASE WHEN rn = (n*$p+99)//100 THEN v END) AS ${pfx}$p")
+        .mkString(", ")
+      s"""(SELECT $sel FROM
+         |  (SELECT $v AS v,
+         |     CAST(row_number() OVER (ORDER BY $v, custkey) AS BIGINT) AS rn,
+         |     CAST(COUNT(*) OVER () AS BIGINT) AS n FROM rfm)) ${pfx}cuts"""
+        .stripMargin
+    }
+    def scoreHigh(v: String, pfx: String) = pcts.map(p =>
+      s"(CASE WHEN $v > ${pfx}$p THEN 1 ELSE 0 END)").mkString(" + ")
+    def scoreLow(v: String, pfx: String) = pcts.map(p =>
+      s"(CASE WHEN $v < ${pfx}$p THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH base AS (SELECT o_custkey AS custkey,
+       |      CAST(max(date_diff('day', DATE '1970-01-01',
+       |        CAST(o_orderdate AS DATE))) AS BIGINT) AS last_day,
+       |      CAST(COUNT(*) AS BIGINT) AS f_orders,
+       |      CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+       |        AS BIGINT) AS m_cents
+       |    FROM orders GROUP BY 1),
+       |mx AS (SELECT CAST(max(last_day) AS BIGINT) AS maxd FROM base),
+       |rfm AS (SELECT custkey, maxd - last_day AS r_days, f_orders, m_cents
+       |        FROM base CROSS JOIN mx),
+       |sc AS (SELECT r.custkey, r.r_days, r.f_orders, r.m_cents,
+       |    CAST(${scoreLow("r.r_days", "r")} + 1 AS BIGINT) AS r_score,
+       |    CAST(${scoreHigh("r.f_orders", "f")} + 1 AS BIGINT) AS f_score,
+       |    CAST(${scoreHigh("r.m_cents", "m")} + 1 AS BIGINT) AS m_score
+       |  FROM rfm r
+       |  CROSS JOIN ${cutsSql("r_days", "r")}
+       |  CROSS JOIN ${cutsSql("f_orders", "f")}
+       |  CROSS JOIN ${cutsSql("m_cents", "m")})
+       |SELECT custkey, r_days, f_orders, m_cents, r_score, f_score, m_score,
+       |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+       |         THEN 'champion'
+       |       WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+       |       WHEN r_score <= 2 THEN 'at_risk'
+       |       ELSE 'regular' END AS segment
+       |FROM sc ORDER BY custkey""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q143_chisq_terms", q143, Some(q143Sql)),
     QueryDef("q144_ab_ztest", q144, Some(q144Sql)),
@@ -1376,5 +1443,6 @@ object StatsQueries {
     QueryDef("q177_diff_in_diff", q177, Some(q177Sql)),
     QueryDef("q178_item_cosine", q178, Some(q178Sql)),
     QueryDef("q179_woe_iv", q179, Some(q179Sql)),
+    QueryDef("q180_rfm_segments", q180, Some(q180Sql)),
   )
 }

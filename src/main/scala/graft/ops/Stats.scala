@@ -681,6 +681,74 @@ object Stats {
         col("n_pos").cast("double") / col("n").cast("double"))
   }
 
+  /** Global discrete quantile cut values WITHOUT a global window: ranks
+    * come from [[Packing.packSequences]]'s two-phase prefix sum (range
+    * partition + broadcast partition offsets), so no single task ever
+    * sorts the whole frame. The cut at percent p is the value at CEILING
+    * rank (n·p + 99) div 100 under the total (value, id) order —
+    * integer-exact and engine-identical (the [[winsorize]] bound rule,
+    * lifted to the global distribution).
+    *
+    * @return one row: n, p<pct> for each requested percent */
+  def globalQuantileCuts(df: DataFrame, idCol: String, valQ: Column,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percents must be in 1..100")
+    val vals = df.select(col(idCol).as("__id"), valQ.cast("long").as("__x"))
+      .localCheckpoint() // consumed by the rank pass and the join-back
+    val ranked = Packing.packSequences(
+        vals.select(col("__id"), lit(1L).as("__one"), col("__x")),
+        "__id", "__one", orderCols = Seq("__x", "__id"),
+        seqTokens = Long.MaxValue)
+      .select(col("id").as("__id"), (col("start_tok") + lit(1L)).as("__rn"))
+      .join(vals, Seq("__id"))
+    val nF = vals.agg(count(lit(1)).as("__n"))
+    val aggs = max(col("__n")).as("n") +: pcts.map { p =>
+      max(when(col("__rn") === expr(s"(__n * $p + 99) div 100"), col("__x")))
+        .as(s"p$p")
+    }
+    ranked.crossJoin(broadcast(nF)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** RFM segmentation: quintile scores for recency (lower = better),
+    * frequency and monetary value (higher = better), from broadcast
+    * global cutpoints — the classic customer-base reshape, built so the
+    * unit table never passes through a global window: three
+    * [[globalQuantileCuts]] passes produce 4 longs each, and the scoring
+    * is a codegen'd comparison against the broadcast cuts. Tie policy:
+    * a value equal to a cut falls in the LOWER quintile (strict
+    * comparisons on both engines).
+    *
+    * @return units + r_score, f_score, m_score (1-5), segment
+    *         (champion / at_risk / hibernating / regular) */
+  def rfmSegments(units: DataFrame, idCol: String, rCol: String,
+      fCol: String, mCol: String): DataFrame = {
+    val pcts = Seq(20, 40, 60, 80)
+    def cuts(c: String, pfx: String) =
+      globalQuantileCuts(units, idCol, col(c), pcts)
+        .select(pcts.map(p => col(s"p$p").as(s"__$pfx$p")): _*)
+    def scoreHigh(v: Column, pfx: String) = pcts.map(p =>
+      when(v > col(s"__$pfx$p"), 1L).otherwise(0L)).reduce(_ + _) + lit(1L)
+    def scoreLow(v: Column, pfx: String) = pcts.map(p =>
+      when(v < col(s"__$pfx$p"), 1L).otherwise(0L)).reduce(_ + _) + lit(1L)
+    units
+      .crossJoin(broadcast(cuts(rCol, "r")))
+      .crossJoin(broadcast(cuts(fCol, "f")))
+      .crossJoin(broadcast(cuts(mCol, "m")))
+      .withColumn("r_score", scoreLow(col(rCol), "r"))
+      .withColumn("f_score", scoreHigh(col(fCol), "f"))
+      .withColumn("m_score", scoreHigh(col(mCol), "m"))
+      .withColumn("segment",
+        when(col("r_score") >= 4L && col("f_score") >= 4L
+          && col("m_score") >= 4L, "champion")
+          .when(col("r_score") <= 2L && col("f_score") <= 2L, "hibernating")
+          .when(col("r_score") <= 2L, "at_risk")
+          .otherwise("regular"))
+      .select(col(idCol) +: Seq(rCol, fCol, mCol).map(col)
+        :+ col("r_score") :+ col("f_score") :+ col("m_score")
+        :+ col("segment"): _*)
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM'13): adjust each unit's
     * metric by its pre-experiment covariate, y' = y − θ(x − x̄), with
     * θ = cov(x,y)/var(x) estimated POOLED across arms — the standard

@@ -398,4 +398,39 @@ class StatsSpec extends SparkSpec {
     assert(got(1).getLong(4) == math.floor(woe1 * 1e6).toLong)
     assert(got(2).isNullAt(4) && got(2).isNullAt(5))
   }
+
+  test("globalQuantileCuts: ceiling-rank values, partition-count invariant") {
+    // values 1..10: cut at p is the value at rank ceil(10p/100)
+    val df = (1L to 10L).map(v => (v, v * 11 % 13)).toDF("id", "ignored")
+      .withColumn("v", col("id"))
+    val r = Stats.globalQuantileCuts(df, "id", col("v"), Seq(20, 40, 60, 80))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((10L, 2L, 4L, 6L, 8L)))
+    // same cuts when the frame arrives in 1 partition or many
+    val shuffled = df.repartition(7)
+    val r7 = Stats.globalQuantileCuts(shuffled, "id", col("v"),
+      Seq(20, 40, 60, 80)).collect()(0)
+    assert(r7.getLong(2) == 4L && r7.getLong(4) == 8L)
+  }
+
+  test("rfmSegments: quintile directions and segment buckets") {
+    // 10 units: r_days ascending 0..9, f and m descending — unit 0 is the
+    // most recent, most frequent, highest spend → champion; unit 9 the
+    // opposite → hibernating.
+    val units = (0L to 9L).map(i => (i, i, 10L - i, (10L - i) * 100L))
+      .toDF("id", "r_days", "f", "m")
+    val got = Stats.rfmSegments(units, "id", "r_days", "f", "m")
+      .orderBy("id").collect()
+    assert(got(0).getLong(4) == 5L && got(0).getLong(5) == 5L
+      && got(0).getLong(6) == 5L)
+    assert(got(0).getString(7) == "champion")
+    assert(got(9).getLong(4) == 1L && got(9).getString(7) == "hibernating")
+    // mid unit is neither: regular
+    assert(got(4).getString(7) == "regular")
+    // a value EQUAL to a cut lands in the lower quintile (strict compare):
+    // r_days cuts at ranks 2/4/6/8 → values 1/3/5/7; unit with r_days=1
+    // scores r=4 (1 < 3,5,7 only)
+    assert(got(1).getLong(4) == 4L)
+  }
 }
