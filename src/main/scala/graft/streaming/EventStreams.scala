@@ -532,6 +532,20 @@ object EventStreams {
     spark.read.parquet(s"$statePath/v_${vs.max}")
   }
 
+  /** Streaming EWMA readout: exponential smoothing over the maintained
+    * (key…, period) totals view — [[aggViewStream]] keeps the per-period
+    * sums current at O(micro-batch) cost, and this readout applies
+    * `Temporal.ewmaLagged`'s integer lag-window smoothing to the view.
+    * Because the EWMA is a pure function of the last `weights.length`
+    * periods per key, a late/replayed batch that revises one period
+    * revises at most that many smoothed points — no recursive state to
+    * rebuild. `valueCol` names the ORIGINAL metric column fed to
+    * [[aggViewStream]]; the view stores it as `sum_<valueCol>`. */
+  def ewmaView(spark: SparkSession, statePath: String, keys: Seq[String],
+      periodCol: String, valueCol: String, weights: Seq[Long]): DataFrame =
+    graft.ops.Temporal.ewmaLagged(readAggView(spark, statePath),
+      keys, periodCol, s"sum_$valueCol", weights)
+
   /** Batch-equivalence helper: the tumbling aggregation expressed as a plain
     * batch query — used by specs and the oracle gate to pin streaming
     * results to batch results on the same input. */

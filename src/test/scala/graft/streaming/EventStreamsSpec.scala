@@ -357,6 +357,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(remerged == view)
   }
 
+  test("streaming EWMA view ≡ batch EWMA on the same events; " +
+      "late batch revises only the lag window") {
+    val statePath = Files.createTempDirectory("ewmaview").toFile.getAbsolutePath
+    def withDay(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("cents", expr("CAST(floor(value*100 + 0.5) AS BIGINT)"))
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+    def dayTs(d: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-0$d 10:$minute%02d:00")
+    val b1 = Seq(Ev(1, dayTs(1, 0), 1, "click", 10.0),
+      Ev(2, dayTs(1, 5), 2, "click", 2.5), Ev(3, dayTs(2, 0), 1, "click", 7.0))
+    val b2 = Seq(Ev(4, dayTs(2, 30), 3, "click", 1.0),
+      Ev(5, dayTs(3, 0), 1, "click", 4.0), Ev(6, dayTs(3, 1), 2, "view", 9.0))
+    val input = MemoryStream[Ev](spark)
+    val q = EventStreams.aggViewStream(withDay(input.toDF()), statePath,
+        keys = Seq("event_type", "day"), values = Seq("cents"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("ewmack").toFile.getAbsolutePath)
+      .start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val weights = Seq(3L, 1L)
+    val streamed = EventStreams.ewmaView(spark, statePath,
+        keys = Seq("event_type"), periodCol = "day", valueCol = "cents",
+        weights = weights)
+      .select($"event_type", $"day", $"ewma")
+      .as[(String, Long, Long)].collect().toSet
+    val batch = graft.ops.Temporal.ewmaLagged(
+        withDay((b1 ++ b2).toDF()).groupBy($"event_type", $"day")
+          .agg(sum($"cents").as("sum_cents")),
+        Seq("event_type"), "day", "sum_cents", weights)
+      .select($"event_type", $"day", $"ewma")
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // hand check: click day1 = 1250 → ewma 1250; day2 = 700+100=800 →
+    // (3·800 + 1250)/4 = 912; day3 = 400 → (3·400 + 800)/4 = 500
+    assert(streamed.contains(("click", 19724L, 912L)))
+    assert(streamed.contains(("click", 19725L, 500L)))
+  }
+
   test("streaming rate limit ≡ batch rateLimit " +
       "(late-but-admitted event displaces an already-kept row)") {
     StateStores.withRocksDB(spark) {
