@@ -1115,17 +1115,18 @@ object StatsQueries {
       .map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter($toksSql, t -> list_contains($words, t)))"
   }
+  private lazy val q174LangCaseSql =
+    s"""CASE WHEN greatest(${kappaHitsSql("en")}, ${kappaHitsSql("de")},
+       |       ${kappaHitsSql("es")}, ${kappaHitsSql("fr")}) = 0 THEN 'und'
+       |   WHEN ${kappaHitsSql("en")} >= ${kappaHitsSql("de")}
+       |     AND ${kappaHitsSql("en")} >= ${kappaHitsSql("es")}
+       |     AND ${kappaHitsSql("en")} >= ${kappaHitsSql("fr")} THEN 'en'
+       |   WHEN ${kappaHitsSql("de")} >= ${kappaHitsSql("es")}
+       |     AND ${kappaHitsSql("de")} >= ${kappaHitsSql("fr")} THEN 'de'
+       |   WHEN ${kappaHitsSql("es")} >= ${kappaHitsSql("fr")} THEN 'es'
+       |   ELSE 'fr' END""".stripMargin
   private val q174Sql = {
-    val langCase =
-      s"""CASE WHEN greatest(${kappaHitsSql("en")}, ${kappaHitsSql("de")},
-         |       ${kappaHitsSql("es")}, ${kappaHitsSql("fr")}) = 0 THEN 'und'
-         |   WHEN ${kappaHitsSql("en")} >= ${kappaHitsSql("de")}
-         |     AND ${kappaHitsSql("en")} >= ${kappaHitsSql("es")}
-         |     AND ${kappaHitsSql("en")} >= ${kappaHitsSql("fr")} THEN 'en'
-         |   WHEN ${kappaHitsSql("de")} >= ${kappaHitsSql("es")}
-         |     AND ${kappaHitsSql("de")} >= ${kappaHitsSql("fr")} THEN 'de'
-         |   WHEN ${kappaHitsSql("es")} >= ${kappaHitsSql("fr")} THEN 'es'
-         |   ELSE 'fr' END""".stripMargin
+    val langCase = q174LangCaseSql
     s"""WITH t AS (SELECT $langCase AS a, coalesce(lang, 'und') AS b
        |           FROM documents),
        |j AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -1406,6 +1407,109 @@ object StatsQueries {
        |FROM sc ORDER BY custkey""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q181
+  // Funnel latency: per user, seconds from first 'view' to first
+  // 'purchase' (converters only), summarized as exact global quantile
+  // cuts (P20..P80 via the windowless prefix-sum rank) plus converter
+  // count — the "how long does conversion take" companion to q94's
+  // stage-count funnel.
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val firsts = Tables.events(s, d)
+      .filter($"event_type".isin("view", "purchase"))
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", unix_micros($"ts"))).as("v_us"),
+        min(when($"event_type" === "purchase", unix_micros($"ts")))
+          .as("p_us"))
+      .filter($"v_us".isNotNull && $"p_us".isNotNull && $"p_us" >= $"v_us")
+      .select($"user_id",
+        expr("(p_us - v_us) div 1000000").as("latency_s"))
+    Stats.globalQuantileCuts(firsts, "user_id", $"latency_s",
+      Seq(20, 40, 60, 80))
+  }
+  private val q181Sql =
+    """WITH f AS (SELECT user_id,
+      |      min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us,
+      |      min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |        AS p_us
+      |    FROM events WHERE event_type IN ('view', 'purchase')
+      |    GROUP BY 1),
+      |l AS (SELECT user_id, (p_us - v_us) // 1000000 AS latency_s
+      |      FROM f WHERE v_us IS NOT NULL AND p_us IS NOT NULL
+      |        AND p_us >= v_us),
+      |r AS (SELECT latency_s,
+      |        CAST(row_number() OVER (ORDER BY latency_s, user_id) AS BIGINT)
+      |          AS rn,
+      |        CAST(COUNT(*) OVER () AS BIGINT) AS n FROM l)
+      |SELECT CAST(max(n) AS BIGINT) AS n,
+      |  max(CASE WHEN rn = (n*20+99)//100 THEN latency_s END) AS p20,
+      |  max(CASE WHEN rn = (n*40+99)//100 THEN latency_s END) AS p40,
+      |  max(CASE WHEN rn = (n*60+99)//100 THEN latency_s END) AS p60,
+      |  max(CASE WHEN rn = (n*80+99)//100 THEN latency_s END) AS p80
+      |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------- q182
+  // Per-class precision / recall / F1 of the heuristic language ID
+  // against the reference label — the class-level companion to q174's
+  // single-number kappa. Counts from one confusion aggregate; the three
+  // ratios are fixed double trees; classes appearing only in prediction
+  // or only in truth keep defined rows (full outer marginal join).
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.documents(s, d).select(
+        graft.ops.TextAnalysis.langId($"text").as("pred"),
+        coalesce($"lang", lit("und")).as("actual"))
+      .localCheckpoint()
+    val tp = t.filter($"pred" === $"actual").groupBy($"pred".as("cls"))
+      .agg(count(lit(1)).as("tp"))
+    val predN = t.groupBy($"pred".as("cls")).agg(count(lit(1)).as("n_pred"))
+    val actN = t.groupBy($"actual".as("cls")).agg(count(lit(1)).as("n_act"))
+    predN.join(actN, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .select($"cls",
+        coalesce($"n_pred", lit(0L)).as("n_pred"),
+        coalesce($"n_act", lit(0L)).as("n_act"),
+        coalesce($"tp", lit(0L)).as("tp"))
+      .withColumn("precision", when($"n_pred" > 0L,
+        $"tp".cast("double") / $"n_pred".cast("double")))
+      .withColumn("recall", when($"n_act" > 0L,
+        $"tp".cast("double") / $"n_act".cast("double")))
+      .withColumn("f1", when($"tp" > 0L,
+        (lit(2.0) * $"precision" * $"recall") / ($"precision" + $"recall")))
+      .orderBy($"cls")
+  }
+  private val q182Sql = {
+    val langCase = q174LangCaseSql
+    s"""WITH t AS (SELECT $langCase AS pred, coalesce(lang, 'und') AS actual
+       |           FROM documents),
+       |tp AS (SELECT pred AS cls, CAST(COUNT(*) AS BIGINT) AS tp FROM t
+       |       WHERE pred = actual GROUP BY 1),
+       |pn AS (SELECT pred AS cls, CAST(COUNT(*) AS BIGINT) AS n_pred
+       |       FROM t GROUP BY 1),
+       |an AS (SELECT actual AS cls, CAST(COUNT(*) AS BIGINT) AS n_act
+       |       FROM t GROUP BY 1),
+       |m AS (SELECT coalesce(pn.cls, an.cls) AS cls,
+       |        CAST(coalesce(pn.n_pred, 0) AS BIGINT) AS n_pred,
+       |        CAST(coalesce(an.n_act, 0) AS BIGINT) AS n_act
+       |      FROM pn FULL OUTER JOIN an ON pn.cls = an.cls),
+       |j AS (SELECT m.cls, m.n_pred, m.n_act,
+       |        CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp
+       |      FROM m LEFT JOIN tp ON m.cls = tp.cls),
+       |pr AS (SELECT cls, n_pred, n_act, tp,
+       |        CASE WHEN n_pred > 0
+       |          THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END
+       |          AS precision,
+       |        CASE WHEN n_act > 0
+       |          THEN CAST(tp AS DOUBLE) / CAST(n_act AS DOUBLE) END
+       |          AS recall
+       |      FROM j)
+       |SELECT cls, n_pred, n_act, tp, precision, recall,
+       |  CASE WHEN tp > 0 THEN (2.0 * precision * recall)
+       |    / (precision + recall) END AS f1
+       |FROM pr ORDER BY cls""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q143_chisq_terms", q143, Some(q143Sql)),
     QueryDef("q144_ab_ztest", q144, Some(q144Sql)),
@@ -1444,5 +1548,7 @@ object StatsQueries {
     QueryDef("q178_item_cosine", q178, Some(q178Sql)),
     QueryDef("q179_woe_iv", q179, Some(q179Sql)),
     QueryDef("q180_rfm_segments", q180, Some(q180Sql)),
+    QueryDef("q181_funnel_latency", q181, Some(q181Sql)),
+    QueryDef("q182_class_prf", q182, Some(q182Sql)),
   )
 }
