@@ -526,6 +526,53 @@ object EntityQueries {
       |    AS corr
       |FROM c ORDER BY l_returnflag, var_x, var_y""".stripMargin
 
+  // ---------------------------------------------------------------- q183
+  // Catalog reachability: hop distance from the nearest "promoted" part
+  // (partkey % 97 = 0) through the co-purchase graph (q124's edge set),
+  // 4 bounded BFS rounds — the "distance to nearest flagged entity"
+  // feature. The oracle unrolls the same four frontier expansions; each
+  // round's CASE mirrors the operator's explicit null handling.
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+      .filter(size($"ps") >= 2)
+    val edges = sets.select($"ps", explode($"ps").as("src"))
+      .select($"src", explode($"ps").as("dst"))
+      .filter($"src" =!= $"dst")
+    val seeds = edges.select($"src".as("node")).distinct()
+      .filter($"node" % 97 === 0)
+    Graph.bfsHops(edges, seeds, rounds = 4).orderBy($"node")
+  }
+  private val q183Sql = {
+    val rounds = (1 to 4).map { i =>
+      val prev = s"it${i - 1}"
+      s"""it$i AS MATERIALIZED (
+         |  SELECT p.node,
+         |    CASE WHEN p.dist IS NULL THEN c.nd
+         |         WHEN c.nd IS NULL THEN p.dist
+         |         ELSE least(p.dist, c.nd) END AS dist
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(MIN(q.dist) + 1 AS BIGINT) AS nd
+         |    FROM e JOIN $prev q ON e.src = q.node
+         |    WHERE q.dist IS NOT NULL GROUP BY e.dst) c ON p.node = c.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pe AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |         AND a.l_partkey <> b.l_partkey),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM pe),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |seeds AS (SELECT node FROM nodes WHERE node % 97 = 0),
+       |it0 AS (SELECT nodes.node,
+       |    CASE WHEN s.node IS NOT NULL THEN CAST(0 AS BIGINT) END AS dist
+       |  FROM nodes LEFT JOIN seeds s ON nodes.node = s.node),
+       |$rounds
+       |SELECT node, dist FROM it4 WHERE dist IS NOT NULL
+       |ORDER BY node""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q122_rate_limit", q122, Some(q122Sql)),
     QueryDef("q123_survivorship", q123, Some(q123Sql)),
@@ -541,6 +588,7 @@ object EntityQueries {
     QueryDef("q158_kcore", q158, Some(q158Sql)),
     QueryDef("q141_trend_fit", q141, Some(q141Sql)),
     QueryDef("q142_corr_matrix", q142, Some(q142Sql)),
+    QueryDef("q183_bfs_hops", q183, Some(q183Sql)),
   )
 
 }

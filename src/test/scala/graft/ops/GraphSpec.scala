@@ -72,4 +72,28 @@ class GraphSpec extends SparkSpec {
     assert(r1 == Map(2L -> 1L, 3L -> 2L, 4L -> 1L), s"got $r1")
     assert(Graph.kCore(path, k = 2, rounds = 3).count() == 0L)
   }
+
+  test("bfsHops: multi-source min distance, bounded horizon, unreached absent") {
+    // path 1-2-3-4-5-6 (bidirectional) + island 10-11; seeds {1, 5}
+    val path = (1L to 5L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val edges = (path ++ Seq((10L, 11L), (11L, 10L))).toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    // node 3 is 2 hops from BOTH seeds — min, not first-writer-wins
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L,
+      6L -> 1L), s"got $got")
+
+    // bounded horizon: 1 round from seed 1 only reaches node 2
+    val one = Graph.bfsHops(edges, Seq(1L).toDF("node"), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L), s"got $one")
+
+    // layout invariance: exact integer equality under repartition
+    val a = Graph.bfsHops(edges, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.bfsHops(edges.repartition(13), seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
 }
