@@ -573,6 +573,54 @@ object EntityQueries {
        |ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q186
+  // Audience-overlap matrix: Jaccard between the user audiences of every
+  // event-type pair — "do purchasers also search?", the segmentation /
+  // cannibalization readout. Intersections come from an in-row pair
+  // expansion of each user's type set (q178's co-basket discipline —
+  // bounded by the type-vocabulary size, never an audience self-join);
+  // the full matrix including zero-overlap pairs via a tiny sizes×sizes
+  // cross (k² rows, control-plane).
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ut = Tables.events(s, d)
+      .select($"user_id", $"event_type").distinct()
+      .localCheckpoint() // one distinct exchange feeds sets AND sizes
+    val both = ut.groupBy($"user_id").agg(collect_set($"event_type").as("ts"))
+      .select(explode($"ts").as("a"), $"ts")
+      .select($"a", explode($"ts").as("b"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_both"))
+    val sizes = ut.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    sizes.select($"event_type".as("a"), $"n".as("n_a"))
+      .crossJoin(sizes.select($"event_type".as("b"), $"n".as("n_b")))
+      .filter($"a" < $"b")
+      .join(both, Seq("a", "b"), "left")
+      .select($"a", $"b", $"n_a", $"n_b",
+        coalesce($"n_both", lit(0L)).as("n_both"))
+      .withColumn("jaccard", $"n_both".cast("double") /
+        ($"n_a" + $"n_b" - $"n_both").cast("double"))
+      .orderBy($"a", $"b")
+  }
+  private val q186Sql =
+    """WITH ut AS MATERIALIZED (
+      |  SELECT DISTINCT user_id, event_type FROM events),
+      |b AS (SELECT x.event_type AS a, y.event_type AS b,
+      |        CAST(COUNT(*) AS BIGINT) AS n_both
+      |      FROM ut x JOIN ut y ON x.user_id = y.user_id
+      |        AND x.event_type < y.event_type
+      |      GROUP BY 1, 2),
+      |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM ut GROUP BY 1)
+      |SELECT sa.event_type AS a, sb.event_type AS b,
+      |  sa.n AS n_a, sb.n AS n_b,
+      |  CAST(COALESCE(b.n_both, 0) AS BIGINT) AS n_both,
+      |  CAST(COALESCE(b.n_both, 0) AS DOUBLE)
+      |    / CAST(sa.n + sb.n - COALESCE(b.n_both, 0) AS DOUBLE) AS jaccard
+      |FROM s sa JOIN s sb ON sa.event_type < sb.event_type
+      |LEFT JOIN b ON b.a = sa.event_type AND b.b = sb.event_type
+      |ORDER BY a, b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q122_rate_limit", q122, Some(q122Sql)),
     QueryDef("q123_survivorship", q123, Some(q123Sql)),
@@ -589,6 +637,7 @@ object EntityQueries {
     QueryDef("q141_trend_fit", q141, Some(q141Sql)),
     QueryDef("q142_corr_matrix", q142, Some(q142Sql)),
     QueryDef("q183_bfs_hops", q183, Some(q183Sql)),
+    QueryDef("q186_audience_overlap", q186, Some(q186Sql)),
   )
 
 }

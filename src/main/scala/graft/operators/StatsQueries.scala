@@ -1510,6 +1510,102 @@ object StatsQueries {
        |FROM pr ORDER BY cls""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q184
+  // Revenue autocorrelation: is daily order revenue periodic? ACF of the
+  // whole-dollar daily series at lags 1 / 7 / 30 — the seasonality
+  // diagnostic upstream of q161's weekday index (q161 assumes the weekly
+  // period; this measures it). Exact-long sufficient statistics per lag,
+  // one fixed double tree (q142's corr discipline).
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .select(
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"day")
+      .agg(expr("sum(cents) div 100").as("rev"))
+    Stats.acfLags(daily, Nil, "day", $"rev", Seq(1, 7, 30))
+      .orderBy($"lag")
+  }
+  private val q184Sql = {
+    def lagSql(k: Int) =
+      s"""SELECT CAST($k AS BIGINT) AS lag, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(a.rev) AS BIGINT) AS sx, CAST(SUM(b.rev) AS BIGINT) AS sy,
+         |  CAST(SUM(a.rev * a.rev) AS BIGINT) AS sxx,
+         |  CAST(SUM(b.rev * b.rev) AS BIGINT) AS syy,
+         |  CAST(SUM(a.rev * b.rev) AS BIGINT) AS sxy
+         |FROM d a JOIN d b ON a.day + $k = b.day""".stripMargin
+    val lagUnion = Seq(1, 7, 30).map(lagSql).mkString("\nUNION ALL\n")
+    s"""WITH o AS (SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+       |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+       |      FROM orders),
+       |d AS MATERIALIZED (SELECT CAST(day AS BIGINT) AS day,
+       |        CAST(SUM(cents) // 100 AS BIGINT) AS rev
+       |      FROM o GROUP BY 1),
+       |l AS ($lagUnion),
+       |t AS (SELECT lag, n,
+       |  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+       |  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+       |  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+       |  FROM l)
+       |SELECT lag, n AS n_pairs,
+       |  CASE WHEN vx > 0 AND vy > 0
+       |    THEN num / (sqrt(vx) * sqrt(vy)) END AS acf
+       |FROM t ORDER BY lag""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q185
+  // Categorical feature-dependency screen: mutual information between
+  // order/customer categorical pairs — which attributes are redundant
+  // (high MI) vs independent (≈0) before anything trains on them. The
+  // soft complement of q162's exact FD audit, sharing its "four declared
+  // contracts in one report" shape.
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val oc = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"), $"o_orderpriority".as("pri"),
+        $"o_orderstatus".as("st"))
+      .localCheckpoint() // three MI passes over one slim projection
+    Stats.mutualInfo(oc, $"seg", $"pri", "seg~pri")
+      .unionByName(Stats.mutualInfo(oc, $"seg", $"st", "seg~st"))
+      .unionByName(Stats.mutualInfo(oc, $"pri", $"st", "pri~st"))
+      .orderBy($"pair")
+  }
+  private val q185Sql = {
+    def mi(x: String, y: String, pair: String) =
+      s"""SELECT '$pair' AS pair, n AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(SUM(CAST(floor(((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+         |    * ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))
+         |        / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))) * 1e9)
+         |    AS BIGINT)) AS BIGINT) AS mi_x9
+         |FROM (SELECT c.$x, c.$y, c.nxy, mx.nx, my.ny, t.n
+         |      FROM (SELECT $x, $y, CAST(COUNT(*) AS BIGINT) AS nxy
+         |            FROM oc GROUP BY 1, 2) c
+         |      JOIN (SELECT $x, CAST(COUNT(*) AS BIGINT) AS nx
+         |            FROM oc GROUP BY 1) mx USING ($x)
+         |      JOIN (SELECT $y, CAST(COUNT(*) AS BIGINT) AS ny
+         |            FROM oc GROUP BY 1) my USING ($y)
+         |      CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM oc) t)
+         |GROUP BY n""".stripMargin
+    s"""WITH oc AS MATERIALIZED (
+       |  SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+       |         o_orderstatus AS st
+       |  FROM orders JOIN customer ON o_custkey = c_custkey)
+       |${mi("seg", "pri", "seg~pri")}
+       |UNION ALL
+       |${mi("seg", "st", "seg~st")}
+       |UNION ALL
+       |${mi("pri", "st", "pri~st")}
+       |ORDER BY pair""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q143_chisq_terms", q143, Some(q143Sql)),
     QueryDef("q144_ab_ztest", q144, Some(q144Sql)),
@@ -1550,5 +1646,7 @@ object StatsQueries {
     QueryDef("q180_rfm_segments", q180, Some(q180Sql)),
     QueryDef("q181_funnel_latency", q181, Some(q181Sql)),
     QueryDef("q182_class_prf", q182, Some(q182Sql)),
+    QueryDef("q184_revenue_acf", q184, Some(q184Sql)),
+    QueryDef("q185_mutual_info", q185, Some(q185Sql)),
   )
 }

@@ -867,6 +867,110 @@ object Stats {
     *
     * @return one row: n, n_agree, pe_num (Σ rm·cm), po, pe, kappa
     *         (null when p_e = 1, i.e. both raters constant) */
+  /** Autocorrelation of a regular series at a set of lags — the
+    * periodicity / persistence diagnostic behind seasonality detection
+    * ("is daily revenue weekly-periodic?") and sampling-interval choice.
+    * For each lag k the Pearson correlation of (x_t, x_{t+k}) over every
+    * t where BOTH ends exist (gaps in the series drop only the pairs they
+    * touch; no imputation).
+    *
+    * Exactness: the six sufficient statistics per lag (n, Σx, Σy, Σx²,
+    * Σy², Σxy) are exact long sums of the quantized series; the
+    * correlation is one fixed double tree — num / (√vx · √vy) with
+    * num = n·Σxy − Σx·Σy, vx = n·Σx² − (Σx)², vy likewise — bit-identical
+    * cross-engine. Degenerate variance (constant segment) → null.
+    * Caller quantizes `valQ` so Σv² stays far from 2⁶³ (e.g. whole
+    * dollars, not cents, for revenue series).
+    *
+    * Scale: the series frame is one row per (group, t) — already the
+    * output of a day/hour-grain aggregation, so it is orders of magnitude
+    * smaller than the fact table. Each lag is one equi-join of that slim
+    * frame against itself (shuffle on (group, t), AQE-broadcast when it
+    * fits) into a fixed-width aggregate; lags are independent and union
+    * at the end. The series checkpoints once and is re-read 2·|lags|
+    * times.
+    *
+    * @param series one row per (groupCols, tCol) — pre-aggregated
+    * @param tCol   integer time axis (epoch-day, hour index, …)
+    * @param valQ   quantized long value column
+    * @return groupCols + (lag, n_pairs, acf)
+    */
+  def acfLags(series: DataFrame, groupCols: Seq[String], tCol: String,
+      valQ: Column, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      "acfLags needs at least one positive lag")
+    val s0 = series.select(
+      groupCols.map(col) ++ Seq(col(tCol).cast("long").as("__t"),
+        valQ.cast("long").as("__v")): _*)
+      .localCheckpoint() // re-read twice per lag
+    val dbl = "double"
+    val perLag = lags.map { k =>
+      val cond = groupCols.map(g => col(s"a.$g") === col(s"b.$g"))
+        .foldLeft((col("a.__t") + lit(k.toLong)) === col("b.__t"))(_ && _)
+      val agg = s0.as("a").join(s0.as("b"), cond)
+        .groupBy(groupCols.map(g => col(s"a.$g").as(g)): _*)
+        .agg(count(lit(1)).as("n"),
+          sum(col("a.__v")).as("sx"), sum(col("b.__v")).as("sy"),
+          sum(col("a.__v") * col("a.__v")).as("sxx"),
+          sum(col("b.__v") * col("b.__v")).as("syy"),
+          sum(col("a.__v") * col("b.__v")).as("sxy"))
+      val vx = col("n").cast(dbl) * col("sxx").cast(dbl) -
+        col("sx").cast(dbl) * col("sx").cast(dbl)
+      val vy = col("n").cast(dbl) * col("syy").cast(dbl) -
+        col("sy").cast(dbl) * col("sy").cast(dbl)
+      val num = col("n").cast(dbl) * col("sxy").cast(dbl) -
+        col("sx").cast(dbl) * col("sy").cast(dbl)
+      agg.select(groupCols.map(col) ++ Seq(lit(k.toLong).as("lag"),
+        col("n").as("n_pairs"),
+        when(vx > 0.0d && vy > 0.0d, num / (sqrt(vx) * sqrt(vy)))
+          .as("acf")): _*)
+    }
+    perLag.reduce(_ unionByName _)
+  }
+
+  /** Mutual information between two categorical columns (nats,
+    * quantized) — the soft complement of [[fdAudit]]: FD audit answers
+    * "does X determine Y exactly"; MI measures HOW MUCH knowing X tells
+    * you about Y (0 = independent, min(H(X), H(Y)) = determined), the
+    * standard feature-redundancy screen before training on categorical
+    * features.
+    *
+    * MI = Σ_xy p_xy · ln(p_xy / (p_x·p_y)). Each cell term is computed
+    * from exact counts in a fixed double tree, quantized floor(·10⁹) to a
+    * long, and summed — order-independent, bit-identical cross-engine
+    * (the [[jsDivergenceDrift]] discipline). Only observed cells
+    * contribute (empty cells have p_xy = 0, limit 0).
+    *
+    * Scale: one (x, y) cell count — a single hash aggregate whose width
+    * is the cross-cardinality, checkpointed and re-read for the two
+    * marginals (slim frames, broadcast back). Nothing wider than the
+    * cell frame ever shuffles.
+    *
+    * @return one row: (pair, n_rows, n_cells, mi_x9)
+    */
+  def mutualInfo(df: DataFrame, xCol: Column, yCol: Column,
+      pairName: String): DataFrame = {
+    val cells = df.groupBy(xCol.as("__x"), yCol.as("__y"))
+      .agg(count(lit(1)).as("nxy"))
+      .localCheckpoint() // one scan feeds both marginals + the total
+    val mx = cells.groupBy(col("__x")).agg(sum(col("nxy")).as("nx"))
+    val my = cells.groupBy(col("__y")).agg(sum(col("nxy")).as("ny"))
+    val tot = cells.agg(sum(col("nxy")).as("n"))
+    val dbl = "double"
+    // p_xy·ln(p_xy·N / (n_x·p_y·… )) rearranged to pure counts:
+    // (nxy/N) · ln((nxy·N) / (nx·ny)) — each factor an exact long
+    val term = (col("nxy").cast(dbl) / col("n").cast(dbl)) *
+      log((col("nxy").cast(dbl) * col("n").cast(dbl)) /
+        (col("nx").cast(dbl) * col("ny").cast(dbl)))
+    cells.join(broadcast(mx), "__x").join(broadcast(my), "__y")
+      .crossJoin(broadcast(tot))
+      .select(floor(term * lit(1e9)).cast("long").as("__t"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("__t")).as("mi_x9"))
+      .crossJoin(broadcast(tot))
+      .select(lit(pairName).as("pair"), col("n").as("n_rows"),
+        col("n_cells"), col("mi_x9"))
+  }
+
   def cohenKappa(df: DataFrame, rater1: Column, rater2: Column)
       : DataFrame = {
     val base = df.select(rater1.as("__a"), rater2.as("__b"))

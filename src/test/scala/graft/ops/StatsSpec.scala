@@ -433,4 +433,51 @@ class StatsSpec extends SparkSpec {
     // scores r=4 (1 < 3,5,7 only)
     assert(got(1).getLong(4) == 4L)
   }
+
+  test("acfLags: period-2 series, gap drops pairs, constant series null") {
+    // perfect alternation 5,1,5,1,... → acf(1) = -1, acf(2) = +1
+    val alt = (0L to 9L).map(t => (t, if (t % 2 == 0) 5L else 1L))
+      .toDF("t", "v")
+    val r = Stats.acfLags(alt, Nil, "t", col("v"), Seq(1, 2))
+      .orderBy("lag").collect()
+    assert(r(0).getLong(1) == 9L && math.abs(r(0).getDouble(2) + 1.0) < 1e-12)
+    assert(r(1).getLong(1) == 8L && math.abs(r(1).getDouble(2) - 1.0) < 1e-12)
+
+    // a gap at t=5 drops exactly the pairs touching it: lag-1 pairs 4→5
+    // and 5→6 vanish (9 → 7 pairs on 0..9 without t=5)
+    val gap = alt.filter(col("t") =!= 5L)
+    val g = Stats.acfLags(gap, Nil, "t", col("v"), Seq(1))
+      .collect()(0)
+    assert(g.getLong(1) == 7L)
+
+    // constant series: zero variance → null acf, n_pairs still counted
+    val const = (0L to 5L).map(t => (t, 3L)).toDF("t", "v")
+    val c = Stats.acfLags(const, Nil, "t", col("v"), Seq(1)).collect()(0)
+    assert(c.getLong(1) == 5L && c.isNullAt(2))
+
+    // grouped: keys do not mix (per-key alternation phase differs)
+    val twoKey = ((0L to 9L).map(t => ("a", t, if (t % 2 == 0) 5L else 1L))
+      ++ (0L to 9L).map(t => ("b", t, if (t % 2 == 0) 1L else 5L)))
+      .toDF("k", "t", "v")
+    val byK = Stats.acfLags(twoKey, Seq("k"), "t", col("v"), Seq(1))
+      .orderBy("k").collect()
+    assert(byK.length == 2 &&
+      byK.forall(x => math.abs(x.getDouble(3) + 1.0) < 1e-12))
+  }
+
+  test("mutualInfo: independent ≈ 0, determined = H(X), asymmetric margins") {
+    // independent 2x2 with equal margins: every cell p=1/4, p_x=p_y=1/2
+    // → ln(1) = 0 in every term
+    val ind = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("x", "y")
+    val i = Stats.mutualInfo(ind, col("x"), col("y"), "ind").collect()(0)
+    assert(i.getLong(1) == 4L && i.getLong(2) == 4L && i.getLong(3) == 0L)
+
+    // y determined by x, uniform over {a,b}: MI = H(X) = ln 2
+    val det = Seq(("a", "u"), ("a", "u"), ("b", "v"), ("b", "v"))
+      .toDF("x", "y")
+    val dRow = Stats.mutualInfo(det, col("x"), col("y"), "det").collect()(0)
+    // 2 cells, each floor((1/2)·ln 2 ·1e9) = floor(346573590.27…)
+    assert(dRow.getLong(2) == 2L && dRow.getLong(3) == 2L * 346573590L)
+  }
 }
