@@ -382,6 +382,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q183/q184: BFS state re-reads checkpoints; ACF joins the slim " +
+      "day-grain series, never the fact table") {
+    val pb = planOf("q183_bfs_hops")
+    // per-round localCheckpoint: rounds consume materialized scans, not
+    // a 2^rounds re-derivation of earlier frontiers
+    assert(pb.contains("Scan ExistingRDD"))
+    val pa = planOf("q184_revenue_acf")
+    // the lag self-join happens ABOVE the day-grain aggregate: each join
+    // side is a HashAggregate/checkpoint, so the orders scan feeds one
+    // aggregation, not three self-joined scans
+    assert(pa.contains("Scan ExistingRDD") || pa.contains("HashAggregate"))
+    assert(!pa.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q185/q186: MI margins and audience sizes broadcast; " +
+      "no audience self-join wider than the cell/set frames") {
+    val pm = planOf("q185_mutual_info")
+    assert(pm.contains("BroadcastHashJoin"))
+    val po = planOf("q186_audience_overlap")
+    // intersections come from an in-row pair expansion (Generate), not a
+    // per-user audience self-join
+    assert(po.contains("Generate"))
+    assert(!po.contains("SortMergeJoin"),
+      "pair counts and sizes are slim — everything above the distinct " +
+        "exchange should broadcast")
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
