@@ -1606,6 +1606,143 @@ object StatsQueries {
        |ORDER BY pair""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q187
+  // Population stability index: has the order-value distribution shifted
+  // between the first and second half of the horizon? Decile bins come
+  // from the REFERENCE half (broadcast global cuts, q180's windowless
+  // prefix-sum rank), both halves are binned by strict compare against
+  // those 9 cut values, and each bin contributes the classic
+  // (p−q)·ln(p/q) term — quantized ·10⁹ so the total is one integer sum.
+  // The model-monitoring staple downstream of q146's categorical drift.
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_orderkey",
+      datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .localCheckpoint() // one scan feeds cuts + both halves
+    val split = datediff(lit("1995-06-17").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    val ref = o.filter($"day" < split)
+    val cuts = Stats.globalQuantileCuts(ref, "o_orderkey", $"cents",
+      (10 to 90 by 10))
+    val bin = (10 to 90 by 10).map(p =>
+      when($"cents" > col(s"p$p"), 1L).otherwise(0L)).reduce(_ + _)
+    val binned = o.crossJoin(broadcast(cuts))
+      .select(when($"day" < split, lit("ref")).otherwise(lit("cmp"))
+        .as("half"), bin.as("bin"))
+      .groupBy($"bin")
+      .agg(sum(when($"half" === "ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when($"half" === "cmp", 1L).otherwise(0L)).as("n_cmp"))
+    val tot = binned.agg(sum($"n_ref").as("tr"), sum($"n_cmp").as("tc"))
+    val pa = $"n_ref".cast("double") / $"tr".cast("double")
+    val pb = $"n_cmp".cast("double") / $"tc".cast("double")
+    binned.crossJoin(broadcast(tot))
+      .select($"bin", $"n_ref", $"n_cmp",
+        when($"n_ref" > 0L && $"n_cmp" > 0L,
+          floor(((pa - pb) * log(pa / pb)) * lit(1e9)).cast("long"))
+          .as("psi_term_x9"))
+      .orderBy($"bin")
+  }
+  private val q187Sql = {
+    val cutSel = (10 to 90 by 10).map(p =>
+      s"max(CASE WHEN rn = (n*$p+99)//100 THEN cents END) AS p$p")
+      .mkString(",\n         ")
+    val binExpr = (10 to 90 by 10).map(p =>
+      s"(CASE WHEN cents > c.p$p THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH o AS MATERIALIZED (SELECT o_orderkey,
+       |        CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+       |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+       |      FROM orders),
+       |s AS (SELECT DATE '1995-06-17' - DATE '1970-01-01' AS sd),
+       |r AS (SELECT cents,
+       |        CAST(row_number() OVER (ORDER BY cents, o_orderkey)
+       |          AS BIGINT) AS rn,
+       |        CAST(COUNT(*) OVER () AS BIGINT) AS n
+       |      FROM o CROSS JOIN s WHERE day < sd),
+       |c AS (SELECT $cutSel
+       |      FROM r),
+       |b AS (SELECT CASE WHEN day < sd THEN 'ref' ELSE 'cmp' END AS half,
+       |        CAST($binExpr AS BIGINT) AS bin
+       |      FROM o CROSS JOIN s CROSS JOIN c),
+       |g AS (SELECT bin,
+       |        CAST(SUM(CASE WHEN half = 'ref' THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_ref,
+       |        CAST(SUM(CASE WHEN half = 'cmp' THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_cmp
+       |      FROM b GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+       |        CAST(SUM(n_cmp) AS BIGINT) AS tc FROM g)
+       |SELECT bin, n_ref, n_cmp,
+       |  CASE WHEN n_ref > 0 AND n_cmp > 0 THEN
+       |    CAST(floor(((CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE)
+       |           - CAST(n_cmp AS DOUBLE) / CAST(tc AS DOUBLE))
+       |        * ln((CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE))
+       |            / (CAST(n_cmp AS DOUBLE) / CAST(tc AS DOUBLE)))) * 1e9)
+       |      AS BIGINT) END AS psi_term_x9
+       |FROM g CROSS JOIN t ORDER BY bin""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q188
+  // Segment co-movement: rolling 30-observation correlation between the
+  // daily whole-dollar revenue series of every market-segment pair — the
+  // "which segments decouple, and when" readout on top of q184's global
+  // ACF. The window is keyed per pair over the day-grain series
+  // (bounded-axis contract), never over the order facts.
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"),
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"seg", $"day")
+      .agg(expr("sum(cents) div 100").as("rev"))
+      .localCheckpoint() // both sides of the pair alignment
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.day") === col("b.day") && col("a.seg") < col("b.seg"))
+      .select(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"),
+        col("a.day").as("day"), col("a.rev").as("ra"), col("b.rev").as("rb"))
+    Stats.rollingCorr(pairs, Seq("seg_a", "seg_b"), "day",
+        $"ra", $"rb", window = 30)
+      .select($"seg_a", $"seg_b", $"t".as("day"), $"corr")
+      .orderBy($"seg_a", $"seg_b", $"day")
+  }
+  private val q188Sql =
+    """WITH oc AS (SELECT c_mktsegment AS seg,
+      |        CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+      |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |      FROM orders JOIN customer ON o_custkey = c_custkey),
+      |d AS MATERIALIZED (SELECT seg, CAST(day AS BIGINT) AS day,
+      |        CAST(SUM(cents) // 100 AS BIGINT) AS rev
+      |      FROM oc GROUP BY 1, 2),
+      |p AS (SELECT a.seg AS seg_a, b.seg AS seg_b, a.day,
+      |        a.rev AS ra, b.rev AS rb
+      |      FROM d a JOIN d b ON a.day = b.day AND a.seg < b.seg),
+      |w AS (SELECT seg_a, seg_b, day,
+      |        CAST(COUNT(*) OVER win AS BIGINT) AS n,
+      |        CAST(SUM(ra) OVER win AS BIGINT) AS sx,
+      |        CAST(SUM(rb) OVER win AS BIGINT) AS sy,
+      |        CAST(SUM(ra * ra) OVER win AS BIGINT) AS sxx,
+      |        CAST(SUM(rb * rb) OVER win AS BIGINT) AS syy,
+      |        CAST(SUM(ra * rb) OVER win AS BIGINT) AS sxy
+      |      FROM p
+      |      WINDOW win AS (PARTITION BY seg_a, seg_b ORDER BY day
+      |        ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+      |f AS (SELECT seg_a, seg_b, day,
+      |  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+      |  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+      |  FROM w WHERE n = 30)
+      |SELECT seg_a, seg_b, day,
+      |  CASE WHEN vx > 0 AND vy > 0
+      |    THEN num / (sqrt(vx) * sqrt(vy)) END AS corr
+      |FROM f ORDER BY seg_a, seg_b, day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q143_chisq_terms", q143, Some(q143Sql)),
     QueryDef("q144_ab_ztest", q144, Some(q144Sql)),
@@ -1648,5 +1785,7 @@ object StatsQueries {
     QueryDef("q182_class_prf", q182, Some(q182Sql)),
     QueryDef("q184_revenue_acf", q184, Some(q184Sql)),
     QueryDef("q185_mutual_info", q185, Some(q185Sql)),
+    QueryDef("q187_psi_drift", q187, Some(q187Sql)),
+    QueryDef("q188_rolling_corr", q188, Some(q188Sql)),
   )
 }

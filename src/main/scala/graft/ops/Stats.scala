@@ -971,6 +971,55 @@ object Stats {
         col("n_cells"), col("mi_x9"))
   }
 
+  /** Rolling correlation of two aligned series per key — "do these
+    * metrics co-move, and when did they decouple?" (segment revenues,
+    * error rate vs latency, …). For each t, Pearson correlation over the
+    * trailing `window` OBSERVATIONS (rows, not calendar units: gaps
+    * shrink the lookback horizon, never fabricate zeros); only full
+    * windows emit.
+    *
+    * Exactness: the six windowed sufficient statistics are exact long
+    * sums (caller quantizes so window·x·y stays far from 2⁶³); the
+    * correlation is [[acfLags]]' fixed double tree. Degenerate window
+    * variance → null.
+    *
+    * Scale: one keyed window sort over the series frame — which is
+    * day/hour-grain, i.e. orders of magnitude smaller than the facts it
+    * aggregates; the bounded-axis contract of [[cusumChangePoint]]. The
+    * window never sees an unkeyed global frame unless groupCols is empty
+    * AND the caller accepts a single-partition sort of a control-plane
+    * series.
+    *
+    * @param series one row per (groupCols, tCol), columns xQ and yQ
+    * @return groupCols + (t, n_window, corr)
+    */
+  def rollingCorr(series: DataFrame, groupCols: Seq[String], tCol: String,
+      xQ: Column, yQ: Column, window: Int): DataFrame = {
+    require(window >= 2, "rollingCorr needs a window of at least 2")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("t")).rowsBetween(-(window - 1), Window.currentRow)
+    val dbl = "double"
+    val base = series.select(
+      groupCols.map(col) ++ Seq(col(tCol).as("t"),
+        xQ.cast("long").as("__x"), yQ.cast("long").as("__y")): _*)
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("__x")).over(w))
+      .withColumn("sy", sum(col("__y")).over(w))
+      .withColumn("sxx", sum(col("__x") * col("__x")).over(w))
+      .withColumn("syy", sum(col("__y") * col("__y")).over(w))
+      .withColumn("sxy", sum(col("__x") * col("__y")).over(w))
+      .filter(col("n_window") === window.toLong)
+    val vx = col("n_window").cast(dbl) * col("sxx").cast(dbl) -
+      col("sx").cast(dbl) * col("sx").cast(dbl)
+    val vy = col("n_window").cast(dbl) * col("syy").cast(dbl) -
+      col("sy").cast(dbl) * col("sy").cast(dbl)
+    val num = col("n_window").cast(dbl) * col("sxy").cast(dbl) -
+      col("sx").cast(dbl) * col("sy").cast(dbl)
+    base.select(groupCols.map(col) ++ Seq(col("t"), col("n_window"),
+      when(vx > 0.0d && vy > 0.0d, num / (sqrt(vx) * sqrt(vy)))
+        .as("corr")): _*)
+  }
+
   def cohenKappa(df: DataFrame, rater1: Column, rater2: Column)
       : DataFrame = {
     val base = df.select(rater1.as("__a"), rater2.as("__b"))

@@ -480,4 +480,32 @@ class StatsSpec extends SparkSpec {
     // 2 cells, each floor((1/2)·ln 2 ·1e9) = floor(346573590.27…)
     assert(dRow.getLong(2) == 2L && dRow.getLong(3) == 2L * 346573590L)
   }
+
+  test("rollingCorr: full windows only, sign tracks co-movement, keys split") {
+    // y = x over t=0..5 → corr +1 everywhere a full window exists;
+    // window=3 ⇒ first two rows are partial and must NOT emit
+    val up = (0L to 5L).map(t => ("k", t, t + 1, t + 1))
+      .toDF("k", "t", "x", "y")
+    val r = Stats.rollingCorr(up, Seq("k"), "t", col("x"), col("y"), 3)
+      .orderBy("t").collect()
+    assert(r.length == 4 && r.head.getLong(1) == 2L)
+    assert(r.forall(x => math.abs(x.getDouble(3) - 1.0) < 1e-12))
+
+    // anti-phase key: y = -x + 10 → corr -1; keys do not mix
+    val mixed = ((0L to 5L).map(t => ("a", t, t + 1, t + 1))
+      ++ (0L to 5L).map(t => ("b", t, t + 1, 10 - t)))
+      .toDF("k", "t", "x", "y")
+    val m = Stats.rollingCorr(mixed, Seq("k"), "t", col("x"), col("y"), 3)
+      .collect()
+    assert(m.filter(_.getString(0) == "a")
+      .forall(x => math.abs(x.getDouble(3) - 1.0) < 1e-12))
+    assert(m.filter(_.getString(0) == "b")
+      .forall(x => math.abs(x.getDouble(3) + 1.0) < 1e-12))
+
+    // constant x inside the window → null corr (degenerate variance)
+    val flat = (0L to 3L).map(t => ("k", t, 7L, t)).toDF("k", "t", "x", "y")
+    val f = Stats.rollingCorr(flat, Seq("k"), "t", col("x"), col("y"), 3)
+      .collect()
+    assert(f.forall(_.isNullAt(3)))
+  }
 }
