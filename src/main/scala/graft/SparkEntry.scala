@@ -15,7 +15,7 @@ object SparkEntry {
     Relational.defs ++ Relational2.defs ++ Relational3.defs ++
       EtlQueries.defs ++ LlmQueries.defs ++ CorpusQueries.defs ++
       MixtureQueries.defs ++ CurationQueries.defs ++ EntityQueries.defs ++
-      StatsQueries.defs
+      StatsQueries.defs ++ EvalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full ETL shape in one plan: EAV synthesis → PHI rule cascade →

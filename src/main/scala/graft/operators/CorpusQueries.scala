@@ -255,8 +255,9 @@ object CorpusQueries {
         terms = Seq("spark", "window", "table"), k = 25)
       .select($"id".as("doc_id"), $"score")
   }
-  /** BM25 CTE chain ending in `agg(doc_id, score_x9)` — shared by q71/q73. */
-  private val bm25CtesSql =
+  /** BM25 CTE chain ending in `agg(doc_id, score_x9)` — shared by
+    * q71/q73 and the ranking-eval queries (EvalQueries q189/q190). */
+  private[operators] val bm25CtesSql =
     s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
        |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,

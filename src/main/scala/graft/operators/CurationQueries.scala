@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Embeddings, Similarity, TextAnalysis}
 
 /** Corpus-curation queries (round 3 widening): intra-document repetition
   * removal, embedding storage quantization, and train/eval split-leakage
@@ -261,6 +261,96 @@ object CurationQueries {
       |  CAST(MAX(pos) + 30 - MIN(pos) AS BIGINT) AS span_len
       |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
 
+  // ---------------------------------------------------------------- q191
+  // Greedy k-center coreset selection (diversity sampling for eval /
+  // annotation subsets): 6 farthest-point rounds over the exact long
+  // squared-L2 of milli-quantized vectors, round 0 = smallest id, ties to
+  // the smaller id. The oracle unrolls the identical 6 rounds as CTEs
+  // (the k-core/BFS bounded-round discipline); Spark keeps the per-row
+  // min-distance state distributed with one narrow pass + localCheckpoint
+  // per round (state feeds both the argmax and the next update).
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Embeddings.kCenters(Tables.embeddings(s, d), k = 6)
+      .select($"sel_round", $"id".as("vec_id"), $"d2")
+      .orderBy($"sel_round")
+  }
+  private val q191Sql = {
+    def d2(a: String, c: String) =
+      s"CAST(list_sum(list_transform(range(1, len($a.qv)+1), " +
+        s"i -> ($a.qv[i]-$c.qv[i])*($a.qv[i]-$c.qv[i]))) AS BIGINT)"
+    val b = new StringBuilder
+    b ++= s"WITH v AS (SELECT vec_id AS id, $quantSql AS qv FROM embeddings),\n"
+    b ++= "c0 AS (SELECT id, qv FROM v ORDER BY id LIMIT 1),\n"
+    b ++= s"s1 AS (SELECT v.id, v.qv, ${d2("v", "c")} AS mind FROM v, c0 c),\n"
+    for (r <- 1 to 4) {
+      b ++= s"c$r AS (SELECT id, qv, mind FROM s$r ORDER BY mind DESC, id LIMIT 1),\n"
+      b ++= s"s${r + 1} AS (SELECT s.id, s.qv, LEAST(s.mind, ${d2("s", "c")}) " +
+        s"AS mind FROM s$r s, c$r c),\n"
+    }
+    b ++= "c5 AS (SELECT id, qv, mind FROM s5 ORDER BY mind DESC, id LIMIT 1)\n"
+    b ++= "SELECT CAST(0 AS INT) AS sel_round, id AS vec_id, " +
+      "CAST(0 AS BIGINT) AS d2 FROM c0\n"
+    for (r <- 1 to 5)
+      b ++= s"UNION ALL SELECT CAST($r AS INT), id, CAST(mind AS BIGINT) FROM c$r\n"
+    b ++= "ORDER BY sel_round"
+    b.result()
+  }
+
+  // ---------------------------------------------------------------- q192
+  // Johnson–Lindenstrauss sign-projection distortion audit: project the
+  // 64-dim corpus to 16 dims with the md5-seeded ±1 matrix, then measure
+  // ‖p_a−p_b‖²/(m·‖q_a−q_b‖²) over the deterministic consecutive-id pair
+  // sample (linear in n, no pair explosion). All integer math: projections
+  // are exact long sums; the distortion ratio is one BIGINT division
+  // (both engines truncate ≥0 operands identically). ~1e6 means the
+  // projection preserved the pair's distance.
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val proj = Embeddings.jlProject(emb, outDim = 16)
+    val pd = proj.as("a")
+      .join(proj.as("b"), expr("b.id = a.id + 1 AND b.j = a.j"))
+      .groupBy($"a.id".as("id_a"))
+      .agg(sum(($"a.p" - $"b.p") * ($"a.p" - $"b.p")).as("proj_d2"))
+    val q = emb
+      .select($"vec_id".cast("long").as("id"),
+        posexplode($"embedding").as(Seq("i", "x")))
+      .select($"id", $"i",
+        floor($"x".cast("double") * 1000 + 0.5).cast("long").as("q"))
+    val od = q.as("a").join(q.as("b"), expr("b.id = a.id + 1 AND b.i = a.i"))
+      .groupBy($"a.id".as("id_a"))
+      .agg(sum(($"a.q" - $"b.q") * ($"a.q" - $"b.q")).as("orig_d2"))
+    od.join(pd, "id_a")
+      .select($"id_a", ($"id_a" + 1).as("id_b"), $"orig_d2", $"proj_d2",
+        when($"orig_d2" > 0,
+          expr("(proj_d2 * CAST(1000000 AS BIGINT)) div (16 * orig_d2)"))
+          .as("distortion_x6"))
+      .orderBy($"id_a")
+  }
+  private val q192Sql =
+    s"""WITH v AS (SELECT vec_id AS id, $quantSql AS qv FROM embeddings),
+       |sgn AS (SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+       |    CASE WHEN md5_number_lower(concat('jl:', i.i, ':', j.j)) % 2 = 0
+       |      THEN 1 ELSE -1 END AS sgn
+       |  FROM range(64) i(i), range(16) j(j)),
+       |ex AS (SELECT id, CAST(u.i - 1 AS INT) AS i, qv[u.i] AS q
+       |       FROM v, LATERAL unnest(range(1, len(qv)+1)) u(i)),
+       |pr AS (SELECT id, j, CAST(SUM(q * sgn) AS BIGINT) AS p
+       |       FROM ex JOIN sgn USING (i) GROUP BY id, j),
+       |od AS (SELECT a.id AS id_a,
+       |    CAST(list_sum(list_transform(range(1, len(a.qv)+1),
+       |      i -> (a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i]))) AS BIGINT) AS orig_d2
+       |  FROM v a JOIN v b ON b.id = a.id + 1),
+       |pd AS (SELECT a.id AS id_a,
+       |    CAST(SUM((a.p - b.p)*(a.p - b.p)) AS BIGINT) AS proj_d2
+       |  FROM pr a JOIN pr b ON b.id = a.id + 1 AND b.j = a.j GROUP BY a.id)
+       |SELECT id_a, id_a + 1 AS id_b, orig_d2, proj_d2,
+       |  CASE WHEN orig_d2 > 0
+       |    THEN (proj_d2 * CAST(1000000 AS BIGINT)) // (16 * orig_d2) END
+       |    AS distortion_x6
+       |FROM od JOIN pd USING (id_a) ORDER BY id_a""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q118_intradoc_dedup", q118, Some(q118Sql)),
     QueryDef("q119_int8_quant", q119, Some(q119Sql)),
@@ -271,5 +361,7 @@ object CurationQueries {
     QueryDef("q130_pmi_pairs", q130, Some(q130Sql)),
     QueryDef("q137_prefix_filter_pairs", q137, Some(q137Sql)),
     QueryDef("q139_duplicate_spans", q139, Some(q139Sql)),
+    QueryDef("q191_kcenter_coreset", q191, Some(q191Sql)),
+    QueryDef("q192_jl_distortion", q192, Some(q192Sql)),
   )
 }

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-corpus utilities beyond search: greedy k-center coreset
+  * selection (diversity sampling) and Johnson–Lindenstrauss sign
+  * projection (dimensionality reduction ahead of the ANN family).
+  *
+  * Numeric contract: all vector math runs on milli-quantized longs
+  * ([[Similarity.quantize]] grain), so distances/projections are exact
+  * integers — bit-deterministic under any partitioning and reproducible
+  * by an external engine. Randomness is md5-derived from stable strings
+  * (never `rand()`), so retries and repartitions replay identically.
+  */
+object Embeddings {
+
+  /** Greedy k-center (farthest-point / Gonzalez) coreset selection: round
+    * 0 picks the smallest id; each later round picks the point farthest
+    * (exact long squared-L2) from everything selected so far, ties to the
+    * smallest id. The classic 2-approximation to the k-center cover, used
+    * as a diversity-max sampler for eval/annotation subsets.
+    *
+    * Scale shape: the per-row state (id, quantized vec, min-dist-so-far)
+    * stays distributed; each round is ONE narrow pass updating `mind`
+    * against the single new center (tight JVM loop over a 1-row control
+    * frame collected via TakeOrdered — the same control-plane contract as
+    * [[Clustering.lloydAssign]]'s centroids) plus a `localCheckpoint`
+    * barrier, because the state feeds both the argmax and the next round
+    * (the BFS/k-core discipline: state consumed twice per round). Total
+    * cost k scans — O(k·n·dim) with no corpus-sized shuffle at all.
+    *
+    * @return (sel_round, id, d2) — d2 the exact squared distance from the
+    *         selected point to the previously selected set (0 at round 0)
+    */
+  def kCenters(emb: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"need k>=1; got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // quantize ONCE; Long.MaxValue sentinel = "no center seen yet"
+    var state = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, Similarity.quantizeJvm(v), Long.MaxValue) }
+      .toDF("id", "qv", "mind").as[(Long, Array[Long], Long)]
+      .localCheckpoint()
+
+    val selected = Seq.newBuilder[(Int, Long, Long)]
+    (0 until k).foreach { r =>
+      val (cid, cvec, cd) =
+        if (r == 0) {
+          val row = state.orderBy($"id").take(1).head
+          (row._1, row._2, 0L)
+        } else {
+          val row = state.orderBy($"mind".desc, $"id").take(1).head
+          (row._1, row._2, row._3)
+        }
+      selected += ((r, cid, cd))
+      if (r < k - 1) {
+        val bc = spark.sparkContext.broadcast(cvec)
+        state = state.map { case (id, qv, mind) =>
+          val cv = bc.value
+          var d = 0L; var i = 0
+          while (i < qv.length) { val t = qv(i) - cv(i); d += t * t; i += 1 }
+          (id, qv, math.min(mind, d))
+        }.toDF("id", "qv", "mind").as[(Long, Array[Long], Long)]
+          .localCheckpoint()
+      }
+    }
+    selected.result().toDF("sel_round", "id", "d2")
+  }
+
+  /** md5-seeded ±1 sign matrix for [[jlProject]]: sign(i,j) = +1 iff
+    * md5-low64("jl:i:j") is even — DuckDB-reproducible via
+    * `md5_number_lower(concat(...)) % 2`. */
+  def jlSigns(dim: Int, outDim: Int): Seq[(Int, Int, Long)] =
+    for (i <- 0 until dim; j <- 0 until outDim)
+      yield (i, j, if ((Dedup.md5Low64(s"jl:$i:$j") & 1L) == 0L) 1L else -1L)
+
+  /** Johnson–Lindenstrauss sign projection: p_j = Σ_i sign(i,j)·q_i over
+    * milli-quantized components — exact longs, with E[‖p‖²] = outDim·‖q‖²
+    * (±1 entries, no 1/√m scaling; consumers divide by outDim).
+    *
+    * Scale shape: posexplode (Generate, codegen) → broadcast join against
+    * the dim×outDim sign matrix (control plane) → partial+final hash
+    * aggregate on (id, j). The fan-out is dim×outDim per row map-side
+    * only; the exchange carries n·outDim slim long rows. This is the
+    * row-multiplying path, so it is Generate + codegen aggregation, NOT
+    * a higher-order-function lambda (the SCALE.md q102/q124 lesson).
+    *
+    * @return (id, j, p) — outDim rows per input vector
+    */
+  def jlProject(emb: DataFrame, outDim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val signs = broadcast(jlSigns(dim, outDim).toDF("i", "j", "sgn"))
+    // quantize AFTER the explode: scalar floor/cast on the exploded value
+    // stays in whole-stage codegen (an array-transform lambda would be
+    // interpreted and re-inlined per consumer — Similarity's qat lesson)
+    emb.select(col(idCol).cast("long").as("id"),
+        posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("id"), col("i"),
+        floor(col("x").cast("double") * 1000 + 0.5).cast("long").as("q"))
+      .join(signs, "i")
+      .groupBy(col("id"), col("j"))
+      .agg(sum(col("q") * col("sgn")).as("p"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked-list fusion and ranking-quality evaluation — the serving-side
+  * complement of the retrieval operators ([[Retrieval.bm25TopK]], the ANN
+  * family) and the ranking analogue of the classifier-eval suite
+  * (`Stats.aucByGroup` / `calibrationBins` / `cohenKappa`).
+  *
+  * Scale posture: every input here is a top-k ranked list — control-plane
+  * sized BY CONTRACT (the expensive part, producing the lists, is the
+  * retrieval operator's job and is audited there). Fusion and the NDCG
+  * curve are joins/windows over ≤k rows; the only full-corpus pass is the
+  * caller-supplied relevance frame, and its top-k ideal ranking is taken
+  * with orderBy+limit (TakeOrderedAndProject: per-partition heaps, no
+  * global sort or single-partition window).
+  *
+  * Numeric contract (cross-engine exactness, same discipline as the BM25
+  * scoring tree): every transcendental is quantized to a LONG immediately —
+  * RRF contributions as floor(1e12/(k0+rank)), NDCG discounts as
+  * floor(1e6/log2(rank+1)) — so every SUM is a sum of longs (exact,
+  * order-free under any partitioning); doubles appear only in one final
+  * division.
+  */
+object Ranking {
+
+  /** Quantized reciprocal-rank-fusion contribution of one rank. */
+  def rrfContrib(rank: Column, k0: Int): Column =
+    floor(lit(1e12) / (lit(k0) + rank)).cast("long")
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher) of named ranked
+    * lists. Each input frame is `(id, rank)` with rank 1-based; a document
+    * missing from a list contributes 0 (the standard RRF convention) but
+    * keeps its NULL per-list rank in the output for provenance.
+    *
+    * @return (id, <name>_rank..., rrf_x12) — one row per document seen in
+    *         any list, rrf_x12 the exact long fusion score
+    */
+  def rrfFuse(lists: Seq[(String, DataFrame)], k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(lists.map(_._1).distinct.size == lists.size,
+      "rrfFuse list names must be distinct")
+    val renamed = lists.map { case (name, df) =>
+      df.select(col("id"), col("rank").cast("int").as(s"${name}_rank")) }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val score = lists.map { case (name, _) =>
+      coalesce(rrfContrib(col(s"${name}_rank"), k0), lit(0L)) }
+      .reduce(_ + _)
+    joined.withColumn("rrf_x12", score)
+  }
+
+  /** Quantized NDCG log2 discount for a 1-based rank. */
+  def ndcgDiscount(rank: Column): Column =
+    floor(lit(1e6) / log2(rank + lit(1))).cast("long")
+
+  /** Cumulative NDCG@r curve (plus MRR) for a ranked list against graded
+    * relevance labels.
+    *
+    * @param ranked top-k ranked list `(id, rn)`, rn 1-based and dense
+    * @param rel    full relevance frame `(id, rel)`, rel a small int grade
+    *               (missing ids are treated as rel 0)
+    * @param k      curve depth; the ideal ranking is the corpus top-k by
+    *               (rel desc, id) via TakeOrderedAndProject
+    * @return (rn, id, rel, dcg_x6, idcg_x6, ndcg, mrr_x6) — dcg terms are
+    *         exact longs of (2^rel − 1) · floor(1e6/log2(rn+1)); ndcg one
+    *         final double division (NULL while idcg is 0); mrr_x6 =
+    *         floor(1e6 / first-relevant-rank), NULL if nothing relevant
+    */
+  def ndcgCurve(ranked: DataFrame, rel: DataFrame, k: Int): DataFrame = {
+    val gain = (c: Column) => (pow(lit(2.0), c) - lit(1.0)).cast("long")
+    // ranked side: ≤ k rows by contract — windows below are control-plane
+    val got = ranked.join(rel, Seq("id"), "left")
+      .na.fill(0, Seq("rel"))
+      .withColumn("term", gain(col("rel")) * ndcgDiscount(col("rn")))
+      .withColumn("dcg_x6",
+        sum(col("term")).over(Window.orderBy(col("rn"))).cast("long"))
+    // ideal ranking: top-k of the relevance scan via per-partition heaps;
+    // the window then runs over k rows only
+    val idealTop = rel.orderBy(col("rel").desc, col("id")).limit(k)
+    val ideal = idealTop
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("rel").desc, col("id"))))
+      .withColumn("iterm", gain(col("rel")) * ndcgDiscount(col("rn")))
+      .withColumn("idcg_x6",
+        sum(col("iterm")).over(Window.orderBy(col("rn"))).cast("long"))
+      .select(col("rn"), col("idcg_x6"))
+    val mrr = got.agg(
+      floor(lit(1e6) / min(when(col("rel") > 0, col("rn"))))
+        .cast("long").as("mrr_x6"))
+    // left join + running max: a rel frame with fewer than k rows yields a
+    // short ideal list; past its end the ideal gains are 0, so the correct
+    // cumulative IDCG is flat — the max-so-far of a non-decreasing series
+    got.join(ideal, Seq("rn"), "left")
+      .withColumn("idcg_x6",
+        max(col("idcg_x6")).over(Window.orderBy(col("rn"))).cast("long"))
+      .crossJoin(broadcast(mrr))
+      .select(col("rn"), col("id"), col("rel"), col("dcg_x6"), col("idcg_x6"),
+        when(col("idcg_x6") > 0,
+          col("dcg_x6").cast("double") / col("idcg_x6")).as("ndcg"),
+        col("mrr_x6"))
+  }
+}

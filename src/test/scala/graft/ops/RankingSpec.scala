@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrfFuse: fused score is the exact long sum; missing-list docs " +
+      "contribute 0 and keep NULL provenance; full-outer keeps both sides") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val out = Ranking.rrfFuse(Seq("a" -> a, "b" -> b), k0 = 60)
+      .orderBy($"rrf_x12".desc, $"id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getLong(3)))
+    def c(r: Int) = (1e12 / (60 + r)).floor.toLong
+    // doc 20 appears in both lists → sum of both contributions, ranks kept
+    assert(out.head == ((20L, Some(2), Some(1), c(2) + c(1))))
+    assert(out.map(_._1).toSet == Set(10L, 20L, 30L, 40L))
+    val ten = out.find(_._1 == 10L).get
+    assert(ten == ((10L, Some(1), None, c(1))))
+    val forty = out.find(_._1 == 40L).get
+    assert(forty == ((40L, None, Some(2), c(2))))
+  }
+
+  test("rrfFuse: rank-1 in one list beats rank-2 in two lists only when " +
+      "the arithmetic says so (no hidden normalization)") {
+    val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val b = Seq((2L, 2), (3L, 1)).toDF("id", "rank")
+    val byId = Ranking.rrfFuse(Seq("a" -> a, "b" -> b))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    def c(r: Int) = (1e12 / (60 + r)).floor.toLong
+    assert(byId(2L) == 2 * c(2) && byId(1L) == c(1))
+    assert(byId(2L) > byId(1L)) // 2/62 > 1/61 — fusion favors agreement
+  }
+
+  test("ndcgCurve: perfect ranking gives ndcg 1.0 at every depth; dcg " +
+      "terms are the quantized longs; mrr is 1/first-relevant") {
+    val ranked = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rn")
+    val rel = Seq((1L, 3), (2L, 1), (3L, 0), (4L, 0)).toDF("id", "rel")
+    val out = Ranking.ndcgCurve(ranked, rel, k = 3)
+      .orderBy($"rn").collect()
+    def disc(r: Int) = (1e6 / (math.log(r + 1) / math.log(2))).floor.toLong
+    val t1 = 7L * disc(1); val t2 = 1L * disc(2)
+    assert(out.map(_.getLong(3)).toSeq == Seq(t1, t1 + t2, t1 + t2))
+    // ranking == ideal here → ndcg exactly 1.0 at every rank
+    assert(out.forall(r => r.getDouble(5) == 1.0))
+    assert(out.forall(r => r.getLong(6) == 1000000L))
+  }
+
+  test("ndcgCurve: swapped ranking dips below 1, unlisted ids default to " +
+      "rel 0, and mrr reflects the first relevant rank") {
+    val ranked = Seq((9L, 1), (1L, 2), (2L, 3)).toDF("id", "rn") // 9: no rel row
+    val rel = Seq((1L, 3), (2L, 1)).toDF("id", "rel")
+    val out = Ranking.ndcgCurve(ranked, rel, k = 3)
+      .orderBy($"rn").collect()
+    assert(out.map(_.getInt(2)).toSeq == Seq(0, 3, 1))
+    assert(out.head.getLong(3) == 0L)          // rank-1 junk → dcg 0
+    assert(out.head.getDouble(5) == 0.0)
+    assert(out.last.getDouble(5) > 0 && out.last.getDouble(5) < 1.0)
+    assert(out.forall(_.getLong(6) == 500000L)) // first relevant at rank 2
+  }
+
+  test("ndcgCurve: all-zero relevance yields NULL ndcg and NULL mrr") {
+    val ranked = Seq((1L, 1), (2L, 2)).toDF("id", "rn")
+    val rel = Seq((1L, 0), (2L, 0)).toDF("id", "rel")
+    val out = Ranking.ndcgCurve(ranked, rel, k = 2).collect()
+    assert(out.forall(_.isNullAt(5)) && out.forall(_.isNullAt(6)))
+  }
+}
