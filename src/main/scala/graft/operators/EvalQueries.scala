@@ -121,7 +121,116 @@ object EvalQueries {
        |    THEN CAST(dcg_x6 AS DOUBLE) / idcg_x6 END AS ndcg, mrr_x6
        |FROM dc JOIN ideal USING (rn) CROSS JOIN m ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- q193
+  // Forecast backtest: per event type, score the two zero-parameter
+  // baselines every real forecaster must beat — naive (yesterday's value)
+  // and seasonal-naive (same weekday last week) — over the daily
+  // cents-quantized value series. Error sums are exact longs (sae);
+  // per-day MAPE terms are BIGINT divisions floor(|err|·1e6/actual);
+  // the means are one final double division each. Day pairing is an
+  // equi-join on day−lag (gap-proof: missing days drop only their own
+  // pairs — no positional lag over a gappy axis).
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select($"event_type", expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("cents"))
+      .localCheckpoint() // one slim (type, day, cents) frame feeds 3 joins
+    def backtest(lag: Int, tag: String): DataFrame =
+      daily.as("a")
+        .join(daily.as("f"),
+          expr(s"f.event_type = a.event_type AND f.day = a.day - $lag"))
+        .select($"a.event_type".as("event_type"),
+          abs($"a.cents" - $"f.cents").as("ae"),
+          when($"a.cents" > 0,
+            expr("(abs(a.cents - f.cents) * CAST(1000000 AS BIGINT)) div a.cents"))
+            .as("ape_x6"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum($"ae").as(s"sae_$tag"),
+          (sum($"ae").cast("double") / count(lit(1))).as(s"mae_$tag"),
+          (sum($"ape_x6").cast("double") / count($"ape_x6") / 1e6)
+            .as(s"mape_$tag"))
+    backtest(1, "naive").join(backtest(7, "seasonal"), "event_type")
+      .orderBy($"event_type")
+  }
+  private val q193Sql = {
+    def bt(lag: Int, tag: String) =
+      s"""SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_$tag,
+         |    CAST(SUM(abs(a.cents - f.cents)) AS BIGINT) AS sae_$tag,
+         |    CAST(SUM(abs(a.cents - f.cents)) AS DOUBLE) / COUNT(*) AS mae_$tag,
+         |    CAST(SUM(CASE WHEN a.cents > 0 THEN
+         |        (abs(a.cents - f.cents) * CAST(1000000 AS BIGINT)) // a.cents
+         |      END) AS DOUBLE)
+         |      / COUNT(CASE WHEN a.cents > 0 THEN 1 END) / 1e6 AS mape_$tag
+         |  FROM daily a JOIN daily f
+         |    ON f.event_type = a.event_type AND f.day = a.day - $lag
+         |  GROUP BY a.event_type""".stripMargin
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |      CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       |        AS cents
+       |    FROM events GROUP BY 1, 2),
+       |n AS (${bt(1, "naive")}),
+       |s AS (${bt(7, "seasonal")})
+       |SELECT * FROM n JOIN s USING (event_type) ORDER BY event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q194
+  // First-order Markov next-event prediction accuracy: the transition
+  // counts (q103's matrix) become a predictor — argmax next per prev,
+  // ties to the lexicographically smallest type — and are scored against
+  // the same timeline (in-sample skill readout per prev type, with the
+  // majority-class hit rate as the number to beat). Two aggregates and a
+  // broadcast of the |types|² model; the timeline is scanned once.
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val trans = Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .select($"event_type".as("prev"), $"next_type".as("next"))
+      .localCheckpoint() // feeds model fit + scoring
+    val model = trans.groupBy($"prev", $"next").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"prev").orderBy($"n".desc, $"next")))
+      .filter($"rk" === 1)
+      .select($"prev", $"next".as("pred_next"), $"n".as("pred_n"))
+    trans.join(broadcast(model), "prev")
+      .groupBy($"prev", $"pred_next")
+      .agg(count(lit(1)).as("n_trans"),
+        sum(when($"next" === $"pred_next", 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("accuracy", $"n_hits".cast("double") / $"n_trans")
+      .orderBy($"prev")
+  }
+  private val q194Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      |           FROM events),
+      |t AS MATERIALIZED (SELECT event_type AS prev,
+      |        lead(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY ts_us, event_id) AS next
+      |      FROM e QUALIFY next IS NOT NULL),
+      |m AS (SELECT prev, next AS pred_next FROM (
+      |    SELECT prev, next, COUNT(*) AS n,
+      |        row_number() OVER (PARTITION BY prev
+      |          ORDER BY COUNT(*) DESC, next) AS rk
+      |      FROM t GROUP BY prev, next)
+      |  WHERE rk = 1)
+      |SELECT prev, pred_next, CAST(COUNT(*) AS BIGINT) AS n_trans,
+      |    CAST(SUM(CASE WHEN t.next = m.pred_next THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_hits,
+      |    CAST(SUM(CASE WHEN t.next = m.pred_next THEN 1 ELSE 0 END)
+      |        AS DOUBLE) / COUNT(*) AS accuracy
+      |  FROM t JOIN m USING (prev)
+      |  GROUP BY prev, pred_next ORDER BY prev""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q189_rrf_fusion", q189, Some(q189Sql)),
-    QueryDef("q190_ndcg_curve", q190, Some(q190Sql)))
+    QueryDef("q190_ndcg_curve", q190, Some(q190Sql)),
+    QueryDef("q193_forecast_backtest", q193, Some(q193Sql)),
+    QueryDef("q194_markov_accuracy", q194, Some(q194Sql)))
 }

@@ -409,6 +409,37 @@ class PlanAuditSpec extends SparkSpec {
         "exchange should broadcast")
   }
 
+  test("q189/q190: ranking eval fuses top-k control frames — the ideal " +
+      "ranking is TakeOrdered (per-partition heaps), never a global sort " +
+      "or single-partition window over the corpus") {
+    val pf = planOf("q189_rrf_fusion")
+    assert(pf.contains("TakeOrderedAndProject"),
+      "both input rankings end in top-k operators")
+    val pn = planOf("q190_ndcg_curve")
+    assert(pn.contains("TakeOrderedAndProject"),
+      "the ideal ranking must come from a top-k, not Sort+Window over rel")
+  }
+
+  test("q192: JL projection is Generate + broadcast sign matrix + " +
+      "partial hash aggregation — no HOF lambda in the row-multiplying path") {
+    val p = planOf("q192_jl_distortion")
+    assert(p.contains("Generate"))
+    assert(p.contains("BroadcastHashJoin"), "sign matrix must broadcast")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q193/q194: backtest and Markov scoring join slim aggregates — " +
+      "the day-grain/model frames, never the raw event facts twice") {
+    val pb = planOf("q193_forecast_backtest")
+    // daily series is checkpointed once; the lag joins read the
+    // materialized slim frame, not three scans of events
+    assert(pb.contains("Scan ExistingRDD"))
+    val pm = planOf("q194_markov_accuracy")
+    assert(pm.contains("BroadcastHashJoin"),
+      "the |types|^2 model must broadcast against the transition stream")
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
