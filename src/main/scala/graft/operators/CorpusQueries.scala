@@ -441,8 +441,10 @@ object CorpusQueries {
     graft.ops.Clustering.lloydAssign(Tables.embeddings(s, d), k = 8, iters = 2)
       .orderBy($"vec_id")
   }
-  private val q81Sql =
-    s"""WITH q AS (SELECT vec_id, unnest($quantSql) AS qv,
+  /** 2-pass md5-seeded Lloyd chain ending in `asg(vec_id, cid, dist)` —
+    * shared by q81 and the cluster-quality audit q197. */
+  private val kmeansCtesSql =
+    s"""q AS MATERIALIZED (SELECT vec_id, unnest($quantSql) AS qv,
        |             unnest(range(1, len(embedding)+1)) AS dim FROM embeddings),
        |seeds AS (SELECT vec_id, CAST(rn - 1 AS INT) AS cid FROM (
        |    SELECT vec_id, row_number() OVER (
@@ -460,11 +462,55 @@ object CorpusQueries {
        |       FROM a1 a JOIN q USING (vec_id) GROUP BY a.cid, q.dim),
        |d2 AS (SELECT q.vec_id, c.cid,
        |         CAST(sum((q.qv - c.cv)*(q.qv - c.cv)) AS BIGINT) AS dist
-       |       FROM q JOIN c1 c USING (dim) GROUP BY q.vec_id, c.cid)
-       |SELECT vec_id, cid AS cluster, dist AS qdist FROM (
+       |       FROM q JOIN c1 c USING (dim) GROUP BY q.vec_id, c.cid),
+       |asg AS MATERIALIZED (SELECT vec_id, cid, dist FROM (
        |  SELECT vec_id, cid, dist,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |  FROM d2) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+       |  FROM d2) WHERE rn = 1)""".stripMargin
+  private val q81Sql =
+    s"""WITH $kmeansCtesSql
+       |SELECT vec_id, cid AS cluster, dist AS qdist
+       |FROM asg ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q197
+  // Davies–Bouldin cluster-quality audit over the q81 assignment: per
+  // cluster, squared-distance scatter vs recomputed centroids, exact
+  // squared centroid separations, and the worst (Sᵢ+Sⱼ)/Mᵢⱼ ratio — the
+  // "is this clustering separable enough to block SemDedup on" gate.
+  // Shares the Lloyd CTE chain with q81; everything above the corpus
+  // passes is a k²-row control frame.
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val assign = graft.ops.Clustering.lloydAssign(emb, k = 8, iters = 2)
+    graft.ops.Clustering.daviesBouldin(emb, assign)
+      .orderBy($"cluster")
+  }
+  private val q197Sql =
+    s"""WITH $kmeansCtesSql,
+       |c2 AS MATERIALIZED (SELECT a.cid, q.dim,
+       |    CAST(floor(CAST(SUM(q.qv) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS cv
+       |  FROM asg a JOIN q USING (vec_id) GROUP BY a.cid, q.dim),
+       |sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM asg GROUP BY cid),
+       |sc AS (SELECT a.cid, CAST(SUM((q.qv - c.cv)*(q.qv - c.cv)) AS BIGINT) AS sse
+       |  FROM asg a JOIN q USING (vec_id)
+       |    JOIN c2 c ON c.cid = a.cid AND c.dim = q.dim
+       |  GROUP BY a.cid),
+       |scat AS MATERIALIZED (SELECT cid, n, sse, CAST(sse AS DOUBLE)/n AS scatter
+       |  FROM sc JOIN sizes USING (cid)),
+       |mm AS (SELECT x.cid AS ci, y.cid AS cj,
+       |    CAST(SUM((x.cv - y.cv)*(x.cv - y.cv)) AS BIGINT) AS m2
+       |  FROM c2 x JOIN c2 y ON x.dim = y.dim AND x.cid <> y.cid GROUP BY 1, 2),
+       |r AS (SELECT ci, cj, (si.scatter + sj.scatter)/m2 AS r
+       |  FROM mm JOIN scat si ON si.cid = mm.ci JOIN scat sj ON sj.cid = mm.cj
+       |  WHERE m2 > 0),
+       |db AS (SELECT ci, cj, r FROM (
+       |    SELECT ci, cj, r,
+       |      row_number() OVER (PARTITION BY ci ORDER BY r DESC, cj) AS rk
+       |    FROM r) WHERE rk = 1)
+       |SELECT s.cid AS cluster, s.n, s.sse, s.scatter,
+       |  db.cj AS worst_other, db.r AS db_term
+       |FROM scat s JOIN db ON db.ci = s.cid ORDER BY cluster""".stripMargin
 
   // ---------------------------------------------------------------- q82
   // Context-window chunking: 100-token windows, 20-token overlap, chunk
@@ -576,6 +622,7 @@ object CorpusQueries {
     QueryDef("q78_source_overlap", q78, Some(q78Sql)),
     QueryDef("q80_weighted_sample", q80, Some(q80Sql)),
     QueryDef("q81_kmeans", q81, Some(q81Sql)),
+    QueryDef("q197_davies_bouldin", q197, Some(q197Sql)),
     QueryDef("q82_chunking", q82, Some(q82Sql)),
     QueryDef("q84_corpus_diff", q84, Some(q84Sql)),
     QueryDef("q97_fuzzy_key_join", q97, Some(q97Sql)),

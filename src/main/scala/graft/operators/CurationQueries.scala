@@ -351,6 +351,52 @@ object CurationQueries {
        |    AS distortion_x6
        |FROM od JOIN pd USING (id_a) ORDER BY id_a""".stripMargin
 
+  // ---------------------------------------------------------------- q195
+  // Top principal component by deterministic quantized power iteration
+  // over the exact-integer scatter matrix (embedding whitening / drift
+  // direction analysis). Spark runs ONE corpus pass (mapPartitions dim²
+  // long accumulators, Clustering's kernel discipline) + driver math; the
+  // oracle replays the identical arithmetic — exact G/S sums, floor(C/n),
+  // 4 rounds of floor(w/2²⁵) and floor(wq·1000/√Σwq²) — as unrolled CTEs.
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Embeddings.pcaTopComponent(Tables.embeddings(s, d), rounds = 4)
+      .orderBy($"i")
+  }
+  private val q195Sql = {
+    val b = new StringBuilder
+    b ++= s"WITH src AS (SELECT vec_id, $quantSql AS qv FROM embeddings),\n"
+    b ++= "ex AS MATERIALIZED (SELECT vec_id AS id, CAST(u.i - 1 AS INT) AS i, " +
+      "qv[u.i] AS q FROM src, LATERAL unnest(range(1, len(qv)+1)) u(i)),\n"
+    b ++= "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),\n"
+    b ++= "sv AS (SELECT i, CAST(SUM(q) AS BIGINT) AS s FROM ex GROUP BY i),\n"
+    b ++= "g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.q*b.q) AS BIGINT) AS g " +
+      "FROM ex a JOIN ex b USING (id) GROUP BY a.i, b.i),\n"
+    b ++= "cn AS MATERIALIZED (SELECT g.i, g.j, " +
+      "CAST(floor(CAST(n*g.g - sa.s*sb.s AS DOUBLE)/n) AS BIGINT) AS c\n" +
+      "  FROM g CROSS JOIN nn JOIN sv sa ON sa.i = g.i JOIN sv sb ON sb.i = g.j),\n"
+    b ++= "v0 AS (SELECT CAST(t.i AS INT) AS i, CAST(1000 AS BIGINT) AS x " +
+      "FROM range(64) t(i)),\n"
+    for (r <- 0 until 4) {
+      b ++= s"w$r AS (SELECT cn.i, CAST(SUM(cn.c * v.x) AS BIGINT) AS w " +
+        s"FROM cn JOIN v$r v ON cn.j = v.i GROUP BY cn.i),\n"
+      b ++= s"wq$r AS (SELECT i, CAST(floor(w / 33554432.0) AS BIGINT) AS wq " +
+        s"FROM w$r),\n"
+      b ++= s"n2$r AS (SELECT CAST(SUM(wq*wq) AS BIGINT) AS n2 FROM wq$r),\n"
+      b ++= s"v${r + 1} AS (SELECT q.i, CASE WHEN n2 > 0 THEN " +
+        s"CAST(floor(q.wq * 1000 / sqrt(n2)) AS BIGINT) ELSE v.x END AS x\n" +
+        s"  FROM wq$r q CROSS JOIN n2$r JOIN v$r v ON v.i = q.i),\n"
+    }
+    b ++= "wf AS (SELECT cn.i, CAST(SUM(cn.c * v.x) AS BIGINT) AS w " +
+      "FROM cn JOIN v4 v ON cn.j = v.i GROUP BY cn.i),\n"
+    b ++= "ray AS (SELECT CAST(SUM(v.x * w.w) AS BIGINT) AS num, " +
+      "CAST(SUM(v.x * v.x) AS BIGINT) AS den FROM v4 v JOIN wf w ON w.i = v.i)\n"
+    b ++= "SELECT v.i, v.x AS v_x3, CASE WHEN den > 0 THEN " +
+      "CAST(num AS DOUBLE)/den ELSE 0.0 END AS rayleigh\n"
+    b ++= "FROM v4 v CROSS JOIN ray ORDER BY v.i"
+    b.result()
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q118_intradoc_dedup", q118, Some(q118Sql)),
     QueryDef("q119_int8_quant", q119, Some(q119Sql)),
@@ -363,5 +409,6 @@ object CurationQueries {
     QueryDef("q139_duplicate_spans", q139, Some(q139Sql)),
     QueryDef("q191_kcenter_coreset", q191, Some(q191Sql)),
     QueryDef("q192_jl_distortion", q192, Some(q192Sql)),
+    QueryDef("q195_pca_power", q195, Some(q195Sql)),
   )
 }

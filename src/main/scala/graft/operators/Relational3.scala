@@ -804,6 +804,54 @@ object Relational3 {
       |SELECT win_day, COUNT(DISTINCT user_id) AS active_users
       |FROM c GROUP BY win_day ORDER BY win_day""".stripMargin
 
+  // ---------------------------------------------------------------- q196
+  // Association rules from the co-purchase pairs (q102's counts grown
+  // into a ranked rule set): directed ante→cons with support, confidence
+  // n_ab/n_ante and lift n_ab·N/(n_ante·n_cons). Counts are exact longs;
+  // confidence/lift are single double divisions of exact products, so
+  // the lift ordering (ties → ante, cons) reproduces cross-engine. The
+  // basket frame materializes once and feeds margins + pairs; the pair
+  // expansion is the codegen double-explode (q102's measured lesson).
+  private def q196(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("bid"), $"l_partkey".as("item"))
+      .distinct()
+      .localCheckpoint() // slim (bid, item); feeds N, margins, and pairs
+    val nb = li.agg(countDistinct($"bid").as("nbk"))
+    val margins = li.groupBy($"item").agg(count(lit(1)).as("supp"))
+    val pairs = li.groupBy($"bid").agg(collect_set($"item").as("ps"))
+      .select($"ps", explode($"ps").as("ante"))
+      .select($"ante", explode($"ps").as("cons"))
+      .filter($"ante" =!= $"cons")
+      .groupBy($"ante", $"cons").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 3)
+    pairs
+      .join(margins.select($"item".as("ante"), $"supp".as("n_ante")), "ante")
+      .join(margins.select($"item".as("cons"), $"supp".as("n_cons")), "cons")
+      .crossJoin(broadcast(nb))
+      .select($"ante", $"cons", $"n_ab", $"n_ante", $"n_cons",
+        ($"n_ab".cast("double") / $"n_ante").as("confidence"),
+        (($"n_ab" * $"nbk").cast("double") /
+          ($"n_ante" * $"n_cons").cast("double")).as("lift"))
+      .orderBy($"lift".desc, $"ante", $"cons")
+      .limit(40)
+  }
+  private val q196Sql =
+    """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bid,
+      |      l_partkey AS item FROM lineitem),
+      |nb AS (SELECT CAST(COUNT(DISTINCT bid) AS BIGINT) AS nbk FROM li),
+      |m AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS supp FROM li GROUP BY item),
+      |p AS (SELECT a.item AS ante, b.item AS cons, CAST(COUNT(*) AS BIGINT) AS n_ab
+      |      FROM li a JOIN li b ON a.bid = b.bid AND a.item <> b.item
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |r AS (SELECT ante, cons, n_ab, ma.supp AS n_ante, mc.supp AS n_cons,
+      |        CAST(n_ab AS DOUBLE)/ma.supp AS confidence,
+      |        CAST(n_ab*nbk AS DOUBLE)/CAST(ma.supp*mc.supp AS DOUBLE) AS lift
+      |      FROM p JOIN m ma ON ma.item = p.ante
+      |        JOIN m mc ON mc.item = p.cons CROSS JOIN nb)
+      |SELECT * FROM r ORDER BY lift DESC, ante, cons LIMIT 40""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_window_family", q27, Some(q27Sql)),
     QueryDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -832,5 +880,6 @@ object Relational3 {
     QueryDef("q102_copurchase", q102, Some(q102Sql)),
     QueryDef("q103_transitions", q103, Some(q103Sql)),
     QueryDef("q104_rolling_active", q104, Some(q104Sql)),
+    QueryDef("q196_assoc_rules", q196, Some(q196Sql)),
   )
 }

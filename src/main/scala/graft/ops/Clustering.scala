@@ -105,6 +105,64 @@ object Clustering {
     }.toDF(idCol, "cluster", "qdist")
   }
 
+  /** Davies–Bouldin cluster-quality report over an assignment (squared-
+    * distance scatter variant): per cluster, scatter Sᵢ = SSEᵢ/nᵢ against
+    * centroids RECOMPUTED from the final assignment (rounded quantized
+    * mean — the [[lloydAssign]] recentering formula, so the report is
+    * self-contained given any (id, cluster) frame), separation Mᵢⱼ =
+    * exact squared centroid distance, and the DB term maxⱼ (Sᵢ+Sⱼ)/Mᵢⱼ
+    * (ties to the smaller j; identical-centroid pairs excluded). The
+    * pre-SemDedup gate: a cluster with a large DB term is not separable
+    * enough to block on.
+    *
+    * Determinism: SSE/M are exact long sums; Sᵢ is one double division;
+    * the DB ratio is (Sᵢ+Sⱼ)/Mᵢⱼ — two IEEE ops on identical doubles,
+    * reproducible cross-engine. Scale shape: two corpus passes (centroid
+    * partial-agg, scatter partial-agg) over slim (id, dim, qv) rows plus
+    * a k×dim control frame self-joined into k² pairs — nothing above
+    * the exchange grows with corpus size.
+    */
+  def daviesBouldin(emb: DataFrame, assign: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = emb.select(col(idCol).cast("long").as("id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("id"), col("dim"),
+        floor(col("x").cast("double") * 1000 + 0.5).cast("long").as("qv"))
+    val a = assign.select(col(idCol).cast("long").as("id"), col("cluster"))
+    val exa = ex.join(a, "id")
+    val c2 = exa.groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).as("cnt"), sum(col("qv")).as("sq"))
+      .select(col("cluster"), col("dim"),
+        floor(col("sq").cast("double") / col("cnt") + 0.5).cast("long").as("cv"))
+      .localCheckpoint() // k×dim control frame; feeds scatter + separation
+    val sizes = a.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    val scat = exa.join(c2, Seq("cluster", "dim"))
+      .groupBy(col("cluster"))
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("sse"))
+      .join(sizes, "cluster")
+      .select(col("cluster"), col("n"), col("sse"),
+        (col("sse").cast("double") / col("n")).as("scatter"))
+    val mm = c2.as("x")
+      .join(c2.as("y"), expr("x.dim = y.dim AND x.cluster <> y.cluster"))
+      .groupBy(col("x.cluster").as("ci"), col("y.cluster").as("cj"))
+      .agg(sum((col("x.cv") - col("y.cv")) * (col("x.cv") - col("y.cv")))
+        .as("m2"))
+    val si = scat.select(col("cluster").as("ci"), col("scatter").as("s_i"))
+    val sj = scat.select(col("cluster").as("cj"), col("scatter").as("s_j"))
+    val db = mm.filter(col("m2") > 0)
+      .join(si, "ci").join(sj, "cj")
+      .withColumn("r", (col("s_i") + col("s_j")) / col("m2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("ci")).orderBy(col("r").desc, col("cj"))))
+      .filter(col("rk") === 1)
+      .select(col("ci").as("cluster"), col("cj").as("worst_other"),
+        col("r").as("db_term"))
+    scat.join(db, "cluster")
+      .select(col("cluster"), col("n"), col("sse"), col("scatter"),
+        col("worst_other"), col("db_term"))
+  }
+
   /** Argmin of exact long squared-L2; first minimum in cid-ascending order
     * wins (centroids arrive cid-sorted), i.e. ties break to smallest cid. */
   private def nearestL2(q: Array[Long], cents: Array[(Int, Array[Long])]): (Int, Long) = {

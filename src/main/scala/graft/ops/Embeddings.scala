@@ -70,6 +70,101 @@ object Embeddings {
     selected.result().toDF("sel_round", "id", "d2")
   }
 
+  /** Top principal component of the embedding corpus by deterministic
+    * quantized power iteration over the exact-integer scatter matrix
+    * C = n·Σqqᵀ − (Σq)(Σq)ᵀ (n² × the covariance — same eigenvectors).
+    *
+    * Determinism contract (the oracle replays every step bit-for-bit):
+    *   - G = Σ q qᵀ and S = Σ q are exact long sums (order-free);
+    *   - Cn = floor(C/n) via one double division (C < 2⁵³ ⇒ exact);
+    *   - each round: w = Cn·v (exact longs), wq = floor(w/2²⁵) (division
+    *     by a power of two is exact in IEEE), v' = floor(wq·1000/√Σwq²)
+    *     — the norm is a sqrt of an exact long, so both engines compute
+    *     the identical double;
+    *   - v₀ = (1000, …, 1000); a zero-norm round keeps v (degenerate
+    *     corpus guard).
+    *
+    * Scale shape: ONE pass over the corpus — a mapPartitions kernel
+    * accumulating dim×dim long partials (the [[Clustering.lloydAssign]]
+    * discipline), reduced through a hash aggregate to a control-plane
+    * matrix; the iteration itself is driver math over dim² longs. Exact-
+    * integer regime holds to n ≈ 5·10⁵ vectors (n²·maxq² < 2⁶³); beyond
+    * that, feed a deterministic hash sample — the same contract as IVF
+    * training.
+    *
+    * @return (i, v_x3, rayleigh) — final direction in 1e-3 units and its
+    *         Rayleigh quotient vᵀCn·v / vᵀv (one double division)
+    */
+  def pcaTopComponent(emb: DataFrame, rounds: Int = 4,
+      vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val parts = emb.select(col(vecCol)).as[Seq[Float]]
+      .mapPartitions { it =>
+        val g = Array.ofDim[Long](dim * dim)
+        val s = new Array[Long](dim)
+        var n = 0L
+        it.foreach { v =>
+          val q = Similarity.quantizeJvm(v)
+          var i = 0
+          while (i < dim) {
+            s(i) += q(i)
+            var j = 0
+            while (j < dim) { g(i * dim + j) += q(i) * q(j); j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty
+        else Iterator.single((-1, -1, n)) ++
+          s.iterator.zipWithIndex.map { case (x, i) => (i, -1, x) } ++
+          g.iterator.zipWithIndex.map { case (x, ij) =>
+            (ij / dim, ij % dim, x) }
+      }.toDF("i", "j", "x")
+      .groupBy($"i", $"j").agg(sum($"x").as("x"))
+      .collect()
+    val n = parts.find(r => r.getInt(0) == -1 && r.getInt(1) == -1)
+      .map(_.getLong(2)).getOrElse(0L)
+    require(n > 0, "pcaTopComponent needs a non-empty corpus")
+    val sv = new Array[Long](dim)
+    val gm = Array.ofDim[Long](dim * dim)
+    parts.foreach { r =>
+      val (i, j, x) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      if (i >= 0 && j == -1) sv(i) = x
+      else if (i >= 0 && j >= 0) gm(i * dim + j) = x
+    }
+    // Cn = floor((n·G − S Sᵀ)/n) — exact longs into one exact double div
+    val cn = Array.tabulate(dim * dim) { ij =>
+      val i = ij / dim; val j = ij % dim
+      math.floor((n * gm(ij) - sv(i) * sv(j)).toDouble / n).toLong
+    }
+    var v = Array.fill(dim)(1000L)
+    (0 until rounds).foreach { _ =>
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0L; var j = 0
+        while (j < dim) { acc += cn(i * dim + j) * v(j); j += 1 }
+        acc
+      }
+      val wq = w.map(x => math.floor(x / 33554432.0).toLong) // /2^25 exact
+      val n2 = wq.map(x => x * x).sum
+      if (n2 > 0) {
+        val nrm = math.sqrt(n2.toDouble)
+        v = wq.map(x => math.floor(x * 1000 / nrm).toLong)
+      }
+    }
+    // Rayleigh quotient of the final direction, in Cn units
+    val wf = Array.tabulate(dim) { i =>
+      var acc = 0L; var j = 0
+      while (j < dim) { acc += cn(i * dim + j) * v(j); j += 1 }
+      acc
+    }
+    val num = v.zip(wf).map { case (a, b) => a * b }.sum
+    val den = v.map(x => x * x).sum
+    val lam = if (den > 0) num.toDouble / den else 0.0
+    v.zipWithIndex.map { case (x, i) => (i, x, lam) }
+      .toSeq.toDF("i", "v_x3", "rayleigh")
+  }
+
   /** md5-seeded ±1 sign matrix for [[jlProject]]: sign(i,j) = +1 iff
     * md5-low64("jl:i:j") is even — DuckDB-reproducible via
     * `md5_number_lower(concat(...)) % 2`. */

@@ -73,4 +73,35 @@ class ClusteringSpec extends SparkSpec {
     // all members of a blob land together
     assert(out.groupBy(_._1 % 2).values.forall(_.map(_._2).toSet.size == 1))
   }
+
+  test("daviesBouldin: exact scatter/separation for two tight far blobs " +
+      "and the (S_i+S_j)/M_ij ratio") {
+    val e = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(0f, 0.002f)),     // A: c=(0,1), sse=2
+      (3L, Seq(1f, 0f)), (4L, Seq(1f, 0.002f)))     // B: c=(1000,1), sse=2
+      .toDF("vec_id", "embedding")
+    val a = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("vec_id", "cluster")
+    val out = Clustering.daviesBouldin(e, a)
+      .orderBy($"cluster")
+      .as[(Int, Long, Long, Double, Int, Double)].collect().toSeq
+    assert(out == Seq(
+      (0, 2L, 2L, 1.0, 1, 2.0 / 1000000),
+      (1, 2L, 2L, 1.0, 0, 2.0 / 1000000)))
+  }
+
+  test("daviesBouldin: identical-centroid pairs are excluded from the " +
+      "worst-ratio search (no division by zero)") {
+    val e = Seq(
+      (1L, Seq(0f)), (2L, Seq(0f)),   // A and B share centroid (0)
+      (3L, Seq(0f)),
+      (4L, Seq(1f)))                  // C far away
+      .toDF("vec_id", "embedding")
+    val a = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 2)).toDF("vec_id", "cluster")
+    val out = Clustering.daviesBouldin(e, a)
+      .orderBy($"cluster")
+      .as[(Int, Long, Long, Double, Int, Double)].collect().toSeq
+    // clusters 0 and 1 both sit at q=0: their mutual pair has m2=0 and
+    // must not appear; the worst valid other for both is cluster 2
+    assert(out.map(_._5).toSeq == Seq(2, 2, 0))
+  }
 }

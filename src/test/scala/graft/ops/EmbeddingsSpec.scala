@@ -51,6 +51,40 @@ class EmbeddingsSpec extends SparkSpec {
     assert(a.size == 32)
   }
 
+  test("pcaTopComponent: recovers the dominant direction — diagonal " +
+      "spread gives (707, 707), axis-aligned spread gives (1000, 0)") {
+    val diag = emb((1L, Seq(1f, 1f)), (2L, Seq(2f, 2f)), (3L, Seq(-1f, -1f)))
+    val vd = Embeddings.pcaTopComponent(diag, rounds = 4, dim = 2)
+      .orderBy($"i").as[(Int, Long, Double)].collect()
+    assert(vd.map(_._2).toSeq == Seq(707L, 707L), s"got ${vd.toSeq}")
+    val axis = emb((1L, Seq(1f, 0f)), (2L, Seq(-2f, 0f)), (3L, Seq(3f, 0f)))
+    val va = Embeddings.pcaTopComponent(axis, rounds = 4, dim = 2)
+      .orderBy($"i").as[(Int, Long, Double)].collect()
+    assert(va.map(_._2).toSeq == Seq(1000L, 0L), s"got ${va.toSeq}")
+    // rayleigh is the scatter along the found direction: positive here
+    assert(va.head._3 > 0)
+  }
+
+  test("pcaTopComponent: partition-layout invariant (exact integer " +
+      "accumulation) and mean-invariant (scatter matrix centers)") {
+    val rows = (0L until 20L).map { id =>
+      (id, Seq((id % 5).toFloat, (id % 3).toFloat, 1f)) }
+    val one = Embeddings.pcaTopComponent(
+      emb(rows: _*).repartition(1), rounds = 3, dim = 3)
+      .orderBy($"i").as[(Int, Long, Double)].collect().toSeq
+    val many = Embeddings.pcaTopComponent(
+      emb(rows: _*).repartition(7), rounds = 3, dim = 3)
+      .orderBy($"i").as[(Int, Long, Double)].collect().toSeq
+    assert(one == many)
+    // adding a constant offset to every vector must not change the
+    // direction: C = n·ΣqqT − S ST is the centered scatter
+    val shifted = rows.map { case (id, v) => (id, v.map(_ + 2f)) }
+    val sh = Embeddings.pcaTopComponent(
+      emb(shifted: _*), rounds = 3, dim = 3)
+      .orderBy($"i").as[(Int, Long, Double)].collect().toSeq
+    assert(sh.map(_._2) == one.map(_._2), s"$sh vs $one")
+  }
+
   test("jlProject preserves pairwise distance in expectation: the " +
       "distortion ratio over real-ish vectors stays within loose JL bounds") {
     // 16 deterministic 8-dim vectors; m=8 projections of an 8-dim space
