@@ -1743,7 +1743,7 @@ object StatsQueries {
       |    THEN num / (sqrt(vx) * sqrt(vy)) END AS corr
       |FROM f ORDER BY seg_a, seg_b, day""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  def defs: Seq[QueryDef] = Seq(
     QueryDef("q143_chisq_terms", q143, Some(q143Sql)),
     QueryDef("q144_ab_ztest", q144, Some(q144Sql)),
     QueryDef("q145_time_weighted", q145, Some(q145Sql)),
@@ -1787,5 +1787,42 @@ object StatsQueries {
     QueryDef("q185_mutual_info", q185, Some(q185Sql)),
     QueryDef("q187_psi_drift", q187, Some(q187Sql)),
     QueryDef("q188_rolling_corr", q188, Some(q188Sql)),
+    QueryDef("q198_bootstrap_ci", q198, Some(q198Sql)),
   )
+
+  // ---------------------------------------------------------------- q198
+  // Deterministic half-sample bootstrap CI for the per-type mean event
+  // value: 32 md5-membership replicates in one Generate pass, replicate
+  // means ranked per type, ceiling-rank 5th/95th bounds. The uncertainty
+  // companion to the point estimates the experimentation layer reports —
+  // and fully replayable (no rand()), so the oracle reproduces every
+  // replicate bit-for-bit.
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Stats.halfSampleCi(
+      Tables.events(s, d)
+        .select($"event_type",
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+          $"event_id"),
+      groupCol = "event_type", value = $"cents", id = $"event_id", reps = 32)
+      .orderBy($"event_type")
+  }
+  private val q198Sql =
+    """WITH e AS MATERIALIZED (SELECT event_type AS g,
+      |      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |      CAST(event_id AS VARCHAR) AS id FROM events),
+      |ex AS (SELECT g, v, t.b FROM e, range(32) t(b)
+      |       WHERE md5_number_lower(concat('bs:', t.b, ':', id)) % 2 = 0),
+      |rm AS (SELECT g, b, CAST(SUM(v) AS DOUBLE)/COUNT(*) AS m
+      |       FROM ex GROUP BY 1, 2),
+      |rr AS (SELECT g, m, row_number() OVER (PARTITION BY g
+      |         ORDER BY m, b) AS rn FROM rm),
+      |ci AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_reps,
+      |         MAX(CASE WHEN rn = 2 THEN m END) AS boot_lo,
+      |         MAX(CASE WHEN rn = 31 THEN m END) AS boot_hi
+      |       FROM rr GROUP BY 1),
+      |base AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(v) AS DOUBLE)/COUNT(*) AS mean FROM e GROUP BY 1)
+      |SELECT g AS event_type, n, mean, n_reps, boot_lo, boot_hi
+      |FROM base JOIN ci USING (g) ORDER BY event_type""".stripMargin
 }

@@ -1020,6 +1020,55 @@ object Stats {
         .as("corr")): _*)
   }
 
+  /** Deterministic half-sample bootstrap CI for per-group means: `reps`
+    * replicates, replicate b containing a row iff the low bit of
+    * md5-low64("bs:b:id") is 0 (an ~n/2 subsample, DuckDB-reproducible —
+    * no `rand()`, so retries and repartitions replay identically). The CI
+    * is the ceiling-rank 5th/95th percentile of the replicate means
+    * (ties broken by replicate index).
+    *
+    * Scale shape: ONE Generate ×reps over the fact scan with map-side
+    * partial aggregation — the exchange carries |groups|·reps slim rows;
+    * the ranking window runs over reps rows per group (control plane).
+    * The reps-fold md5 evaluation is the honest CPU cost of a replayable
+    * bootstrap. Statistically this is subsampling (m≈n/2 without
+    * replacement), the scale-friendly bootstrap variant — Politis/Romano
+    * subsampling confidence intervals.
+    *
+    * @return (group, n, mean, n_reps, boot_lo, boot_hi) — mean/bounds are
+    *         single double divisions of exact long sums
+    */
+  def halfSampleCi(df: DataFrame, groupCol: String, value: Column,
+      id: Column, reps: Int = 32): DataFrame = {
+    require(reps >= 4, s"need reps>=4 for a rankable CI; got $reps")
+    val loRank = (reps * 5 + 99) / 100
+    val hiRank = (reps * 95 + 99) / 100
+    val base = df.select(col(groupCol).as("g"), value.as("v"),
+      id.cast("string").as("id")).localCheckpoint() // feeds base + replicates
+    val ex = base
+      .select(col("g"), col("v"), col("id"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .filter(graft.functions.Md5Low64(
+        concat(lit("bs:"), col("b").cast("string"), lit(":"), col("id")))
+        .bitwiseAND(lit(1L)) === 0L)
+    val rm = ex.groupBy(col("g"), col("b"))
+      .agg(count(lit(1)).as("nb"), sum(col("v")).as("sb"))
+      .select(col("g"), col("b"), (col("sb").cast("double") / col("nb")).as("m"))
+    val rr = rm.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("m"), col("b"))))
+    val ci = rr.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_reps"),
+        max(when(col("rn") === loRank, col("m"))).as("boot_lo"),
+        max(when(col("rn") === hiRank, col("m"))).as("boot_hi"))
+    val overall = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("v")).cast("double") / count(lit(1))).as("mean"))
+    overall.join(ci, "g")
+      .select(col("g").as(groupCol), col("n"), col("mean"), col("n_reps"),
+        col("boot_lo"), col("boot_hi"))
+  }
+
   def cohenKappa(df: DataFrame, rater1: Column, rater2: Column)
       : DataFrame = {
     val base = df.select(rater1.as("__a"), rater2.as("__b"))

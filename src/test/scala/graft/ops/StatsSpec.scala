@@ -508,4 +508,27 @@ class StatsSpec extends SparkSpec {
       .collect()
     assert(f.forall(_.isNullAt(3)))
   }
+
+  test("halfSampleCi: constant values collapse the CI to the point; " +
+      "bounds are ordered; membership is replay- and layout-invariant") {
+    val const = (0L until 50L).map(i => ("a", 7L, i)).toDF("g", "v", "id")
+    val c = Stats.halfSampleCi(const, "g", col("v"), col("id"), reps = 32)
+      .collect().head
+    assert(c.getDouble(2) == 7.0 &&
+      c.getDouble(4) == 7.0 && c.getDouble(5) == 7.0)
+
+    val varied = (0L until 200L).map(i => ("a", i % 11, i)) ++
+      (0L until 100L).map(i => ("b", 5L, i + 1000))
+    val df = varied.toDF("g", "v", "id")
+    val one = Stats.halfSampleCi(df.repartition(1), "g", col("v"), col("id"))
+      .orderBy(col("g")).collect().toSeq.map(_.toSeq)
+    val many = Stats.halfSampleCi(df.repartition(7), "g", col("v"), col("id"))
+      .orderBy(col("g")).collect().toSeq.map(_.toSeq)
+    assert(one == many)
+    val a = one.head
+    assert(a(4).asInstanceOf[Double] <= a(5).asInstanceOf[Double])
+    // the CI brackets the true mean for this well-behaved case
+    assert(a(4).asInstanceOf[Double] <= a(2).asInstanceOf[Double] &&
+      a(2).asInstanceOf[Double] <= a(5).asInstanceOf[Double])
+  }
 }
