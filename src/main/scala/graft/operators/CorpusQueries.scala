@@ -606,7 +606,48 @@ object CorpusQueries {
        |WHERE mismatches(a.key, b.key) <= 2
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q200
+  // Count-min sketch estimator audit: build the 4×256 CMS over the full
+  // token stream (a fixed-size mergeable frame — the shard-parallel
+  // frequency summary), then score it against the exact counts of the
+  // top-10 terms. estimate ≥ exact always; overcount is the collision
+  // mass. md5 buckets make every counter reproducible cross-engine.
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(split(graft.ops.Dedup.normalized(
+        coalesce($"text", lit(""))), " ")).as("t"))
+      .localCheckpoint() // one token materialization feeds exact + sketch
+    val exact = toks.groupBy($"t").agg(count(lit(1)).as("exact_n"))
+    val top = exact.orderBy($"exact_n".desc, $"t").limit(10)
+    val sketch = graft.ops.Sketches.cmsBuild(toks)
+    graft.ops.Sketches.cmsEstimate(sketch, top.select($"t"))
+      .join(top, "t")
+      .select($"t".as("term"), $"exact_n", $"cms_est",
+        ($"cms_est" - $"exact_n").as("overcount"))
+      .orderBy($"exact_n".desc, $"term")
+  }
+  private val q200Sql =
+    s"""WITH toks AS MATERIALIZED (SELECT unnest($toksSql) AS t FROM documents),
+       |ex AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY t),
+       |top AS (SELECT t, n FROM ex ORDER BY n DESC, t LIMIT 10),
+       |buck AS (SELECT CAST(r.r AS INT) AS r,
+       |    CAST(md5_number_lower(concat('cms', r.r, ':', t)) & 255 AS BIGINT)
+       |      AS bucket
+       |  FROM toks, range(4) r(r)),
+       |sk AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM buck GROUP BY 1, 2),
+       |tb AS (SELECT top.t, top.n, CAST(r.r AS INT) AS r,
+       |    CAST(md5_number_lower(concat('cms', r.r, ':', top.t)) & 255 AS BIGINT)
+       |      AS bucket
+       |  FROM top, range(4) r(r)),
+       |est AS (SELECT t, n, MIN(cnt) AS cms_est
+       |        FROM tb JOIN sk USING (r, bucket) GROUP BY t, n)
+       |SELECT t AS term, n AS exact_n, cms_est, cms_est - n AS overcount
+       |FROM est ORDER BY exact_n DESC, term""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q200_cms_estimate", q200, Some(q200Sql)),
     QueryDef("q64_decontaminate", q64, Some(q64Sql)),
     QueryDef("q65_pack_sequences", q65, Some(q65Sql)),
     QueryDef("q66_token_quota", q66, Some(q66Sql)),

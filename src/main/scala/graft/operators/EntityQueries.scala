@@ -621,7 +621,56 @@ object EntityQueries {
       |LEFT JOIN b ON b.a = sa.event_type AND b.b = sb.event_type
       |ORDER BY a, b""".stripMargin
 
+  // ---------------------------------------------------------------- q199
+  // HITS hubs/authorities over the customer→supplier purchase graph:
+  // which buyers aggregate the most-endorsed suppliers, and which
+  // suppliers are endorsed by the strongest buyers. 3 mutual-
+  // reinforcement rounds, max-normalized quantized scores (top node
+  // exactly 1000); the oracle unrolls the identical rounds. Completes
+  // the graph family: components, PageRank, k-core, triangles, BFS.
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("src"), $"l_suppkey".as("dst"))
+    Graph.hits(edges, rounds = 3)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"kind").orderBy($"score".desc, $"node")))
+      .filter($"rn" <= 20)
+      .select($"kind", $"rn", $"node", $"score")
+      .orderBy($"kind", $"rn")
+  }
+  private val q199Sql = {
+    val b = new StringBuilder
+    b ++= """WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
+            |    l_suppkey AS dst
+            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+            |a0 AS (SELECT DISTINCT dst AS node, CAST(1000 AS BIGINT) AS a FROM e),
+            |""".stripMargin
+    for (r <- 1 to 3) {
+      b ++= s"h${r}r AS (SELECT e.src, CAST(SUM(a.a) AS BIGINT) AS hr " +
+        s"FROM e JOIN a${r - 1} a ON a.node = e.dst GROUP BY e.src),\n"
+      b ++= s"h${r}m AS (SELECT MAX(hr) AS hm FROM h${r}r),\n"
+      b ++= s"h$r AS (SELECT src AS node, CAST(floor(hr * 1000 / hm) " +
+        s"AS BIGINT) AS h FROM h${r}r, h${r}m),\n"
+      b ++= s"a${r}r AS (SELECT e.dst, CAST(SUM(h.h) AS BIGINT) AS ar " +
+        s"FROM e JOIN h$r h ON h.node = e.src GROUP BY e.dst),\n"
+      b ++= s"a${r}m AS (SELECT MAX(ar) AS am FROM a${r}r),\n"
+      b ++= s"a$r AS (SELECT dst AS node, CAST(floor(ar * 1000 / am) " +
+        s"AS BIGINT) AS a FROM a${r}r, a${r}m),\n"
+    }
+    b ++= """u AS (SELECT 'hub' AS kind, node, h AS score FROM h3
+            |  UNION ALL SELECT 'authority', node, a FROM a3)
+            |SELECT kind, rn, node, score FROM (
+            |  SELECT kind, node, score, CAST(row_number() OVER (
+            |    PARTITION BY kind ORDER BY score DESC, node) AS INT) AS rn
+            |  FROM u)
+            |WHERE rn <= 20 ORDER BY kind, rn""".stripMargin
+    b.result()
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q199_hits", q199, Some(q199Sql)),
     QueryDef("q122_rate_limit", q122, Some(q122Sql)),
     QueryDef("q123_survivorship", q123, Some(q123Sql)),
     QueryDef("q124_pagerank", q124, Some(q124Sql)),

@@ -96,4 +96,30 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("hits: hand-computed 3-round mutual reinforcement with max " +
+      "normalization — top node pinned at 1000, exact quantized trail") {
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val out = Graph.hits(edges, rounds = 3)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, s) => (k, n) -> s }.toMap
+    // r1: h=(1:1000, 2:500), a=(10:1000, 11:666)
+    // r2: h=(1:1000, 2:600), a=(10:1000, 11:625)
+    // r3: h=(1:1000, 2:615), a=(10:1000, 11:619)
+    assert(out == Map(
+      ("hub", 1L) -> 1000L, ("hub", 2L) -> 615L,
+      ("authority", 10L) -> 1000L, ("authority", 11L) -> 619L))
+  }
+
+  test("hits: layout-invariant and max-normalized every round") {
+    val edges = (0L until 60L).map(i => (i % 7, 100 + (i * 3) % 11))
+      .toDF("src", "dst")
+    val a = Graph.hits(edges, rounds = 2)
+      .as[(String, Long, Long)].collect().toSet
+    val b = Graph.hits(edges.repartition(13), rounds = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(a == b)
+    assert(a.filter(_._1 == "hub").map(_._3).max == 1000L)
+    assert(a.filter(_._1 == "authority").map(_._3).max == 1000L)
+  }
 }
