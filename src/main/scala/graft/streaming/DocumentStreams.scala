@@ -37,6 +37,20 @@ object DocumentStreams {
     else reader.option("pathGlobFilter", "documents.parquet").parquet(d)
   }
 
+  /** Streaming count-min sketch face: [[graft.ops.Sketches.cmsBuild]]
+    * applied UNCHANGED to the document stream — the explode is stateless
+    * and the (r, bucket) count is a standard streaming aggregation whose
+    * state is the fixed depth×width counter frame (1024 longs; never
+    * grows with vocabulary). Because counters are exact long sums, the
+    * maintained sketch equals the batch sketch of everything ingested —
+    * the mergeable-summary contract, live. Run in complete/update mode;
+    * estimates come from joining terms against the latest frame. */
+  def cmsStream(docs: DataFrame, depth: Int = 4, width: Int = 256): DataFrame =
+    graft.ops.Sketches.cmsBuild(
+      docs.select(explode(split(graft.ops.Dedup.normalized(
+        coalesce(col("text"), lit(""))), " ")).as("t")),
+      depth = depth, width = width)
+
   /** Row-local ingest transform: scrub FIRST, then score / fingerprint /
     * label the SCRUBBED text — the stored shard text is what the ledger
     * fingerprints, so re-ingesting written shards is idempotent and docs

@@ -49,6 +49,23 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("streaming CMS across micro-batches ≡ batch sketch of the whole " +
+      "corpus (mergeable exact counters, fixed-size state)") {
+    val input = MemoryStream[Doc](spark)
+    val q = DocumentStreams.cmsStream(input.toDF())
+      .writeStream.format("memory").queryName("cmsface")
+      .outputMode("complete").start()
+    input.addData(docs.take(2): _*); q.processAllAvailable()
+    input.addData(docs.drop(2): _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cmsface")
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = DocumentStreams.cmsStream(docs.toDF())
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // fixed-size state: never more than depth×width counter rows
+    assert(streamed.size <= 4 * 256 && streamed.nonEmpty)
+  }
+
   test("incremental near-dedup: later batches drop near-dups of earlier ones") {
     val dir = java.nio.file.Files.createTempDirectory("neardedup").toString
     val input = MemoryStream[Doc](spark)
