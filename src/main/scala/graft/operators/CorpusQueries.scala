@@ -614,10 +614,12 @@ object CorpusQueries {
   // mass. md5 buckets make every counter reproducible cross-engine.
   private def q200(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // NOT checkpointed: the exploded token stream is corpus-sized — the
+    // two consumers each re-derive it from the scan (the bm25 pattern);
+    // only slim aggregates ever materialize
     val toks = Tables.documents(s, d)
       .select(explode(split(graft.ops.Dedup.normalized(
         coalesce($"text", lit(""))), " ")).as("t"))
-      .localCheckpoint() // one token materialization feeds exact + sketch
     val exact = toks.groupBy($"t").agg(count(lit(1)).as("exact_n"))
     val top = exact.orderBy($"exact_n".desc, $"t").limit(10)
     val sketch = graft.ops.Sketches.cmsBuild(toks)

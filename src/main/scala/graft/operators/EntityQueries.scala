@@ -633,10 +633,17 @@ object EntityQueries {
     val edges = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("src"), $"l_suppkey".as("dst"))
-    Graph.hits(edges, rounds = 3)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"kind").orderBy($"score".desc, $"node")))
-      .filter($"rn" <= 20)
+    val scored = Graph.hits(edges, rounds = 3).localCheckpoint()
+    // top-20 per kind via orderBy+limit (TakeOrderedAndProject heaps) —
+    // a kind-partitioned window would sort each full node-sized frame in
+    // ONE task; the rank window then runs over 20 rows only
+    def top(kind: String): DataFrame = {
+      val t = scored.filter($"kind" === kind)
+        .orderBy($"score".desc, $"node").limit(20)
+      t.withColumn("rn", row_number().over(
+        Window.orderBy($"score".desc, $"node")))
+    }
+    top("authority").unionByName(top("hub"))
       .select($"kind", $"rn", $"node", $"score")
       .orderBy($"kind", $"rn")
   }

@@ -44,13 +44,17 @@ object Sketches {
       .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
 
   /** Point-estimate the given terms against a built sketch: min counter
-    * across rows. Terms must be a control-plane-sized frame.
+    * across rows. Terms must be a control-plane-sized frame. The join is
+    * LEFT with a 0 default: a bucket the stream never touched has no
+    * sketch row but its counter is 0 — an unseen term must estimate 0
+    * (and never vanish), or the ≥-exact/≤-εN contract breaks.
     * @return (<tokenCol>, cms_est) */
   def cmsEstimate(sketch: DataFrame, terms: DataFrame, tokenCol: String = "t",
       depth: Int = 4, width: Int = 256): DataFrame =
     terms
       .select(col(tokenCol), posexplode(array((0 until depth).map(r =>
         cmsBucket(col(tokenCol), r, width)): _*)).as(Seq("r", "bucket")))
-      .join(sketch, Seq("r", "bucket"))
-      .groupBy(col(tokenCol)).agg(min(col("cnt")).as("cms_est"))
+      .join(sketch, Seq("r", "bucket"), "left")
+      .groupBy(col(tokenCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 }

@@ -440,6 +440,12 @@ class PlanAuditSpec extends SparkSpec {
       "the |types|^2 model must broadcast against the transition stream")
   }
 
+  test("q199: per-kind top-20 comes from TakeOrdered heaps, not a " +
+      "kind-partitioned window sorting full node frames in one task") {
+    val p = planOf("q199_hits")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

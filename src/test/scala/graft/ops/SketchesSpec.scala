@@ -33,6 +33,23 @@ class SketchesSpec extends SparkSpec {
     if (!collides) assert(est == exact)
   }
 
+  test("cmsEstimate: a term the stream never saw estimates 0 (or the " +
+      "collision mass), never vanishes — empty buckets count as zero") {
+    val sketch = Sketches.cmsBuild(toks("a", "a", "b"))
+    val est = Sketches.cmsEstimate(sketch, toks("zzz-unseen", "a"))
+      .as[(String, Long)].collect().toMap
+    assert(est.contains("zzz-unseen"), "unseen term must keep a row")
+    assert(est("zzz-unseen") >= 0L && est("a") >= 2L)
+    // if any row separates the unseen term from both stream tokens, the
+    // min hits an empty bucket and the estimate is exactly 0
+    val separated = (0 until 4).exists { r =>
+      val u = Dedup.md5Low64(s"cms$r:zzz-unseen") & 255L
+      u != (Dedup.md5Low64(s"cms$r:a") & 255L) &&
+        u != (Dedup.md5Low64(s"cms$r:b") & 255L)
+    }
+    if (separated) assert(est("zzz-unseen") == 0L)
+  }
+
   test("cms sketches merge: sketch(A ++ B) = elementwise sum of the two " +
       "shard sketches (the incremental-maintenance contract)") {
     val a = toks("x", "y", "x"); val b = toks("y", "z")
