@@ -1788,7 +1788,50 @@ object StatsQueries {
     QueryDef("q187_psi_drift", q187, Some(q187Sql)),
     QueryDef("q188_rolling_corr", q188, Some(q188Sql)),
     QueryDef("q198_bootstrap_ci", q198, Some(q198Sql)),
+    QueryDef("q201_theil_sen", q201, Some(q201Sql)),
   )
+
+  // ---------------------------------------------------------------- q201
+  // Theil–Sen robust weekly revenue trend per market segment: median of
+  // all pairwise slopes over the 344-week series — the outlier-proof
+  // companion to q141's OLS fit (one bad week can't drag the median).
+  // Pairs expand over the bounded weekly axis (|weeks|²/2 per segment),
+  // never over order facts; slopes are quantized longs, the median a
+  // ceiling-rank pick (tie-order-proof).
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weekly = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') " +
+          "AS BIGINT) div 7").as("wk"), // positive ⇒ div ≡ DuckDB //
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"seg", $"wk").agg(sum($"cents").as("c"))
+      .localCheckpoint() // slim bounded-axis series feeds the pair join
+    Stats.theilSenSlope(weekly, Seq("seg"), $"wk", $"c")
+      .orderBy($"seg")
+  }
+  private val q201Sql =
+    """WITH o AS (SELECT c_mktsegment AS seg,
+      |      (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+      |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |    FROM orders JOIN customer ON o_custkey = c_custkey),
+      |w AS MATERIALIZED (SELECT seg, wk, CAST(SUM(cents) AS BIGINT) AS c
+      |    FROM o GROUP BY 1, 2),
+      |p AS (SELECT l.seg,
+      |      CAST(floor(CAST(r.c - l.c AS DOUBLE) * 1e6 / (r.wk - l.wk))
+      |        AS BIGINT) AS s
+      |    FROM w l JOIN w r ON r.seg = l.seg AND r.wk > l.wk),
+      |rk AS (SELECT seg, s,
+      |      row_number() OVER (PARTITION BY seg ORDER BY s) AS rn,
+      |      COUNT(*) OVER (PARTITION BY seg) AS n FROM p),
+      |med AS (SELECT seg, CAST(MAX(n) AS BIGINT) AS n_pairs,
+      |      MAX(CASE WHEN rn = (n + 1) // 2 THEN s END) AS ts_slope_x6
+      |    FROM rk GROUP BY seg),
+      |pts AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_points
+      |    FROM w GROUP BY seg)
+      |SELECT seg, n_points, n_pairs, ts_slope_x6
+      |FROM pts JOIN med USING (seg) ORDER BY seg""".stripMargin
 
   // ---------------------------------------------------------------- q198
   // Deterministic half-sample bootstrap CI for the per-type mean event

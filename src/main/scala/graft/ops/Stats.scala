@@ -1069,6 +1069,51 @@ object Stats {
         col("boot_lo"), col("boot_hi"))
   }
 
+  /** Theil–Sen robust trend: the median of all pairwise slopes per group
+    * — the 29.3%-breakdown alternative to the OLS trend fit
+    * (`Regression.trendFit`/q141), for series where a burst or outage
+    * week would drag the least-squares line.
+    *
+    * Determinism: slopes are quantized longs floor(Δy·1e6/Δx) (Δy·1e6
+    * exact in double up to |Δy| ≈ 9·10⁹, far above any cents-grain
+    * series delta; one IEEE division; floor), and the median is the
+    * ceiling-rank (n+1)/2 value of the slope multiset — well-defined
+    * under ties regardless of their window order.
+    *
+    * Scale contract: pairs expand over the BOUNDED series axis (x must
+    * be a bounded grain — weeks, days — never raw facts): |axis|²/2
+    * rows per group, sorted per group by the rank window. This is the
+    * bounded-axis discipline of rollingCorr/acfLags — the fact table
+    * aggregates to the axis FIRST, then the quadratic runs on the slim
+    * series.
+    *
+    * @return (groupCols…, n_points, n_pairs, ts_slope_x6)
+    */
+  def theilSenSlope(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val base = df.select(g :+ xCol.cast("long").as("__x")
+      :+ yCol.cast("long").as("__y"): _*)
+    val l = base.as("l"); val r = base.as("r")
+    val joinCond = groupCols.map(c => col(s"l.$c") === col(s"r.$c"))
+      .reduceOption(_ && _).map(_ && col("r.__x") > col("l.__x"))
+      .getOrElse(col("r.__x") > col("l.__x"))
+    val pairs = l.join(r, joinCond)
+      .select(groupCols.map(c => col(s"l.$c").as(c)) :+
+        floor((col("r.__y") - col("l.__y")).cast("double") * 1e6 /
+          (col("r.__x") - col("l.__x"))).cast("long").as("s"): _*)
+    val ranked = pairs.withColumn("rn", row_number().over(
+        Window.partitionBy(g: _*).orderBy(col("s"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(g: _*)))
+    val med = ranked.groupBy(g: _*)
+      .agg(max(col("n")).as("n_pairs"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("s")))
+          .as("ts_slope_x6"))
+    val pts = base.groupBy(g: _*).agg(count(lit(1)).as("n_points"))
+    pts.join(med, groupCols)
+      .select(g :+ col("n_points") :+ col("n_pairs") :+ col("ts_slope_x6"): _*)
+  }
+
   def cohenKappa(df: DataFrame, rater1: Column, rater2: Column)
       : DataFrame = {
     val base = df.select(rater1.as("__a"), rater2.as("__b"))

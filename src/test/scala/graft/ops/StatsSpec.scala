@@ -509,6 +509,38 @@ class StatsSpec extends SparkSpec {
     assert(f.forall(_.isNullAt(3)))
   }
 
+  test("theilSenSlope: exact slope on a clean line; one wild outlier " +
+      "cannot move the median where it would wreck OLS") {
+    val line = (0L until 20L).map(x => ("a", x, 3 * x + 7))
+    val clean = line.toDF("g", "x", "y")
+    val c = Stats.theilSenSlope(clean, Seq("g"), col("x"), col("y"))
+      .collect().head
+    assert(c.getLong(1) == 20L && c.getLong(2) == 190L)
+    assert(c.getLong(3) == 3000000L) // slope exactly 3 in 1e-6 units
+    // poison one point hard: median of pairwise slopes barely moves
+    val dirty = (line.dropRight(1) :+ (("a", 19L, 1000000L))).toDF("g", "x", "y")
+    val m = Stats.theilSenSlope(dirty, Seq("g"), col("x"), col("y"))
+      .collect().head.getLong(3)
+    assert(m == 3000000L, s"median slope moved to $m")
+  }
+
+  test("theilSenSlope: per-group isolation and negative-delta floor " +
+      "semantics match across layouts") {
+    val df = (Seq(("up", 0L, 0L), ("up", 1L, 5L), ("up", 2L, 10L)) ++
+      Seq(("dn", 0L, 10L), ("dn", 1L, 7L), ("dn", 3L, 0L)))
+      .toDF("g", "x", "y")
+    val out = Stats.theilSenSlope(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("up") == 5000000L)
+    // dn slopes: (7-10)/1=-3e6, (0-10)/3=floor(-3333333.33..)=-3333334,
+    // (0-7)/2=-3500000 → sorted: -3500000, -3333334, -3000000 → median
+    assert(out("dn") == -3333334L)
+    val shuffled = Stats.theilSenSlope(df.repartition(7), Seq("g"),
+      col("x"), col("y")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(shuffled == out)
+  }
+
   test("halfSampleCi: constant values collapse the CI to the point; " +
       "bounds are ordered; membership is replay- and layout-invariant") {
     val const = (0L until 50L).map(i => ("a", 7L, i)).toDF("g", "v", "id")
