@@ -1789,7 +1789,114 @@ object StatsQueries {
     QueryDef("q188_rolling_corr", q188, Some(q188Sql)),
     QueryDef("q198_bootstrap_ci", q198, Some(q198Sql)),
     QueryDef("q201_theil_sen", q201, Some(q201Sql)),
+    QueryDef("q202_ols2", q202, Some(q202Sql)),
+    QueryDef("q203_kendall_tau", q203, Some(q203Sql)),
   )
+
+  // ---------------------------------------------------------------- q202
+  // Two-regressor OLS per order priority: order value (cents) explained
+  // by line count + total quantity — closed-form Cramer solve over nine
+  // exact-long sufficient statistics gathered in ONE pass (Stats.ols2).
+  // The oracle's determinant trees are generated by the same helper
+  // shape as the Spark expression, so the double arithmetic is the
+  // identical fixed tree on both engines.
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast("long")).as("qty"))
+    val obs = Tables.orders(s, d)
+      .join(feats, $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderpriority".as("prio"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
+        $"n_items", $"qty")
+    Stats.ols2(obs, Seq("prio"), $"cents", $"n_items", $"qty")
+      .orderBy($"prio")
+  }
+  private val q202Sql = {
+    def c(x: String) = s"CAST($x AS DOUBLE)"
+    // the same fixed tree as Stats.ols2's det3
+    def det3(a11: String, a12: String, a13: String,
+        a21: String, a22: String, a23: String,
+        a31: String, a32: String, a33: String): String =
+      s"${c(a11)} * (${c(a22)} * ${c(a33)} - ${c(a23)} * ${c(a32)}) - " +
+        s"${c(a12)} * (${c(a21)} * ${c(a33)} - ${c(a23)} * ${c(a31)}) + " +
+        s"${c(a13)} * (${c(a21)} * ${c(a32)} - ${c(a22)} * ${c(a31)})"
+    val det = det3("n", "sa", "sb", "sa", "saa", "sab", "sb", "sab", "sbb")
+    val d0 = det3("sy", "sa", "sb", "say", "saa", "sab", "sby", "sab", "sbb")
+    val d1 = det3("n", "sy", "sb", "sa", "say", "sab", "sb", "sby", "sbb")
+    val d2 = det3("n", "sa", "sy", "sa", "saa", "say", "sb", "sab", "sby")
+    s"""WITH f AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS a,
+       |      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS b
+       |    FROM lineitem GROUP BY 1),
+       |o AS (SELECT o_orderpriority AS prio,
+       |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y, a, b
+       |    FROM orders JOIN f ON l_orderkey = o_orderkey),
+       |s AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+       |      CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+       |      CAST(SUM(a*a) AS BIGINT) AS saa, CAST(SUM(b*b) AS BIGINT) AS sbb,
+       |      CAST(SUM(a*b) AS BIGINT) AS sab, CAST(SUM(y) AS BIGINT) AS sy,
+       |      CAST(SUM(a*y) AS BIGINT) AS say, CAST(SUM(b*y) AS BIGINT) AS sby
+       |    FROM o GROUP BY prio),
+       |dd AS (SELECT prio, n, $det AS det, $d0 AS d0, $d1 AS d1, $d2 AS d2
+       |    FROM s)
+       |SELECT prio, n,
+       |  CASE WHEN abs(det) > 1e-9 THEN d0 / det END AS beta0,
+       |  CASE WHEN abs(det) > 1e-9 THEN d1 / det END AS beta1,
+       |  CASE WHEN abs(det) > 1e-9 THEN d2 / det END AS beta2
+       |FROM dd ORDER BY prio""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q203
+  // Kendall tau-b between weekly order count and weekly revenue per
+  // segment: rank-based co-movement with exact integer concordance
+  // counts over the bounded weekly axis — the robust companion to
+  // q188's rolling Pearson (a few outlier weeks can't flip the sign).
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weekly = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') " +
+          "AS BIGINT) div 7").as("wk"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"seg", $"wk")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("cents"))
+      .localCheckpoint() // slim bounded-axis series feeds the pair join
+    Stats.kendallTau(weekly, Seq("seg"), $"wk", $"n_orders", $"cents")
+      .orderBy($"seg")
+  }
+  private val q203Sql =
+    """WITH o AS (SELECT c_mktsegment AS seg,
+      |      (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+      |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |    FROM orders JOIN customer ON o_custkey = c_custkey),
+      |w AS MATERIALIZED (SELECT seg, wk, CAST(COUNT(*) AS BIGINT) AS x,
+      |      CAST(SUM(cents) AS BIGINT) AS y FROM o GROUP BY 1, 2),
+      |p AS (SELECT l.seg,
+      |      CASE WHEN (r.x - l.x) > 0 AND (r.y - l.y) > 0
+      |             OR (r.x - l.x) < 0 AND (r.y - l.y) < 0
+      |        THEN 1 ELSE 0 END AS c,
+      |      CASE WHEN (r.x - l.x) > 0 AND (r.y - l.y) < 0
+      |             OR (r.x - l.x) < 0 AND (r.y - l.y) > 0
+      |        THEN 1 ELSE 0 END AS d,
+      |      CASE WHEN r.x - l.x = 0 THEN 1 ELSE 0 END AS tx,
+      |      CASE WHEN r.y - l.y = 0 THEN 1 ELSE 0 END AS ty
+      |    FROM w l JOIN w r ON r.seg = l.seg AND l.wk < r.wk),
+      |s AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |      CAST(SUM(c) AS BIGINT) AS concordant,
+      |      CAST(SUM(d) AS BIGINT) AS discordant,
+      |      CAST(SUM(tx) AS BIGINT) AS ties_x,
+      |      CAST(SUM(ty) AS BIGINT) AS ties_y
+      |    FROM p GROUP BY seg)
+      |SELECT seg, n_pairs, concordant, discordant,
+      |  CASE WHEN CAST(n_pairs AS DOUBLE) - CAST(ties_x AS DOUBLE) > 0
+      |         AND CAST(n_pairs AS DOUBLE) - CAST(ties_y AS DOUBLE) > 0
+      |    THEN CAST(concordant - discordant AS DOUBLE)
+      |      / sqrt((CAST(n_pairs AS DOUBLE) - CAST(ties_x AS DOUBLE))
+      |         * (CAST(n_pairs AS DOUBLE) - CAST(ties_y AS DOUBLE)))
+      |    END AS tau_b
+      |FROM s ORDER BY seg""".stripMargin
 
   // ---------------------------------------------------------------- q201
   // Theil–Sen robust weekly revenue trend per market segment: median of

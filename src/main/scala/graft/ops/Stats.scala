@@ -1114,6 +1114,100 @@ object Stats {
       .select(g :+ col("n_points") :+ col("n_pairs") :+ col("ts_slope_x6"): _*)
   }
 
+  /** Two-regressor OLS per group, closed form: ŷ = β0 + β1·x1 + β2·x2
+    * solved by Cramer's rule on the 3×3 normal equations. Sufficient
+    * statistics (n, Σx1, Σx2, Σx1², Σx2², Σx1x2, Σy, Σx1y, Σx2y) are
+    * exact long sums in ONE aggregation pass; the determinants are a
+    * FIXED tree of double products of those exact longs (the q142/q175
+    * discipline — deterministic cross-engine, though not exact integer:
+    * 3×3 determinant products overflow longs). Singular systems
+    * (det ≈ 0: collinear or constant regressors) yield NULL betas.
+    *
+    * @return (groupCols…, n, beta0, beta1, beta2) */
+  def ols2(df: DataFrame, groupCols: Seq[String], y: Column,
+      x1: Column, x2: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val base = df.select(g :+ y.cast("long").as("__y")
+      :+ x1.cast("long").as("__a") :+ x2.cast("long").as("__b"): _*)
+    val s = base.groupBy(g: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__a")).as("sa"), sum(col("__b")).as("sb"),
+      sum(col("__a") * col("__a")).as("saa"),
+      sum(col("__b") * col("__b")).as("sbb"),
+      sum(col("__a") * col("__b")).as("sab"),
+      sum(col("__y")).as("sy"),
+      sum(col("__a") * col("__y")).as("say"),
+      sum(col("__b") * col("__y")).as("sby"))
+    val dbl = "double"
+    def d(c: String) = col(c).cast(dbl)
+    // X'X = [[n, sa, sb], [sa, saa, sab], [sb, sab, sbb]]; X'y = [sy, say, sby]
+    def det3(a11: Column, a12: Column, a13: Column,
+        a21: Column, a22: Column, a23: Column,
+        a31: Column, a32: Column, a33: Column): Column =
+      a11 * (a22 * a33 - a23 * a32) -
+        a12 * (a21 * a33 - a23 * a31) +
+        a13 * (a21 * a32 - a22 * a31)
+    val (nn, sa, sb, saa, sbb, sab, sy, say, sby) =
+      (d("n"), d("sa"), d("sb"), d("saa"), d("sbb"), d("sab"),
+        d("sy"), d("say"), d("sby"))
+    val det = det3(nn, sa, sb, sa, saa, sab, sb, sab, sbb)
+    val d0 = det3(sy, sa, sb, say, saa, sab, sby, sab, sbb)
+    val d1 = det3(nn, sy, sb, sa, say, sab, sb, sby, sbb)
+    val d2 = det3(nn, sa, sy, sa, saa, say, sb, sab, sby)
+    s.select(g :+ col("n") :+
+      when(abs(det) > 1e-9, d0 / det).as("beta0") :+
+      when(abs(det) > 1e-9, d1 / det).as("beta1") :+
+      when(abs(det) > 1e-9, d2 / det).as("beta2"): _*)
+  }
+
+  /** Kendall rank correlation per group over a bounded series axis:
+    * concordant/discordant/tied pair counts are EXACT integers (the only
+    * rank correlation with no floating point until the final ratio).
+    * Reports tau-b = (C−D)/√((P−Tx)(P−Ty)) as a fixed double tree over
+    * the exact counts (NULL when either variable is all-ties), plus the
+    * raw concordant/discordant/pair counts so consumers can form tau-a
+    * or significance themselves.
+    * Tie accounting is the standard one: Tx counts every pair tied in x,
+    * Ty every pair tied in y — a pair tied in both lands in both.
+    *
+    * Pairs are enumerated by `idCol`, which must be UNIQUE per group (the
+    * series axis) so every unordered observation pair appears exactly
+    * once. Scale contract: |axis|²/2 rows per group — aggregate facts to
+    * the axis first, the quadratic runs on the slim series (the
+    * [[theilSenSlope]] discipline).
+    *
+    * @return (groupCols…, n_pairs, concordant, discordant, tau_b) */
+  def kendallTau(df: DataFrame, groupCols: Seq[String], idCol: Column,
+      xCol: Column, yCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val base = df.select(g :+ idCol.cast("long").as("__i")
+      :+ xCol.cast("long").as("__x") :+ yCol.cast("long").as("__y"): _*)
+    val l = base.as("l"); val r = base.as("r")
+    val joinCond = (groupCols.map(c => col(s"l.$c") === col(s"r.$c")) :+
+      (col("l.__i") < col("r.__i"))).reduce(_ && _)
+    val dx = col("r.__x") - col("l.__x")
+    val dy = col("r.__y") - col("l.__y")
+    val cnt = l.join(r, joinCond)
+      .select(groupCols.map(c => col(s"l.$c").as(c)) :+
+        when(dx > 0 && dy > 0 || dx < 0 && dy < 0, lit(1L))
+          .otherwise(0L).as("c") :+
+        when(dx > 0 && dy < 0 || dx < 0 && dy > 0, lit(1L))
+          .otherwise(0L).as("dd") :+
+        when(dx === 0, lit(1L)).otherwise(0L).as("tx") :+
+        when(dy === 0, lit(1L)).otherwise(0L).as("ty"): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c")).as("concordant"), sum(col("dd")).as("discordant"),
+        sum(col("tx")).as("ties_x"), sum(col("ty")).as("ties_y"))
+    val p = col("n_pairs").cast("double")
+    val px = p - col("ties_x").cast("double")
+    val py = p - col("ties_y").cast("double")
+    cnt.select(g :+ col("n_pairs") :+ col("concordant") :+ col("discordant") :+
+      when(px > 0.0d && py > 0.0d,
+        (col("concordant") - col("discordant")).cast("double") /
+          sqrt(px * py)).as("tau_b"): _*)
+  }
+
   def cohenKappa(df: DataFrame, rater1: Column, rater2: Column)
       : DataFrame = {
     val base = df.select(rater1.as("__a"), rater2.as("__b"))

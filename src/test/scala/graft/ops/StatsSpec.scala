@@ -541,6 +541,43 @@ class StatsSpec extends SparkSpec {
     assert(shuffled == out)
   }
 
+  test("ols2: recovers an exact plane y = 2 + 3a + 5b; collinear " +
+      "regressors yield NULL betas (singular normal equations)") {
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 1L), (3L, 2L))
+      .map { case (a, b) => ("g", 2 + 3 * a + 5 * b, a, b) }
+      .toDF("g", "y", "a", "b")
+    val r = Stats.ols2(pts, Seq("g"), col("y"), col("a"), col("b"))
+      .collect().head
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 3.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 5.0) < 1e-9)
+    val coll = (0L to 5L).map(a => ("g", 1 + a, a, 2 * a))
+      .toDF("g", "y", "a", "b")
+    val c = Stats.ols2(coll, Seq("g"), col("y"), col("a"), col("b"))
+      .collect().head
+    assert(c.isNullAt(2) && c.isNullAt(3) && c.isNullAt(4))
+  }
+
+  test("kendallTau: ±1 on monotone series; hand-computed tie case; NULL " +
+      "when one variable never varies") {
+    val up = (1L to 6L).map(i => ("g", i, i, i * i)).toDF("g", "i", "x", "y")
+    assert(Stats.kendallTau(up, Seq("g"), col("i"), col("x"), col("y"))
+      .collect().head.getDouble(4) == 1.0)
+    val dn = (1L to 6L).map(i => ("g", i, i, -i)).toDF("g", "i", "x", "y")
+    assert(Stats.kendallTau(dn, Seq("g"), col("i"), col("x"), col("y"))
+      .collect().head.getDouble(4) == -1.0)
+    // x=[1,1,2], y=[1,2,2]: C=1, D=0, Tx=1, Ty=1, P=3 → 1/√(2·2) = 0.5
+    val tie = Seq(("g", 1L, 1L, 1L), ("g", 2L, 1L, 2L), ("g", 3L, 2L, 2L))
+      .toDF("g", "i", "x", "y")
+    val t = Stats.kendallTau(tie, Seq("g"), col("i"), col("x"), col("y"))
+      .collect().head
+    assert((t.getLong(1), t.getLong(2), t.getLong(3)) == ((3L, 1L, 0L)))
+    assert(t.getDouble(4) == 0.5)
+    val flat = (1L to 4L).map(i => ("g", i, 7L, i)).toDF("g", "i", "x", "y")
+    assert(Stats.kendallTau(flat, Seq("g"), col("i"), col("x"), col("y"))
+      .collect().head.isNullAt(4))
+  }
+
   test("halfSampleCi: constant values collapse the CI to the point; " +
       "bounds are ordered; membership is replay- and layout-invariant") {
     val const = (0L until 50L).map(i => ("a", 7L, i)).toDF("g", "v", "id")
