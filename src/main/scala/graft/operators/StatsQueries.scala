@@ -1791,7 +1791,60 @@ object StatsQueries {
     QueryDef("q201_theil_sen", q201, Some(q201Sql)),
     QueryDef("q202_ols2", q202, Some(q202Sql)),
     QueryDef("q203_kendall_tau", q203, Some(q203Sql)),
+    QueryDef("q204_spearman", q204, Some(q204Sql)),
   )
+
+  // ---------------------------------------------------------------- q204
+  // Spearman rho between weekly order count and weekly revenue per
+  // segment — the doubled-average-rank exact-integer form over the same
+  // bounded axis as q203, closing the correlation family: Pearson
+  // (q142/q188), Kendall (q203), Spearman.
+  private def q204(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weekly = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') " +
+          "AS BIGINT) div 7").as("wk"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"seg", $"wk")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("cents"))
+      .localCheckpoint()
+    Stats.spearmanRho(weekly, Seq("seg"), $"n_orders", $"cents")
+      .orderBy($"seg")
+  }
+  private val q204Sql =
+    """WITH o AS (SELECT c_mktsegment AS seg,
+      |      (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+      |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |    FROM orders JOIN customer ON o_custkey = c_custkey),
+      |w AS MATERIALIZED (SELECT seg, wk, CAST(COUNT(*) AS BIGINT) AS x,
+      |      CAST(SUM(cents) AS BIGINT) AS y FROM o GROUP BY 1, 2),
+      |r AS (SELECT seg,
+      |      2 * rank() OVER (PARTITION BY seg ORDER BY x)
+      |        + COUNT(*) OVER (PARTITION BY seg, x) - 1 AS rx,
+      |      2 * rank() OVER (PARTITION BY seg ORDER BY y)
+      |        + COUNT(*) OVER (PARTITION BY seg, y) - 1 AS ry
+      |    FROM w),
+      |s AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+      |      CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+      |      CAST(SUM(rx*rx) AS BIGINT) AS sxx,
+      |      CAST(SUM(ry*ry) AS BIGINT) AS syy,
+      |      CAST(SUM(rx*ry) AS BIGINT) AS sxy
+      |    FROM r GROUP BY seg)
+      |SELECT seg, n,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    END AS rho
+      |FROM s ORDER BY seg""".stripMargin
 
   // ---------------------------------------------------------------- q202
   // Two-regressor OLS per order priority: order value (cents) explained

@@ -1208,6 +1208,48 @@ object Stats {
           sqrt(px * py)).as("tau_b"): _*)
   }
 
+  /** Spearman rank correlation per group: Pearson over DOUBLED average
+    * ranks (2·rank + ties − 1, the [[mannWhitneyU2]] integer trick), so
+    * every sufficient statistic is an exact long under any partitioning;
+    * rho is one fixed double tree with a SINGLE sqrt of the variance
+    * product, so perfectly monotone series report exactly ±1.0 (two
+    * sqrts would round to 0.999…; the [[kendallTau]] lesson). NULL when
+    * either variable never varies.
+    *
+    * Scale contract: two rank windows per group over the bounded series
+    * axis — aggregate facts to the axis first (the theilSenSlope
+    * discipline); the windows sort |axis| rows per group, not facts.
+    *
+    * @return (groupCols…, n, rho) */
+  def spearmanRho(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val base = df.select(g :+ xCol.cast("long").as("__x")
+      :+ yCol.cast("long").as("__y"): _*)
+    def doubledRank(c: String): Column =
+      lit(2L) * rank().over(
+        Window.partitionBy(g: _*).orderBy(col(c))).cast("long") +
+        count(lit(1)).over(Window.partitionBy(g :+ col(c): _*)) - lit(1L)
+    val ranked = base
+      .withColumn("__rx", doubledRank("__x"))
+      .withColumn("__ry", doubledRank("__y"))
+    val stats = ranked.groupBy(g: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__rx")).as("sx"), sum(col("__ry")).as("sy"),
+      sum(col("__rx") * col("__rx")).as("sxx"),
+      sum(col("__ry") * col("__ry")).as("syy"),
+      sum(col("__rx") * col("__ry")).as("sxy"))
+    val dbl = "double"
+    val vx = col("n").cast(dbl) * col("sxx").cast(dbl) -
+      col("sx").cast(dbl) * col("sx").cast(dbl)
+    val vy = col("n").cast(dbl) * col("syy").cast(dbl) -
+      col("sy").cast(dbl) * col("sy").cast(dbl)
+    val num = col("n").cast(dbl) * col("sxy").cast(dbl) -
+      col("sx").cast(dbl) * col("sy").cast(dbl)
+    stats.select(g :+ col("n") :+
+      when(vx > 0.0d && vy > 0.0d, num / sqrt(vx * vy)).as("rho"): _*)
+  }
+
   def cohenKappa(df: DataFrame, rater1: Column, rater2: Column)
       : DataFrame = {
     val base = df.select(rater1.as("__a"), rater2.as("__b"))

@@ -578,6 +578,25 @@ class StatsSpec extends SparkSpec {
       .collect().head.isNullAt(4))
   }
 
+  test("spearmanRho: exactly ±1 on monotone series (even nonlinear), " +
+      "tie-averaged doubled ranks, NULL on a constant variable") {
+    val up = (1L to 8L).map(i => ("g", i, i * i * i)).toDF("g", "x", "y")
+    assert(Stats.spearmanRho(up, Seq("g"), col("x"), col("y"))
+      .collect().head.getDouble(2) == 1.0)
+    val dn = (1L to 8L).map(i => ("g", i, -(i * i))).toDF("g", "x", "y")
+    assert(Stats.spearmanRho(dn, Seq("g"), col("x"), col("y"))
+      .collect().head.getDouble(2) == -1.0)
+    // hand case with a tie: x=[1,2,2,3], y=[10,20,20,40] — rank-aligned
+    // including the tie pair → rho 1.0 under average ranks
+    val tie = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 2L, 20L),
+      ("g", 3L, 40L)).toDF("g", "x", "y")
+    assert(Stats.spearmanRho(tie, Seq("g"), col("x"), col("y"))
+      .collect().head.getDouble(2) == 1.0)
+    val flat = (1L to 5L).map(i => ("g", 3L, i)).toDF("g", "x", "y")
+    assert(Stats.spearmanRho(flat, Seq("g"), col("x"), col("y"))
+      .collect().head.isNullAt(2))
+  }
+
   test("halfSampleCi: constant values collapse the CI to the point; " +
       "bounds are ordered; membership is replay- and layout-invariant") {
     val const = (0L until 50L).map(i => ("a", 7L, i)).toDF("g", "v", "id")
