@@ -361,6 +361,45 @@ object EntityQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_lns_x6
       |FROM km ORDER BY duration""".stripMargin
 
+  // ---------------------------------------------------------------- q205
+  // Nelson–Aalen cumulative hazard of first 'error' per user — the
+  // hazard-increment companion to q136's Kaplan–Meier over the same
+  // risk table. Fully integer: BIGINT-division hazard terms (no ln),
+  // two-phase prefix sums, zero ulp exposure anywhere.
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Survival.nelsonAalen(Tables.events(s, d),
+        $"event_type" === "error")
+      .orderBy($"duration")
+  }
+  private val q205Sql =
+    """WITH l AS (SELECT user_id,
+      |        MIN(epoch_us(ts) // 86400000000) AS fd,
+      |        MAX(epoch_us(ts) // 86400000000) AS ld,
+      |        MIN(CASE WHEN event_type = 'error'
+      |            THEN epoch_us(ts) // 86400000000 END) AS ed
+      |      FROM events GROUP BY user_id),
+      |s AS (SELECT COUNT(*) AS n_users FROM l),
+      |u AS (SELECT COALESCE(ed, ld) - fd AS duration,
+      |        (ed IS NOT NULL) AS hit, n_users
+      |      FROM l CROSS JOIN s),
+      |d AS (SELECT duration, COUNT(*) AS n_ending,
+      |        CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+      |        ANY_VALUE(n_users) AS n_users
+      |      FROM u GROUP BY duration),
+      |ar AS (SELECT duration, n_events,
+      |        CAST(n_users - COALESCE(SUM(n_ending) OVER (ORDER BY duration
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |          AS n_at_risk
+      |       FROM d),
+      |na AS (SELECT duration, n_at_risk, n_events,
+      |        (n_events * CAST(1000000000 AS BIGINT)) // n_at_risk AS h
+      |       FROM ar WHERE n_events > 0)
+      |SELECT CAST(duration AS BIGINT) AS duration, n_at_risk, n_events,
+      |  CAST(SUM(h) OVER (ORDER BY duration
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_h_x9
+      |FROM na ORDER BY duration""".stripMargin
+
   // ---------------------------------------------------------------- q138
   // Triangle counts on the STRONG co-purchase graph (parts co-bought in
   // ≥2 distinct orders): per-part triangle participation — the community
@@ -688,6 +727,7 @@ object EntityQueries {
     QueryDef("q132_session_paths", q132, Some(q132Sql)),
     QueryDef("q133_jaro_winkler", q133, Some(q133Sql)),
     QueryDef("q136_kaplan_meier", q136, Some(q136Sql)),
+    QueryDef("q205_nelson_aalen", q205, Some(q205Sql)),
     QueryDef("q138_triangles", q138, Some(q138Sql)),
     QueryDef("q158_kcore", q158, Some(q158Sql)),
     QueryDef("q141_trend_fit", q141, Some(q141Sql)),

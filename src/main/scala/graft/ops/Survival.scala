@@ -42,8 +42,12 @@ object Survival {
     *         would hit zero survivors (n_at_risk = n_events) are excluded
     *         (ln 0); they can only be terminal.
     */
-  def kaplanMeier(events: DataFrame, eventPred: Column,
-      entityCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+  /** Shared risk table: one row per distinct duration with at-risk and
+    * event counts — the exact integer state both estimators ([[kaplanMeier]],
+    * [[nelsonAalen]]) read. Same lifetimes/censoring semantics as
+    * documented on kaplanMeier; at-risk via the two-phase prefix sum. */
+  private[ops] def riskTable(events: DataFrame, eventPred: Column,
+      entityCol: String, tsCol: String): DataFrame = {
     val day: Column = expr(s"unix_micros($tsCol) div 86400000000")
     val lives = events.select(col(entityCol).as("entity"), day.as("day"),
         eventPred.as("is_event"))
@@ -68,9 +72,15 @@ object Survival {
         "duration", "n_ending", orderCols = Seq("duration"),
         seqTokens = Long.MaxValue)
       .select(col("id").as("duration"), col("start_tok").as("ended_before"))
-    val km = byDur.join(atRisk, Seq("duration"))
-      .select(col("duration"), (col("n_users") - col("ended_before")).as("n_at_risk"),
+    byDur.join(atRisk, Seq("duration"))
+      .select(col("duration"),
+        (col("n_users") - col("ended_before")).as("n_at_risk"),
         col("n_events"))
+  }
+
+  def kaplanMeier(events: DataFrame, eventPred: Column,
+      entityCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val km = riskTable(events, eventPred, entityCol, tsCol)
       .filter(col("n_events") > 0 && col("n_at_risk") > col("n_events"))
       .withColumn("lns_x6", floor(log(
         (col("n_at_risk") - col("n_events")).cast("double") / col("n_at_risk"))
@@ -84,5 +94,34 @@ object Survival {
         Seq("duration"))
       .select(col("duration"), col("n_at_risk"), col("n_events"),
         col("cum_lns_x6"))
+  }
+
+  /** Nelson–Aalen cumulative hazard H(d) = Σ_{d'≤d} dᵢ/nᵢ — the
+    * estimator actuaries/model-monitoring prefer when hazard INCREMENTS
+    * matter (KM answers "what fraction survives", NA answers "how much
+    * hazard has accumulated"). Fully integer: each term is the BIGINT
+    * division floor(n_events·1e9/n_at_risk) — no transcendental at all,
+    * so unlike KM's quantized ln there is zero ulp exposure — and the
+    * cumulative sum is the same two-phase prefix sum over the duration
+    * axis. Same lifetimes/censoring semantics as [[kaplanMeier]]; no
+    * terminal-duration exclusion (d/n is finite even when everyone
+    * ends: the last increment is exactly 1e9).
+    *
+    * @return (duration, n_at_risk, n_events, cum_h_x9) for durations
+    *         with ≥1 event; H(d) = cum_h_x9 / 1e9 */
+  def nelsonAalen(events: DataFrame, eventPred: Column,
+      entityCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val na = riskTable(events, eventPred, entityCol, tsCol)
+      .filter(col("n_events") > 0)
+      .withColumn("h_x9",
+        expr("(n_events * CAST(1000000000 AS BIGINT)) div n_at_risk"))
+    Packing.packSequences(na, "duration", "h_x9",
+        orderCols = Seq("duration"), seqTokens = Long.MaxValue)
+      .select(col("id").as("duration"),
+        (col("start_tok") + col("n_tokens")).as("cum_h_x9"))
+      .join(na.select(col("duration"), col("n_at_risk"), col("n_events")),
+        Seq("duration"))
+      .select(col("duration"), col("n_at_risk"), col("n_events"),
+        col("cum_h_x9"))
   }
 }

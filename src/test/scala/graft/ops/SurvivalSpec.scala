@@ -47,4 +47,24 @@ class SurvivalSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(again == got)
   }
+
+  test("nelsonAalen: hand-computed integer hazard increments, censoring " +
+      "keeps entities at risk, terminal duration INCLUDED (no ln)") {
+    val ev = Seq(
+      (1L, t(0), "view"), (1L, t(1), "error"),   // event at duration 1
+      (2L, t(0), "view"), (2L, t(2), "error"),   // event at duration 2
+      (3L, t(0), "view"), (3L, t(2), "view"))    // censored at duration 2
+      .toDF("user_id", "ts", "event_type")
+    val out = Survival.nelsonAalen(ev, col("event_type") === "error")
+      .orderBy(col("duration"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // d=1: 1/3 → 333333333; d=2: at risk 2, 1 event → +500000000
+    assert(out == Seq((1L, 3L, 1L, 333333333L), (2L, 2L, 1L, 833333333L)))
+    // everyone-dies terminal step: hazard increment is exactly 1e9
+    val all = Seq((1L, t(0), "view"), (1L, t(1), "error"))
+      .toDF("user_id", "ts", "event_type")
+    val term = Survival.nelsonAalen(all, col("event_type") === "error")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(term == Seq((1L, 1L, 1L, 1000000000L)))
+  }
 }
