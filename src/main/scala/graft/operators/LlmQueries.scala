@@ -515,7 +515,42 @@ object LlmQueries {
        |  FROM tf JOIN df ON tf.term = df.term)
        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+  // Flesch reading-ease audit per document: vowel-run syllables,
+  // sentence runs floored at 1, quantized fixed-tree score — the
+  // readability gate beside the quality/repetition signals. Pure
+  // projection: the whole audit rides the documents scan.
+  private def q206(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cols = TextAnalysis.readability($"text")
+    Tables.documents(s, d)
+      .select($"doc_id" +: cols.map { case (n, c) => c.as(n) }: _*)
+      .orderBy($"doc_id")
+  }
+  private val q206Sql =
+    s"""SELECT doc_id,
+       |  CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+       |       ELSE len($toksSql) END AS BIGINT) AS n_words,
+       |  CAST(len(regexp_extract_all(lower(COALESCE(text, '')), '[aeiouy]+'))
+       |    AS BIGINT) AS n_syllables,
+       |  greatest(CAST(len(regexp_extract_all(COALESCE(text, ''), '[.!?]+'))
+       |    AS BIGINT), 1) AS n_sentences,
+       |  CASE WHEN (CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+       |       ELSE len($toksSql) END) > 0 THEN
+       |    CAST(floor((206.835
+       |      - 1.015 * (CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+       |          ELSE len($toksSql) END AS DOUBLE)
+       |        / CAST(greatest(len(regexp_extract_all(COALESCE(text, ''),
+       |            '[.!?]+')), 1) AS DOUBLE))
+       |      - 84.6 * (CAST(len(regexp_extract_all(lower(COALESCE(text, '')),
+       |            '[aeiouy]+')) AS DOUBLE)
+       |        / CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+       |            ELSE len($toksSql) END AS DOUBLE))) * 1e3) AS BIGINT)
+       |    END AS flesch_x3
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q206_readability", q206, Some(q206Sql)),
     QueryDef("q40_dedup_exact", q40, Some(q40Sql)),
     QueryDef("q41_minhash_pairs", q41, Some(q41Sql)),
     QueryDef("q42_ngram_jaccard", q42, Some(q42Sql)),

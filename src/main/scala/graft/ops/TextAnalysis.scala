@@ -88,6 +88,30 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(trim(text) === "" || text.isNull, 0).otherwise(size(toks(text)))
 
+  /** Flesch reading-ease inputs + quantized score — the classic
+    * readability gate for corpus curation (too-low = OCR junk/legalese,
+    * implausibly-high = listicle fragments). Syllables via the vowel-run
+    * heuristic `[aeiouy]+` (regexp_count — identical char-class
+    * semantics cross-engine), sentences via `[.!?]+` runs floored at 1.
+    * All three inputs are exact ints; the score is the fixed tree
+    * 206.835 − 1.015·(w/s) − 84.6·(syl/w), quantized ·1e3 (NULL when
+    * wordless). Pure codegen expressions — the audit rides the scan. */
+  def readability(text: Column): Seq[(String, Column)] = {
+    val nWords = tokenCount(text).cast("long")
+    val nSyll = regexp_count(lower(coalesce(text, lit(""))),
+      lit("[aeiouy]+")).cast("long")
+    val nSent = greatest(
+      regexp_count(coalesce(text, lit("")), lit("[.!?]+")).cast("long"),
+      lit(1L))
+    val flesch = when(nWords > 0L,
+      floor((lit(206.835) -
+        lit(1.015) * (nWords.cast("double") / nSent.cast("double")) -
+        lit(84.6) * (nSyll.cast("double") / nWords.cast("double"))) * 1e3)
+        .cast("long"))
+    Seq("n_words" -> nWords, "n_syllables" -> nSyll,
+      "n_sentences" -> nSent, "flesch_x3" -> flesch)
+  }
+
   /** BPE-ish subword count estimate: word-boundary pieces plus an extra
     * piece per 6 chars of long words (common ~4 chars/token heuristic,
     * without a vocab file). */

@@ -218,4 +218,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.contains(("b", "a")) && !got.keys.exists(_._1 == "x"))
     assert(got.size == 7)
   }
+
+  test("readability: hand-computed Flesch inputs — vowel runs, sentence " +
+      "floor at 1, NULL score on wordless text") {
+    val df = Seq(
+      (1L, "the cat sat."),          // 3 words, y-less: 2+1+1? runs below
+      (2L, "hello there. how are you?"),
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +:
+        TextAnalysis.readability(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("doc_id")).collect()
+    // "the cat sat." → vowel runs: e, a, a = 3; sentences: 1; words: 3
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 3L &&
+      out(0).getLong(3) == 1L)
+    // flesch = 206.835 − 1.015·3 − 84.6·1 = 119.19 → 119190
+    assert(out(0).getLong(4) == math.floor(
+      (206.835 - 1.015 * 3 - 84.6 * 1) * 1e3).toLong)
+    // "hello there. how are you?" → 5 words, 2 sentence runs,
+    // vowel runs: e,o / e,e / o / a,e / ou = 8
+    assert(out(1).getLong(1) == 5L && out(1).getLong(2) == 8L &&
+      out(1).getLong(3) == 2L)
+    // empty and NULL text: 0 words, sentence floor 1, NULL score
+    assert(out(2).getLong(1) == 0L && out(2).getLong(3) == 1L &&
+      out(2).isNullAt(4))
+    assert(out(3).getLong(1) == 0L && out(3).isNullAt(4))
+  }
 }
