@@ -446,6 +446,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q201/q203/q204: bounded-axis statistics aggregate facts to the " +
+      "axis BEFORE any quadratic/window work — no cartesian, the pair " +
+      "join reads the checkpointed slim series") {
+    for (q <- Seq("q201_theil_sen", "q203_kendall_tau", "q204_spearman")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q must read the materialized day/week-grain series")
+    }
+  }
+
+  test("q202/q206: one-pass shapes — OLS sufficient statistics in a " +
+      "single aggregation, readability a pure projection on the scan") {
+    val po = planOf("q202_ols2")
+    assert(!po.contains("CartesianProduct"))
+    val pr = planOf("q206_readability")
+    assert(!pr.contains("Exchange") || pr.contains("TakeOrdered") ||
+      pr.contains("Sort"), "q206 needs no aggregation exchange")
+    assert(!pr.contains("HashAggregate"), "q206 is a projection, not an agg")
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
