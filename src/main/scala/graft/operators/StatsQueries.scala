@@ -1792,7 +1792,38 @@ object StatsQueries {
     QueryDef("q202_ols2", q202, Some(q202Sql)),
     QueryDef("q203_kendall_tau", q203, Some(q203Sql)),
     QueryDef("q204_spearman", q204, Some(q204Sql)),
+    QueryDef("q207_weighted_quantiles", q207, Some(q207Sql)),
   )
+
+  // ---------------------------------------------------------------- q207
+  // Quantity-weighted price quartiles per return flag: "the price half
+  // the shipped QUANTITY trades below" — exact weighted quantiles via the
+  // grouped two-phase prefix sum (no per-group global window), ceiling
+  // targets, min-value-reaching-target conditional aggregation.
+  private def q207(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select($"l_returnflag",
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"),
+      $"l_quantity".cast("long").as("qty"))
+    Stats.weightedQuantiles(li, "l_returnflag",
+        $"cents", $"qty", Seq(25, 50, 75))
+      .orderBy($"l_returnflag")
+  }
+  private val q207Sql =
+    """WITH b AS (SELECT l_returnflag AS g,
+      |      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+      |      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |    FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT g, v, w,
+      |      CAST(SUM(w) OVER (PARTITION BY g ORDER BY v
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw FROM b),
+      |t AS (SELECT g, CAST(SUM(w) AS BIGINT) AS w_total FROM b GROUP BY g)
+      |SELECT g AS l_returnflag, w_total,
+      |  MIN(CASE WHEN cumw >= (w_total * 25 + 99) // 100 THEN v END) AS p25,
+      |  MIN(CASE WHEN cumw >= (w_total * 50 + 99) // 100 THEN v END) AS p50,
+      |  MIN(CASE WHEN cumw >= (w_total * 75 + 99) // 100 THEN v END) AS p75
+      |FROM c JOIN t USING (g)
+      |GROUP BY g, w_total ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q204
   // Spearman rho between weekly order count and weekly revenue per

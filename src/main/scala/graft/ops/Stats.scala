@@ -1250,6 +1250,45 @@ object Stats {
       when(vx > 0.0d && vy > 0.0d, num / sqrt(vx * vy)).as("rho"): _*)
   }
 
+  /** Exact weighted quantiles per group, windowless: weights aggregate
+    * onto the DISTINCT-VALUE axis first (rows carrying the same value
+    * merge — quantiles are unchanged and the axis is the natural unique
+    * key, so no synthetic row id is ever needed), then cumulative weight
+    * in value order via the grouped two-phase prefix sum
+    * ([[Packing.packSequencesGrouped]] — NO per-group global window), and
+    * each percentile is the smallest value whose cumulative weight
+    * reaches the ceiling target ⌈W·p/100⌉ — one conditional aggregation
+    * per requested percent. All integers throughout; weights must be
+    * positive.
+    *
+    * The weighted median/quartiles every revenue-weighted metric needs —
+    * "the price half the QUANTITY trades below", not half the rows.
+    *
+    * @return (groupCol, w_total, p<percent>…) */
+  def weightedQuantiles(df: DataFrame, groupCol: String,
+      value: Column, weight: Column, percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in 1..100; got $percents")
+    val base = df.select(col(groupCol),
+        value.cast("long").as("__v"), weight.cast("long").as("__w"))
+      .groupBy(col(groupCol), col("__v"))
+      .agg(sum(col("__w")).as("__w"))
+    // order key aliased: idCol and orderCols must be distinct column names
+    val packed = Packing.packSequencesGrouped(
+        base.withColumn("__vo", col("__v")), groupCol, "__v",
+        "__w", orderCols = Seq("__vo"), seqTokens = Long.MaxValue)
+      .select(col("group").as(groupCol), col("id").as("__v"),
+        (col("start_tok") + col("n_tokens")).as("__cumw"))
+    val totals = base.groupBy(col(groupCol))
+      .agg(sum(col("__w")).as("w_total"))
+    val aggs = percents.map(p =>
+      min(when(col("__cumw") >= expr(s"(w_total * $p + 99) div 100"),
+        col("__v"))).as(s"p$p"))
+    packed.join(broadcast(totals), groupCol)
+      .groupBy(col(groupCol), col("w_total"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   def cohenKappa(df: DataFrame, rater1: Column, rater2: Column)
       : DataFrame = {
     val base = df.select(rater1.as("__a"), rater2.as("__b"))

@@ -597,6 +597,27 @@ class StatsSpec extends SparkSpec {
       .collect().head.isNullAt(2))
   }
 
+  test("weightedQuantiles: hand-computed mass targets, group isolation, " +
+      "layout invariance — heavy weight drags the quantile to its value") {
+    // g: values 1..4 with weights 1,1,6,2 → W=10, cum 1,2,8,10:
+    // p25 target 3 → 3; p50 target 5 → 3; p75 target 8 → 3
+    // duplicate-value rows merge onto the value axis (3 appears twice)
+    val df = (Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 4L),
+      ("g", 3L, 2L), ("g", 4L, 2L)) ++
+      Seq(("h", 100L, 1L), ("h", 200L, 1L)))
+      .toDF("grp", "v", "w")
+    val out = Stats.weightedQuantiles(df, "grp", col("v"), col("w"),
+        Seq(25, 50, 75))
+      .orderBy(col("grp")).collect()
+    assert(out(0).toSeq == Seq("g", 10L, 3L, 3L, 3L))
+    // h: W=2; p25/p50 target 1 → 100; p75 target 2 → 200
+    assert(out(1).toSeq == Seq("h", 2L, 100L, 100L, 200L))
+    val shuffled = Stats.weightedQuantiles(df.repartition(7), "grp",
+        col("v"), col("w"), Seq(25, 50, 75))
+      .orderBy(col("grp")).collect().map(_.toSeq).toSeq
+    assert(shuffled == out.map(_.toSeq).toSeq)
+  }
+
   test("halfSampleCi: constant values collapse the CI to the point; " +
       "bounds are ordered; membership is replay- and layout-invariant") {
     val const = (0L until 50L).map(i => ("a", 7L, i)).toDF("g", "v", "id")
