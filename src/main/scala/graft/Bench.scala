@@ -68,6 +68,12 @@ object Bench {
     println(s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
       s""""cold_total":${total(cold)},"warm_total":${total(warm)},""" +
       s""""n_queries":${warm.size},"sf":"$sfDir","queries":$qs}""")
+    // The per-query line is ~8 KB at 205 queries and the driver keeps only
+    // the LAST 2000 chars of output — repeat the scalars on a short FINAL
+    // line so the totals always land inside the tail window.
+    println(s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
+      s""""cold_total":${total(cold)},"warm_total":${total(warm)},""" +
+      s""""n_queries":${warm.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -621,7 +621,9 @@ object CorpusQueries {
       .select(explode(split(graft.ops.Dedup.normalized(
         coalesce($"text", lit(""))), " ")).as("t"))
     val exact = toks.groupBy($"t").agg(count(lit(1)).as("exact_n"))
-    val top = exact.orderBy($"exact_n".desc, $"t").limit(10)
+    // 10-row probe frame consumed twice (CMS probe + final join): pin it
+    // so the exact count aggregation runs once
+    val top = exact.orderBy($"exact_n".desc, $"t").limit(10).localCheckpoint()
     val sketch = graft.ops.Sketches.cmsBuild(toks)
     graft.ops.Sketches.cmsEstimate(sketch, top.select($"t"))
       .join(top, "t")

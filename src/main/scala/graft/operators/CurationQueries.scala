@@ -76,9 +76,13 @@ object CurationQueries {
       .withColumn("split", TextAnalysis.splitLabel($"text"))
     val train = docs.filter($"split" === "train")
     val heldout = docs.filter($"split" =!= "train")
+    // slim (id, split) labels: the enrichment join must not re-scan the
+    // corpus (and re-fingerprint every text) a third time
+    val heldoutLabels = heldout
+      .select($"doc_id".as("id_b"), $"split".as("eval_split"))
+      .localCheckpoint()
     Dedup.crossCorpusPairs(train, heldout, threshold = 0.5)
-      .join(heldout.select($"doc_id".as("id_b"), $"split".as("eval_split")),
-        Seq("id_b"))
+      .join(heldoutLabels, Seq("id_b"))
       .select($"id_a".as("train_id"), $"id_b".as("eval_id"),
         $"eval_split", $"jaccard")
       .orderBy($"train_id", $"eval_id")
@@ -308,7 +312,12 @@ object CurationQueries {
   private def q192(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val proj = Embeddings.jlProject(emb, outDim = 16)
+    // n×16 projected rows (dim-REDUCED by the JL contract) feed both sides
+    // of the consecutive-id self-join: materialize so the Generate +
+    // partial-agg projection pass runs once. The raw quantized explode (q)
+    // stays unpinned — re-deriving it from the scan is cheaper than
+    // holding corpus×dim rows.
+    val proj = Embeddings.jlProject(emb, outDim = 16).localCheckpoint()
     val pd = proj.as("a")
       .join(proj.as("b"), expr("b.id = a.id + 1 AND b.j = a.j"))
       .groupBy($"a.id".as("id_a"))

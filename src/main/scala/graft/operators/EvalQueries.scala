@@ -81,10 +81,14 @@ object EvalQueries {
   private def q190(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
+    // slim (id, rel) relevance labels consumed twice inside ndcgCurve
+    // (ranked join + ideal top-k): materialize so the corpus tokenization
+    // runs once
     val rel = docs.select($"doc_id".as("id"),
       size(array_intersect(
         array_distinct(split(Dedup.normalized(coalesce($"text", lit(""))), " ")),
         array(termsLit.map(lit): _*))).as("rel"))
+      .localCheckpoint()
     val ranked = Retrieval.bm25TopK(docs, termsLit, k = 10)
       .select($"id",
         row_number().over(Window.orderBy($"score".desc, $"id")).as("rn"))

@@ -253,8 +253,11 @@ object StatsQueries {
     val emb = Tables.embeddings(s, d)
     val nn = graft.ops.Similarity.bruteForceTopK(
       emb, emb.filter($"vec_id" < 100), k = 5)
-    val qlbl = emb.select($"vec_id".as("qid"), $"label".as("qlabel"))
-    val nlbl = emb.select($"vec_id".as("eid"), $"label".as("nlabel"))
+    // one slim (id, label) scan serves BOTH enrichment joins — without it
+    // the table is re-read (embedding column included) per join side
+    val lbl = emb.select($"vec_id", $"label").localCheckpoint()
+    val qlbl = lbl.select($"vec_id".as("qid"), $"label".as("qlabel"))
+    val nlbl = lbl.select($"vec_id".as("eid"), $"label".as("nlabel"))
     nn.join(broadcast(qlbl), Seq("qid")).join(nlbl, Seq("eid"))
       .groupBy($"qid", $"qlabel")
       .agg(count(lit(1)).as("n_neighbors"),
@@ -540,7 +543,10 @@ object StatsQueries {
       (year(to_date($"o_orderdate")) * 12 + month(to_date($"o_orderdate")))
         .cast("long").as("m"),
       expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    // slim (custkey, first-month) frame feeds cohort sizing AND the age
+    // join: materialize so orders aggregates to it once
     val first = o.groupBy($"o_custkey").agg(min($"m").as("m0"))
+      .localCheckpoint()
     val sized = first.groupBy($"m0".as("cohort"))
       .agg(countDistinct($"o_custkey").as("n_customers"))
     val byAge = o.join(first, "o_custkey")
@@ -787,7 +793,10 @@ object StatsQueries {
   private def q166(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
+    // 1-row bucket width rides under BOTH tok consumers — pin it so each
+    // doesn't re-scan the corpus for max(doc_id)
     val width = docs.agg(expr("(max(doc_id) div 20) + 1").as("w"))
+      .localCheckpoint()
     val tok = docs.crossJoin(broadcast(width))
       .select(expr("doc_id div w").as("bucket"),
         explode(split(graft.ops.Dedup.normalized(coalesce($"text", lit(""))),
@@ -904,14 +913,20 @@ object StatsQueries {
   // One exact aggregate per column, unioned into a control-plane report.
   private def q169(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def audit(df: DataFrame, table: String, cols: Seq[String]): DataFrame =
+    // ONE multi-distinct aggregation per table (Spark plans it via Expand —
+    // the q91 profiler shape), materialized 1-row, then unpivoted to a row
+    // per column: the table is scanned once, not once per audited column
+    def audit(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
+      val aggs = count(lit(1)).as("n") +:
+        cols.map(c => countDistinct(col(c)).as(s"nd_$c"))
+      val one = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
       cols.map { c =>
-        df.agg(count(lit(1)).as("n"), countDistinct(col(c)).as("n_distinct"))
-          .select(lit(table).as("tbl"), lit(c).as("col_name"), $"n",
-            $"n_distinct",
-            floor(($"n_distinct".cast("double") / $"n".cast("double")) * 1e6)
-              .cast("long").as("ndv_ratio_x6"))
+        one.select(lit(table).as("tbl"), lit(c).as("col_name"), $"n",
+          col(s"nd_$c").as("n_distinct"),
+          floor((col(s"nd_$c").cast("double") / $"n".cast("double")) * 1e6)
+            .cast("long").as("ndv_ratio_x6"))
       }.reduce(_ unionByName _)
+    }
     audit(Tables.orders(s, d), "orders",
         Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"))
       .unionByName(audit(Tables.documents(s, d), "documents",
@@ -1805,8 +1820,10 @@ object StatsQueries {
     val li = Tables.lineitem(s, d).select($"l_returnflag",
       expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"),
       $"l_quantity".cast("long").as("qty"))
+    // 3 return flags × distinct cents values — a few hundred k rows at any
+    // SF, far below corpus scale: 8 range partitions beat the session default
     Stats.weightedQuantiles(li, "l_returnflag",
-        $"cents", $"qty", Seq(25, 50, 75))
+        $"cents", $"qty", Seq(25, 50, 75), axisPartitions = 8)
       .orderBy($"l_returnflag")
   }
   private val q207Sql =
@@ -1967,12 +1984,19 @@ object StatsQueries {
       |      CASE WHEN r.x - l.x = 0 THEN 1 ELSE 0 END AS tx,
       |      CASE WHEN r.y - l.y = 0 THEN 1 ELSE 0 END AS ty
       |    FROM w l JOIN w r ON r.seg = l.seg AND l.wk < r.wk),
-      |s AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |s0 AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_pairs,
       |      CAST(SUM(c) AS BIGINT) AS concordant,
       |      CAST(SUM(d) AS BIGINT) AS discordant,
       |      CAST(SUM(tx) AS BIGINT) AS ties_x,
       |      CAST(SUM(ty) AS BIGINT) AS ties_y
-      |    FROM p GROUP BY seg)
+      |    FROM p GROUP BY seg),
+      |s AS (SELECT g.seg,
+      |      CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+      |      CAST(COALESCE(concordant, 0) AS BIGINT) AS concordant,
+      |      CAST(COALESCE(discordant, 0) AS BIGINT) AS discordant,
+      |      CAST(COALESCE(ties_x, 0) AS BIGINT) AS ties_x,
+      |      CAST(COALESCE(ties_y, 0) AS BIGINT) AS ties_y
+      |    FROM (SELECT DISTINCT seg FROM w) g LEFT JOIN s0 ON g.seg = s0.seg)
       |SELECT seg, n_pairs, concordant, discordant,
       |  CASE WHEN CAST(n_pairs AS DOUBLE) - CAST(ties_x AS DOUBLE) > 0
       |         AND CAST(n_pairs AS DOUBLE) - CAST(ties_y AS DOUBLE) > 0
@@ -2021,8 +2045,9 @@ object StatsQueries {
       |    FROM rk GROUP BY seg),
       |pts AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_points
       |    FROM w GROUP BY seg)
-      |SELECT seg, n_points, n_pairs, ts_slope_x6
-      |FROM pts JOIN med USING (seg) ORDER BY seg""".stripMargin
+      |SELECT seg, n_points, CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  ts_slope_x6
+      |FROM pts LEFT JOIN med USING (seg) ORDER BY seg""".stripMargin
 
   // ---------------------------------------------------------------- q198
   // Deterministic half-sample bootstrap CI for the per-type mean event

@@ -129,7 +129,10 @@ object Clustering {
         posexplode(col(vecCol)).as(Seq("dim", "x")))
       .select(col("id"), col("dim"),
         floor(col("x").cast("double") * 1000 + 0.5).cast("long").as("qv"))
+    // slim (id, cluster) labels consumed by two fact joins + sizes: pin so
+    // the caller's assignment pass (a full corpus kernel scan) runs once
     val a = assign.select(col(idCol).cast("long").as("id"), col("cluster"))
+      .localCheckpoint()
     val exa = ex.join(a, "id")
     val c2 = exa.groupBy(col("cluster"), col("dim"))
       .agg(count(lit(1)).as("cnt"), sum(col("qv")).as("sq"))
@@ -137,12 +140,15 @@ object Clustering {
         floor(col("sq").cast("double") / col("cnt") + 0.5).cast("long").as("cv"))
       .localCheckpoint() // k×dim control frame; feeds scatter + separation
     val sizes = a.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    // k-row scatter frame feeds si, sj AND the final join (three
+    // consumers): pin it so the corpus SSE pass runs once
     val scat = exa.join(c2, Seq("cluster", "dim"))
       .groupBy(col("cluster"))
       .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("sse"))
       .join(sizes, "cluster")
       .select(col("cluster"), col("n"), col("sse"),
         (col("sse").cast("double") / col("n")).as("scatter"))
+      .localCheckpoint()
     val mm = c2.as("x")
       .join(c2.as("y"), expr("x.dim = y.dim AND x.cluster <> y.cluster"))
       .groupBy(col("x.cluster").as("ci"), col("y.cluster").as("cj"))

@@ -381,6 +381,11 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      // slim (id_a, id_b) pairs consumed THREE times (both sides of the
+      // candidate-id union + the verification join): materialize, or the
+      // whole band/bucket subtree — including the corpus scan — re-derives
+      // per consumer
+      .localCheckpoint()
     // exact-Jaccard verification on HASHED shingle sets, built ONLY for
     // candidate docs: the docs plane is semi-join-pruned before re-shingling,
     // so the second pass is proportional to |candidates|, not the corpus
@@ -394,6 +399,10 @@ object Dedup {
       col(idCol) === col("cid"), "left_semi")
     val shs = hashedShingleSets(candidateDocs, textCol, idCol)
       .withColumnRenamed("id", "sid")
+      // |candidates|-sized by the semi-join prune, and consumed by BOTH
+      // sides of the verification join: materialize so the shingle kernel
+      // runs once per candidate doc, not twice
+      .localCheckpoint()
     candidates
       .join(shs.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(shs.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
@@ -430,6 +439,9 @@ object Dedup {
       .select(explode(col("ids_a")).as("id_a"), col("ids_b"))
       .select(col("id_a"), explode(col("ids_b")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      // slim id pairs consumed three times (two semi-join prunes + the
+      // verification join): materialize so BOTH band-row subtrees run once
+      .localCheckpoint()
     val aDocs = a.join(candidates.select(col("id_a").as("cid")).distinct(),
       col(idCol) === col("cid"), "left_semi")
     val bDocs = b.join(candidates.select(col("id_b").as("cid")).distinct(),
@@ -499,16 +511,21 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id", k: Int = 64,
       bands: Int = 16, threshold: Double = 0.8,
       maxBucketSize: Int = 1000): DataFrame = {
+    // both slim frames fan out twice below: (id, component) feeds the
+    // argmax join AND the pass-through anti-join; (id, quality) feeds the
+    // argmax AND supplies the id universe for pass-through. Materialize so
+    // the cluster machinery and the quality scan each run once — the only
+    // corpus scan left in the final plan is the surviving-rows semi-join.
     val clusters = dedupClusters(docs, textCol, idCol, k, bands,
-      threshold, maxBucketSize)
+      threshold, maxBucketSize).localCheckpoint()
     val scored = docs.select(col(idCol).as("id"), quality.cast("long").as("__q"))
+      .localCheckpoint()
     val best = clusters.join(scored, Seq("id"))
       .groupBy(col("component"))
       .agg(max_by(col("id"), struct(col("__q"), (-col("id")).as("nid"))).as("keep"))
       .select(col("keep").as(idCol))
-    val untouched = docs
+    val untouched = scored.select(col("id").as(idCol))
       .join(clusters.select(col("id").as(idCol)), Seq(idCol), "left_anti")
-      .select(col(idCol))
     docs.join(best.unionByName(untouched), Seq(idCol), "left_semi")
   }
 

@@ -30,6 +30,12 @@ object Embeddings {
     * (the BFS/k-core discipline: state consumed twice per round). Total
     * cost k scans — O(k·n·dim) with no corpus-sized shuffle at all.
     *
+    * Degenerate inputs: an empty corpus is a hard error (require);
+    * already-selected points never re-enter the argmax, so an
+    * all-duplicates corpus selects each row once (by id) rather than
+    * re-picking center 0, and a corpus with fewer than k rows returns
+    * one row per corpus point (selection stops when exhausted).
+    *
     * @return (sel_round, id, d2) — d2 the exact squared distance from the
     *         selected point to the previously selected set (0 at round 0)
     */
@@ -46,26 +52,39 @@ object Embeddings {
       .localCheckpoint()
 
     val selected = Seq.newBuilder[(Int, Long, Long)]
-    (0 until k).foreach { r =>
-      val (cid, cvec, cd) =
-        if (r == 0) {
-          val row = state.orderBy($"id").take(1).head
-          (row._1, row._2, 0L)
-        } else {
-          val row = state.orderBy($"mind".desc, $"id").take(1).head
-          (row._1, row._2, row._3)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var r = 0
+    var exhausted = false
+    while (r < k && !exhausted) {
+      // already-selected ids are excluded from the argmax: on an
+      // all-duplicates corpus every mind is 0 and the (mind desc, id) tie
+      // would otherwise re-select center 0 forever. With fewer rows than
+      // k the selection stops early (fewer than k output rows).
+      val cand =
+        if (r == 0) state.orderBy($"id").take(1)
+        else state.filter(!$"id".isin(picked.toSeq: _*))
+          .orderBy($"mind".desc, $"id").take(1)
+      if (r == 0) require(cand.nonEmpty,
+        "kCenters: embedding corpus is empty")
+      if (cand.isEmpty) exhausted = true
+      else {
+        val row = cand.head
+        val (cid, cvec, cd) =
+          if (r == 0) (row._1, row._2, 0L) else (row._1, row._2, row._3)
+        picked += cid
+        selected += ((r, cid, cd))
+        if (r < k - 1) {
+          val bc = spark.sparkContext.broadcast(cvec)
+          state = state.map { case (id, qv, mind) =>
+            val cv = bc.value
+            var d = 0L; var i = 0
+            while (i < qv.length) { val t = qv(i) - cv(i); d += t * t; i += 1 }
+            (id, qv, math.min(mind, d))
+          }.toDF("id", "qv", "mind").as[(Long, Array[Long], Long)]
+            .localCheckpoint()
         }
-      selected += ((r, cid, cd))
-      if (r < k - 1) {
-        val bc = spark.sparkContext.broadcast(cvec)
-        state = state.map { case (id, qv, mind) =>
-          val cv = bc.value
-          var d = 0L; var i = 0
-          while (i < qv.length) { val t = qv(i) - cv(i); d += t * t; i += 1 }
-          (id, qv, math.min(mind, d))
-        }.toDF("id", "qv", "mind").as[(Long, Array[Long], Long)]
-          .localCheckpoint()
       }
+      r += 1
     }
     selected.result().toDF("sel_round", "id", "d2")
   }

@@ -66,20 +66,6 @@ object Graph {
     pr
   }
 
-  /** Per-node triangle counts via DEGREE ORIENTATION — the standard trick
-    * that makes distributed triangle enumeration tractable: direct every
-    * undirected edge from its lower-(degree, id) endpoint to the higher
-    * one, so each triangle is generated by exactly ONE wedge (at its
-    * lowest-rank corner) and a hub of degree d contributes wedges bounded
-    * by its OUT-degree, which orientation caps near √|E| — the naive
-    * wedge count Σd² becomes Σd_out² ≈ O(|E|^1.5) worst-case, the
-    * arboricity bound. Wedges close with one semi-join against the edge
-    * set; counts are exact integers.
-    *
-    * @param edges (src, dst) rows, any direction/duplication — normalized
-    *              to canonical undirected form internally
-    * @return (node, n_triangles), one row per node in ≥1 triangle
-    */
   /** HITS hubs/authorities (Kleinberg) over a directed edge list, fixed
     * rounds, MAX-normalized: after each mutual-reinforcement step the
     * vector is rescaled to floor(x·1000/max(x)) — top node exactly 1000.
@@ -128,6 +114,20 @@ object Graph {
         col("a").as("score")))
   }
 
+  /** Per-node triangle counts via DEGREE ORIENTATION — the standard trick
+    * that makes distributed triangle enumeration tractable: direct every
+    * undirected edge from its lower-(degree, id) endpoint to the higher
+    * one, so each triangle is generated by exactly ONE wedge (at its
+    * lowest-rank corner) and a hub of degree d contributes wedges bounded
+    * by its OUT-degree, which orientation caps near √|E| — the naive
+    * wedge count Σd² becomes Σd_out² ≈ O(|E|^1.5) worst-case, the
+    * arboricity bound. Wedges close with one semi-join against the edge
+    * set; counts are exact integers.
+    *
+    * @param edges (src, dst) rows, any direction/duplication — normalized
+    *              to canonical undirected form internally
+    * @return (node, n_triangles), one row per node in ≥1 triangle
+    */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e = edges
       .select(least(col("src"), col("dst")).as("u"),

@@ -70,8 +70,13 @@ object Profile {
   def joinSizeAudit(left: DataFrame, right: DataFrame, leftKey: Column,
       rightKey: Column, joinName: String, withActual: Boolean = true)
       : DataFrame = {
+    // per-key count frames are |keys|-sized and each fans out (side total +
+    // match/estimate join): materialize so each input is scanned once for
+    // the estimate; only the actual-rows check re-reads the raw keys
     val lc = left.groupBy(leftKey.as("k")).agg(count(lit(1)).as("cl"))
+      .localCheckpoint()
     val rc = right.groupBy(rightKey.as("k")).agg(count(lit(1)).as("cr"))
+      .localCheckpoint()
     val nl = lc.agg(coalesce(sum(col("cl")), lit(0L)).as("n_left"))
     val nr = rc.agg(coalesce(sum(col("cr")), lit(0L)).as("n_right"))
     val est = lc.join(rc, Seq("k"), "inner")

@@ -104,6 +104,10 @@ object Retrieval {
         Dedup.normalized(coalesce(col(textCol), lit(""))), " "))).as("term"))
     val dfs = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
+      // slim (term, df) — consumed by the indexable-band semi-join AND the
+      // final left join; materialize so the corpus tokenization+count pass
+      // runs once (pairs itself is corpus-sized and must NOT be pinned)
+      .localCheckpoint()
     val indexable = dfs.filter(col("df") <= maxDf)
     val postings = pairs
       .join(indexable.select(col("term")), Seq("term"), "left_semi")

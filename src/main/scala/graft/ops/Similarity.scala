@@ -72,6 +72,29 @@ object Similarity {
   // tight JVM loops, ~20× faster. This is the documented "(d) mapPartitions
   // as a last resort" case: a numeric kernel, not relational logic.
 
+  /** Collect the PROBE side of an ANN query to the driver, enforcing the
+    * |Q| ≪ N contract at runtime: every top-k path broadcasts the query
+    * set, so a user who points a corpus-sized frame at the query parameter
+    * must get a clear error, not a driver OOM. The cap is configurable via
+    * `graft.ann.maxProbe` (default 100 000 ≈ 50 MB of 64-dim floats); the
+    * check is a `limit(cap+1)` collect — no extra counting pass, and the
+    * driver never materializes more than cap+1 rows even on violation. */
+  private[ops] def collectProbes(queries: DataFrame, idCol: String,
+      vecCol: String): Array[(Long, Seq[Float])] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cap = spark.conf.get("graft.ann.maxProbe", "100000").toInt
+    val rows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .limit(cap + 1).as[(Long, Seq[Float])].collect()
+    require(rows.length <= cap,
+      s"ANN probe set exceeds graft.ann.maxProbe=$cap rows: the query side " +
+        "is collected and broadcast by contract (|queries| ≪ |corpus|). " +
+        "Swap the arguments if the corpus ended up on the query side, or " +
+        "raise spark.conf graft.ann.maxProbe if the probe set is genuinely " +
+        "this large.")
+    rows
+  }
+
   private[ops] def quantizeJvm(v: Seq[Float]): Array[Long] = {
     val out = new Array[Long](v.length)
     var i = 0
@@ -105,8 +128,7 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Seq[Float])].collect()
+    val qRows = collectProbes(queries, idCol, vecCol)
       .map { case (id, v) => (id, quantizeJvm(v)) }
       .map { case (id, qv) => (id, qv, normJvm(qv)) }
     val bc = spark.sparkContext.broadcast(qRows)
@@ -174,8 +196,7 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Seq[Float])].collect()
+    val qRows = collectProbes(queries, idCol, vecCol)
       .map { case (id, v) =>
         val q = quantizeJvm(v)
         (id, q, normJvm(q), srpBuckets(q, bits, tables))
@@ -308,8 +329,7 @@ object Similarity {
     import spark.implicits._
     val cents = lloydRefine(corpus,
       sampleCentroids(corpus, nlist, idCol, vecCol), refineIters, idCol, vecCol)
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Seq[Float])].collect()
+    val qRows = collectProbes(queries, idCol, vecCol)
       .map { case (id, v) =>
         val q = quantizeJvm(v); val n = normJvm(q)
         (id, q, n, nearestCentroids(q, n, cents, nprobe).toSet)
@@ -467,8 +487,7 @@ object Similarity {
     val r = if (rerank > 0) rerank else math.max(k * 4, 32)
     val books = pqTrain(corpus, m, ksub, trainIters, idCol, vecCol)
     val sub = books(0)(0).length
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Seq[Float])].collect()
+    val qRows = collectProbes(queries, idCol, vecCol)
       .map { case (id, v) =>
         val q = quantizeJvm(v)
         // ADC table: qn for the cosine denominator, per-subspace dot lookups
@@ -520,9 +539,14 @@ object Similarity {
       }.toDF("qid", "eid", "approx")
     // global top-r per query by approx score (tie-break eid), then rerank
     val w = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("eid"))
+    // ≤|Q|·r slim id pairs consumed twice (candidate-id prune + the exact
+    // join): pin them so the ADC scoring pass over the corpus runs once;
+    // the rerank's semi-join-pruned re-read of candidate VECTORS below is
+    // intentional (holding corpus vectors would defeat the PQ compression)
     val cands = candScores.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= r)
       .select(col("qid"), col("eid"))
+      .localCheckpoint()
     val candIds = cands.select(col("eid").as("cid")).distinct()
     val candVecs = corpus.select(col(idCol).cast("long").as("eid"), col(vecCol).as("__v"))
       .join(candIds, col("eid") === col("cid"), "left_semi")

@@ -568,10 +568,14 @@ object Stats {
         .withColumn("__n", count(lit(1)).over(wc))
         .filter(col("__rn") === expr("(__n + 1) div 2"))
         .select(groupCols.map(col) :+ v.as(out): _*)
-    val med = rankPick(base, col("__x"), "med")
+    // med/mad are |groups|-sized broadcast frames each consumed by a later
+    // fact pass: materialize them so the fact table is scanned once per
+    // pass (med, mad, final flags) instead of re-deriving every upstream
+    // rank pick inside each consumer's plan
+    val med = rankPick(base, col("__x"), "med").localCheckpoint()
     val withMed = base.join(broadcast(med), groupCols)
       .withColumn("dev", abs(col("__x") - col("med")))
-    val mad = rankPick(withMed, col("dev"), "mad")
+    val mad = rankPick(withMed, col("dev"), "mad").localCheckpoint()
     withMed.join(broadcast(mad), groupCols)
       .withColumn("outlier",
         col("dev") * lit(10000L) > lit(zTimes10000) * col("mad"))
@@ -1087,6 +1091,10 @@ object Stats {
     * aggregates to the axis FIRST, then the quadratic runs on the slim
     * series.
     *
+    * Groups with fewer than 2 observations have no pairs: they are KEPT
+    * (left join from the per-group points frame) with n_pairs = 0 and a
+    * NULL slope — same keep-with-NULL contract as [[spearmanRho]].
+    *
     * @return (groupCols…, n_points, n_pairs, ts_slope_x6)
     */
   def theilSenSlope(df: DataFrame, groupCols: Seq[String], xCol: Column,
@@ -1110,8 +1118,10 @@ object Stats {
         max(when(col("rn") === expr("(n + 1) div 2"), col("s")))
           .as("ts_slope_x6"))
     val pts = base.groupBy(g: _*).agg(count(lit(1)).as("n_points"))
-    pts.join(med, groupCols)
-      .select(g :+ col("n_points") :+ col("n_pairs") :+ col("ts_slope_x6"): _*)
+    pts.join(med, groupCols, "left")
+      .select(g :+ col("n_points") :+
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs") :+
+        col("ts_slope_x6"): _*)
   }
 
   /** Two-regressor OLS per group, closed form: ŷ = β0 + β1·x1 + β2·x2
@@ -1176,6 +1186,10 @@ object Stats {
     * the axis first, the quadratic runs on the slim series (the
     * [[theilSenSlope]] discipline).
     *
+    * Single-observation groups have no pairs: they are KEPT (left join
+    * from the per-group axis frame) with zero counts and NULL tau_b —
+    * same keep-with-NULL contract as [[spearmanRho]]/[[theilSenSlope]].
+    *
     * @return (groupCols…, n_pairs, concordant, discordant, tau_b) */
   def kendallTau(df: DataFrame, groupCols: Seq[String], idCol: Column,
       xCol: Column, yCol: Column): DataFrame = {
@@ -1199,10 +1213,17 @@ object Stats {
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("c")).as("concordant"), sum(col("dd")).as("discordant"),
         sum(col("tx")).as("ties_x"), sum(col("ty")).as("ties_y"))
+    val groups = base.select(g: _*).distinct()
+    val full = groups.join(cnt, groupCols, "left")
+      .select(g :+ coalesce(col("n_pairs"), lit(0L)).as("n_pairs")
+        :+ coalesce(col("concordant"), lit(0L)).as("concordant")
+        :+ coalesce(col("discordant"), lit(0L)).as("discordant")
+        :+ coalesce(col("ties_x"), lit(0L)).as("ties_x")
+        :+ coalesce(col("ties_y"), lit(0L)).as("ties_y"): _*)
     val p = col("n_pairs").cast("double")
     val px = p - col("ties_x").cast("double")
     val py = p - col("ties_y").cast("double")
-    cnt.select(g :+ col("n_pairs") :+ col("concordant") :+ col("discordant") :+
+    full.select(g :+ col("n_pairs") :+ col("concordant") :+ col("discordant") :+
       when(px > 0.0d && py > 0.0d,
         (col("concordant") - col("discordant")).cast("double") /
           sqrt(px * py)).as("tau_b"): _*)
@@ -1266,17 +1287,23 @@ object Stats {
     *
     * @return (groupCol, w_total, p<percent>…) */
   def weightedQuantiles(df: DataFrame, groupCol: String,
-      value: Column, weight: Column, percents: Seq[Int]): DataFrame = {
+      value: Column, weight: Column, percents: Seq[Int],
+      axisPartitions: Int = 0): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents must be in 1..100; got $percents")
     val base = df.select(col(groupCol),
         value.cast("long").as("__v"), weight.cast("long").as("__w"))
       .groupBy(col(groupCol), col("__v"))
       .agg(sum(col("__w")).as("__w"))
+      // (group, distinct value) axis — far smaller than the fact table, and
+      // consumed twice (grouped prefix sum + totals): materialize so the
+      // fact scan+aggregate runs exactly once
+      .localCheckpoint()
     // order key aliased: idCol and orderCols must be distinct column names
     val packed = Packing.packSequencesGrouped(
         base.withColumn("__vo", col("__v")), groupCol, "__v",
-        "__w", orderCols = Seq("__vo"), seqTokens = Long.MaxValue)
+        "__w", orderCols = Seq("__vo"), seqTokens = Long.MaxValue,
+        partitions = axisPartitions)
       .select(col("group").as(groupCol), col("id").as("__v"),
         (col("start_tok") + col("n_tokens")).as("__cumw"))
     val totals = base.groupBy(col(groupCol))

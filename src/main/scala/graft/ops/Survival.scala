@@ -61,16 +61,22 @@ object Survival {
           .as("duration"),
         col("event_day").isNotNull.as("hit"),
         col("n_users"))
+    // One row per distinct duration (≤ observation-window days) — tiny, and
+    // consumed TWICE below (prefix sum + join). Materialize so the per-entity
+    // lifetimes aggregation over the full event log runs exactly once.
     val byDur = u.groupBy(col("duration"))
       .agg(count(lit(1)).as("n_ending"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_events"),
         first(col("n_users")).as("n_users"))
+      .localCheckpoint()
     // at-risk at d = users whose lifetime reaches d = total − ending before d:
-    // exclusive prefix sum over the duration axis (two-phase, no window)
+    // exclusive prefix sum over the duration axis (two-phase, no window).
+    // The axis is provably small, so a handful of range partitions suffice —
+    // a 32-way shuffle+persist cycle would be pure fixed cost here.
     val atRisk = Packing.packSequences(byDur.select(col("duration"),
           col("n_ending"), col("n_events"), col("n_users")),
         "duration", "n_ending", orderCols = Seq("duration"),
-        seqTokens = Long.MaxValue)
+        seqTokens = Long.MaxValue, partitions = 4)
       .select(col("id").as("duration"), col("start_tok").as("ended_before"))
     byDur.join(atRisk, Seq("duration"))
       .select(col("duration"),
@@ -85,9 +91,11 @@ object Survival {
       .withColumn("lns_x6", floor(log(
         (col("n_at_risk") - col("n_events")).cast("double") / col("n_at_risk"))
         * 1e6).cast("long"))
+      // duration-axis-sized and consumed twice (prefix sum + join): pin it
+      .localCheckpoint()
     // running log-survival: second exclusive prefix sum over event rows
     Packing.packSequences(km, "duration", "lns_x6",
-        orderCols = Seq("duration"), seqTokens = Long.MaxValue)
+        orderCols = Seq("duration"), seqTokens = Long.MaxValue, partitions = 4)
       .select(col("id").as("duration"),
         (col("start_tok") + col("n_tokens")).as("cum_lns_x6"))
       .join(km.select(col("duration"), col("n_at_risk"), col("n_events")),
@@ -115,8 +123,11 @@ object Survival {
       .filter(col("n_events") > 0)
       .withColumn("h_x9",
         expr("(n_events * CAST(1000000000 AS BIGINT)) div n_at_risk"))
+      // duration-axis-sized and consumed twice (prefix sum + join): pin it
+      // so the risk-table DAG is never re-derived
+      .localCheckpoint()
     Packing.packSequences(na, "duration", "h_x9",
-        orderCols = Seq("duration"), seqTokens = Long.MaxValue)
+        orderCols = Seq("duration"), seqTokens = Long.MaxValue, partitions = 4)
       .select(col("id").as("duration"),
         (col("start_tok") + col("n_tokens")).as("cum_h_x9"))
       .join(na.select(col("duration"), col("n_at_risk"), col("n_events")),

@@ -74,7 +74,9 @@ object Validation {
         } ++ uniques.zipWithIndex.map { case (u, i) =>
           count_distinct(struct(u.cols.map(col): _*)).as(s"__u$i")
         })
-    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    // 1-row stats frame consumed once PER check row below — materialize,
+    // or the full-table aggregation re-runs for every union branch
+    val one = df.agg(aggCols.head, aggCols.tail: _*).localCheckpoint()
 
     val local = rowLocal.zipWithIndex.map { case (c, i) =>
       one.select(lit(c.name).as("check"), col("__n").as("n_rows"),
@@ -88,7 +90,8 @@ object Validation {
       val parentKeys = r.parent.select(col(r.parentCol).as(r.col)).distinct()
       val orphans = df.select(col(r.col)).filter(col(r.col).isNotNull)
         .join(parentKeys, Seq(r.col), "left_anti")
-      df.agg(count(lit(1)).as("n_rows"))
+      // row count comes from the materialized stats frame — no extra scan
+      one.select(col("__n").as("n_rows"))
         .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))
         .select(lit(r.name).as("check"), col("n_rows"), col("n_violations"))
     }

@@ -350,12 +350,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(cal.contains("HashAggregate"))
   }
 
-  test("q172: gap-fill grid bounds broadcast; key filter reaches the scan") {
+  test("q172: gap-fill reads the materialized series; grid bounds broadcast") {
     val p = planOf("q172_gap_fill")
     // the 1-row bounds frame must join broadcast, never cartesian-shuffle
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("PushedFilters") && p.contains("o_custkey"))
+    // the observed series materializes ONCE (checkpoint) and all three
+    // consumers (bounds, key universe, grid join) read the scan — the
+    // custkey pushdown now lives in the checkpoint job, not this plan
+    assert(p.contains("Scan ExistingRDD"))
+    assert(!p.contains("Scan parquet"),
+      "re-aggregating the series per consumer means the checkpoint was lost")
   }
 
   test("q173: join-size estimate aggregates per-key counts — " +
@@ -465,6 +470,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pr.contains("Exchange") || pr.contains("TakeOrdered") ||
       pr.contains("Sort"), "q206 needs no aggregation exchange")
     assert(!pr.contains("HashAggregate"), "q206 is a projection, not an agg")
+  }
+
+  test("q205/q136: survival estimators materialize the risk table — the " +
+      "final plan reads ONLY checkpointed frames (the per-entity lifetimes " +
+      "aggregation over events runs once, below the checkpoints)") {
+    for (q <- Seq("q205_nelson_aalen", "q136_kaplan_meier")) {
+      val p = planOf(q)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q: the fan-out must read materialized scans")
+      assert(!p.contains("Scan parquet"),
+        s"$q: a parquet scan above the checkpoints means the risk-table " +
+          "DAG re-derives per consumer")
+    }
+  }
+
+  test("q207: weighted quantiles materialize the (group, distinct-value) " +
+      "axis — lineitem scans+aggregates once; prefix sum and totals both " +
+      "read the checkpointed axis") {
+    val p = planOf("q207_weighted_quantiles")
+    assert(p.contains("Scan ExistingRDD"))
+    assert(!p.contains("Scan parquet"),
+      "q207: the base axis frame must be checkpointed before its dual " +
+        "consumption (packed + totals)")
   }
 
   test("flagship entry() runs and returns rows") {
