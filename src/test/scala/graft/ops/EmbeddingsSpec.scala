@@ -30,6 +30,22 @@ class EmbeddingsSpec extends SparkSpec {
     assert(two.map(_._2).distinct.length == 2)
   }
 
+  test("kCenters degenerate inputs: empty corpus is a hard error; an " +
+      "all-duplicates corpus selects each row once instead of re-picking " +
+      "center 0; k above the corpus size stops early") {
+    val e0 = intercept[IllegalArgumentException] {
+      Embeddings.kCenters(emb(), k = 2)
+    }
+    assert(e0.getMessage.contains("empty"))
+    val dup = emb((1L, Seq(1f, 1f)), (2L, Seq(1f, 1f)), (3L, Seq(1f, 1f)))
+    val out = Embeddings.kCenters(dup, k = 3)
+      .orderBy($"sel_round").as[(Int, Long, Long)].collect().toSeq
+    assert(out.map(_._2) == Seq(1L, 2L, 3L), "each duplicate selected once")
+    val short = Embeddings.kCenters(dup, k = 5)
+      .as[(Int, Long, Long)].collect()
+    assert(short.length == 3, "selection stops when the corpus is exhausted")
+  }
+
   test("jlProject: p_j is the exact signed sum of quantized components " +
       "under the md5-seeded matrix; outDim rows per vector") {
     val e = emb((5L, Seq(0.5f, -1f, 2f)))

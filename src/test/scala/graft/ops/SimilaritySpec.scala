@@ -15,6 +15,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("probe-set contract guard: a corpus-sized query side fails fast " +
+      "with the swap-the-arguments message, never a driver OOM; the cap " +
+      "is configurable via graft.ann.maxProbe") {
+    spark.conf.set("graft.ann.maxProbe", "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.bruteForceTopK(emb, emb.limit(5), k = 2).count()
+      }
+      assert(e.getMessage.contains("graft.ann.maxProbe"))
+      // raising the cap admits the same probe set
+      spark.conf.set("graft.ann.maxProbe", "10")
+      assert(Similarity.bruteForceTopK(emb, emb.limit(5), k = 2).count() > 0)
+    } finally spark.conf.unset("graft.ann.maxProbe")
+  }
+
   test("brute-force top-k: k rows per query, descending, no self-match") {
     val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5), k = 10)
       .as[(Long, Long, Double, Int)].collect()

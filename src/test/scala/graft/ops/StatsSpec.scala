@@ -578,6 +578,23 @@ class StatsSpec extends SparkSpec {
       .collect().head.isNullAt(4))
   }
 
+  test("theilSenSlope/kendallTau: single-observation groups are KEPT " +
+      "with zero pairs and NULL statistic, not silently dropped") {
+    val df = Seq(("multi", 1L, 0L, 0L), ("multi", 2L, 1L, 5L),
+      ("lonely", 1L, 3L, 9L)).toDF("g", "i", "x", "y")
+    val ts = Stats.theilSenSlope(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(ts.keySet == Set("multi", "lonely"))
+    assert(ts("lonely").getLong(1) == 1L && ts("lonely").getLong(2) == 0L)
+    assert(ts("lonely").isNullAt(3), "pairless slope must be NULL")
+    val kt = Stats.kendallTau(df, Seq("g"), col("i"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(kt.keySet == Set("multi", "lonely"))
+    assert(kt("lonely").getLong(1) == 0L && kt("lonely").getLong(2) == 0L
+      && kt("lonely").getLong(3) == 0L)
+    assert(kt("lonely").isNullAt(4), "pairless tau_b must be NULL")
+  }
+
   test("spearmanRho: exactly ±1 on monotone series (even nonlinear), " +
       "tie-averaged doubled ranks, NULL on a constant variable") {
     val up = (1L to 8L).map(i => ("g", i, i * i * i)).toDF("g", "x", "y")
