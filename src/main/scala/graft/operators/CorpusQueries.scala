@@ -40,6 +40,31 @@ object CorpusQueries {
        |FROM c JOIN b USING (g)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q212
+  // N-gram novelty histogram: deciles of the per-doc fraction of word-3-
+  // grams unique to that doc corpus-wide — the self-corpus dual of q64's
+  // decontamination (df=1 instead of benchmark-overlap) and the curation
+  // signal for boilerplate downmixing. Spark counts hashed grams; the
+  // oracle recounts with exact string grams (q64's parity argument).
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.ngramNovelty(Tables.documents(s, d))
+      .groupBy(expr("novelty_x6 div 100000").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"bucket")
+  }
+  private val q212Sql =
+    s"""WITH sh AS ($shSetSql),
+       |g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+       |df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY g),
+       |nov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_unique
+       |  FROM g JOIN df USING (g) GROUP BY doc_id),
+       |b AS (SELECT (n_unique * 1000000) // n_grams AS nx FROM nov)
+       |SELECT nx // 100000 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------------------- q65
   // Sequence packing: content-fingerprint order (= deterministic corpus
   // shuffle), global token offsets by distributed prefix sum, 2048-token
@@ -653,6 +678,7 @@ object CorpusQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q200_cms_estimate", q200, Some(q200Sql)),
     QueryDef("q64_decontaminate", q64, Some(q64Sql)),
+    QueryDef("q212_ngram_novelty", q212, Some(q212Sql)),
     QueryDef("q65_pack_sequences", q65, Some(q65Sql)),
     QueryDef("q66_token_quota", q66, Some(q66Sql)),
     QueryDef("q67_semantic_dedup", q67, Some(q67Sql)),

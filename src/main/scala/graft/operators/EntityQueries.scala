@@ -400,6 +400,69 @@ object EntityQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_h_x9
       |FROM na ORDER BY duration""".stripMargin
 
+  // ---------------------------------------------------------------- q208
+  // Log-rank (Mantel–Cox) test: do even- and odd-id user cohorts differ
+  // in time-to-first-error? Completes the survival family: q136/q205
+  // estimate the curves, this tests them. O/E/V accumulate as exact
+  // longs on the (duration × cohort) grid (E by BIGINT division, V by a
+  // per-duration fixed double tree ×1e9); χ² is one final fixed tree.
+  // The oracle replays the per-cohort at-risk prefix as a partitioned
+  // window — the grouped two-phase prefix sum's job in the engine.
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Survival.logRank(Tables.events(s, d),
+        $"event_type" === "error", $"user_id" % 2 === 0)
+      .orderBy($"cohort")
+  }
+  private val q208Sql =
+    """WITH l AS (SELECT user_id,
+      |        MIN(epoch_us(ts) // 86400000000) AS fd,
+      |        MAX(epoch_us(ts) // 86400000000) AS ld,
+      |        MIN(CASE WHEN event_type = 'error'
+      |            THEN epoch_us(ts) // 86400000000 END) AS ed,
+      |        MAX(CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END) AS cohort
+      |      FROM events GROUP BY user_id),
+      |u AS (SELECT COALESCE(ed, ld) - fd AS duration,
+      |        (ed IS NOT NULL) AS hit, cohort FROM l),
+      |g AS (SELECT duration, cohort, COUNT(*) AS n_ending,
+      |        CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS d_g
+      |      FROM u GROUP BY duration, cohort),
+      |tot AS (SELECT cohort, CAST(SUM(n_ending) AS BIGINT) AS n_g
+      |      FROM g GROUP BY cohort),
+      |grid AS (SELECT d.duration, t.cohort, t.n_g,
+      |        COALESCE(n_ending, 0) AS n_ending, COALESCE(d_g, 0) AS d_g
+      |      FROM (SELECT DISTINCT duration FROM g) d
+      |      CROSS JOIN tot t
+      |      LEFT JOIN g ON g.duration = d.duration AND g.cohort = t.cohort),
+      |ar AS (SELECT duration, cohort, d_g,
+      |        n_g - COALESCE(SUM(n_ending) OVER (PARTITION BY cohort
+      |          ORDER BY duration
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_r
+      |      FROM grid),
+      |t AS (SELECT duration, CAST(SUM(d_g) AS BIGINT) AS d_t,
+      |        CAST(SUM(n_r) AS BIGINT) AS n_t FROM ar GROUP BY duration),
+      |term AS (SELECT a.cohort, a.d_g,
+      |        (t.d_t * a.n_r * CAST(1000000000 AS BIGINT)) // t.n_t AS e_x9,
+      |        CASE WHEN t.n_t > 1 THEN CAST(floor(
+      |            ((CAST(t.d_t AS DOUBLE)
+      |              * (CAST(a.n_r AS DOUBLE) / CAST(t.n_t AS DOUBLE)))
+      |             * (CAST(t.n_t - a.n_r AS DOUBLE) / CAST(t.n_t AS DOUBLE))
+      |             * (CAST(t.n_t - t.d_t AS DOUBLE)
+      |                / CAST(t.n_t - 1 AS DOUBLE)))
+      |            * 1e9) AS BIGINT) ELSE 0 END AS v_x9
+      |      FROM ar a JOIN t ON a.duration = t.duration WHERE t.d_t > 0),
+      |bc AS (SELECT cohort, CAST(SUM(d_g) AS BIGINT) AS o_events,
+      |        CAST(SUM(e_x9) AS BIGINT) AS e_x9,
+      |        CAST(SUM(v_x9) AS BIGINT) AS v_x9
+      |      FROM term GROUP BY cohort)
+      |SELECT b.cohort, n_g AS n_entities, o_events, e_x9, v_x9,
+      |  CASE WHEN v_x9 > 0 THEN CAST(floor(
+      |      ((CAST(o_events AS DOUBLE) - CAST(e_x9 AS DOUBLE) / 1e9)
+      |       * (CAST(o_events AS DOUBLE) - CAST(e_x9 AS DOUBLE) / 1e9)
+      |       / (CAST(v_x9 AS DOUBLE) / 1e9))
+      |      * 1e6) AS BIGINT) END AS chi2_x6
+      |FROM bc b JOIN tot USING (cohort) ORDER BY cohort""".stripMargin
+
   // ---------------------------------------------------------------- q138
   // Triangle counts on the STRONG co-purchase graph (parts co-bought in
   // ≥2 distinct orders): per-part triangle participation — the community
@@ -728,6 +791,7 @@ object EntityQueries {
     QueryDef("q133_jaro_winkler", q133, Some(q133Sql)),
     QueryDef("q136_kaplan_meier", q136, Some(q136Sql)),
     QueryDef("q205_nelson_aalen", q205, Some(q205Sql)),
+    QueryDef("q208_logrank", q208, Some(q208Sql)),
     QueryDef("q138_triangles", q138, Some(q138Sql)),
     QueryDef("q158_kcore", q158, Some(q158Sql)),
     QueryDef("q141_trend_fit", q141, Some(q141Sql)),

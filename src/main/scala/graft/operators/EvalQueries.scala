@@ -125,6 +125,54 @@ object EvalQueries {
        |    THEN CAST(dcg_x6 AS DOUBLE) / idcg_x6 END AS ndcg, mrr_x6
        |FROM dc JOIN ideal USING (rn) CROSS JOIN m ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- q211
+  // MAP@10 for the BM25 ranking, binary relevance rel ≥ 2 (doc contains
+  // ≥2 of the 3 query terms) — the set-retrieval companion to q190's
+  // graded NDCG/MRR, closing the ranking-eval family. All integer:
+  // running hit counts, BIGINT-division precision terms, AP one final
+  // BIGINT division over min(n_rel, k).
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    // slim (id, rel) labels consumed twice inside apCurve (ranked join +
+    // positives count): materialize so the corpus tokenization runs once
+    val rel = docs.select($"doc_id".as("id"),
+      size(array_intersect(
+        array_distinct(split(Dedup.normalized(coalesce($"text", lit(""))), " ")),
+        array(termsLit.map(lit): _*))).as("rel"))
+      .localCheckpoint()
+    val ranked = Retrieval.bm25TopK(docs, termsLit, k = 10)
+      .select($"id",
+        row_number().over(Window.orderBy($"score".desc, $"id")).as("rn"))
+    Ranking.apCurve(ranked, rel, k = 10, relThreshold = 2)
+      .select($"rn", $"id".as("doc_id"), $"is_rel", $"hits", $"p_x6",
+        $"n_rel", $"ap_x6")
+      .orderBy($"rn")
+  }
+  private val q211Sql =
+    s"""WITH $bm25CtesSql,
+       |ranked AS (SELECT doc_id, rn FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (
+       |      ORDER BY score_x9 DESC, doc_id) AS INT) AS rn FROM agg)
+       |  WHERE rn <= 10),
+       |rel AS (SELECT doc_id, CAST(len(list_intersect(list_distinct($toksSql),
+       |    ['spark', 'window', 'table'])) AS INT) AS rel FROM documents),
+       |lab AS (SELECT rn, r.doc_id, COALESCE(rel, 0) >= 2 AS is_rel
+       |  FROM ranked r LEFT JOIN rel USING (doc_id)),
+       |cum AS (SELECT rn, doc_id, is_rel,
+       |    CAST(SUM(CASE WHEN is_rel THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY rn) AS BIGINT) AS hits FROM lab),
+       |pr AS (SELECT rn, doc_id, is_rel, hits,
+       |    CASE WHEN is_rel
+       |      THEN (hits * CAST(1000000 AS BIGINT)) // rn END AS p_x6 FROM cum),
+       |tot AS (SELECT CAST(SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_rel FROM rel),
+       |aps AS (SELECT CAST(COALESCE(SUM(p_x6), 0) AS BIGINT) AS psum FROM pr)
+       |SELECT rn, doc_id, is_rel, hits, CAST(p_x6 AS BIGINT) AS p_x6, n_rel,
+       |  CASE WHEN LEAST(n_rel, 10) > 0 THEN psum // LEAST(n_rel, 10)
+       |    ELSE 0 END AS ap_x6
+       |FROM pr CROSS JOIN tot CROSS JOIN aps ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- q193
   // Forecast backtest: per event type, score the two zero-parameter
   // baselines every real forecaster must beat — naive (yesterday's value)
@@ -235,6 +283,7 @@ object EvalQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q189_rrf_fusion", q189, Some(q189Sql)),
     QueryDef("q190_ndcg_curve", q190, Some(q190Sql)),
+    QueryDef("q211_map_eval", q211, Some(q211Sql)),
     QueryDef("q193_forecast_backtest", q193, Some(q193Sql)),
     QueryDef("q194_markov_accuracy", q194, Some(q194Sql)))
 }

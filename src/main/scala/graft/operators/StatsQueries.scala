@@ -1808,6 +1808,9 @@ object StatsQueries {
     QueryDef("q203_kendall_tau", q203, Some(q203Sql)),
     QueryDef("q204_spearman", q204, Some(q204Sql)),
     QueryDef("q207_weighted_quantiles", q207, Some(q207Sql)),
+    QueryDef("q209_kruskal_wallis", q209, Some(q209Sql)),
+    QueryDef("q210_brown_forsythe", q210, Some(q210Sql)),
+    QueryDef("q213_seasonal_decompose", q213, Some(q213Sql)),
   )
 
   // ---------------------------------------------------------------- q207
@@ -1841,6 +1844,140 @@ object StatsQueries {
       |  MIN(CASE WHEN cumw >= (w_total * 75 + 99) // 100 THEN v END) AS p75
       |FROM c JOIN t USING (g)
       |GROUP BY g, w_total ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q209
+  // Kruskal–Wallis H across order priorities on order value — the k-group
+  // extension of q155's Mann–Whitney (rank ANOVA): right for revenue's
+  // heavy tail where q157's ANOVA normality assumption is junk. Ranks
+  // come from the distinct-value axis + two-phase prefix sum (closed-form
+  // tie-averaged doubled ranks), never a global window; the oracle
+  // replays them as RANK()/COUNT() windows.
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Stats.kruskalWallis(
+        Tables.orders(s, d).select($"o_orderpriority",
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents")),
+        "o_orderpriority", $"cents", axisPartitions = 8)
+      .orderBy($"o_orderpriority")
+  }
+  private val q209Sql =
+    """WITH r AS (SELECT o_orderpriority AS g,
+      |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders),
+      |rk AS (SELECT g, CAST(2 * RANK() OVER (ORDER BY v)
+      |        + COUNT(*) OVER (PARTITION BY v) - 1 AS BIGINT) AS r2 FROM r),
+      |pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+      |      CAST(SUM(r2) AS BIGINT) AS r2_sum FROM rk GROUP BY g),
+      |gt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM pg),
+      |tie AS (SELECT CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS tt FROM
+      |      (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM r GROUP BY v)),
+      |ht AS (SELECT g, n, r2_sum, CAST(floor(
+      |      ((12.0 * (CAST(r2_sum AS DOUBLE) / 2.0)
+      |        * (CAST(r2_sum AS DOUBLE) / 2.0))
+      |       / ((CAST(nt AS DOUBLE) * CAST(nt + 1 AS DOUBLE))
+      |          * CAST(n AS DOUBLE)))
+      |      * 1e6) AS BIGINT) AS h6 FROM pg CROSS JOIN gt),
+      |hs AS (SELECT CAST(SUM(h6) AS BIGINT) AS hsum FROM ht),
+      |st AS (SELECT hsum - 3 * (nt + 1) * 1000000 AS h_x6, nt, tt
+      |      FROM hs CROSS JOIN gt CROSS JOIN tie)
+      |SELECT g AS o_orderpriority, n, r2_sum, h_x6,
+      |  CASE WHEN tt < nt * nt * nt - nt THEN CAST(floor(
+      |      (CAST(h_x6 AS DOUBLE) / 1e6)
+      |      / (1.0 - CAST(tt AS DOUBLE) / CAST(nt * nt * nt - nt AS DOUBLE))
+      |      * 1e6) AS BIGINT) END AS hc_x6
+      |FROM ht CROSS JOIN st ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q210
+  // Brown–Forsythe (median-centered Levene): are order-value variances
+  // homogeneous across priorities? The robustness gate q157's pooled-
+  // variance ANOVA silently assumes — mean-centered Levene melts under
+  // the same heavy tails it should diagnose; median centers keep it
+  // honest. Doubled medians (sum of the two middle order statistics)
+  // stay integer; deviations aggregate exactly off the distinct-value
+  // axis (z² through decimal); F is one fixed double tree with SSB's
+  // per-group terms long-quantized before the sum.
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Stats.brownForsythe(
+        Tables.orders(s, d).select($"o_orderpriority",
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents")),
+        "o_orderpriority", $"cents", axisPartitions = 8)
+      .orderBy($"o_orderpriority")
+  }
+  private val q210Sql =
+    """WITH r AS (SELECT o_orderpriority AS g,
+      |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders),
+      |w AS (SELECT g, v, CAST(row_number() OVER (PARTITION BY g ORDER BY v)
+      |        AS BIGINT) AS rn,
+      |      CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM r),
+      |med AS (SELECT g, CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END)
+      |        + SUM(CASE WHEN rn = n // 2 + 1 THEN v ELSE 0 END)
+      |        AS BIGINT) AS med2 FROM w GROUP BY g),
+      |z AS (SELECT r.g, ABS(2 * v - med2) AS z FROM r JOIN med ON r.g = med.g),
+      |pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+      |      CAST(SUM(z) AS BIGINT) AS z_sum,
+      |      SUM(CAST(z * z AS HUGEINT)) AS zz FROM z GROUP BY g),
+      |gr AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(z_sum) AS BIGINT)
+      |        AS zt, CAST(COUNT(*) AS BIGINT) AS kk FROM pg),
+      |t AS (SELECT g, n, z_sum,
+      |      CAST(floor(CAST(n AS DOUBLE)
+      |        * ((CAST(z_sum AS DOUBLE) / CAST(n AS DOUBLE)
+      |            - CAST(zt AS DOUBLE) / CAST(nt AS DOUBLE))
+      |           * (CAST(z_sum AS DOUBLE) / CAST(n AS DOUBLE)
+      |              - CAST(zt AS DOUBLE) / CAST(nt AS DOUBLE)))) AS BIGINT)
+      |        AS ssb_g,
+      |      CAST(floor(CAST(zz AS DOUBLE)
+      |        - (CAST(z_sum AS DOUBLE) * CAST(z_sum AS DOUBLE))
+      |          / CAST(n AS DOUBLE)) AS BIGINT) AS ssw_g
+      |      FROM pg CROSS JOIN gr),
+      |f AS (SELECT CASE WHEN CAST(SUM(ssw_g) AS BIGINT) > 0
+      |        AND ANY_VALUE(kk) > 1 THEN CAST(floor(
+      |      ((CAST(ANY_VALUE(nt) - ANY_VALUE(kk) AS DOUBLE)
+      |        / CAST(ANY_VALUE(kk) - 1 AS DOUBLE))
+      |       * (CAST(SUM(ssb_g) AS DOUBLE) / CAST(SUM(ssw_g) AS DOUBLE)))
+      |      * 1e6) AS BIGINT) END AS f_x6 FROM t CROSS JOIN gr)
+      |SELECT p.g AS o_orderpriority, n, med2, z_sum, f_x6
+      |FROM pg p JOIN med ON p.g = med.g CROSS JOIN f
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q213
+  // Classical additive decomposition of daily order revenue: centered
+  // 7-day moving-average trend, weekly seasonal means, integer-scaled
+  // residuals — the shape q184's ACF detects (lag-7 periodicity) made
+  // explicit. Integer throughout: dev = 7·v − Σ₇v, seasonal floor(mean·
+  // 1e6), resid = dev·1e6 − s. The moving total is a ±3-day band self-
+  // join on the day axis, never a global window over order rows.
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') " +
+          "AS BIGINT)").as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("cents"))
+    Stats.seasonalDecompose(daily, "day", "cents")
+      .withColumnRenamed("v", "cents")
+      .orderBy($"day")
+  }
+  private val q213Sql =
+    """WITH dly AS (SELECT
+      |      CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |        AS day,
+      |      CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |        AS BIGINT) AS v
+      |    FROM orders GROUP BY 1),
+      |t AS (SELECT a.day, CAST(COUNT(*) AS BIGINT) AS n_win,
+      |      CAST(SUM(b.v) AS BIGINT) AS t_total
+      |    FROM dly a JOIN dly b ON b.day BETWEEN a.day - 3 AND a.day + 3
+      |    GROUP BY a.day),
+      |det AS (SELECT d.day, d.day % 7 AS pos, v, t_total,
+      |      7 * v - t_total AS dev_w
+      |    FROM dly d JOIN t ON d.day = t.day WHERE n_win = 7),
+      |seas AS (SELECT pos, CAST(floor(CAST(SUM(dev_w) AS DOUBLE) * 1e6
+      |      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS s_x6
+      |    FROM det GROUP BY pos)
+      |SELECT day, pos, v AS cents, t_total, dev_w, s_x6,
+      |  dev_w * 1000000 - s_x6 AS resid_x6
+      |FROM det JOIN seas USING (pos) ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------- q204
   // Spearman rho between weekly order count and weekly revenue per

@@ -479,6 +479,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-doc n-gram NOVELTY: what fraction of a doc's distinct word-3-
+    * grams appear nowhere else in the corpus? The self-corpus dual of
+    * [[contaminationHits]] — low novelty flags boilerplate/template docs
+    * (every gram shared) for curation downmixing; high novelty marks
+    * genuinely fresh text worth upweighting.
+    *
+    * Scale shape: TWO passes of the zero-shuffle shingle kernel over the
+    * text (document-frequency needs global gram counts, and materializing
+    * the exploded gram rows would cost more than re-scanning — hashes are
+    * 8 bytes/gram, comparable to the corpus itself), with only (id, hash)
+    * pairs crossing the one doc-frequency exchange. Grams compare by
+    * xxhash64 (the [[contaminationHits]] collision argument).
+    *
+    * @return (id, n_grams, n_unique, novelty_x6) — novelty_x6 =
+    *         floor(1e6·n_unique/n_grams), integer-exact */
+  def ngramNovelty(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def grams = hashedShingleSets(docs, textCol, idCol)
+      .select(col("id"), explode(col("sh")).as("g"))
+    val docFreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(docFreq, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_x6",
+        expr("(n_unique * CAST(1000000 AS BIGINT)) div n_grams"))
+  }
+
   // ------------------------------------------------------------- apply
   /** Deduplicated corpus by exact content: keep one doc (min id) per
     * normalized-content group — the operational form of [[exact]]. */

@@ -101,4 +101,47 @@ object Ranking {
           col("dcg_x6").cast("double") / col("idcg_x6")).as("ndcg"),
         col("mrr_x6"))
   }
+
+  /** Average-precision curve for a BINARY-relevance ranking — the set-
+    * retrieval quality number ([[ndcgCurve]] is the graded companion):
+    * AP = mean over relevant retrieved ranks of precision@that-rank,
+    * normalized by the number of relevant docs the ranking COULD have
+    * retrieved, min(total relevant, k) — the standard AP@k convention, so
+    * a perfect k-list scores 1e6 even when the corpus holds > k positives.
+    *
+    * Exact integers: hits@r is a running count, each precision term
+    * floor(1e6·hits/r) a BIGINT division, and AP one final BIGINT
+    * division of their sum — no float anywhere.
+    *
+    * @param ranked (id, rn) rows, rn dense from 1, ≤ k rows BY CONTRACT
+    *               (a top-k list — the windows here are control-plane)
+    * @param rel    (id, rel) graded labels; relevant ⇔ rel ≥ relThreshold.
+    *               Scanned once for the positives count.
+    * @return per-rank rows (rn, id, is_rel, hits, p_x6) + constant
+    *         (n_rel, ap_x6); p_x6 non-NULL only at relevant ranks */
+  def apCurve(ranked: DataFrame, rel: DataFrame, k: Int,
+      relThreshold: Int = 1): DataFrame = {
+    val labeled = ranked.join(rel, Seq("id"), "left")
+      .withColumn("is_rel",
+        coalesce(col("rel"), lit(0)) >= lit(relThreshold))
+      .withColumn("hits",
+        sum(when(col("is_rel"), 1L).otherwise(0L))
+          .over(Window.orderBy(col("rn"))).cast("long"))
+      .withColumn("p_x6",
+        when(col("is_rel"),
+          expr("(hits * CAST(1000000 AS BIGINT)) div rn")))
+    val totals = rel
+      .agg(sum(when(col("rel") >= lit(relThreshold), 1L).otherwise(0L))
+        .as("n_rel"))
+      .withColumn("__denom", least(col("n_rel"), lit(k.toLong)))
+    val ap = labeled.agg(
+      coalesce(sum(col("p_x6")), lit(0L)).as("__psum"))
+    labeled.select(col("rn"), col("id"), col("is_rel"), col("hits"),
+        col("p_x6"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(ap))
+      .withColumn("ap_x6",
+        when(col("__denom") > 0L, expr("__psum div __denom")).otherwise(0L))
+      .drop("__denom", "__psum")
+  }
 }

@@ -1316,6 +1316,211 @@ object Stats {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Kruskal–Wallis H test (k-group rank ANOVA): the k-group extension of
+    * [[mannWhitneyU2]] — does at least one group's value distribution
+    * stochastically dominate? Nonparametric, so it is the right test for
+    * the heavy-tailed metrics (revenue, latency, token counts) where
+    * ANOVA's normality assumption is junk.
+    *
+    * Ranks never touch a global window: values aggregate to the DISTINCT-
+    * VALUE axis first (counts per (group, value) and per value), the
+    * cumulative count in value order comes from the two-phase prefix sum,
+    * and the tie-averaged rank of value v is the closed form
+    * r2(v) = 2·cum_before(v) + n_v + 1 (doubled so it stays integer — the
+    * [[mannWhitneyU2]] discipline). Per-group rank sums are then exact
+    * longs; H accumulates per group as a fixed-double-tree term quantized
+    * ×1e6 (order-free long sum over ≤k terms), and the tie correction
+    * C = 1 − Σ(n_v³−n_v)/(N³−N) divides once at the end.
+    *
+    * @param valQ integer-quantized value column (cast to long)
+    * @return one row per group: (groupCol, n, r2_sum, h_x6, hc_x6) — h_x6
+    *         identical on every row: floor(H·1e6); hc_x6 = tie-corrected */
+  def kruskalWallis(df: DataFrame, groupCol: String, valQ: Column,
+      axisPartitions: Int = 4): DataFrame = {
+    val base = df.select(col(groupCol), valQ.cast("long").as("__v"))
+      .groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("__n"))
+      // (group, distinct value) axis, consumed by the value-axis rollup
+      // AND the rank join: one fact scan only
+      .localCheckpoint()
+    val byVal = base.groupBy(col("__v")).agg(sum(col("__n")).as("__nv"))
+      .localCheckpoint() // prefix sum + tie-term aggregate
+    val ranked = Packing.packSequences(
+        byVal.withColumn("__vo", col("__v")), "__v", "__nv",
+        orderCols = Seq("__vo"), seqTokens = Long.MaxValue,
+        partitions = axisPartitions)
+      .select(col("id").as("__v"),
+        (lit(2L) * col("start_tok") + col("n_tokens") + lit(1L)).as("__r2"))
+    val perGroup = base.join(ranked, Seq("__v"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("n"), sum(col("__n") * col("__r2")).as("r2_sum"))
+    // "__nt", not "N": Spark resolution is case-insensitive, so a total
+    // named N would collide with the per-group n after the crossJoin
+    val gtot = perGroup.agg(sum(col("n")).as("__nt"))
+    val ties = byVal.agg(
+      sum(col("__nv") * col("__nv") * col("__nv") - col("__nv")).as("__t"))
+    val dbl = "double"
+    // per-group H contribution: 12·(r2_sum/2)² / (N·(N+1)·n_g), fixed tree
+    val withH = perGroup.crossJoin(broadcast(gtot))
+      .withColumn("__h_x6",
+        floor(((lit(12.0) * (col("r2_sum").cast(dbl) / lit(2.0))
+            * (col("r2_sum").cast(dbl) / lit(2.0)))
+            / ((col("__nt").cast(dbl) * (col("__nt") + lit(1L)).cast(dbl))
+               * col("n").cast(dbl)))
+          * lit(1e6)).cast("long"))
+    val hSum = withH.agg(sum(col("__h_x6")).as("__hs"),
+      first(col("__nt")).as("__nt"))
+    val stats = hSum.crossJoin(broadcast(ties))
+      .select(
+        (col("__hs") - lit(3L) * (col("__nt") + lit(1L)) * lit(1000000L))
+          .as("h_x6"),
+        col("__nt"), col("__t"))
+      .withColumn("hc_x6",
+        when(col("__t") < col("__nt") * col("__nt") * col("__nt") - col("__nt"),
+          floor((col("h_x6").cast(dbl) / lit(1e6))
+            / (lit(1.0) - col("__t").cast(dbl)
+               / (col("__nt") * col("__nt") * col("__nt") - col("__nt"))
+                 .cast(dbl))
+            * lit(1e6)).cast("long")))
+      .select(col("h_x6"), col("hc_x6"))
+    withH.drop("__h_x6", "__nt").crossJoin(broadcast(stats))
+  }
+
+  /** Brown–Forsythe test (Levene with median centers): are group variances
+    * equal? The robust homogeneity check that should precede any pooled-
+    * variance ANOVA ([[anovaOneWay]]-style analyses) — classic Levene
+    * centers on the mean and melts under the same heavy tails it is
+    * supposed to diagnose; centering on the median keeps the test honest.
+    *
+    * Group medians come from the distinct-value axis + grouped two-phase
+    * prefix sum (no per-group window): the DOUBLED median (sum of the two
+    * middle order statistics) stays integer for even groups. Absolute
+    * deviations z = |2x − med2| are exact longs; Σz and Σz² aggregate
+    * exactly (z² through decimal(38)), and the F statistic
+    * ((N−k)/(k−1))·SSB/SSW evaluates once as a fixed double tree, with
+    * SSB's per-group term n_g·(z̄_g − z̄)² quantized to a long before the
+    * (≤k-term) sum so no double accumulation order ever matters.
+    *
+    * @param valQ integer-quantized value column (cast to long)
+    * @return one row per group: (groupCol, n, med2, z_sum, f_x6) — med2 =
+    *         2·median; f_x6 = floor(F·1e6), identical on every row */
+  def brownForsythe(df: DataFrame, groupCol: String, valQ: Column,
+      axisPartitions: Int = 4): DataFrame = {
+    val base = df.select(col(groupCol), valQ.cast("long").as("__v"))
+      .groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("__n"))
+      // (group, distinct value) axis: the grouped prefix sum, the group
+      // sizes, AND the deviation aggregate all read it — one fact scan
+      .localCheckpoint()
+    val packed = Packing.packSequencesGrouped(
+        base.withColumn("__vo", col("__v")), groupCol, "__v", "__n",
+        orderCols = Seq("__vo"), seqTokens = Long.MaxValue,
+        partitions = axisPartitions)
+      .select(col("group").as(groupCol), col("id").as("__v"),
+        col("start_tok").as("__cb"), col("n_tokens").as("__nv"))
+    val sizes = base.groupBy(col(groupCol)).agg(sum(col("__n")).as("n"))
+    // the two middle order statistics: value v covers sorted positions
+    // (__cb, __cb+__nv]; the middles sit at (n+1) div 2 and n div 2 + 1
+    // (equal when n is odd), so med2 = 2·median stays integer
+    val med2 = packed.join(broadcast(sizes), groupCol)
+      .withColumn("__p1", expr("(n + 1) div 2"))
+      .withColumn("__p2", expr("n div 2 + 1"))
+      .groupBy(col(groupCol))
+      .agg(
+        (min(when(col("__cb") + col("__nv") >= col("__p1")
+            && col("__p1") > col("__cb"), col("__v")))
+          + min(when(col("__cb") + col("__nv") >= col("__p2")
+            && col("__p2") > col("__cb"), col("__v"))))
+          .as("med2"))
+    val perGroup = base.join(broadcast(med2), groupCol)
+      .select(col(groupCol), col("__n"),
+        abs(lit(2L) * col("__v") - col("med2")).as("__z"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("n"), sum(col("__n") * col("__z")).as("z_sum"),
+        sum((col("__z") * col("__z")).cast("decimal(38,0)") * col("__n"))
+          .as("__zz"))
+      .localCheckpoint() // grand totals + per-group terms read it
+    // same case-insensitivity rule as kruskalWallis: totals get __ names
+    val grand = perGroup.agg(sum(col("n")).as("__nt"),
+      sum(col("z_sum")).as("__zt"), count(lit(1)).as("__k"))
+    val dbl = "double"
+    val terms = perGroup.crossJoin(broadcast(grand))
+      .withColumn("__mean_dev",
+        col("z_sum").cast(dbl) / col("n").cast(dbl)
+          - col("__zt").cast(dbl) / col("__nt").cast(dbl))
+      .withColumn("__ssb_g",
+        floor(col("n").cast(dbl) * (col("__mean_dev") * col("__mean_dev")))
+          .cast("long"))
+      .withColumn("__ssw_g",
+        floor(col("__zz").cast(dbl)
+            - (col("z_sum").cast(dbl) * col("z_sum").cast(dbl))
+              / col("n").cast(dbl))
+          .cast("long"))
+    val f = terms.agg(sum(col("__ssb_g")).as("__ssb"),
+        sum(col("__ssw_g")).as("__ssw"),
+        first(col("__nt")).as("__nt"), first(col("__k")).as("__k"))
+      .select(when(col("__ssw") > 0L && col("__k") > 1L,
+        floor((((col("__nt") - col("__k")).cast(dbl)
+            / (col("__k") - lit(1L)).cast(dbl))
+            * (col("__ssb").cast(dbl) / col("__ssw").cast(dbl)))
+          * lit(1e6)).cast("long")).as("f_x6"))
+    perGroup.join(broadcast(med2), groupCol)
+      .select(col(groupCol), col("n"), col("med2"), col("z_sum"))
+      .crossJoin(broadcast(f))
+  }
+
+  /** Additive seasonal decomposition of a daily integer series —
+    * classical decomposition (the zero-parameter core of STL):
+    * trend = centered (2·halfWindow+1)-day moving average, seasonal =
+    * per-phase mean of the detrended series, residual = remainder. The
+    * diagnostic layer above ACF/weekday-index analyses (q184/q161): ACF
+    * says "period 7 exists", this SHOWS the weekly shape and what is
+    * left once it is removed.
+    *
+    * Everything stays integer by scaling instead of dividing: the
+    * detrended value is dev_w = w·v − Σ_window v (w = window width,
+    * exact long), the seasonal term floor(mean(dev_w)·1e6) quantizes the
+    * only division, and resid_x6 = dev_w·1e6 − s_x6. Edge days without a
+    * full window are excluded (classical convention — a shrinking window
+    * would bias the trend at the series ends).
+    *
+    * Scale shape: the series aggregates to the DAY axis before anything
+    * else (bounded by the observation window, not table size); the moving
+    * total is a bounded-band range self-join on that axis, never a global
+    * window over fact rows; phase means are a ≤period-row aggregate.
+    *
+    * @param daily one row per day: (dayCol, valCol) — pre-aggregated
+    * @return (day, pos, v, t_total, dev_w, s_x6, resid_x6) for full-
+    *         window days; pos = day mod period, trend = t_total/w,
+    *         seasonal = s_x6/1e6 (in dev_w's w-scaled units) */
+  def seasonalDecompose(daily: DataFrame, dayCol: String, valCol: String,
+      halfWindow: Int = 3, period: Int = 7): DataFrame = {
+    require(halfWindow >= 1 && period >= 2,
+      s"need halfWindow >= 1 and period >= 2; got $halfWindow, $period")
+    val w = 2 * halfWindow + 1
+    val d = daily
+      .select(col(dayCol).cast("long").as("day"), col(valCol).cast("long").as("v"))
+      .localCheckpoint() // both sides of the band self-join + the rejoin
+    val trend = d.as("a")
+      .join(d.as("b"),
+        expr(s"b.day BETWEEN a.day - $halfWindow AND a.day + $halfWindow"))
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).as("n_win"), sum(col("b.v")).as("t_total"))
+      .filter(col("n_win") === w.toLong)
+    val det = d.join(trend, Seq("day"))
+      .select(col("day"), pmod(col("day"), lit(period.toLong)).as("pos"),
+        col("v"), col("t_total"),
+        (lit(w.toLong) * col("v") - col("t_total")).as("dev_w"))
+      .localCheckpoint() // phase means + the output both read it
+    val seas = det.groupBy(col("pos"))
+      .agg(floor(sum(col("dev_w")).cast("double") * lit(1e6)
+          / count(lit(1)).cast("double")).cast("long").as("s_x6"))
+    det.join(broadcast(seas), Seq("pos"))
+      .select(col("day"), col("pos"), col("v"), col("t_total"), col("dev_w"),
+        col("s_x6"),
+        (col("dev_w") * lit(1000000L) - col("s_x6")).as("resid_x6"))
+  }
+
   def cohenKappa(df: DataFrame, rater1: Column, rater2: Column)
       : DataFrame = {
     val base = df.select(rater1.as("__a"), rater2.as("__b"))

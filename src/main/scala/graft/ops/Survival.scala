@@ -117,6 +117,100 @@ object Survival {
     *
     * @return (duration, n_at_risk, n_events, cum_h_x9) for durations
     *         with ≥1 event; H(d) = cum_h_x9 / 1e9 */
+  /** Two-cohort log-rank test (Mantel–Cox): does time-to-first-event
+    * differ between cohorts? The hypothesis-test companion to the
+    * [[kaplanMeier]]/[[nelsonAalen]] curves: at every event time t the
+    * observed cohort events d_gt are compared with the expectation under
+    * the null (events split by at-risk share), E_gt = d_t·n_gt/n_t, and
+    * the variance of the hypergeometric draw,
+    * V_t = d_t·(n_gt/n_t)·(1−n_gt/n_t)·(n_t−d_t)/(n_t−1); the statistic
+    * χ² = (Σd_gt − ΣE_gt)²/ΣV_t is reported per cohort (identical by
+    * symmetry for 2 cohorts up to quantization; both rows carry their own
+    * fixed-tree value).
+    *
+    * Exactness: E sums as BIGINT-division terms floor(d·n_g·1e9/n) — no
+    * transcendental; V terms are one fixed double tree per duration
+    * quantized ×1e9 before the (order-free) long sum; χ² is a final
+    * fixed tree over exact longs. Same lifetimes/censoring semantics as
+    * [[kaplanMeier]].
+    *
+    * Scale shape: one per-entity lifetimes aggregate over the event log
+    * (the [[riskTable]] pass, widened by cohort), then everything lives on
+    * the (duration × cohort) grid — ≤ 2·observation-window-days rows. The
+    * per-cohort at-risk prefix runs through the grouped two-phase prefix
+    * sum (no per-cohort global window); the 2-row cohort totals broadcast.
+    *
+    * @param cohortPred row predicate assigning an entity to cohort A; must
+    *                   be entity-constant (evaluated per row, reduced by
+    *                   max over the label — a mixed entity lands in 'b')
+    * @return one row per cohort: (cohort 'a'|'b', n_entities, o_events,
+    *         e_x9, v_x9, chi2_x6); E = e_x9/1e9, V = v_x9/1e9,
+    *         χ² = chi2_x6/1e6 */
+  def logRank(events: DataFrame, eventPred: Column, cohortPred: Column,
+      entityCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val day: Column = expr(s"unix_micros($tsCol) div 86400000000")
+    val lives = events.select(col(entityCol).as("entity"), day.as("day"),
+        eventPred.as("is_event"), cohortPred.as("is_a"))
+      .groupBy(col("entity"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+        min(when(col("is_event"), col("day"))).as("event_day"),
+        max(when(col("is_a"), lit("a")).otherwise(lit("b"))).as("cohort"))
+    val u = lives.select(
+      (coalesce(col("event_day"), col("last_day")) - col("first_day"))
+        .as("duration"),
+      col("event_day").isNotNull.as("hit"), col("cohort"))
+    // (duration, cohort) axis — ≤ 2·window-days rows, consumed by the
+    // grid build AND the cohort totals: one lifetimes pass only.
+    val byDurG = u.groupBy(col("duration"), col("cohort"))
+      .agg(count(lit(1)).as("n_ending"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("d_g"))
+      .localCheckpoint()
+    val totals = byDurG.groupBy(col("cohort"))
+      .agg(sum(col("n_ending")).as("n_g"))
+    // dense grid: a cohort with no entity ending at t still holds at-risk
+    // mass there — missing (t, cohort) cells are (0, 0), not absent
+    val grid = byDurG.select(col("duration")).distinct()
+      .crossJoin(broadcast(totals)) // 2-row cohort frame
+      .join(byDurG, Seq("duration", "cohort"), "left")
+      .na.fill(0L, Seq("n_ending", "d_g"))
+      .localCheckpoint() // consumed by the prefix sum AND the rejoin
+    val ended = Packing.packSequencesGrouped(
+        grid.withColumn("dur_o", col("duration")), "cohort", "duration",
+        "n_ending", orderCols = Seq("dur_o"), seqTokens = Long.MaxValue,
+        partitions = 4)
+      .select(col("group").as("cohort"), col("id").as("duration"),
+        col("start_tok").as("ended_before"))
+    val ar = grid.join(ended, Seq("duration", "cohort"))
+      .select(col("duration"), col("cohort"), col("d_g"),
+        (col("n_g") - col("ended_before")).as("n_r"))
+      .localCheckpoint() // feeds the per-duration totals AND the terms
+    val perDur = ar.groupBy(col("duration"))
+      .agg(sum(col("d_g")).as("d_t"), sum(col("n_r")).as("n_t"))
+    val dbl = "double"
+    val terms = ar.join(perDur, Seq("duration"))
+      .filter(col("d_t") > 0L)
+      .select(col("cohort"), col("d_g"),
+        expr("(d_t * n_r * CAST(1000000000 AS BIGINT)) div n_t").as("e_x9"),
+        when(col("n_t") > 1L,
+          floor(((col("d_t").cast(dbl)
+              * (col("n_r").cast(dbl) / col("n_t").cast(dbl)))
+              * ((col("n_t") - col("n_r")).cast(dbl) / col("n_t").cast(dbl))
+              * ((col("n_t") - col("d_t")).cast(dbl)
+                 / (col("n_t") - lit(1L)).cast(dbl)))
+            * lit(1e9)).cast("long")).otherwise(0L).as("v_x9"))
+    val byCohort = terms.groupBy(col("cohort"))
+      .agg(sum(col("d_g")).as("o_events"), sum(col("e_x9")).as("e_x9"),
+        sum(col("v_x9")).as("v_x9"))
+    byCohort.join(broadcast(totals), Seq("cohort"))
+      .select(col("cohort"), col("n_g").as("n_entities"),
+        col("o_events"), col("e_x9"), col("v_x9"),
+        when(col("v_x9") > 0L,
+          floor(((col("o_events").cast(dbl) - col("e_x9").cast(dbl) / lit(1e9))
+              * (col("o_events").cast(dbl) - col("e_x9").cast(dbl) / lit(1e9))
+              / (col("v_x9").cast(dbl) / lit(1e9)))
+            * lit(1e6)).cast("long")).as("chi2_x6"))
+  }
+
   def nelsonAalen(events: DataFrame, eventPred: Column,
       entityCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
     val na = riskTable(events, eventPred, entityCol, tsCol)

@@ -291,4 +291,22 @@ class DedupSpec extends SparkSpec {
       (1L, 0L, 20L, 20L), (1L, 50L, 70L, 20L),
       (2L, 0L, 20L, 20L), (2L, 45L, 65L, 20L)), s"got $got")
   }
+
+  test("ngramNovelty: df=1 grams counted per doc; shared grams are not " +
+      "novel; short docs shingle to their whole text; layout-invariant") {
+    // d1 {a b c, b c d}, d2 {a b c, b c x}: "a b c" shared → each doc
+    // 1 unique of 2 grams; d3 is sub-3-token → one whole-text gram, unique
+    val docs = Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "hi"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(docs)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L),
+      (3L, 1L, 1L, 1000000L)), s"got $got")
+    // exact clones: every gram has df ≥ 2 → novelty 0 for both
+    val clones = Seq((1L, "p q r s t"), (2L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val c = Dedup.ngramNovelty(clones.repartition(4))
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(c == Seq((1L, 3L, 0L, 0L), (2L, 3L, 0L, 0L)), s"got $c")
+  }
 }

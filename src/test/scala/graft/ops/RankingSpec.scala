@@ -67,4 +67,36 @@ class RankingSpec extends SparkSpec {
     val out = Ranking.ndcgCurve(ranked, rel, k = 2).collect()
     assert(out.forall(_.isNullAt(5)) && out.forall(_.isNullAt(6)))
   }
+
+  test("apCurve: hand-computed precision terms and AP; the AP@k " +
+      "denominator is min(n_rel, k); unlisted ids are irrelevant") {
+    // relevant at ranks 1, 3, 5 → P = 1, 2/3, 3/5; id 7 relevant but not
+    // retrieved still counts in n_rel (recall is charged)
+    val ranked = (1L to 5L).map(i => (i, i.toInt)).toDF("id", "rn")
+    val rel = Seq((1L, 1), (3L, 1), (5L, 1), (7L, 1), (2L, 0)).toDF("id", "rel")
+    val out = Ranking.apCurve(ranked, rel, k = 5)
+      .orderBy($"rn").collect()
+    assert(out.map(_.getBoolean(2)).toSeq ==
+      Seq(true, false, true, false, true))
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 1L, 2L, 2L, 3L))
+    val ps = out.map(r => if (r.isNullAt(4)) -1L else r.getLong(4)).toSeq
+    assert(ps == Seq(1000000L, -1L, 666666L, -1L, 600000L))
+    // AP = (1000000 + 666666 + 600000) div min(4, 5) = 566666
+    assert(out.forall(r => r.getLong(5) == 4L && r.getLong(6) == 566666L))
+
+    // graded labels + threshold: rel ≥ 2 relevant; n_rel counts the
+    // corpus-wide positives under the same threshold
+    val g = Ranking.apCurve(ranked,
+      Seq((1L, 2), (3L, 1), (5L, 3)).toDF("id", "rel"), k = 5,
+      relThreshold = 2).orderBy($"rn").collect()
+    assert(g.map(_.getBoolean(2)).toSeq ==
+      Seq(true, false, false, false, true))
+    // P terms 1, 2/5 → AP = (1000000 + 400000) div 2 = 700000
+    assert(g.forall(r => r.getLong(5) == 2L && r.getLong(6) == 700000L))
+
+    // nothing relevant anywhere → AP 0, not NULL/divide-by-zero
+    val z = Ranking.apCurve(ranked, Seq((1L, 0)).toDF("id", "rel"), k = 5)
+      .collect()
+    assert(z.forall(r => r.getLong(5) == 0L && r.getLong(6) == 0L))
+  }
 }

@@ -657,4 +657,86 @@ class StatsSpec extends SparkSpec {
     assert(a(4).asInstanceOf[Double] <= a(2).asInstanceOf[Double] &&
       a(2).asInstanceOf[Double] <= a(5).asInstanceOf[Double])
   }
+
+  test("kruskalWallis: hand-computed H without and with ties; tie " +
+      "correction inflates H; layout-invariant") {
+    // no ties: A={1,2}, B={3,4} → doubled ranks 2,4,6,8; S2_A=6 S2_B=14;
+    // H = 12/(4·5)·(3² /2 + 7²/2) − 3·5 = 17.4 − 15 = 2.4; C = 1 → same
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L)).toDF("g", "v")
+    val got = Stats.kruskalWallis(df, "g", col("v"))
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 2L, 6L, 2400000L, 2400000L),
+      ("B", 2L, 14L, 2400000L, 2400000L)))
+
+    // full ties within groups: A={1,1}, B={2,2} → r2(1)=3, r2(2)=7;
+    // same rank sums → H = 2.4; T = 2·(8−2) = 12, C = 1−12/60 = 0.8 →
+    // Hc = 2.4/0.8 = 3.0
+    val tied = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L)).toDF("g", "v")
+    val t = Stats.kruskalWallis(tied.repartition(5), "g", col("v"))
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    // same fixed double tree as the engine (2.4/0.8 sits on a ulp edge —
+    // what matters is that BOTH engines evaluate this exact expression)
+    val hcExp =
+      math.floor(2400000L.toDouble / 1e6 / (1.0 - 12.0 / 60.0) * 1e6).toLong
+    assert(t == Seq(("A", 2L, 6L, 2400000L, hcExp),
+      ("B", 2L, 14L, 2400000L, hcExp)))
+    assert(hcExp == 2999999L || hcExp == 3000000L)
+
+    // all values identical: every rank tied → H = 0... and T = N³−N makes
+    // the correction undefined → hc NULL (guarded, not a division blowup)
+    val flat = Seq(("A", 5L), ("B", 5L), ("B", 5L)).toDF("g", "v")
+    val f = Stats.kruskalWallis(flat, "g", col("v")).orderBy("g").collect()
+    assert(f.forall(_.isNullAt(4)))
+  }
+
+  test("brownForsythe: hand-computed F from doubled medians; even/odd " +
+      "group sizes; constant group has zero within-variance") {
+    // A = {0, 10}: med2 = 0+10 = 10, z = {10, 10} → z_sum 20, zz 200
+    // B = {0, 0, 30}: med2 = 0+0 = 0, z = {0, 0, 60} → z_sum 60, zz 3600
+    // SSB = ⌊2·(10−16)²⌋ + ⌊3·(20−16)²⌋ = 72 + 48 = 120
+    // SSW = (200 − 200) + (3600 − 1200) = 2400
+    // F = ((5−2)/(2−1)) · 120/2400 = 0.15
+    val df = Seq(("A", 0L), ("A", 10L), ("B", 0L), ("B", 0L), ("B", 30L))
+      .toDF("g", "v")
+    val got = Stats.brownForsythe(df, "g", col("v"))
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 2L, 10L, 20L, 150000L),
+      ("B", 3L, 0L, 60L, 150000L)))
+    // identical spreads at different locations → SSB = 0 → F = 0
+    // (each group: z = {20, 0, 20}, z_sum 40, SSW_g = ⌊800 − 1600/3⌋ = 266)
+    val same = Seq(("A", 0L), ("A", 10L), ("A", 20L),
+      ("B", 100L), ("B", 110L), ("B", 120L)).toDF("g", "v")
+    val s = Stats.brownForsythe(same.repartition(3), "g", col("v"))
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(s.map(_._5) == Seq(0L, 0L) && s.map(_._3) == Seq(20L, 220L)
+      && s.map(_._4) == Seq(40L, 40L))
+  }
+
+  test("seasonalDecompose: linear trend removed exactly; pure weekly " +
+      "pattern lands in the seasonal term with zero residual; edge days " +
+      "and gap neighborhoods excluded") {
+    // linear series v = 3d+5: centered 7-day MA reproduces it → dev = 0
+    val lin = (0L to 13L).map(d => (d, 3 * d + 5)).toDF("day", "v")
+    val l = Stats.seasonalDecompose(lin, "day", "v")
+      .orderBy("day").as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(l.map(_._1) == (3L to 10L) &&
+      l.forall(r => r._5 == 0L && r._6 == 0L && r._7 == 0L))
+
+    // pure weekly signal v = 7·(d mod 7): each full window sums to 147,
+    // dev_w = 49·pos − 147, every phase mean equals its dev → resid 0
+    val wk = (0L to 13L).map(d => (d, 7 * (d % 7))).toDF("day", "v")
+    val w = Stats.seasonalDecompose(wk, "day", "v")
+      .orderBy("day").as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(w.forall(r => r._5 == 49 * r._2 - 147 &&
+      r._6 == (49 * r._2 - 147) * 1000000L && r._7 == 0L))
+
+    // a missing day knocks out every window that needed it
+    val gap = (0L to 13L).filter(_ != 5L).map(d => (d, 100L)).toDF("day", "v")
+    val g = Stats.seasonalDecompose(gap, "day", "v")
+      .orderBy("day").as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(g.map(_._1) == Seq(9L, 10L)) // only days with all of d−3..d+3
+  }
 }

@@ -67,4 +67,45 @@ class SurvivalSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(term == Seq((1L, 1L, 1L, 1000000000L)))
   }
+
+  test("logRank: hand-computed O/E/V per cohort; censoring holds at-risk; " +
+      "symmetric variance; chi2 from the fixed tree") {
+    // cohort a (even ids): u2 censored day 3, u4 censored day 2 — no events.
+    // cohort b (odd ids): u3 event day 1, u1 event day 2.
+    val ev = Seq(
+      (1L, t(0), "view"), (1L, t(2), "error"),
+      (2L, t(0), "view"), (2L, t(3), "view"),
+      (3L, t(0), "view"), (3L, t(1), "error"),
+      (4L, t(0), "view"), (4L, t(2), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Survival.logRank(ev, col("event_type") === "error",
+        col("user_id") % 2 === 0)
+      .orderBy("cohort")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // d=1: n=(a:2,b:2), 1 event in b → e_a = e_b = (1·2·1e9)div4 = 5e8;
+    //   v = 1·(2/4)·(2/4)·(3/3) = 0.25 per cohort row.
+    // d=2: at risk a:2 b:1, 1 event in b → e_a = (1·2·1e9)div3,
+    //   e_b = (1·1·1e9)div3; v = (2/3)·(1/3) = 2/9 both (symmetric).
+    // d=3: zero events → no term.
+    val eA = 500000000L + 666666666L; val eB = 500000000L + 333333333L
+    val v = 250000000L + 222222222L
+    def chi2(o: Long, e: Long): Long =
+      math.floor((o.toDouble - e.toDouble / 1e9)
+        * (o.toDouble - e.toDouble / 1e9) / (v.toDouble / 1e9) * 1e6).toLong
+    assert(got == Seq(
+      ("a", 2L, 0L, eA, v, chi2(0L, eA)),
+      ("b", 2L, 2L, eB, v, chi2(2L, eB))))
+    // mirror-image cohorts → O = E exactly, chi2 = 0 for both
+    val same = Seq(
+      (1L, t(0), "view"), (1L, t(1), "error"),
+      (2L, t(0), "view"), (2L, t(1), "error"),
+      (3L, t(0), "view"), (3L, t(2), "view"),
+      (4L, t(0), "view"), (4L, t(2), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val eq = Survival.logRank(same, col("event_type") === "error",
+        col("user_id") % 2 === 0)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(eq.length == 2 &&
+      eq.forall(r => r._3 == 1L && r._4 == 1000000000L && r._6 == 0L))
+  }
 }
