@@ -675,6 +675,52 @@ object CorpusQueries {
        |SELECT t AS term, n AS exact_n, cms_est, cms_est - n AS overcount
        |FROM est ORDER BY exact_n DESC, term""".stripMargin
 
+  // ---------------------------------------------------------------- q221
+  // Vocabulary Jaccard between language sub-corpora: |V_a ∩ V_b| /
+  // |V_a ∪ V_b| over distinct normalized tokens — the corpus-level
+  // similarity matrix (code-switching / mislabeled-language detection),
+  // where q42 scores DOC pairs and q78 counts shared LINES. Zero-overlap
+  // pairs are kept (left join from the bounded language-pair frame);
+  // the Jaccard is an exact integer ratio ·10⁶. Scale: vocabulary is
+  // bounded by language, not corpus size; only (lang, token) distincts
+  // cross an exchange.
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, d)
+      .select($"lang", explode(split(
+        Dedup.normalized(coalesce($"text", lit(""))), " ")).as("tok"))
+      .distinct()
+      .localCheckpoint() // feeds per-lang sizes AND the pair intersection
+    val sizes = vocab.groupBy($"lang").agg(count(lit(1)).as("nv"))
+    val common = vocab.as("a")
+      .join(vocab.as("b"), $"a.tok" === $"b.tok" && $"a.lang" < $"b.lang")
+      .groupBy($"a.lang".as("lang_a"), $"b.lang".as("lang_b"))
+      .agg(count(lit(1)).as("n_common"))
+    broadcast(sizes.select($"lang".as("lang_a"), $"nv".as("n_a")))
+      .join(broadcast(sizes.select($"lang".as("lang_b"), $"nv".as("n_b"))),
+        $"lang_a" < $"lang_b")
+      .join(common, Seq("lang_a", "lang_b"), "left")
+      .withColumn("n_common", coalesce($"n_common", lit(0L)))
+      .withColumn("jaccard_x6",
+        expr("(n_common * 1000000L) div (n_a + n_b - n_common)"))
+      .orderBy($"lang_a", $"lang_b")
+  }
+  private val q221Sql =
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT DISTINCT lang, unnest($toksSql) AS tok FROM documents),
+       |sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nv FROM v GROUP BY 1),
+       |c AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+       |        CAST(COUNT(*) AS BIGINT) AS n_common
+       |      FROM v a JOIN v b ON a.tok = b.tok AND a.lang < b.lang
+       |      GROUP BY 1, 2)
+       |SELECT x.lang AS lang_a, y.lang AS lang_b, x.nv AS n_a, y.nv AS n_b,
+       |  COALESCE(n_common, 0) AS n_common,
+       |  (COALESCE(n_common, 0) * 1000000)
+       |    // (x.nv + y.nv - COALESCE(n_common, 0)) AS jaccard_x6
+       |FROM sz x JOIN sz y ON x.lang < y.lang
+       |LEFT JOIN c ON c.lang_a = x.lang AND c.lang_b = y.lang
+       |ORDER BY lang_a, lang_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q200_cms_estimate", q200, Some(q200Sql)),
     QueryDef("q64_decontaminate", q64, Some(q64Sql)),
@@ -697,5 +743,6 @@ object CorpusQueries {
     QueryDef("q82_chunking", q82, Some(q82Sql)),
     QueryDef("q84_corpus_diff", q84, Some(q84Sql)),
     QueryDef("q97_fuzzy_key_join", q97, Some(q97Sql)),
+    QueryDef("q221_vocab_jaccard", q221, Some(q221Sql)),
   )
 }

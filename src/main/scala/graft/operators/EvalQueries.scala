@@ -280,10 +280,98 @@ object EvalQueries {
       |  FROM t JOIN m USING (prev)
       |  GROUP BY prev, pred_next ORDER BY prev""".stripMargin
 
+  // ---------------------------------------------------------------- q219
+  // Label-centroid silhouette of the embedding corpus: are the labeled
+  // clusters actually separated in vector space? The O(n·k) simplified
+  // silhouette (centroid distances, never pairwise) with integer-sum
+  // centroids — cosine is scale-invariant, so the un-divided component
+  // sums ARE the centroid directions and every dot/norm stays an exact
+  // long. The geometric companion to q197's Davies-Bouldin (that one
+  // scores a k-means fit; this scores the LABELS themselves).
+  private def q219(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Embeddings.labelSilhouette(Tables.embeddings(s, d))
+      .orderBy($"label")
+  }
+  private val q219Sql =
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS lbl,
+       |    $quantSql AS qv
+       |  FROM embeddings),
+       |qn AS (SELECT id, lbl, qv,
+       |    CAST(list_sum(list_transform(qv, v -> v*v)) AS BIGINT) AS xx
+       |  FROM q),
+       |qf AS (SELECT * FROM qn WHERE xx > 0),
+       |comp AS (SELECT lbl, unnest(qv) AS x,
+       |    generate_subscripts(qv, 1) AS i FROM qf),
+       |cs AS (SELECT lbl AS clbl, i, CAST(SUM(x) AS BIGINT) AS s
+       |  FROM comp GROUP BY 1, 2),
+       |cent AS (SELECT clbl, list(s ORDER BY i) AS cv FROM cs GROUP BY 1),
+       |cn AS (SELECT clbl, cv,
+       |    CAST(list_sum(list_transform(cv, v -> v*v)) AS BIGINT) AS cc
+       |  FROM cent),
+       |cf AS (SELECT * FROM cn WHERE cc > 0),
+       |ab AS (SELECT id, lbl,
+       |    MAX(CASE WHEN clbl = lbl THEN d END) AS a,
+       |    MIN(CASE WHEN clbl <> lbl THEN d END) AS b
+       |  FROM (SELECT qf.id, qf.lbl, cf.clbl,
+       |      1 - CAST(list_sum(list_transform(range(1, len(qv)+1),
+       |            i -> qv[i]*cv[i])) AS DOUBLE)
+       |          / (sqrt(CAST(xx AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) AS d
+       |    FROM qf CROSS JOIN cf)
+       |  GROUP BY 1, 2),
+       |sx AS (SELECT lbl,
+       |    CAST(floor((CASE WHEN greatest(a, b) > 0
+       |        THEN (b - a) / greatest(a, b) ELSE 0 END) * 1e6)
+       |      AS BIGINT) AS sxv
+       |  FROM ab WHERE a IS NOT NULL AND b IS NOT NULL)
+       |SELECT lbl AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(sxv) AS BIGINT) AS sil_sum_x6
+       |FROM sx GROUP BY 1 ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------- q220
+  // Per-state transition entropy of the user event chain, by even/odd-id
+  // cohort: how predictable is the NEXT event after each event type? The
+  // uncertainty companion to q194's Markov argmax accuracy (same
+  // transition frame) — quantized −p·ln p terms over exact counts on the
+  // state×state grid.
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.events(s, d)
+      .select(pmod($"user_id", lit(2L)).as("cohort"), $"user_id", $"ts",
+        $"event_id", $"event_type")
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+      .filter($"nxt".isNotNull)
+    graft.ops.Stats.transitionEntropy(trans, Seq("cohort"),
+        $"event_type", $"nxt")
+      .orderBy($"cohort", $"from_state")
+  }
+  private val q220Sql =
+    """WITH e AS (SELECT user_id % 2 AS cohort, event_type,
+      |        lead(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS nxt
+      |      FROM events),
+      |c AS (SELECT cohort, event_type AS f, nxt AS j,
+      |        CAST(COUNT(*) AS BIGINT) AS nij
+      |      FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+      |m AS (SELECT cohort, f, CAST(SUM(nij) AS BIGINT) AS ni
+      |      FROM c GROUP BY 1, 2)
+      |SELECT cohort, f AS from_state, MAX(ni) AS n_out,
+      |  CAST(COUNT(*) AS BIGINT) AS n_next_states,
+      |  CAST(SUM(CAST(floor(
+      |      -((CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE))
+      |        * ln(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE))) * 1e9)
+      |    AS BIGINT)) AS BIGINT) AS h_x9
+      |FROM c JOIN m USING (cohort, f)
+      |GROUP BY 1, 2 ORDER BY cohort, from_state""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q189_rrf_fusion", q189, Some(q189Sql)),
     QueryDef("q190_ndcg_curve", q190, Some(q190Sql)),
     QueryDef("q211_map_eval", q211, Some(q211Sql)),
     QueryDef("q193_forecast_backtest", q193, Some(q193Sql)),
-    QueryDef("q194_markov_accuracy", q194, Some(q194Sql)))
+    QueryDef("q194_markov_accuracy", q194, Some(q194Sql)),
+    QueryDef("q219_silhouette", q219, Some(q219Sql)),
+    QueryDef("q220_transition_entropy", q220, Some(q220Sql)))
 }

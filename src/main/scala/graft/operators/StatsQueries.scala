@@ -972,12 +972,13 @@ object StatsQueries {
     val enHits = size(filter(toksC,
       t => t.isin(graft.ops.TextAnalysis.stopwords("en").map(lit(_)): _*)))
     Tables.documents(s, d)
-      .select($"source", (coalesce($"lang", lit("")) === "en").as("pos"),
+      .select($"doc_id", $"source",
+        (coalesce($"lang", lit("")) === "en").as("pos"),
         enHits.cast("long").as("enh"), size(toksC).cast("long").as("nt"))
       .withColumn("x", expr("(enh * 1000000L) div nt"))
   }
   private val enScoredSql =
-    s"""SELECT source, (coalesce(lang, '') = 'en') AS pos,
+    s"""SELECT doc_id, source, (coalesce(lang, '') = 'en') AS pos,
        |  (len(list_filter($toksSql, t -> list_contains($enWordsSql, t)))
        |     * 1000000) // len($toksSql) AS x FROM documents""".stripMargin
   private def q170(s: SparkSession, d: String): DataFrame = {
@@ -1811,6 +1812,13 @@ object StatsQueries {
     QueryDef("q209_kruskal_wallis", q209, Some(q209Sql)),
     QueryDef("q210_brown_forsythe", q210, Some(q210Sql)),
     QueryDef("q213_seasonal_decompose", q213, Some(q213Sql)),
+    QueryDef("q214_mann_kendall", q214, Some(q214Sql)),
+    QueryDef("q215_cramers_v", q215, Some(q215Sql)),
+    QueryDef("q216_gains_lift", q216, Some(q216Sql)),
+    QueryDef("q217_poisson_rate", q217, Some(q217Sql)),
+    QueryDef("q218_overdispersion", q218, Some(q218Sql)),
+    QueryDef("q222_mcnemar", q222, Some(q222Sql)),
+    QueryDef("q223_hhi", q223, Some(q223Sql)),
   )
 
   // ---------------------------------------------------------------- q207
@@ -2221,4 +2229,320 @@ object StatsQueries {
       |         CAST(SUM(v) AS DOUBLE)/COUNT(*) AS mean FROM e GROUP BY 1)
       |SELECT g AS event_type, n, mean, n_reps, boot_lo, boot_hi
       |FROM base JOIN ci USING (g) ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q214
+  // Mann–Kendall monotonic-trend test on each segment's weekly revenue
+  // series — WHETHER the series trends (distribution-free), where q201's
+  // Theil-Sen says how steeply. Exact integer S and tie-corrected 18·Var;
+  // the pair join runs on the slim (segment, week) series, never facts.
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weekly = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"),
+        (datediff($"o_orderdate".cast("date"),
+          lit("1970-01-01").cast("date")).cast("long")).as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("week", expr("day div 7"))
+      .groupBy($"seg", $"week")
+      .agg(expr("sum(cents) div 100").as("rev"))
+    Stats.mannKendall(weekly, Seq("seg"), $"week", $"rev")
+      .orderBy($"seg")
+  }
+  private val q214Sql =
+    """WITH w AS MATERIALIZED (
+      |  SELECT c_mktsegment AS seg,
+      |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS week,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // 100
+      |      AS BIGINT) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      |p AS (SELECT l.seg, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |        CAST(SUM(CASE WHEN r.rev > l.rev THEN 1
+      |                      WHEN r.rev < l.rev THEN -1 ELSE 0 END)
+      |          AS BIGINT) AS s_stat
+      |      FROM w l JOIN w r ON l.seg = r.seg AND r.week > l.week
+      |      GROUP BY 1),
+      |t AS (SELECT seg, CAST(SUM(t) AS BIGINT) AS n_points,
+      |        CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+      |      FROM (SELECT seg, rev, CAST(COUNT(*) AS BIGINT) AS t
+      |            FROM w GROUP BY 1, 2) GROUP BY 1)
+      |SELECT t.seg, n_points, COALESCE(n_pairs, 0) AS n_pairs, s_stat,
+      |  CASE WHEN n_pairs IS NOT NULL THEN
+      |    n_points * (n_points - 1) * (2 * n_points + 5) - tie18
+      |  END AS var18
+      |FROM t LEFT JOIN p USING (seg) ORDER BY seg""".stripMargin
+
+  // ---------------------------------------------------------------- q215
+  // Cramér's V association strength between order/customer categoricals
+  // — the normalized-effect-size companion to q185's mutual information
+  // over the same three pairs (same cell grids, comparable [0,1] scale).
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val oc = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"), $"o_orderpriority".as("pri"),
+        $"o_orderstatus".as("st"))
+      .localCheckpoint() // three V passes over one slim projection
+    Stats.cramersV(oc, $"seg", $"pri", "seg~pri")
+      .unionByName(Stats.cramersV(oc, $"seg", $"st", "seg~st"))
+      .unionByName(Stats.cramersV(oc, $"pri", $"st", "pri~st"))
+      .orderBy($"pair")
+  }
+  private val q215Sql = {
+    def v(x: String, y: String, pair: String) =
+      s"""SELECT '$pair' AS pair, n AS n_rows, n_x, n_y, chi2_x9,
+         |  CASE WHEN least(n_x - 1, n_y - 1) >= 1 AND n > 0 THEN
+         |    CAST(floor(sqrt((CAST(chi2_x9 AS DOUBLE) / 1e9)
+         |        / (CAST(n AS DOUBLE)
+         |           * CAST(least(n_x - 1, n_y - 1) AS DOUBLE))) * 1e6)
+         |      AS BIGINT) END AS v_x6
+         |FROM (
+         |  SELECT t.n, mx.cnt AS n_x, my.cnt AS n_y,
+         |    CAST(SUM(CAST(floor(
+         |      ((CAST(COALESCE(c.nxy, 0) * t.n - g.nx * g.ny AS DOUBLE)
+         |        * CAST(COALESCE(c.nxy, 0) * t.n - g.nx * g.ny AS DOUBLE))
+         |       / (CAST(t.n AS DOUBLE)
+         |          * (CAST(g.nx AS DOUBLE) * CAST(g.ny AS DOUBLE)))) * 1e9)
+         |      AS BIGINT)) AS BIGINT) AS chi2_x9
+         |  FROM (SELECT mx.$x, my.$y, mx.nx, my.ny
+         |        FROM (SELECT $x, CAST(COUNT(*) AS BIGINT) AS nx
+         |              FROM oc GROUP BY 1) mx
+         |        CROSS JOIN (SELECT $y, CAST(COUNT(*) AS BIGINT) AS ny
+         |              FROM oc GROUP BY 1) my) g
+         |  LEFT JOIN (SELECT $x, $y, CAST(COUNT(*) AS BIGINT) AS nxy
+         |        FROM oc GROUP BY 1, 2) c USING ($x, $y)
+         |  CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM oc) t
+         |  CROSS JOIN (SELECT CAST(COUNT(DISTINCT $x) AS BIGINT) AS cnt
+         |        FROM oc) mx
+         |  CROSS JOIN (SELECT CAST(COUNT(DISTINCT $y) AS BIGINT) AS cnt
+         |        FROM oc) my
+         |  GROUP BY t.n, mx.cnt, my.cnt)""".stripMargin
+    s"""WITH oc AS MATERIALIZED (
+       |  SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+       |         o_orderstatus AS st
+       |  FROM orders JOIN customer ON o_custkey = c_custkey)
+       |${v("seg", "pri", "seg~pri")}
+       |UNION ALL
+       |${v("seg", "st", "seg~st")}
+       |UNION ALL
+       |${v("pri", "st", "pri~st")}
+       |ORDER BY pair""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q216
+  // Decile gains/lift table for the English-stopword-ratio classifier
+  // (q170's score): bin by broadcast global score cuts (windowless
+  // rank-pick, q187's binning), then lift = (n_pos/n)/(P/N) as an EXACT
+  // integer ratio ·10⁶ — the "how much better than random is the top
+  // decile" readout every curation filter should publish next to its AUC.
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sc = enScored(s, d).select($"doc_id", $"x", $"pos")
+      .localCheckpoint() // one scan feeds the cuts AND the binning
+    val cuts = Stats.globalQuantileCuts(sc, "doc_id", $"x",
+      (10 to 90 by 10))
+    val bin = (10 to 90 by 10).map(p =>
+      when($"x" > col(s"p$p"), 1L).otherwise(0L)).reduce(_ + _)
+    val binned = sc.crossJoin(broadcast(cuts))
+      .select(bin.as("bin"), $"pos")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"pos", 1L).otherwise(0L)).as("n_pos"))
+    val tot = binned.agg(sum($"n").as("nt"), sum($"n_pos").as("pt"))
+    binned.crossJoin(broadcast(tot))
+      .select($"bin", $"n", $"n_pos",
+        when($"pt" > 0L, expr("(n_pos * nt * 1000000L) div (n * pt)"))
+          .as("lift_x6"))
+      .orderBy($"bin")
+  }
+  private val q216Sql = {
+    val cutSel = (10 to 90 by 10).map(p =>
+      s"max(CASE WHEN rn = (n*$p+99)//100 THEN x END) AS p$p")
+      .mkString(",\n         ")
+    val binExpr = (10 to 90 by 10).map(p =>
+      s"(CASE WHEN x > c.p$p THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH sc AS MATERIALIZED (
+       |  SELECT doc_id, x, pos FROM ($enScoredSql)),
+       |r AS (SELECT x,
+       |        CAST(row_number() OVER (ORDER BY x, doc_id) AS BIGINT) AS rn,
+       |        CAST(COUNT(*) OVER () AS BIGINT) AS n
+       |      FROM sc),
+       |c AS (SELECT $cutSel FROM r),
+       |g AS (SELECT CAST($binExpr AS BIGINT) AS bin,
+       |        CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |      FROM sc CROSS JOIN c GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+       |        CAST(SUM(n_pos) AS BIGINT) AS pt FROM g)
+       |SELECT bin, n, n_pos,
+       |  CASE WHEN pt > 0 THEN (n_pos * nt * 1000000) // (n * pt) END
+       |    AS lift_x6
+       |FROM g CROSS JOIN t ORDER BY bin""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q217
+  // Two-period Poisson rate comparison per event type across the fixed
+  // calendar split: equal 15-day exposures make the classic rate z reduce
+  // to (c1−c2)/√(c1+c2) — one exact count aggregate, one fixed double
+  // tree. The event-ops "did the error rate actually change" companion to
+  // q144's conversion z-test.
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, d)
+      .select($"event_type",
+        (expr("unix_micros(ts) div 86400000000") < 19738L).as("h1"))
+      .groupBy($"event_type")
+      .agg(sum(when($"h1", 1L).otherwise(0L)).as("c1"),
+        sum(when(!$"h1", 1L).otherwise(0L)).as("c2"))
+    counts.select($"event_type", $"c1", $"c2",
+        when($"c2" > 0L, expr("(c1 * 1000000L) div c2")).as("rr_x6"),
+        when($"c1" + $"c2" > 0L,
+          floor(($"c1" - $"c2").cast("double") /
+            sqrt(($"c1" + $"c2").cast("double")) * lit(1e6)).cast("long"))
+          .as("z_x6"))
+      .orderBy($"event_type")
+  }
+  private val q217Sql =
+    """WITH c AS (SELECT event_type,
+      |        CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 < 19738
+      |          THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |        CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 < 19738
+      |          THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      |      FROM events GROUP BY 1)
+      |SELECT event_type, c1, c2,
+      |  CASE WHEN c2 > 0 THEN (c1 * 1000000) // c2 END AS rr_x6,
+      |  CASE WHEN c1 + c2 > 0 THEN
+      |    CAST(floor(CAST(c1 - c2 AS DOUBLE)
+      |      / sqrt(CAST(c1 + c2 AS DOUBLE)) * 1e6) AS BIGINT) END AS z_x6
+      |FROM c ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q218
+  // Overdispersion (Fano factor) of daily event counts per type: is the
+  // arrival process Poisson-like (var/mean ≈ 1) or bursty? Zero-days
+  // enter through the global day count D, so the ratio
+  // (D·Σc² − C²)/(C·(D−1)) is one EXACT integer division ·10⁶ — no
+  // floating point at all. The "should this metric alarm on rate-model
+  // assumptions" pre-check for q217/q98.
+  private def q218(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select($"event_type", expr("unix_micros(ts) div 86400000000").as("day"))
+      .localCheckpoint() // one scan feeds the per-type counts AND D
+    val dd = daily.agg(countDistinct($"day").as("dtot"))
+    val per = daily.groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days_active"), sum($"c").as("c_total"),
+        sum($"c" * $"c").as("s2"))
+    per.crossJoin(broadcast(dd))
+      .select($"event_type", $"dtot".as("n_days_total"), $"n_days_active",
+        $"c_total",
+        when($"dtot" > 1L && $"c_total" > 0L,
+          expr("((dtot * s2 - c_total * c_total) * 1000000L) " +
+            "div (c_total * (dtot - 1L))")).as("fano_x6"))
+      .orderBy($"event_type")
+  }
+  private val q218Sql =
+    """WITH e AS MATERIALIZED (SELECT event_type,
+      |        epoch_us(ts) // 86400000000 AS day FROM events),
+      |dd AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS dtot FROM e),
+      |p AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days_active,
+      |        CAST(SUM(c) AS BIGINT) AS c_total,
+      |        CAST(SUM(c * c) AS BIGINT) AS s2
+      |      FROM (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
+      |            FROM e GROUP BY 1, 2) GROUP BY 1)
+      |SELECT event_type, dtot AS n_days_total, n_days_active, c_total,
+      |  CASE WHEN dtot > 1 AND c_total > 0 THEN
+      |    ((dtot * s2 - c_total * c_total) * 1000000)
+      |      // (c_total * (dtot - 1)) END AS fano_x6
+      |FROM p CROSS JOIN dd ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q222
+  // McNemar's paired test: among users active in BOTH halves of the
+  // horizon, did the per-user error experience flip asymmetrically?
+  // b = errored-then-clean, c = clean-then-errored; the statistic
+  // (b−c)²/(b+c) is one exact integer division ·10⁹. The paired
+  // complement to q217's unpaired rate z (same split day).
+  private def q222(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val paired = Tables.events(s, d)
+      .select($"user_id",
+        (expr("unix_micros(ts) div 86400000000") < 19738L).as("h1"),
+        ($"event_type" === "error").as("err"))
+      .groupBy($"user_id")
+      .agg(max(when($"h1", 1L).otherwise(0L)).as("p1"),
+        max(when(!$"h1", 1L).otherwise(0L)).as("p2"),
+        max(when($"h1" && $"err", 1L).otherwise(0L)).as("e1"),
+        max(when(!$"h1" && $"err", 1L).otherwise(0L)).as("e2"))
+      .filter($"p1" === 1L && $"p2" === 1L)
+    paired.agg(count(lit(1)).as("n_pairs"),
+        sum($"e1" * (lit(1L) - $"e2")).as("b"),
+        sum((lit(1L) - $"e1") * $"e2").as("c"))
+      .select($"n_pairs", $"b", $"c",
+        when($"b" + $"c" > 0L,
+          expr("((b - c) * (b - c) * 1000000000L) div (b + c)"))
+          .as("mcnemar_x9"))
+  }
+  private val q222Sql =
+    """WITH u AS (SELECT user_id,
+      |        CAST(MAX(CASE WHEN epoch_us(ts) // 86400000000 < 19738
+      |          THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+      |        CAST(MAX(CASE WHEN epoch_us(ts) // 86400000000 < 19738
+      |          THEN 0 ELSE 1 END) AS BIGINT) AS p2,
+      |        CAST(MAX(CASE WHEN epoch_us(ts) // 86400000000 < 19738
+      |          AND event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+      |        CAST(MAX(CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+      |          AND event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e2
+      |      FROM events GROUP BY 1),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |        CAST(SUM(e1 * (1 - e2)) AS BIGINT) AS b,
+      |        CAST(SUM((1 - e1) * e2) AS BIGINT) AS c
+      |      FROM u WHERE p1 = 1 AND p2 = 1)
+      |SELECT n_pairs, b, c,
+      |  CASE WHEN b + c > 0 THEN ((b - c) * (b - c) * 1000000000) // (b + c)
+      |  END AS mcnemar_x9
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------- q223
+  // Herfindahl–Hirschman revenue concentration per nation: Σ share² over
+  // customer whole-dollar revenues — "is this market a few whales or a
+  // long tail", the concentration complement to q149's Gini. Σrev² is an
+  // exact BIGINT (dollar grain keeps it < 2⁶³ through ~30× sf0.1); the
+  // ratio is one fixed double tree ·10⁹.
+  private def q223(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"c_custkey",
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"n_name", $"c_custkey")
+      .agg(expr("sum(cents) div 100").as("rev"))
+    rev.groupBy($"n_name")
+      .agg(count(lit(1)).as("n_cust"), sum($"rev").as("total_rev"),
+        sum($"rev" * $"rev").as("sumsq"))
+      .select($"n_name", $"n_cust", $"total_rev",
+        when($"total_rev" > 0L,
+          floor($"sumsq".cast("double") /
+            ($"total_rev".cast("double") * $"total_rev".cast("double"))
+            * lit(1e9)).cast("long")).as("hhi_x9"))
+      .orderBy($"n_name")
+  }
+  private val q223Sql =
+    """WITH r AS (SELECT n_name, c_custkey,
+      |        CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // 100
+      |          AS BIGINT) AS rev
+      |      FROM orders JOIN customer ON o_custkey = c_custkey
+      |        JOIN nation ON c_nationkey = n_nationkey
+      |      GROUP BY 1, 2),
+      |g AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |        CAST(SUM(rev) AS BIGINT) AS total_rev,
+      |        CAST(SUM(rev * rev) AS BIGINT) AS sumsq
+      |      FROM r GROUP BY 1)
+      |SELECT n_name, n_cust, total_rev,
+      |  CASE WHEN total_rev > 0 THEN
+      |    CAST(floor(CAST(sumsq AS DOUBLE)
+      |      / (CAST(total_rev AS DOUBLE) * CAST(total_rev AS DOUBLE))
+      |      * 1e9) AS BIGINT) END AS hhi_x9
+      |FROM g ORDER BY n_name""".stripMargin
 }

@@ -221,4 +221,63 @@ object Embeddings {
       .groupBy(col("id"), col("j"))
       .agg(sum(col("q") * col("sgn")).as("p"))
   }
+
+  /** Centroid silhouette per label: how well-separated are the labeled
+    * clusters in embedding space? For each vector, a = cosine distance to
+    * its OWN label centroid, b = the smallest cosine distance to any
+    * OTHER label's centroid, s = (b − a)/max(a, b) — the classic
+    * silhouette with centroid distances standing in for mean pairwise
+    * distance (the O(n·k) "simplified silhouette", vs O(n²) exact; at
+    * corpus scale the pairwise form is never an option).
+    *
+    * Exactness: vectors are milli-quantized longs; a centroid is its
+    * cluster's component-wise integer SUM (cosine is scale-invariant, so
+    * the un-divided sum vector IS the centroid direction — no float mean),
+    * making every dot/norm an exact integer; cosine and the silhouette
+    * ratio are fixed double trees over those exact longs, quantized
+    * floor(·10⁶). Vectors with zero quantized norm are dropped (no
+    * direction).
+    *
+    * Scale: one explode-aggregate builds k·dim centroid components (a
+    * control-plane frame, broadcast back); each vector then meets exactly
+    * k centroid rows — O(n·k) with nothing corpus-sized shuffled.
+    *
+    * @return per label: (label, n_vecs, sil_sum_x6) — mean silhouette is
+    *         sil_sum_x6 / (n_vecs·10⁶), left to the caller
+    */
+  def labelSilhouette(emb: DataFrame, labelCol: String = "label",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = emb.select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("long").as("lbl"),
+        Similarity.quantize(col(vecCol)).as("qv"))
+      .withColumn("xx", Similarity.normInt(col("qv")))
+      .filter(col("xx") > 0L)
+      .localCheckpoint() // feeds the centroid build AND the scoring pass
+    // centroid = per-label component sums: k·dim rows, then re-packed to
+    // one array row per label (sorted by position — deterministic)
+    val comp = q.select(col("lbl"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy(col("lbl"), col("i")).agg(sum(col("x")).as("s"))
+    val cents = comp.groupBy(col("lbl").as("clbl"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+        e => e.getField("s")).as("cv"))
+      .withColumn("cc", Similarity.normInt(col("cv")))
+      .filter(col("cc") > 0L)
+    val dbl = "double"
+    val cos = Similarity.dotInt(col("qv"), col("cv")).cast(dbl) /
+      (sqrt(col("xx").cast(dbl)) * sqrt(col("cc").cast(dbl)))
+    val scored = q.join(broadcast(cents), lit(true))
+      .select(col("id"), col("lbl"),
+        (col("clbl") === col("lbl")).as("own"),
+        (lit(1.0d) - cos).as("d"))
+      .groupBy(col("id"), col("lbl"))
+      .agg(max(when(col("own"), col("d"))).as("a"),
+        min(when(!col("own"), col("d"))).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val s = when(greatest(col("a"), col("b")) > 0.0d,
+      (col("b") - col("a")) / greatest(col("a"), col("b"))).otherwise(0.0d)
+    scored
+      .select(col("lbl").as("label"), floor(s * lit(1e6)).cast("long").as("sx"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sx")).as("sil_sum_x6"))
+  }
 }

@@ -1542,4 +1542,140 @@ object Stats {
           .when(col("pe") < 1.0d,
             (col("po") - col("pe")) / (lit(1.0d) - col("pe"))))
   }
+
+  /** Mann–Kendall monotonic-trend test per group: is the series going
+    * anywhere, without assuming linearity or normality? The S statistic
+    * Σ_{i<j} sign(x_j − x_i) and its tie-corrected variance — reported as
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), which is an exact
+    * integer — leave z = (S∓1)/√Var to the caller. The hypothesis-test
+    * companion to [[theilSenSlope]] (that one says HOW steep, this one
+    * says WHETHER): same pair frame, same bounded-axis contract — the
+    * facts aggregate to the (group, t) series FIRST, and the quadratic
+    * pair join runs on the slim series (a calendar axis, so pairs are
+    * bounded by horizon², not data²).
+    *
+    * Groups with < 2 points have no pairs: kept with n_pairs = 0 and
+    * NULL s_stat/var18 (the [[theilSenSlope]]/[[spearmanRho]] contract).
+    *
+    * @param tCol ordering axis (long-castable); vCol series value
+    * @return (groupCols…, n_points, n_pairs, s_stat, var18)
+    */
+  def mannKendall(df: DataFrame, groupCols: Seq[String], tCol: Column,
+      vCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val base = df.select(g :+ tCol.cast("long").as("__t")
+      :+ vCol.cast("long").as("__v"): _*)
+      .localCheckpoint() // pair join (both sides) + ties + point counts
+    val l = base.as("l"); val r = base.as("r")
+    val joinCond = groupCols.map(c => col(s"l.$c") === col(s"r.$c"))
+      .reduceOption(_ && _).map(_ && col("r.__t") > col("l.__t"))
+      .getOrElse(col("r.__t") > col("l.__t"))
+    val pairs = l.join(r, joinCond)
+      .groupBy(groupCols.map(c => col(s"l.$c").as(c)): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(signum(col("r.__v") - col("l.__v")).cast("long")).as("s_stat"))
+    // tie groups of v: Σ t(t−1)(2t+5) over runs of equal values
+    val ties = base.groupBy(g :+ col("__v"): _*)
+      .agg(count(lit(1)).as("t"))
+      .groupBy(g: _*)
+      .agg(sum(col("t")).as("n_points"),
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .as("tie18"))
+    ties
+      .withColumn("var18",
+        col("n_points") * (col("n_points") - 1L)
+          * (lit(2L) * col("n_points") + 5L) - col("tie18"))
+      .join(pairs, groupCols, "left")
+      .select(g :+ col("n_points") :+
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs") :+
+        col("s_stat") :+
+        when(col("n_pairs").isNotNull, col("var18")).as("var18"): _*)
+  }
+
+  /** Cramér's V association between two categoricals: the chi-square of
+    * the FULL contingency grid (empty cells contribute their expectation)
+    * normalized to [0, 1] by n·min(r−1, c−1) — the effect-size companion
+    * to [[mutualInfo]] (MI says how many bits are shared, V says how far
+    * from independence on a fixed scale, comparable across pairs).
+    *
+    * Exactness: observed and marginal counts are exact longs; each cell's
+    * (O·n − nx·ny)²/(n·nx·ny) term is a fixed double tree quantized
+    * floor(·10⁹) and summed order-free; V is one further fixed tree over
+    * the integer chi² sum. Scale: one cell aggregate, then the grid is
+    * the CROSS of the two marginal frames — bounded by the axis
+    * cardinalities, never the fact count.
+    *
+    * @return one row: (pair, n_rows, n_x, n_y, chi2_x9, v_x6)
+    */
+  def cramersV(df: DataFrame, xCol: Column, yCol: Column,
+      pairName: String): DataFrame = {
+    val cells = df.groupBy(xCol.as("__x"), yCol.as("__y"))
+      .agg(count(lit(1)).as("nxy"))
+      .localCheckpoint() // one scan feeds both marginals + the total
+    val mx = cells.groupBy(col("__x")).agg(sum(col("nxy")).as("nx"))
+    val my = cells.groupBy(col("__y")).agg(sum(col("nxy")).as("ny"))
+    val tot = cells.agg(sum(col("nxy")).as("n"))
+    val dbl = "double"
+    val o = coalesce(col("nxy"), lit(0L))
+    // (O·n − nx·ny)²/(n·nx·ny): numerator diff is an exact long (≤ n²),
+    // squared in double (would overflow long), fixed tree throughout
+    val diff = (o * col("n") - col("nx") * col("ny")).cast(dbl)
+    val term = (diff * diff) /
+      (col("n").cast(dbl) * (col("nx").cast(dbl) * col("ny").cast(dbl)))
+    val grid = mx.crossJoin(my) // full grid: r·c rows, bounded axes
+      .join(cells, Seq("__x", "__y"), "left")
+      .crossJoin(broadcast(tot))
+    val agg = grid
+      .select(col("n"), floor(term * lit(1e9)).cast("long").as("__t"))
+      .groupBy(col("n"))
+      .agg(sum(col("__t")).as("chi2_x9"))
+    val nx = mx.agg(count(lit(1)).as("n_x"))
+    val ny = my.agg(count(lit(1)).as("n_y"))
+    val k = least(col("n_x") - 1L, col("n_y") - 1L)
+    agg.crossJoin(broadcast(nx)).crossJoin(broadcast(ny))
+      .select(lit(pairName).as("pair"), col("n").as("n_rows"),
+        col("n_x"), col("n_y"), col("chi2_x9"),
+        when(k >= 1L && col("n") > 0L,
+          floor(sqrt((col("chi2_x9").cast(dbl) / lit(1e9)) /
+            (col("n").cast(dbl) * k.cast(dbl))) * lit(1e6)).cast("long"))
+          .as("v_x6"))
+  }
+
+  /** Per-state transition entropy of a first-order chain: for each
+    * (group, from-state), H = Σ_j −p(j|i)·ln p(j|i) over the observed
+    * next-state distribution — "how predictable is what happens after a
+    * click?" The uncertainty companion to a Markov accuracy readout
+    * (argmax accuracy says how often the top guess wins; entropy says how
+    * concentrated the whole distribution is).
+    *
+    * Exactness: transition counts are exact longs; each −(nij/ni)·ln(nij/ni)
+    * term is a fixed double tree quantized floor(·10⁹), summed order-free.
+    * Scale: input is the pre-built transition frame (one keyed window over
+    * per-entity sequences upstream); everything here aggregates to the
+    * (group, state, state) grid — bounded by state-cardinality², never by
+    * the event count.
+    *
+    * @param transitions one row per observed transition:
+    *                    (groupCols…, fromCol, toCol)
+    * @return (groupCols…, from_state, n_out, n_next_states, h_x9)
+    */
+  def transitionEntropy(transitions: DataFrame, groupCols: Seq[String],
+      fromCol: Column, toCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val cells = transitions
+      .groupBy(g :+ fromCol.as("__f") :+ toCol.as("__j"): _*)
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // grid-sized; feeds the marginal + the terms
+    val marg = cells.groupBy(g :+ col("__f"): _*)
+      .agg(sum(col("nij")).as("ni"))
+    val dbl = "double"
+    val p = col("nij").cast(dbl) / col("ni").cast(dbl)
+    cells.join(broadcast(marg), groupCols :+ "__f")
+      .select(g :+ col("__f") :+ col("ni") :+
+        floor(-(p * log(p)) * lit(1e9)).cast("long").as("__t"): _*)
+      .groupBy(g :+ col("__f").as("from_state"): _*)
+      .agg(max(col("ni")).as("n_out"),
+        count(lit(1)).as("n_next_states"),
+        sum(col("__t")).as("h_x9"))
+  }
 }

@@ -125,4 +125,34 @@ class EmbeddingsSpec extends SparkSpec {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.4 && mean < 2.5, s"mean $mean")
   }
+
+  test("labelSilhouette: orthogonal clusters score +1e6 per vec; " +
+      "zero vectors dropped; single-label input yields no rows") {
+    val e = Seq(
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(1f, 0f), 0),
+      (3L, Seq(0f, 1f), 1),
+      (4L, Seq(0f, 1f), 1),
+      (5L, Seq(0f, 0f), 0)) // zero norm: no direction, dropped
+      .toDF("vec_id", "embedding", "label")
+    val got = Embeddings.labelSilhouette(e)
+      .orderBy($"label").as[(Long, Long, Long)].collect().toSeq
+    // a = 1 − cos(own) = 0, b = 1 − cos(other) = 1, s = 1 → 1e6 each
+    assert(got == Seq((0L, 2L, 2000000L), (1L, 2L, 2000000L)))
+
+    // a vector sitting in the OTHER cluster's direction scores −1e6
+    val mixed = Seq(
+      (1L, Seq(1f, 0f), 0),
+      (3L, Seq(0f, 1f), 0), // label 0 but aligned with label 1's centroid
+      (2L, Seq(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val m = Embeddings.labelSilhouette(mixed).orderBy($"label")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(m.head._1 == 0L && m.head._3 < 0L)
+
+    // one label only: b undefined everywhere → empty result
+    val solo = Seq((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Embeddings.labelSilhouette(solo).count() == 0L)
+  }
 }

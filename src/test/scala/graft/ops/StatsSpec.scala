@@ -739,4 +739,59 @@ class StatsSpec extends SparkSpec {
       .collect().toSeq
     assert(g.map(_._1) == Seq(9L, 10L)) // only days with all of d−3..d+3
   }
+
+  test("mannKendall: exact S and tie-corrected var18; pairless groups " +
+      "kept with n_pairs=0 and NULL statistics") {
+    val rows = Seq(
+      // strictly increasing: S = 6, no ties → var18 = 4·3·13 = 156
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L), ("up", 4L, 40L),
+      // v = 1,1,2: S = 0+1+1 = 2; tie18 = 2·1·9 = 18 → var18 = 66−18 = 48
+      ("tied", 1L, 1L), ("tied", 2L, 1L), ("tied", 3L, 2L),
+      ("solo", 5L, 7L))
+      .toDF("g", "t", "v")
+    val got = Stats.mannKendall(rows, Seq("g"), col("t"), col("v"))
+      .orderBy("g").collect()
+    val byG = got.map(r => r.getString(0) -> r).toMap
+    assert(byG("up").getLong(1) == 4L && byG("up").getLong(2) == 6L
+      && byG("up").getLong(3) == 6L && byG("up").getLong(4) == 156L)
+    assert(byG("tied").getLong(1) == 3L && byG("tied").getLong(2) == 3L
+      && byG("tied").getLong(3) == 2L && byG("tied").getLong(4) == 48L)
+    assert(byG("solo").getLong(1) == 1L && byG("solo").getLong(2) == 0L
+      && byG("solo").isNullAt(3) && byG("solo").isNullAt(4))
+  }
+
+  test("cramersV: perfect 2x2 association scores V=1; independence " +
+      "scores 0; empty grid cells contribute their expectation") {
+    val perfect = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 2)).toDF("x", "y")
+    val p = Stats.cramersV(perfect, col("x"), col("y"), "p").collect().head
+    // every cell term is exactly 1 (observed and empty alike) → chi2 = 4
+    assert(p.getLong(1) == 4L && p.getLong(2) == 2L && p.getLong(3) == 2L)
+    assert(p.getLong(4) == 4000000000L && p.getLong(5) == 1000000L)
+
+    val indep = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
+    val i = Stats.cramersV(indep, col("x"), col("y"), "i").collect().head
+    assert(i.getLong(4) == 0L && i.getLong(5) == 0L)
+
+    // single-column y: min(r−1, c−1) = 0 → V undefined (NULL), chi2 = 0
+    val one = Seq(("a", 1), ("b", 1)).toDF("x", "y")
+    val o = Stats.cramersV(one, col("x"), col("y"), "o").collect().head
+    assert(o.getLong(4) == 0L && o.isNullAt(5))
+  }
+
+  test("transitionEntropy: uniform 2-way split gives ln2; deterministic " +
+      "successor gives 0; grouped grids stay independent") {
+    val t = Seq(
+      ("g1", "a", "b"), ("g1", "a", "b"), ("g1", "a", "c"), ("g1", "a", "c"),
+      ("g1", "b", "c"),
+      ("g2", "a", "b"))
+      .toDF("g", "f", "n")
+    val got = Stats.transitionEntropy(t, Seq("g"), col("f"), col("n"))
+      .orderBy("g", "from_state").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // H = 2·(−0.5·ln 0.5) = ln 2; each term floors to 346573590
+    assert(got(("g1", "a")) == ((4L, 2L, 693147180L)))
+    assert(got(("g1", "b")) == ((1L, 1L, 0L)))
+    assert(got(("g2", "a")) == ((1L, 1L, 0L)))
+  }
 }
