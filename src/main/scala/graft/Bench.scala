@@ -22,6 +22,12 @@ object Bench {
     def selected(n: String) = only.forall(_.contains(n))
     val spark = GraftSession.builder("graft-bench", Some(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
+      // ContextCleaner frees broadcasts/shuffle files via WEAK references,
+      // i.e. only after a GC — which a 100+ GiB heap may not run for the
+      // whole suite. Without this, state from 200+ queries accumulates and
+      // the heavy tail measures 3-6x slower mid-suite than isolated
+      // (q183: 37s in-suite vs 8s in a 5-query run, same data).
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm every query's codegen/JIT path on the smallest SF first: without
@@ -40,10 +46,16 @@ object Bench {
     // (q139 measured 21 s inside the full suite vs 6.6 s isolated at 10×).
     // Dropping all persisted RDDs between queries — outside the timed
     // section — restores per-query isolation; nothing is shared across them.
+    var sinceGc = 0
     def release(): Unit = {
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+      // drain the weak-ref cleaner queue at a bounded cadence (outside the
+      // timed section) — the periodicGC config alone leaves up to 45s of
+      // accumulation, which at ~1s/query still spans dozens of queries
+      sinceGc += 1
+      if (sinceGc >= 20) { sinceGc = 0; System.gc() }
     }
     // a failed query is reported as -1, never as a (fast-looking) timing
     def pass(): Seq[(String, Double)] =

@@ -12,6 +12,37 @@ import graft.ops.{Dedup, Embeddings, Similarity, TextAnalysis}
 object CurationQueries {
   import LlmQueries.{fpSql, quantSql, shSetSqlFrom, toksSql}
 
+  // ---------------------------------------------------------------- q227
+  // Hapax-legomenon ratio per source: share of each source's vocabulary
+  // occurring exactly once — the vocabulary-richness / OCR-noise signal
+  // (clean prose ~40-60%, boilerplate far lower, garbled text higher)
+  // complementing q166's Heaps curve and q168's Zipf fit. One token
+  // aggregate to the (source, term) axis; everything after is
+  // axis-sized. Exact integer ratio ·10⁶.
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"source", explode(split(
+        Dedup.normalized(coalesce($"text", lit(""))), " ")).as("tok"))
+      .groupBy($"source", $"tok")
+      .agg(count(lit(1)).as("f"))
+    tf.groupBy($"source")
+      .agg(sum($"f").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when($"f" === 1L, 1L).otherwise(0L)).as("hapax"))
+      .withColumn("ratio_x6", expr("(hapax * 1000000L) div vocab"))
+      .orderBy($"source")
+  }
+  private val q227Sql =
+    s"""WITH tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+       |      FROM (SELECT source, unnest($toksSql) AS tok FROM documents)
+       |      GROUP BY 1, 2)
+       |SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS vocab,
+       |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       |  (CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |    // CAST(COUNT(*) AS BIGINT) AS ratio_x6
+       |FROM tf GROUP BY 1 ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q118
   // Intra-document repeated-unit removal (C4's "dedupe lines within a
   // page"): first occurrence of each distinct unit survives, order
@@ -411,6 +442,7 @@ object CurationQueries {
     QueryDef("q119_int8_quant", q119, Some(q119Sql)),
     QueryDef("q120_split_leakage", q120, Some(q120Sql)),
     QueryDef("q121_inverted_index", q121, Some(q121Sql)),
+    QueryDef("q227_hapax_ratio", q227, Some(q227Sql)),
     QueryDef("q128_incremental_dedup", q128, Some(q128Sql)),
     QueryDef("q129_class_tfidf", q129, Some(q129Sql)),
     QueryDef("q130_pmi_pairs", q130, Some(q130Sql)),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.ops.{Privacy, Profile, Regression, Stats}
@@ -1819,6 +1820,10 @@ object StatsQueries {
     QueryDef("q218_overdispersion", q218, Some(q218Sql)),
     QueryDef("q222_mcnemar", q222, Some(q222Sql)),
     QueryDef("q223_hhi", q223, Some(q223Sql)),
+    QueryDef("q224_burstiness", q224, Some(q224Sql)),
+    QueryDef("q225_lorenz_curve", q225, Some(q225Sql)),
+    QueryDef("q226_ks_test", q226, Some(q226Sql)),
+    QueryDef("q228_runs_test", q228, Some(q228Sql)),
   )
 
   // ---------------------------------------------------------------- q207
@@ -2545,4 +2550,207 @@ object StatsQueries {
       |      / (CAST(total_rev AS DOUBLE) * CAST(total_rev AS DOUBLE))
       |      * 1e9) AS BIGINT) END AS hhi_x9
       |FROM g ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q224
+  // Burstiness of per-user inter-event gaps by event type: Goh-Barabási
+  // B = (σ−μ)/(σ+μ) over second-grain gaps — −1 periodic, 0 Poisson,
+  // →1 bursty. The temporal-pattern readout q218's Fano factor (counts)
+  // cannot see. Gaps come from a per-(user, type) keyed window (never a
+  // global sort); sufficient statistics are exact longs.
+  private def q224(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    val gaps = Tables.events(s, d)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"event_type",
+        expr("(unix_micros(ts) - unix_micros(prev)) div 1000000").as("gap_s"))
+    val st = gaps.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum($"gap_s").as("sg"),
+        sum($"gap_s" * $"gap_s").as("sg2"))
+    val dbl = "double"
+    val nd = $"n_gaps".cast(dbl); val sd0 = $"sg".cast(dbl)
+    val sdev = sqrt((nd * $"sg2".cast(dbl) - sd0 * sd0) /
+      (nd * (nd - lit(1.0d))))
+    val mu = sd0 / nd
+    st.select($"event_type", $"n_gaps",
+        expr("sg div n_gaps").as("mean_gap_s"),
+        when($"n_gaps" > 1L && (sdev + mu) > 0.0d,
+          floor((sdev - mu) / (sdev + mu) * lit(1e6)).cast("long"))
+          .as("b_x6"))
+      .orderBy($"event_type")
+  }
+  private val q224Sql =
+    """WITH g AS (SELECT event_type,
+      |        (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id,
+      |          event_type ORDER BY ts, event_id))) // 1000000 AS gap_s
+      |      FROM events),
+      |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |        CAST(SUM(gap_s) AS BIGINT) AS sg,
+      |        CAST(SUM(gap_s * gap_s) AS BIGINT) AS sg2
+      |      FROM g WHERE gap_s IS NOT NULL GROUP BY 1),
+      |f AS (SELECT event_type, n_gaps, sg, sg2,
+      |        sqrt((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+      |              - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+      |             / (CAST(n_gaps AS DOUBLE)
+      |                * (CAST(n_gaps AS DOUBLE) - 1.0))) AS sdev,
+      |        CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu
+      |      FROM s)
+      |SELECT event_type, n_gaps, sg // n_gaps AS mean_gap_s,
+      |  CASE WHEN n_gaps > 1 AND (sdev + mu) > 0 THEN
+      |    CAST(floor((sdev - mu) / (sdev + mu) * 1e6) AS BIGINT)
+      |  END AS b_x6
+      |FROM f ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q225
+  // Lorenz curve of customer lifetime spend: cumulative revenue share at
+  // each population decile — the curve q149's Gini integrates. Ranks AND
+  // cumulative spend both come from the two-phase prefix sum over the
+  // (customer, spend) frame (two slim passes, zero global windows); each
+  // decile picks the ceiling-rank row, shares are exact integer ratios.
+  private def q225(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, d).groupBy($"o_custkey")
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .as("x"))
+      .localCheckpoint() // feeds both prefix-sum passes + the totals
+    def pack(tok: String, out: String) = graft.ops.Packing.packSequences(
+        spend.withColumn("__one", lit(1L)), "o_custkey", tok,
+        orderCols = Seq("x", "o_custkey"), seqTokens = Long.MaxValue)
+      .select(col("id").as("o_custkey"),
+        (col("start_tok") + col("n_tokens")).as(out))
+    val packed = pack("x", "cum_cents").join(pack("__one", "rn"), "o_custkey")
+    val tot = spend.agg(count(lit(1)).as("n"), sum($"x").as("tot"))
+    val decs = s.range(1, 11).toDF("decile")
+      .crossJoin(broadcast(tot))
+      .withColumn("target_rn", expr("(n * decile + 9) div 10"))
+    decs.join(packed, $"rn" === $"target_rn")
+      .select($"decile", $"target_rn", $"cum_cents",
+        expr("(cum_cents * 1000000L) div tot").as("share_x6"))
+      .orderBy($"decile")
+  }
+  private val q225Sql =
+    """WITH s AS (SELECT o_custkey,
+      |        CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |          AS BIGINT) AS x
+      |      FROM orders GROUP BY 1),
+      |r AS (SELECT o_custkey, x,
+      |        CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS rn,
+      |        CAST(SUM(x) OVER (ORDER BY x, o_custkey
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+      |        CAST(COUNT(*) OVER () AS BIGINT) AS n,
+      |        CAST(SUM(x) OVER () AS BIGINT) AS tot
+      |      FROM s)
+      |SELECT CAST(d.decile AS BIGINT) AS decile,
+      |  (n * d.decile + 9) // 10 AS target_rn, cum_cents,
+      |  (cum_cents * 1000000) // tot AS share_x6
+      |FROM range(1, 11) d(decile) JOIN r ON rn = (n * d.decile + 9) // 10
+      |ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------- q226
+  // Two-sample Kolmogorov-Smirnov on document length: do even- and
+  // odd-id docs draw from the same length distribution? Exact integer
+  // D numerator over the distinct-length axis (Stats.ksTest2) — the
+  // any-shape-difference companion to q155's location-only U test.
+  private def q226(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Stats.ksTest2(Tables.documents(s, d), pmod($"doc_id", lit(2L)) === 0L,
+      $"n_chars")
+  }
+  private val q226Sql =
+    """WITH b AS (SELECT CAST(n_chars AS BIGINT) AS v,
+      |        CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS na,
+      |        CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+      |          AS BIGINT) AS nb
+      |      FROM documents GROUP BY 1),
+      |c AS (SELECT v,
+      |        CAST(SUM(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |          AS BIGINT) AS ca,
+      |        CAST(SUM(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |          AS BIGINT) AS cb
+      |      FROM b),
+      |t AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+      |        CAST(SUM(nb) AS BIGINT) AS n_b FROM b),
+      |d AS (SELECT v, abs(ca * n_b - cb * n_a) AS dn, n_a, n_b
+      |      FROM c CROSS JOIN t),
+      |m AS (SELECT CAST(MAX(dn) AS BIGINT) AS d_num FROM d)
+      |SELECT n_a, n_b, d_num,
+      |  CASE WHEN n_a * n_b > 0 THEN (d_num * 1000000) // (n_a * n_b) END
+      |    AS d_x6,
+      |  CAST(MIN(v) AS BIGINT) AS v_at_max
+      |FROM d CROSS JOIN m WHERE dn = d_num
+      |GROUP BY n_a, n_b, d_num""".stripMargin
+
+  // ---------------------------------------------------------------- q228
+  // Wald-Wolfowitz runs test on daily revenue direction: are up/down
+  // days independent, or do they streak? Signs come from calendar-
+  // adjacent day pairs on the slim daily series (self-join, no global
+  // window); runs count R = sign flips between adjacent nonzero deltas
+  // + 1; z is one fixed double tree over the exact (n+, n−, R) integers.
+  private def q228(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .select(datediff($"o_orderdate".cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+      .localCheckpoint() // both sides of the adjacent-day self-join
+    val delta = daily.as("a").join(daily.as("b"),
+        col("b.day") === col("a.day") + 1L)
+      .select(col("b.day").as("day"),
+        signum(col("b.rev") - col("a.rev")).cast("long").as("sgn"))
+      .localCheckpoint() // flips self-join + the sign counts
+    val flips = delta.as("x").join(delta.as("y"),
+        col("y.day") === col("x.day") + 1L)
+      .agg(coalesce(sum(when(col("x.sgn") =!= 0L && col("y.sgn") =!= 0L
+        && col("x.sgn") =!= col("y.sgn"), 1L).otherwise(0L)), lit(0L))
+        .as("n_flips"))
+    val cnt = delta.agg(
+      sum(when($"sgn" > 0L, 1L).otherwise(0L)).as("n_plus"),
+      sum(when($"sgn" < 0L, 1L).otherwise(0L)).as("n_minus"))
+    val dbl = "double"
+    val joined = cnt.crossJoin(broadcast(flips))
+      .withColumn("n_runs", $"n_flips" + 1L)
+      .withColumn("n", $"n_plus" + $"n_minus")
+    val mu = lit(1.0d) + (lit(2.0d) * $"n_plus".cast(dbl)
+      * $"n_minus".cast(dbl)) / $"n".cast(dbl)
+    val vr = ((mu - lit(1.0d)) * (mu - lit(2.0d))) /
+      ($"n".cast(dbl) - lit(1.0d))
+    joined.select($"n_plus", $"n_minus", $"n_runs",
+      when($"n" > 1L && $"n_plus" > 0L && $"n_minus" > 0L,
+        floor(($"n_runs".cast(dbl) - mu) / sqrt(vr) * lit(1e6)).cast("long"))
+        .as("z_x6"))
+  }
+  private val q228Sql =
+    """WITH daily AS (SELECT
+      |        CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+      |        CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |          AS BIGINT) AS rev
+      |      FROM orders GROUP BY 1),
+      |delta AS (SELECT b.day AS day,
+      |        CAST(sign(b.rev - a.rev) AS BIGINT) AS sgn
+      |      FROM daily a JOIN daily b ON b.day = a.day + 1),
+      |fl AS (SELECT CAST(COALESCE(SUM(CASE WHEN x.sgn <> 0 AND y.sgn <> 0
+      |          AND x.sgn <> y.sgn THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |          AS n_flips
+      |      FROM delta x JOIN delta y ON y.day = x.day + 1),
+      |c AS (SELECT CAST(SUM(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_plus,
+      |        CAST(SUM(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_minus
+      |      FROM delta),
+      |j AS (SELECT n_plus, n_minus, n_flips + 1 AS n_runs,
+      |        n_plus + n_minus AS n,
+      |        1.0 + (2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE))
+      |          / CAST(n_plus + n_minus AS DOUBLE) AS mu
+      |      FROM c CROSS JOIN fl)
+      |SELECT n_plus, n_minus, n_runs,
+      |  CASE WHEN n > 1 AND n_plus > 0 AND n_minus > 0 THEN
+      |    CAST(floor((CAST(n_runs AS DOUBLE) - mu)
+      |      / sqrt(((mu - 1.0) * (mu - 2.0)) / (CAST(n AS DOUBLE) - 1.0))
+      |      * 1e6) AS BIGINT) END AS z_x6
+      |FROM j""".stripMargin
 }

@@ -1543,6 +1543,55 @@ object Stats {
             (col("po") - col("pe")) / (lit(1.0d) - col("pe"))))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic, exact: the largest gap
+    * between the two empirical CDFs, reported as the INTEGER numerator
+    * D_num = max_v |cumA(v)·n_b − cumB(v)·n_a| so that
+    * D = D_num/(n_a·n_b) involves no floating point until the final
+    * quantized ratio. The distribution-shape companion to
+    * [[mannWhitneyU2]] (U detects location shift; KS detects ANY
+    * difference, including variance/shape).
+    *
+    * Scale: both samples aggregate to the DISTINCT-VALUE axis first
+    * (one hash aggregate); the two cumulative passes run on that slim
+    * axis through the two-phase prefix sum (no global window). The
+    * integer products need cum·n < 2⁶³ — fine through ~10⁹ rows per
+    * side; beyond that move the numerator to DECIMAL.
+    *
+    * @param side row predicate: true → sample A, false → sample B
+    * @param valQ integer-quantized value (cast to long)
+    * @return one row: (n_a, n_b, d_num, d_x6, v_at_max) — v_at_max the
+    *         smallest axis value attaining the max gap
+    */
+  def ksTest2(df: DataFrame, side: Column, valQ: Column,
+      axisPartitions: Int = 4): DataFrame = {
+    val base = df.select(side.as("__s"), valQ.cast("long").as("__v"))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__s"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("__s"), 1L).otherwise(0L)).as("nb"))
+      .localCheckpoint() // feeds both cumulative passes + the totals
+    def cum(c: String, out: String) = Packing.packSequences(
+        base.withColumn("__vo", col("__v")), "__v", c,
+        orderCols = Seq("__vo"), seqTokens = Long.MaxValue,
+        partitions = axisPartitions)
+      .select(col("id").as("__v"),
+        (col("start_tok") + col("n_tokens")).as(out))
+    val tot = base.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+    val terms = cum("na", "ca").join(cum("nb", "cb"), Seq("__v"))
+      .crossJoin(broadcast(tot))
+      .select(col("__v"), col("n_a"), col("n_b"),
+        abs(col("ca") * col("n_b") - col("cb") * col("n_a")).as("dn"))
+      .localCheckpoint() // slim axis; consumed by the max AND the argmax
+    val m = terms.agg(max(col("dn")).as("d_num"))
+    terms.crossJoin(broadcast(m))
+      .filter(col("dn") === col("d_num"))
+      .groupBy(col("n_a"), col("n_b"), col("d_num"))
+      .agg(min(col("__v")).as("v_at_max"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        when(col("n_a") * col("n_b") > 0L,
+          expr("(d_num * 1000000L) div (n_a * n_b)")).as("d_x6"),
+        col("v_at_max"))
+  }
+
   /** Mann–Kendall monotonic-trend test per group: is the series going
     * anywhere, without assuming linearity or normality? The S statistic
     * Σ_{i<j} sign(x_j − x_i) and its tie-corrected variance — reported as

@@ -778,6 +778,22 @@ class StatsSpec extends SparkSpec {
     assert(o.getLong(4) == 0L && o.isNullAt(5))
   }
 
+  test("ksTest2: exact integer D numerator over the distinct-value axis; " +
+      "interleaved samples peak at the first value; identical samples 0") {
+    // A = {1,3}, B = {2,4}: CDF gaps of 1/2 at v=1 and v=3 → D = 0.5,
+    // argmax tie broken to the smallest value
+    val ab = Seq((true, 1L), (true, 3L), (false, 2L), (false, 4L))
+      .toDF("s", "v")
+    val r = Stats.ksTest2(ab, col("s"), col("v")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 2L, 2L, 500000L, 1L)))
+
+    val same = Seq((true, 1L), (true, 2L), (false, 1L), (false, 2L))
+      .toDF("s", "v")
+    val r2 = Stats.ksTest2(same, col("s"), col("v")).collect().head
+    assert(r2.getLong(2) == 0L && r2.getLong(3) == 0L)
+  }
+
   test("transitionEntropy: uniform 2-way split gives ln2; deterministic " +
       "successor gives 0; grouped grids stay independent") {
     val t = Seq(
