@@ -19,6 +19,9 @@ object Explain {
           graft.sources.Tables.documents(s, d)
             .select(org.apache.spark.sql.functions.explode(
               graft.ops.Dedup.shingles(org.apache.spark.sql.functions.col("text"))))
+        case "_pp_candidates" => (s, d) =>
+          graft.ops.Dedup.prefixCandidates(
+            graft.sources.Tables.documents(s, d), threshold = 0.5)
         case other => SparkEntry.queries(other)
       }
     val t0 = System.nanoTime; fn(spark, sfDir).count()

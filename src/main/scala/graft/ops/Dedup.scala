@@ -846,6 +846,28 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Diagnostic: the candidate-pair stage of [[prefixFilterPairsOnDistinct]]
+    * alone (prefix build + bucket join + distinct), for stage timing. */
+  private[graft] def prefixCandidates(docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.5): DataFrame = {
+    val sets = hashedShingleSets(docs, textCol, idCol).localCheckpoint()
+    val ex = sets.select(col("id"), explode(col("sh")).as("g"))
+    val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("id")).orderBy(col("f"), col("g"))
+    val prefix = ex.join(freq, Seq("g"))
+      .withColumn("rk", row_number().over(w))
+      .join(sets.select(col("id"), size(col("sh")).as("sz")), Seq("id"))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("id"), col("g"), col("sz"))
+    prefix.as("a").join(prefix.as("b"), col("a.g") === col("b.g"))
+      .filter(col("a.id") < col("b.id")
+        && col("a.sz") >= ceil(col("b.sz") * threshold)
+        && col("b.sz") >= ceil(col("a.sz") * threshold))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   /** The PPJoin pipeline over content-DISTINCT docs — see
     * [[minhashPairsOnDistinct]] for the identical contract: call
     * directly only when the corpus is exact-deduped by construction;
@@ -863,15 +885,31 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       .join(sets.select(col("id"), size(col("sh")).as("sz")), Seq("id"))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("id"), col("g"))
+      .select(col("id"), col("g"), col("sz"))
+    // length filter (PPJoin's second prune): Jaccard ≥ t forces
+    // t·|y| ≤ |x| ≤ |y|/t, so size-mismatched bucket-mates drop BEFORE
+    // the distinct and the array-verify join ever see them. (The
+    // positional filter was tried and reverted: on this corpus its rank
+    // bookkeeping in the bucket join cost more than its ~10% prune.)
     val candidates = prefix.as("a").join(prefix.as("b"), col("a.g") === col("b.g"))
-      .filter(col("a.id") < col("b.id"))
+      .filter(col("a.id") < col("b.id")
+        && col("a.sz") >= ceil(col("b.sz") * threshold)
+        && col("b.sz") >= ceil(col("a.sz") * threshold))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // verify with ONE set operation per pair: the shingle arrays are
+    // distinct by construction, so |∪| = |a| + |b| − |∩| and the
+    // array_union hash-set build (as costly as the intersect itself)
+    // is pure waste at 10⁵-10⁶ candidates
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val unionSz = (col("sz_a") + col("sz_b")).cast("double") - inter
     candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        size(col("sh")).as("sz_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        size(col("sh")).as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        when(unionSz === 0.0d, 0.0d).otherwise(inter / unionSz))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
