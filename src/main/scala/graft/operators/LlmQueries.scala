@@ -113,6 +113,33 @@ object LlmQueries {
        |  FROM sc) WHERE rn <= 10
        |ORDER BY qid, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q229
+  // Hard-negative mining: top-5 most-similar DIFFERENT-label vectors per
+  // probe (vec_id % 29) — the contrastive-training negative sampler on
+  // top of q43's machinery; the label exclusion runs inside the scoring
+  // kernel so same-class twins never crowd out negatives.
+  private def q229(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    Similarity.hardNegatives(emb, emb.filter($"vec_id" % 29 === 0), k = 5)
+      .orderBy($"qid", $"rn")
+  }
+  private val q229Sql =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS q_label,
+       |    $quantSql AS qv FROM embeddings WHERE vec_id % 29 = 0),
+       |e AS (SELECT vec_id AS eid, CAST(label AS BIGINT) AS e_label,
+       |    $quantSql AS ev FROM embeddings),
+       |sc AS (SELECT qid, q_label, eid, e_label,
+       |    CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*ev[i])) AS DOUBLE)
+       |      / (sqrt(CAST(list_sum(list_transform(qv, x->x*x)) AS DOUBLE))
+       |         * sqrt(CAST(list_sum(list_transform(ev, x->x*x)) AS DOUBLE))) AS cos
+       |  FROM q, e WHERE q_label <> e_label)
+       |SELECT qid, q_label, eid, e_label, cos, rn FROM (
+       |  SELECT qid, q_label, eid, e_label, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, eid) AS INT) AS rn
+       |  FROM sc) WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+
   // ---------------------------------------------------------------- q53
   // IVF-Flat at nprobe = nlist scans every list, so the ANN scale path's
   // whole machinery (sampled+Lloyd-refined quantizer, list assignment,
@@ -555,6 +582,7 @@ object LlmQueries {
     QueryDef("q41_minhash_pairs", q41, Some(q41Sql)),
     QueryDef("q42_ngram_jaccard", q42, Some(q42Sql)),
     QueryDef("q43_cosine_topk", q43, Some(q43Sql)),
+    QueryDef("q229_hard_negatives", q229, Some(q229Sql)),
     QueryDef("q44_token_count", q44, Some(q44Sql)),
     QueryDef("q45_quality_score", q45, Some(q45Sql)),
     QueryDef("q46_langid", q46, Some(q46Sql)),

@@ -153,6 +153,57 @@ object Similarity {
       .select(col("qid"), col("eid"), col("cos"), col("rn"))
   }
 
+  /** Hard-negative mining for contrastive training: for each probe, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — maximally
+    * confusable non-matches, the standard negative-sampling upgrade over
+    * random negatives (and the retrieval-training complement of
+    * [[bruteForceTopK]], which ranks without regard to labels). The
+    * same-label exclusion runs INSIDE the scoring kernel, before the
+    * top-k, so a probe's true-class twins can never crowd out negatives.
+    *
+    * Same contract and shape as bruteForceTopK: probe set collected under
+    * the `graft.ann.maxProbe` cap and broadcast; the corpus streams
+    * partition-parallel; integer-quantized cosine (exact cross-engine).
+    *
+    * @return (qid, q_label, eid, e_label, cos, rn) with rn ≤ k per probe
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cap = spark.conf.get("graft.ann.maxProbe", "100000").toInt
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(vecCol), col(labelCol).cast("long"))
+      .limit(cap + 1).as[(Long, Seq[Float], Long)].collect()
+    require(qRows.length <= cap,
+      s"ANN probe set exceeds graft.ann.maxProbe=$cap rows (see " +
+        "collectProbes): the query side is collected and broadcast by " +
+        "contract (|queries| ≪ |corpus|).")
+    val qs = qRows.map { case (id, v, l) =>
+      val qv = quantizeJvm(v); (id, qv, normJvm(qv), l)
+    }
+    val bc = spark.sparkContext.broadcast(qs)
+    val scored = corpus
+      .select(col(idCol).cast("long"), col(vecCol), col(labelCol).cast("long"))
+      .as[(Long, Seq[Float], Long)]
+      .mapPartitions { it =>
+        val probes = bc.value
+        it.flatMap { case (eid, ev, el) =>
+          val e = quantizeJvm(ev)
+          val en = normJvm(e)
+          probes.iterator.collect { case (qid, qv, qn, ql) if ql != el =>
+            (qid, ql, eid, el, cosJvm(dotJvm(qv, e), qn, en))
+          }
+        }
+      }.toDF("qid", "q_label", "eid", "e_label", "cos")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("eid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("q_label"), col("eid"), col("e_label"),
+        col("cos"), col("rn"))
+  }
+
   /** Sign-random-projection buckets, computed in the JVM kernel: ternary
     * pseudo-hyperplane weights ∈ {-1,0,1} derived from a seeded splitmix
     * hash — deterministic, data-independent, no stored model. Returns one

@@ -203,4 +203,28 @@ class SimilaritySpec extends SparkSpec {
     assert(all.map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSet ==
       Set((1L, 2L, 666666L), (1L, 3L, math.floor(1e6 / math.sqrt(3.0)).toLong)))
   }
+
+  test("hardNegatives: same-label rows excluded inside the kernel; " +
+      "ranking by cosine desc with id tie-break; probe cap enforced") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0.9f, 0.1f), 0), // same label as probe → never a negative
+      (3L, Seq(0.8f, 0.2f), 1), // closest different-label
+      (4L, Seq(0f, 1f), 1))     // orthogonal different-label
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb, emb.filter($"vec_id" === 1L), k = 2)
+      .orderBy($"rn").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(3L, 4L)) // eids, hard first
+    assert(got.map(_.getInt(5)).toSeq == Seq(1, 2))
+    assert(got.forall(r => r.getLong(3) != r.getLong(1))) // e_label ≠ q_label
+    assert(got.head.getDouble(4) > 0.96 && got.last.getDouble(4) == 0.0)
+
+    spark.conf.set("graft.ann.maxProbe", "2")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        Similarity.hardNegatives(emb, emb, k = 1).collect()
+      }
+      assert(err.getMessage.contains("maxProbe"))
+    } finally spark.conf.unset("graft.ann.maxProbe")
+  }
 }
