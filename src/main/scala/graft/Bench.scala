@@ -24,10 +24,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       // ContextCleaner frees broadcasts/shuffle files via WEAK references,
       // i.e. only after a GC — which a 100+ GiB heap may not run for the
-      // whole suite. Without this, state from 200+ queries accumulates and
-      // the heavy tail measures 3-6x slower mid-suite than isolated
-      // (q183: 37s in-suite vs 8s in a 5-query run, same data).
-      .config("spark.cleaner.periodicGC.interval", "45s")
+      // whole suite. Without draining it, state from 200+ queries
+      // accumulates and the heavy tail measures 3-6x slower in-suite than
+      // isolated (q183: 37s vs 8s, same data). The drain lives in
+      // release() BETWEEN queries; the periodic timer is pushed out so a
+      // multi-second full GC never lands inside a timed section (measured
+      // at 10x: a 45s timer inflated random mid-suite queries 3-10x).
+      .config("spark.cleaner.periodicGC.interval", "1h")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm every query's codegen/JIT path on the smallest SF first: without
@@ -51,11 +54,11 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
-      // drain the weak-ref cleaner queue at a bounded cadence (outside the
-      // timed section) — the periodicGC config alone leaves up to 45s of
-      // accumulation, which at ~1s/query still spans dozens of queries
+      // drain the weak-ref cleaner queue at a bounded cadence, always
+      // OUTSIDE the timed section (a timer-based GC was measured landing
+      // inside queries at 10x data — see the builder comment)
       sinceGc += 1
-      if (sinceGc >= 20) { sinceGc = 0; System.gc() }
+      if (sinceGc >= 10) { sinceGc = 0; System.gc() }
     }
     // a failed query is reported as -1, never as a (fast-looking) timing
     def pass(): Seq[(String, Double)] =

@@ -675,6 +675,43 @@ object CorpusQueries {
        |SELECT t AS term, n AS exact_n, cms_est, cms_est - n AS overcount
        |FROM est ORDER BY exact_n DESC, term""".stripMargin
 
+  // ---------------------------------------------------------------- q230
+  // T5-style span-corruption plan: deterministic mask spans for denoising
+  // objectives — every full 20-token block masks the 3-token span at
+  // offset fingerprint(doc_id ':' block) mod 17 (≈15% mask ratio,
+  // mean span 3, overlap-free by construction). Content-keyed like the
+  // q57/q106 family: reproducible across retries, partitionings and
+  // engines, no rand(). One projection + a bounded sequence explode —
+  // no shuffle at all until the output sort.
+  private def q230(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", TextAnalysis.tokenCount($"text").as("nt"))
+      .withColumn("nblocks", expr("nt div 20"))
+      .filter($"nblocks" > 0L)
+    base.select($"doc_id", $"nt",
+        explode(expr("sequence(0L, nblocks - 1L)")).as("block"))
+      .withColumn("off", pmod(graft.functions.RollingFingerprint(
+        concat($"doc_id".cast("string"), lit(":"), $"block".cast("string"))),
+        lit(17L)))
+      .select($"doc_id", $"block",
+        ($"block" * 20L + $"off").as("span_start"), lit(3L).as("span_len"))
+      .orderBy($"doc_id", $"block")
+  }
+  private val q230Sql =
+    s"""WITH n AS (SELECT doc_id, $ntSql AS nt FROM documents),
+       |b AS (SELECT doc_id, nt, nt // 20 AS nblocks FROM n WHERE nt // 20 > 0),
+       |e AS (SELECT doc_id, CAST(u.block AS BIGINT) AS block
+       |      FROM b, LATERAL unnest(range(nblocks)) AS u(block)),
+       |o AS (SELECT doc_id, block,
+       |        ((${LlmQueries.fpSqlOf(
+                  "CAST(doc_id AS VARCHAR) || ':' || CAST(block AS VARCHAR)")}
+       |          % 17) + 17) % 17 AS off
+       |      FROM e)
+       |SELECT doc_id, block, block * 20 + off AS span_start,
+       |  CAST(3 AS BIGINT) AS span_len
+       |FROM o ORDER BY doc_id, block""".stripMargin
+
   // ---------------------------------------------------------------- q221
   // Vocabulary Jaccard between language sub-corpora: |V_a ∩ V_b| /
   // |V_a ∪ V_b| over distinct normalized tokens — the corpus-level
@@ -744,5 +781,6 @@ object CorpusQueries {
     QueryDef("q84_corpus_diff", q84, Some(q84Sql)),
     QueryDef("q97_fuzzy_key_join", q97, Some(q97Sql)),
     QueryDef("q221_vocab_jaccard", q221, Some(q221Sql)),
+    QueryDef("q230_span_corruption", q230, Some(q230Sql)),
   )
 }

@@ -217,14 +217,42 @@ object LlmQueries {
     val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter($toksSql, t -> list_contains($words, t)))"
   }
+  private[operators] val predLangSql =
+    s"""CASE WHEN greatest(${hitsSql("en")}, ${hitsSql("de")}, ${hitsSql("es")}, ${hitsSql("fr")}) = 0 THEN 'und'
+       |     WHEN ${hitsSql("en")} >= ${hitsSql("de")} AND ${hitsSql("en")} >= ${hitsSql("es")} AND ${hitsSql("en")} >= ${hitsSql("fr")} THEN 'en'
+       |     WHEN ${hitsSql("de")} >= ${hitsSql("es")} AND ${hitsSql("de")} >= ${hitsSql("fr")} THEN 'de'
+       |     WHEN ${hitsSql("es")} >= ${hitsSql("fr")} THEN 'es'
+       |     ELSE 'fr' END""".stripMargin
   private val q46Sql =
-    s"""SELECT doc_id,
-       |  CASE WHEN greatest(${hitsSql("en")}, ${hitsSql("de")}, ${hitsSql("es")}, ${hitsSql("fr")}) = 0 THEN 'und'
-       |       WHEN ${hitsSql("en")} >= ${hitsSql("de")} AND ${hitsSql("en")} >= ${hitsSql("es")} AND ${hitsSql("en")} >= ${hitsSql("fr")} THEN 'en'
-       |       WHEN ${hitsSql("de")} >= ${hitsSql("es")} AND ${hitsSql("de")} >= ${hitsSql("fr")} THEN 'de'
-       |       WHEN ${hitsSql("es")} >= ${hitsSql("fr")} THEN 'es'
-       |       ELSE 'fr' END AS pred_lang
+    s"""SELECT doc_id, $predLangSql AS pred_lang
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q231
+  // Language-ID confusion matrix: declared label vs the q46 stopword-hit
+  // classifier, with per-label share ppm — the "is the lang column
+  // trustworthy / which languages does the heuristic confuse" audit
+  // (e.g. zh has no stopword table, so it must land in 'und'). One
+  // codegen projection + one grid-sized aggregate; shares are exact
+  // integer ratios.
+  private def q231(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.documents(s, d)
+      .select($"lang", TextAnalysis.langId($"text").as("pred_lang"))
+      .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // grid-sized; feeds the marginal AND the output
+    val tot = cells.groupBy($"lang").agg(sum($"n").as("tot"))
+    cells.join(broadcast(tot), Seq("lang"))
+      .select($"lang", $"pred_lang", $"n",
+        expr("(n * 1000000L) div tot").as("share_ppm"))
+      .orderBy($"lang", $"pred_lang")
+  }
+  private val q231Sql =
+    s"""WITH p AS (SELECT lang, $predLangSql AS pred_lang FROM documents),
+       |c AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM p GROUP BY 1, 2),
+       |t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+       |SELECT lang, pred_lang, n, (n * 1000000) // tot AS share_ppm
+       |FROM c JOIN t USING (lang) ORDER BY lang, pred_lang""".stripMargin
 
   // ---------------------------------------------------------------- q47
   private def q47(s: SparkSession, d: String): DataFrame = {
@@ -586,6 +614,7 @@ object LlmQueries {
     QueryDef("q44_token_count", q44, Some(q44Sql)),
     QueryDef("q45_quality_score", q45, Some(q45Sql)),
     QueryDef("q46_langid", q46, Some(q46Sql)),
+    QueryDef("q231_langid_confusion", q231, Some(q231Sql)),
     QueryDef("q47_fingerprint", q47, Some(q47Sql)),
     QueryDef("q48_simhash_pairs", q48, Some(q48Sql)),
     QueryDef("q49_multimodal_meta", q49, Some(q49Sql)),
