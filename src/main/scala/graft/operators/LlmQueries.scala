@@ -115,18 +115,23 @@ object LlmQueries {
 
   // ---------------------------------------------------------------- q229
   // Hard-negative mining: top-5 most-similar DIFFERENT-label vectors per
-  // probe (vec_id % 29) — the contrastive-training negative sampler on
-  // top of q43's machinery; the label exclusion runs inside the scoring
-  // kernel so same-class twins never crowd out negatives.
+  // probe — the contrastive-training negative sampler on top of q43's
+  // machinery; the label exclusion runs inside the scoring kernel so
+  // same-class twins never crowd out negatives. The probe panel is FIXED
+  // (vec_id < 500 ∧ % 29): a modulo-only selection grows linearly with
+  // the corpus and turns the |Q|·N kernel quadratic (measured 16 s at
+  // 30× before pinning) — a probe set is an eval panel, not a sample.
   private def q229(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    Similarity.hardNegatives(emb, emb.filter($"vec_id" % 29 === 0), k = 5)
+    Similarity.hardNegatives(emb,
+        emb.filter($"vec_id" < 500 && $"vec_id" % 29 === 0), k = 5)
       .orderBy($"qid", $"rn")
   }
   private val q229Sql =
     s"""WITH q AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS q_label,
-       |    $quantSql AS qv FROM embeddings WHERE vec_id % 29 = 0),
+       |    $quantSql AS qv FROM embeddings
+       |    WHERE vec_id < 500 AND vec_id % 29 = 0),
        |e AS (SELECT vec_id AS eid, CAST(label AS BIGINT) AS e_label,
        |    $quantSql AS ev FROM embeddings),
        |sc AS (SELECT qid, q_label, eid, e_label,
@@ -139,6 +144,62 @@ object LlmQueries {
        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, eid) AS INT) AS rn
        |  FROM sc) WHERE rn <= 5
        |ORDER BY qid, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q233
+  // Two-NN intrinsic-dimension estimate (Facco et al. 2017): over the
+  // q229 probe set, μ = d2/d1 of the two nearest cosine distances and
+  // id ≈ n / Σ ln μ — "how many effective dimensions does the manifold
+  // use", the capacity check before picking PQ/IVF parameters (q56/q53)
+  // or a JL target dim (q192). Probes with an exact duplicate (d1 = 0)
+  // are excluded, per the estimator's definition.
+  private def q233(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val nn = Similarity.bruteForceTopK(emb,
+        emb.filter($"vec_id" < 500 && $"vec_id" % 29 === 0), k = 2)
+      .groupBy($"qid")
+      .agg(max(when($"rn" === 1, $"cos")).as("c1"),
+        max(when($"rn" === 2, $"cos")).as("c2"))
+    val valid = nn.filter($"c1" < 1.0d)
+      .select($"qid",
+        floor(log((lit(1.0d) - $"c2") / (lit(1.0d) - $"c1")) * lit(1e9))
+          .cast("long").as("lnmu_x9"))
+    nn.agg(count(lit(1)).as("n_probes"))
+      .crossJoin(valid.agg(count(lit(1)).as("n_valid"),
+        sum($"lnmu_x9").as("sum_lnmu_x9")))
+      .withColumn("id_x6",
+        when($"sum_lnmu_x9" > 0L,
+          floor($"n_valid".cast("double") /
+            ($"sum_lnmu_x9".cast("double") / lit(1e9)) * lit(1e6))
+            .cast("long")))
+  }
+  private val q233Sql =
+    s"""WITH q AS (SELECT vec_id AS qid, $quantSql AS qv FROM embeddings
+       |      WHERE vec_id < 500 AND vec_id % 29 = 0),
+       |e AS (SELECT vec_id AS eid, $quantSql AS ev FROM embeddings),
+       |sc AS (SELECT qid, eid,
+       |    CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*ev[i])) AS DOUBLE)
+       |      / (sqrt(CAST(list_sum(list_transform(qv, x->x*x)) AS DOUBLE))
+       |         * sqrt(CAST(list_sum(list_transform(ev, x->x*x)) AS DOUBLE))) AS cos
+       |  FROM q, e WHERE qid <> eid),
+       |r AS (SELECT qid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, eid) AS rn
+       |  FROM sc),
+       |nn AS (SELECT qid, MAX(CASE WHEN rn = 1 THEN cos END) AS c1,
+       |    MAX(CASE WHEN rn = 2 THEN cos END) AS c2
+       |  FROM r WHERE rn <= 2 GROUP BY qid),
+       |v AS (SELECT qid,
+       |    CAST(floor(ln((1 - c2) / (1 - c1)) * 1e9) AS BIGINT) AS lnmu_x9
+       |  FROM nn WHERE c1 < 1),
+       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM nn),
+       |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
+       |    CAST(SUM(lnmu_x9) AS BIGINT) AS sum_lnmu_x9 FROM v)
+       |SELECT n_probes, n_valid, sum_lnmu_x9,
+       |  CASE WHEN sum_lnmu_x9 > 0 THEN
+       |    CAST(floor(CAST(n_valid AS DOUBLE)
+       |      / (CAST(sum_lnmu_x9 AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
+       |  END AS id_x6
+       |FROM a CROSS JOIN b""".stripMargin
 
   // ---------------------------------------------------------------- q53
   // IVF-Flat at nprobe = nlist scans every list, so the ANN scale path's
@@ -611,6 +672,7 @@ object LlmQueries {
     QueryDef("q42_ngram_jaccard", q42, Some(q42Sql)),
     QueryDef("q43_cosine_topk", q43, Some(q43Sql)),
     QueryDef("q229_hard_negatives", q229, Some(q229Sql)),
+    QueryDef("q233_intrinsic_dim", q233, Some(q233Sql)),
     QueryDef("q44_token_count", q44, Some(q44Sql)),
     QueryDef("q45_quality_score", q45, Some(q45Sql)),
     QueryDef("q46_langid", q46, Some(q46Sql)),

@@ -1824,6 +1824,7 @@ object StatsQueries {
     QueryDef("q225_lorenz_curve", q225, Some(q225Sql)),
     QueryDef("q226_ks_test", q226, Some(q226Sql)),
     QueryDef("q228_runs_test", q228, Some(q228Sql)),
+    QueryDef("q232_srm_check", q232, Some(q232Sql)),
   )
 
   // ---------------------------------------------------------------- q207
@@ -2683,6 +2684,36 @@ object StatsQueries {
       |  CAST(MIN(v) AS BIGINT) AS v_at_max
       |FROM d CROSS JOIN m WHERE dn = d_num
       |GROUP BY n_a, n_b, d_num""".stripMargin
+
+  // ---------------------------------------------------------------- q232
+  // Sample-ratio mismatch guardrail: is the even/odd-id cohort split
+  // (q208/q220's assignment) actually 50/50? χ² vs the expected equal
+  // split collapses to (n_a−n_b)²/n — ONE exact integer division ·10⁹.
+  // The pre-test every A/B readout (q144/q175/q177) should gate on: a
+  // biased assignment invalidates them all.
+  private def q232(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id").distinct()
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(pmod($"user_id", lit(2L)) === 0L, 1L).otherwise(0L))
+          .as("n_a"))
+      .withColumn("n_b", $"n_users" - $"n_a")
+      .withColumn("srm_x9",
+        when($"n_users" > 0L,
+          expr("((n_a - n_b) * (n_a - n_b) * 1000000000L) div n_users")))
+  }
+  private val q232Sql =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |        CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS n_a
+      |      FROM u)
+      |SELECT n_users, n_a, n_users - n_a AS n_b,
+      |  CASE WHEN n_users > 0 THEN
+      |    ((n_a - (n_users - n_a)) * (n_a - (n_users - n_a)) * 1000000000)
+      |      // n_users END AS srm_x9
+      |FROM c""".stripMargin
 
   // ---------------------------------------------------------------- q228
   // Wald-Wolfowitz runs test on daily revenue direction: are up/down
