@@ -160,6 +160,10 @@ object LlmQueries {
       .groupBy($"qid")
       .agg(max(when($"rn" === 1, $"cos")).as("c1"),
         max(when($"rn" === 2, $"cos")).as("c2"))
+      // probe-panel-sized (≤18 rows) but its lineage is the FULL corpus
+      // scoring scan — consumed twice below (probe count + valid sums),
+      // so pin it or the corpus is scanned per consumer
+      .localCheckpoint()
     val valid = nn.filter($"c1" < 1.0d)
       .select($"qid",
         floor(log((lit(1.0d) - $"c2") / (lit(1.0d) - $"c1")) * lit(1e9))

@@ -1671,7 +1671,9 @@ object Stats {
     val diff = (o * col("n") - col("nx") * col("ny")).cast(dbl)
     val term = (diff * diff) /
       (col("n").cast(dbl) * (col("nx").cast(dbl) * col("ny").cast(dbl)))
-    val grid = mx.crossJoin(my) // full grid: r·c rows, bounded axes
+    // full grid: r·c rows, bounded axes — broadcast one marginal so the
+    // cross is a broadcast nested loop, never a CartesianProduct exchange
+    val grid = mx.crossJoin(broadcast(my))
       .join(cells, Seq("__x", "__y"), "left")
       .crossJoin(broadcast(tot))
     val agg = grid

@@ -495,6 +495,48 @@ class PlanAuditSpec extends SparkSpec {
         "consumption (packed + totals)")
   }
 
+  test("q214/q215/q220: round-4 bounded-axis statistics — no nested-loop " +
+      "joins; pair/grid work runs above hash aggregates of the facts") {
+    for (q <- Seq("q214_mann_kendall", "q215_cramers_v",
+        "q220_transition_entropy")) {
+      val p = planOf(q)
+      assert(p.contains("HashAggregate"), s"$q: facts must pre-aggregate")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian products")
+    }
+  }
+
+  test("q219/q221/q225/q226/q231: shared slim frames are materialized — " +
+      "the fan-out reads checkpointed scans, never a second parquet pass") {
+    for (q <- Seq("q219_silhouette", "q221_vocab_jaccard",
+        "q225_lorenz_curve", "q226_ks_test", "q231_langid_confusion")) {
+      val p = planOf(q)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q: expected materialized (localCheckpoint) scans")
+      assert(!p.contains("Scan parquet"),
+        s"$q: a parquet scan above the checkpoint means the shared " +
+          "frame re-derives per consumer")
+    }
+  }
+
+  test("q229/q233: ANN probe queries scan the corpus parquet exactly " +
+      "once — the probe panel is pre-collected, not re-joined") {
+    for (q <- Seq("q229_hard_negatives", "q233_intrinsic_dim")) {
+      val p = planOf(q)
+      val scans = "Scan parquet".r.findAllIn(p).length
+      // q233 checkpoints the nn frame (dual consumption) → 0 scans in
+      // the final plan; q229's single consumption reads the corpus once
+      assert(scans <= 1, s"$q: expected ≤1 corpus scan, found $scans")
+    }
+  }
+
+  test("q230: span planner is a single-scan projection + bounded Generate " +
+      "(no shuffle below the output sort)") {
+    val p = planOf("q230_span_corruption")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, found $scans")
+    assert(p.contains("Generate"))
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
