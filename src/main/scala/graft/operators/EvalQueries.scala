@@ -308,7 +308,8 @@ object EvalQueries {
        |  FROM comp GROUP BY 1, 2),
        |cent AS (SELECT clbl, list(s ORDER BY i) AS cv FROM cs GROUP BY 1),
        |cn AS (SELECT clbl, cv,
-       |    CAST(list_sum(list_transform(cv, v -> v*v)) AS BIGINT) AS cc
+       |    CAST(list_sum(list_transform(cv, v -> CAST(v AS HUGEINT) * v))
+       |      AS HUGEINT) AS cc
        |  FROM cent),
        |cf AS (SELECT * FROM cn WHERE cc > 0),
        |ab AS (SELECT id, lbl,
@@ -316,7 +317,7 @@ object EvalQueries {
        |    MIN(CASE WHEN clbl <> lbl THEN d END) AS b
        |  FROM (SELECT qf.id, qf.lbl, cf.clbl,
        |      1 - CAST(list_sum(list_transform(range(1, len(qv)+1),
-       |            i -> qv[i]*cv[i])) AS DOUBLE)
+       |            i -> CAST(qv[i] AS HUGEINT) * cv[i])) AS DOUBLE)
        |          / (sqrt(CAST(xx AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))) AS d
        |    FROM qf CROSS JOIN cf)
        |  GROUP BY 1, 2),

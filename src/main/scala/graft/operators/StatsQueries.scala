@@ -2324,8 +2324,9 @@ object StatsQueries {
          |        FROM oc) my
          |  GROUP BY t.n, mx.cnt, my.cnt)""".stripMargin
     s"""WITH oc AS MATERIALIZED (
-       |  SELECT c_mktsegment AS seg, o_orderpriority AS pri,
-       |         o_orderstatus AS st
+       |  SELECT COALESCE(c_mktsegment, '') AS seg,
+       |         COALESCE(o_orderpriority, '') AS pri,
+       |         COALESCE(o_orderstatus, '') AS st
        |  FROM orders JOIN customer ON o_custkey = c_custkey)
        |${v("seg", "pri", "seg~pri")}
        |UNION ALL
@@ -2627,9 +2628,14 @@ object StatsQueries {
     val decs = s.range(1, 11).toDF("decile")
       .crossJoin(broadcast(tot))
       .withColumn("target_rn", expr("(n * decile + 9) div 10"))
+    // share as a fixed double tree, not cum·10⁶ in long: cum_cents at the
+    // top decile IS the total corpus spend in cents, and TPC-H-scale
+    // replicated totals sit within an order of magnitude of 2⁶³/10⁶
+    // (ANSI throw) — the q223 dollar-grain lesson, double-tree variant
     decs.join(packed, $"rn" === $"target_rn")
       .select($"decile", $"target_rn", $"cum_cents",
-        expr("(cum_cents * 1000000L) div tot").as("share_x6"))
+        floor($"cum_cents".cast("double") / $"tot".cast("double")
+          * lit(1e6)).cast("long").as("share_x6"))
       .orderBy($"decile")
   }
   private val q225Sql =
@@ -2646,7 +2652,8 @@ object StatsQueries {
       |      FROM s)
       |SELECT CAST(d.decile AS BIGINT) AS decile,
       |  (n * d.decile + 9) // 10 AS target_rn, cum_cents,
-      |  (cum_cents * 1000000) // tot AS share_x6
+      |  CAST(floor(CAST(cum_cents AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6)
+      |    AS BIGINT) AS share_x6
       |FROM range(1, 11) d(decile) JOIN r ON rn = (n * d.decile + 9) // 10
       |ORDER BY decile""".stripMargin
 
@@ -2679,8 +2686,10 @@ object StatsQueries {
       |      FROM c CROSS JOIN t),
       |m AS (SELECT CAST(MAX(dn) AS BIGINT) AS d_num FROM d)
       |SELECT n_a, n_b, d_num,
-      |  CASE WHEN n_a * n_b > 0 THEN (d_num * 1000000) // (n_a * n_b) END
-      |    AS d_x6,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    CAST(floor(CAST(d_num AS DOUBLE)
+      |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1e6) AS BIGINT)
+      |  END AS d_x6,
       |  CAST(MIN(v) AS BIGINT) AS v_at_max
       |FROM d CROSS JOIN m WHERE dn = d_num
       |GROUP BY n_a, n_b, d_num""".stripMargin

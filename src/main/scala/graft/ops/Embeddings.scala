@@ -234,9 +234,14 @@ object Embeddings {
     * cluster's component-wise integer SUM (cosine is scale-invariant, so
     * the un-divided sum vector IS the centroid direction — no float mean),
     * making every dot/norm an exact integer; cosine and the silhouette
-    * ratio are fixed double trees over those exact longs, quantized
+    * ratio are fixed double trees over those exact integers, quantized
     * floor(·10⁶). Vectors with zero quantized norm are dropped (no
-    * direction).
+    * direction). Because centroid components grow with n_label, the
+    * centroid norm Σ(Σx_i)² grows with n_label² — a long would overflow
+    * at ~3×10⁶ coherent milli-quantized unit vectors per label — so the
+    * centroid-side norm and the query·centroid dot run through
+    * [[Similarity.normIntBig]]/[[Similarity.dotIntBig]] (DECIMAL(38,0),
+    * exact through n_label ≈ 10¹⁵; HUGEINT on the oracle side).
     *
     * Scale: one explode-aggregate builds k·dim centroid components (a
     * control-plane frame, broadcast back); each vector then meets exactly
@@ -260,10 +265,10 @@ object Embeddings {
     val cents = comp.groupBy(col("lbl").as("clbl"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
         e => e.getField("s")).as("cv"))
-      .withColumn("cc", Similarity.normInt(col("cv")))
+      .withColumn("cc", Similarity.normIntBig(col("cv")))
       .filter(col("cc") > 0L)
     val dbl = "double"
-    val cos = Similarity.dotInt(col("qv"), col("cv")).cast(dbl) /
+    val cos = Similarity.dotIntBig(col("qv"), col("cv")).cast(dbl) /
       (sqrt(col("xx").cast(dbl)) * sqrt(col("cc").cast(dbl)))
     val scored = q.join(broadcast(cents), lit(true))
       .select(col("id"), col("lbl"),

@@ -31,6 +31,25 @@ object Similarity {
   def normInt(a: Column): Column =
     aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
 
+  /** Decimal-exact dot/norm for component-SUM vectors (centroids): a
+    * label centroid is the un-divided Σ of its members' quantized
+    * components, so its norm Σ(Σx_i)² grows with n_label² — for
+    * milli-quantized unit vectors a coherent cluster of ~3×10⁶ vectors
+    * already overflows a long (ANSI exception here, BIGINT overflow in a
+    * SQL oracle). DECIMAL(38,0) is exact to 10³⁸ (HUGEINT on the DuckDB
+    * side), which holds through n_label ≈ 10¹⁵ at dim 64 — and exactness
+    * keeps the sum order-free, so parity needs no fold-order contract.
+    * The long variants above stay the hot path for single vectors. */
+  def dotIntBig(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("decimal(19,0)") * y.cast("decimal(19,0)")),
+      lit(0L).cast("decimal(38,0)"), (acc, x) => acc + x)
+
+  def normIntBig(a: Column): Column =
+    aggregate(
+      transform(a, x => x.cast("decimal(19,0)") * x.cast("decimal(19,0)")),
+      lit(0L).cast("decimal(38,0)"), (acc, x) => acc + x)
+
   /** Per-element inline quantization on the RAW float array. Critical for
     * the hot paths: a `transform(...)` lambda is interpreted
     * (CodegenFallback) AND CollapseProject inlines it into every consumer —

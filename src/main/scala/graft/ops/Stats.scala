@@ -1554,8 +1554,12 @@ object Stats {
     * Scale: both samples aggregate to the DISTINCT-VALUE axis first
     * (one hash aggregate); the two cumulative passes run on that slim
     * axis through the two-phase prefix sum (no global window). The
-    * integer products need cum·n < 2⁶³ — fine through ~10⁹ rows per
-    * side; beyond that move the numerator to DECIMAL.
+    * binding integer constraint is cum·n < 2⁶³ — fine through ~10⁹ rows
+    * per side; beyond that move the numerator to DECIMAL. The quantized
+    * ratio d_x6 is computed as an identical fixed double tree on both
+    * engines (d_num/(n_a·n_b)·10⁶, floored), NOT integer-scaled — a
+    * d_num·10⁶ long product would overflow already at ~10⁷ rows per
+    * side (d_num itself grows as D·n_a·n_b).
     *
     * @param side row predicate: true → sample A, false → sample B
     * @param valQ integer-quantized value (cast to long)
@@ -1587,8 +1591,10 @@ object Stats {
       .groupBy(col("n_a"), col("n_b"), col("d_num"))
       .agg(min(col("__v")).as("v_at_max"))
       .select(col("n_a"), col("n_b"), col("d_num"),
-        when(col("n_a") * col("n_b") > 0L,
-          expr("(d_num * 1000000L) div (n_a * n_b)")).as("d_x6"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          floor(col("d_num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))
+            * lit(1e6)).cast("long")).as("d_x6"),
         col("v_at_max"))
   }
 
@@ -1605,6 +1611,13 @@ object Stats {
     *
     * Groups with < 2 points have no pairs: kept with n_pairs = 0 and
     * NULL s_stat/var18 (the [[theilSenSlope]]/[[spearmanRho]] contract).
+    *
+    * Input contract (ENFORCED): at most one row per (group, t). S counts
+    * only strictly-ordered pairs (r.t > l.t), so tied-t duplicates would
+    * be excluded from S while the n(n−1)(2n+5) variance still counts
+    * them — an inconsistent, z-inflating pair. Rather than silently
+    * mis-scale, a duplicate (group, t) raises at execution time: callers
+    * aggregate the series first (as [[theilSenSlope]] callers do).
     *
     * @param tCol ordering axis (long-castable); vCol series value
     * @return (groupCols…, n_points, n_pairs, s_stat, var18)
@@ -1630,15 +1643,26 @@ object Stats {
       .agg(sum(col("t")).as("n_points"),
         sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
           .as("tie18"))
+    // contract guard: duplicate (group, t) rows make S and Var(S)
+    // inconsistent (see scaladoc) — raise instead of mis-scaling z
+    val tties = base.groupBy(g :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__tt"))
+      .groupBy(g: _*).agg(max(col("__tt")).as("__max_tt"))
     ties
       .withColumn("var18",
         col("n_points") * (col("n_points") - 1L)
           * (lit(2L) * col("n_points") + 5L) - col("tie18"))
       .join(pairs, groupCols, "left")
+      .join(tties, groupCols)
       .select(g :+ col("n_points") :+
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs") :+
         col("s_stat") :+
-        when(col("n_pairs").isNotNull, col("var18")).as("var18"): _*)
+        when(col("__max_tt") > 1L, raise_error(lit(
+          "mannKendall: duplicate (group, t) rows — aggregate the series " +
+            "to one value per timestamp first (tied-t pairs are excluded " +
+            "from S but would still inflate Var(S))")).cast("long"))
+          .otherwise(when(col("n_pairs").isNotNull, col("var18")))
+          .as("var18"): _*)
   }
 
   /** Cramér's V association between two categoricals: the chi-square of
@@ -1654,11 +1678,20 @@ object Stats {
     * the CROSS of the two marginal frames — bounded by the axis
     * cardinalities, never the fact count.
     *
+    * NULL categories: both axes are rendered to string and NULL is
+    * coalesced to '' (the coalesce(lang,'') idiom), so a missing
+    * category is one ordinary level on both engines — without this, a
+    * SQL oracle's COUNT(DISTINCT) excludes NULL while groupBy keeps it,
+    * and NULL join keys silently drop observed cells from the grid.
+    * Callers whose data distinguishes genuine '' from NULL must
+    * pre-map NULL to their own sentinel.
+    *
     * @return one row: (pair, n_rows, n_x, n_y, chi2_x9, v_x6)
     */
   def cramersV(df: DataFrame, xCol: Column, yCol: Column,
       pairName: String): DataFrame = {
-    val cells = df.groupBy(xCol.as("__x"), yCol.as("__y"))
+    val cells = df.groupBy(coalesce(xCol.cast("string"), lit("")).as("__x"),
+        coalesce(yCol.cast("string"), lit("")).as("__y"))
       .agg(count(lit(1)).as("nxy"))
       .localCheckpoint() // one scan feeds both marginals + the total
     val mx = cells.groupBy(col("__x")).agg(sum(col("nxy")).as("nx"))

@@ -155,4 +155,18 @@ class EmbeddingsSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     assert(Embeddings.labelSilhouette(solo).count() == 0L)
   }
+
+  test("labelSilhouette: centroid norms beyond long range stay exact " +
+      "through the DECIMAL kernel (sum-of-sums squared grows n_label²)") {
+    // per-vector q = 3e9 (q² = 9e18, still a legal long), but the 2-vector
+    // centroid component is 6e9 whose square 3.6e19 overflows a long —
+    // the pre-fix path threw ANSI ArithmeticException here
+    val big = Seq(
+      (1L, Seq(3.0e6f, 0f), 0), (2L, Seq(3.0e6f, 0f), 0),
+      (3L, Seq(0f, 3.0e6f), 1), (4L, Seq(0f, 3.0e6f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Embeddings.labelSilhouette(big)
+      .orderBy($"label").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 2000000L), (1L, 2L, 2000000L)))
+  }
 }

@@ -760,6 +760,27 @@ class StatsSpec extends SparkSpec {
       && byG("solo").isNullAt(3) && byG("solo").isNullAt(4))
   }
 
+  test("mannKendall: duplicate (group, t) rows raise — tied-t pairs " +
+      "would be excluded from S but still inflate Var(S)") {
+    val dup = Seq(("g", 1L, 10L), ("g", 1L, 20L), ("g", 2L, 30L))
+      .toDF("g", "t", "v")
+    val e = intercept[Exception] {
+      Stats.mannKendall(dup, Seq("g"), col("t"), col("v")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("duplicate (group, t)")))
+  }
+
+  test("cramersV: NULL categories coalesce to the '' sentinel — one " +
+      "ordinary level, not a dropped grid cell") {
+    val withNull = Seq(("a", Some(1)), ("a", None), ("b", Some(2)),
+      ("b", Some(2))).toDF("x", "y")
+    val r = Stats.cramersV(withNull, col("x"), col("y"), "n").collect().head
+    // y has 3 levels including the sentinel; all 4 rows counted
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L && r.getLong(3) == 3L)
+  }
+
   test("cramersV: perfect 2x2 association scores V=1; independence " +
       "scores 0; empty grid cells contribute their expectation") {
     val perfect = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 2)).toDF("x", "y")
