@@ -168,16 +168,29 @@ object Graph {
     * EXACTNESS: distances are integers produced only by min() and +1 —
     * no floats anywhere, bit-identical across engines and partitionings.
     *
-    * Scale shape: FRONTIER expansion, not reached-set re-expansion — a
-    * node's distance is final the round it appears (min over rounds ≡
-    * first-reached round), so only the nodes discovered in round r−1
-    * join the edge table in round r: per-round cost O(|edges(frontier)|)
-    * where the naive formulation pays O(|edges(reached)|) and degrades
-    * as the blast radius grows. Each round materializes ONLY the new
-    * frontier (localCheckpoint — it feeds the next expansion, the
-    * anti-join, and the result); the reached set is the lazy union of
-    * the checkpointed frontiers, so lineage stays linear without ever
-    * rewriting the full reached set.
+    * Scale shape: FRONTIER expansion over an ADJACENCY INDEX. One
+    * up-front collect_set aggregation folds the parallel-edge dedup and
+    * the grouping into a single exchange and materializes (src, ns[])
+    * — V index rows instead of E edge rows. Each round then probes the
+    * index with the (slim) frontier and explodes only the MATCHED
+    * adjacency lists: per-round cost O(V + |edges(frontier)|), where
+    * joining the raw edge table re-scans all E rows every round (the
+    * round-4 profile: 4 rounds × 2M-row edge scans dominated the query;
+    * the index form scans 2M once and ~20k per round after). A node's
+    * distance is final the round it appears (min over rounds ≡
+    * first-reached round), so only nodes discovered in round r−1 expand
+    * in round r. Each round materializes ONLY the new frontier
+    * (localCheckpoint — it feeds the next expansion, the anti-join, and
+    * the result); the reached set is the lazy union of the checkpointed
+    * frontiers, and an EMPTY frontier short-circuits the remaining
+    * rounds on the driver (the checkpoint already materialized it, so
+    * the emptiness probe is control-plane — semantics are unchanged,
+    * rounds past the eccentricity were always no-ops).
+    *
+    * Degree-skew caveat: one adjacency array per node must fit in an
+    * executor row (the collect_set contract) — fine through ~10⁷-degree
+    * hubs; a web-scale hub graph should pre-cap degree or salt-split
+    * hub rows upstream, the same contract as every collect_set here.
     *
     * @param edges (src, dst) rows; pass both directions for undirected
     * @param seeds (node) rows — the 0-distance sources
@@ -186,9 +199,11 @@ object Graph {
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 6)
       : DataFrame = {
     require(rounds >= 1, "bfsHops needs at least one round")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    val adj = edges.select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("ns"))
+      .localCheckpoint()
+    val nodes = adj.select(col("src").as("node"))
+      .unionByName(adj.select(explode(col("ns")).as("node")))
       .distinct()
     // seeds outside the graph carry no edges and (as before) no row
     val f0 = nodes.join(seeds.select(col("node")).distinct(),
@@ -197,15 +212,19 @@ object Graph {
       .localCheckpoint()
     val layers = scala.collection.mutable.ArrayBuffer(f0)
     var frontier = f0.select(col("node"))
-    for (r <- 1 to rounds) {
+    var r = 1
+    var done = frontier.isEmpty // checkpointed: a control-plane probe
+    while (r <= rounds && !done) {
       val reached = layers.map(_.select(col("node"))).reduce(_.unionByName(_))
-      val newly = e.join(frontier.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node")).distinct()
+      val newly = adj.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(explode(col("ns")).as("node")).distinct()
         .join(reached, Seq("node"), "left_anti")
         .withColumn("dist", lit(r.toLong))
         .localCheckpoint()
       layers += newly
       frontier = newly.select(col("node"))
+      done = newly.isEmpty
+      r += 1
     }
     layers.map(df => df.select(col("node"), col("dist")))
       .reduce(_.unionByName(_))

@@ -393,6 +393,16 @@ class PlanAuditSpec extends SparkSpec {
     // per-round localCheckpoint: rounds consume materialized scans, not
     // a 2^rounds re-derivation of earlier frontiers
     assert(pb.contains("Scan ExistingRDD"))
+    // round count pinned: the result is the union of the materialized
+    // layer frames — one ExistingRDD scan per layer, so the scan count
+    // is bounded by rounds+1 (fewer when the frontier empties early and
+    // the driver short-circuits; never a re-derived layer)
+    val layerScans = "Scan ExistingRDD".r.findAllIn(pb).length
+    assert(layerScans >= 2 && layerScans <= 5, s"layer scans: $layerScans")
+    // the adjacency index replaced per-round edge-table re-scans: the
+    // final plan unions slim layer checkpoints only — no Generate
+    // (explode) and no join may appear above them
+    assert(!pb.contains("SortMergeJoin"))
     val pa = planOf("q184_revenue_acf")
     // the lag self-join happens ABOVE the day-grain aggregate: each join
     // side is a HashAggregate/checkpoint, so the orders scan feeds one

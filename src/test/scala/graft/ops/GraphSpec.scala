@@ -95,6 +95,17 @@ class GraphSpec extends SparkSpec {
     val b = Graph.bfsHops(edges.repartition(13), seeds, rounds = 3)
       .as[(Long, Long)].collect().toMap
     assert(a == b)
+
+    // early exit: rounds far past the eccentricity return the identical
+    // result (the driver stops expanding once a frontier comes back
+    // empty — extra rounds were always no-ops, now they cost nothing)
+    val deep = Graph.bfsHops(edges, seeds, rounds = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(deep == got)
+
+    // empty seed set: no layers beyond the empty layer 0
+    assert(Graph.bfsHops(edges, Seq.empty[Long].toDF("node"),
+      rounds = 3).count() == 0L)
   }
 
   test("hits: hand-computed 3-round mutual reinforcement with max " +
