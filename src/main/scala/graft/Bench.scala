@@ -83,12 +83,33 @@ object Bench {
     println(s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
       s""""cold_total":${total(cold)},"warm_total":${total(warm)},""" +
       s""""n_queries":${warm.size},"sf":"$sfDir","queries":$qs}""")
-    // The per-query line is ~8 KB at 205 queries and the driver keeps only
+    // Isolated re-measure of the tail: in-suite numbers run up to 2x above
+    // isolated on IDENTICAL plans (residual page-cache / code-cache /
+    // block-manager state across 200+ queries in one JVM — the round-4
+    // verdict's watch item). Re-timing the slowest warm queries after a
+    // full unpersist + cache-clear + forced GC separates plan regressions
+    // from harness noise in round-over-round comparison.
+    val slowTail = warm.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val iso = slowTail.map { case (name, _) =>
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      name -> (if (ok) r3((System.nanoTime() - t0) / 1e9) else -1.0)
+    }
+    val isoJson = iso.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // The per-query line is ~8 KB at 230+ queries and the driver keeps only
     // the LAST 2000 chars of output — repeat the scalars on a short FINAL
-    // line so the totals always land inside the tail window.
+    // line (plus the compact isolated tail, ~400 chars) so the totals
+    // always land inside the tail window.
     println(s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
       s""""cold_total":${total(cold)},"warm_total":${total(warm)},""" +
-      s""""n_queries":${warm.size},"sf":"$sfDir"}""")
+      s""""n_queries":${warm.size},"sf":"$sfDir",""" +
+      s""""slowest_isolated":$isoJson}""")
     spark.stop()
   }
 }
