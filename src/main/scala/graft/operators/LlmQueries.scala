@@ -669,8 +669,49 @@ object LlmQueries {
        |    END AS flesch_x3
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q234
+  // ImageIO decode round-trip: synthesize a deterministic solid-color PNG
+  // per sampled doc (dims and color are pure functions of doc_id), decode
+  // it with the REAL JDK ImageIO reader (javax.imageio — no stub), and
+  // report true dims, channel count and the exact pixel sum. PNG is
+  // lossless, so every output is SQL-derivable: the oracle recomputes the
+  // same arithmetic without touching a codec, which hash-gates the real
+  // decoder end to end. Encode and decode both run in the
+  // partition-batched mapPartitions seam (per-partition codec amortization
+  // — the production contract for a native decoder).
+  private def q234(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, d)
+      .select($"doc_id".cast("long").as("doc_id"))
+      .filter($"doc_id" % 10 === 0)
+    val png = ids.as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 16).toInt
+        val h = (8 + (id / 16) % 16).toInt
+        val rgb = ((id % 256) << 16 | ((id * 7) % 256) << 8 |
+          (id * 13) % 256).toInt
+        (id, Multimodal.solidPng(w, h, rgb))
+      }
+    }.toDF("doc_id", "media")
+    Multimodal.decodeDimensions(png, "doc_id", "media")
+      .select($"doc_id", $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        $"channels".cast("long").as("channels"), $"pixel_sum")
+      .orderBy($"doc_id")
+  }
+  private val q234Sql =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(8 + doc_id % 16 AS BIGINT) AS width,
+      |  CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  CAST((8 + doc_id % 16) * (8 + (doc_id // 16) % 16)
+      |    * (doc_id % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256)
+      |    AS BIGINT) AS pixel_sum
+      |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q206_readability", q206, Some(q206Sql)),
+    QueryDef("q234_imageio_roundtrip", q234, Some(q234Sql)),
     QueryDef("q40_dedup_exact", q40, Some(q40Sql)),
     QueryDef("q41_minhash_pairs", q41, Some(q41Sql)),
     QueryDef("q42_ngram_jaccard", q42, Some(q42Sql)),

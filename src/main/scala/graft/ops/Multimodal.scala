@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * `BinaryType` columns with typed metadata structs.
   *
   * The Spark-side mechanics are real — schema, partition-sized batch
-  * processing, metadata extraction, frame sampling contract. The actual
-  * media decode is STUBBED (this container ships no image/audio codecs):
-  * [[fakeDecode]] derives deterministic "dimensions" from the bytes, and is
-  * the single seam where a real decoder (javacv / a Python worker via
-  * mapInArrow on a PySpark driver) would plug in.
+  * processing, metadata extraction, frame sampling contract. IMAGE decode
+  * is real too: [[imageDecode]] runs the JDK's own `javax.imageio` (ships
+  * with every JRE — PNG/JPEG/GIF/BMP/WBMP, zero extra dependencies) and
+  * reports true dimensions, channel count and an exact pixel sum. Only
+  * formats ImageIO cannot read (video containers, exotic codecs) fall
+  * back to [[fakeDecode]], the deterministic stub seam where a native
+  * decoder (javacv / a Python worker via mapInArrow) would plug in.
   */
 object Multimodal {
 
@@ -36,32 +38,85 @@ object Multimodal {
       format.as("format")))
   }
 
-  /** STUB decode: deterministic pseudo-dimensions from content bytes.
-    * Replace the body with a real codec call; the signature — bytes in,
-    * (width, height, channels) out — is the production contract. */
+  /** STUB decode: deterministic pseudo-dimensions from content bytes —
+    * the fallback for formats [[imageDecode]] cannot read. The signature
+    * — bytes in, (width, height, channels) out — is the production
+    * contract for plugging in a native decoder. */
   def fakeDecode(bytes: Array[Byte]): (Int, Int, Int) = {
     val h = java.util.Arrays.hashCode(bytes)
     (256 + math.abs(h % 1024), 256 + math.abs((h / 1024) % 1024), 3)
   }
 
-  /** Partition-batched "decode": the iterator-in/iterator-out shape of
-    * mapPartitions is exactly how a real vectorized decoder (or an Arrow
+  /** REAL image decode via the JDK's bundled ImageIO readers
+    * (PNG/JPEG/GIF/BMP/WBMP). Returns (width, height, channels,
+    * pixel_sum) where pixel_sum = Σ(r+g+b) over the decoded raster —
+    * an exact integer content fingerprint for lossless formats (PNG
+    * round-trips bit-identically; JPEG dims are exact, pixels lossy).
+    * None when no registered reader accepts the bytes — callers fall
+    * back to [[fakeDecode]]. Decoding is pure JVM, no native libs. */
+  def imageDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var s = 0L; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, img.getColorModel.getNumComponents, s))
+      }
+    } catch { case _: Exception => None }
+
+  /** Partition-batched decode: the iterator-in/iterator-out shape of
+    * mapPartitions is exactly how a vectorized decoder (or an Arrow
     * batch handed to a Python/native worker) consumes media at scale —
     * per-partition setup cost amortized across rows, no per-row codec
-    * initialization. */
+    * initialization. Real ImageIO decode first (`decoded` = true, exact
+    * dims + pixel sum); unreadable payloads keep the deterministic stub
+    * dims with `decoded` = false and a NULL pixel sum. */
   def decodeDimensions(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition decoder init would go here
+        // per-partition native-decoder init would go here; ImageIO's
+        // reader registry is JVM-global and thread-safe
         it.map { case (id, bytes) =>
-          val (w, h, c) = fakeDecode(bytes)
-          (id, w, h, c)
+          imageDecode(bytes) match {
+            case Some((w, h, c, ps)) => (id, w, h, c, Some(ps), true)
+            case None =>
+              val (w, h, c) = fakeDecode(bytes)
+              (id, w, h, c, None: Option[Long], false)
+          }
         }
       }
-      .toDF(idCol, "width", "height", "channels")
+      .toDF(idCol, "width", "height", "channels", "pixel_sum", "decoded")
+  }
+
+  /** Deterministic solid-color PNG synthesis (JDK ImageIO encoder) —
+    * the test/demo payload generator for the decode round-trip: PNG is
+    * lossless, so dims and the pixel sum of the decoded raster are pure
+    * functions of (w, h, rgb), checkable by any SQL engine. */
+  def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Frame-sampling contract for video-ish payloads: split a byte payload

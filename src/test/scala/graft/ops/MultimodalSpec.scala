@@ -21,14 +21,59 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_._4.matches("[0-9a-f]{64}")))
   }
 
-  test("stubbed decode: deterministic dims via mapPartitions batch path") {
+  test("stub fallback: undecodable bytes get deterministic dims via the " +
+      "mapPartitions batch path, decoded=false, NULL pixel sum") {
+    // truncated magic prefixes: format sniffers match but no ImageIO
+    // reader can decode them — the fakeDecode fallback path
     val df = Seq((1L, jpegMagic), (2L, pngMagic)).toDF("id", "media")
     val out1 = Multimodal.decodeDimensions(df, "id", "media")
-      .as[(Long, Int, Int, Int)].collect().sortBy(_._1).toSeq
+      .as[(Long, Int, Int, Int, Option[Long], Boolean)]
+      .collect().sortBy(_._1).toSeq
     val out2 = Multimodal.decodeDimensions(df.repartition(4), "id", "media")
-      .as[(Long, Int, Int, Int)].collect().sortBy(_._1).toSeq
+      .as[(Long, Int, Int, Int, Option[Long], Boolean)]
+      .collect().sortBy(_._1).toSeq
     assert(out1 == out2) // partitioning-independent
-    assert(out1.forall { case (_, w, h, c) => w >= 256 && h >= 256 && c == 3 })
+    assert(out1.forall { case (_, w, h, c, ps, dec) =>
+      w >= 256 && h >= 256 && c == 3 && ps.isEmpty && !dec })
+  }
+
+  test("real ImageIO decode: checked-in PNG and JPEG fixtures report true " +
+      "dims and channels; PNG pixel sum is exact (lossless round-trip)") {
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/$name")
+      assert(in != null, s"missing test resource $name")
+      try in.readAllBytes() finally in.close()
+    }
+    // 5x3 gradient written by the JDK encoder: rgb(x*40, y*80, 123)
+    val expectedSum = (for (y <- 0 until 3; x <- 0 until 5)
+      yield x * 40 + y * 80 + 123).sum.toLong
+    val df = Seq(
+      (1L, fixture("fixture_5x3.png")),
+      (2L, fixture("fixture_5x3.jpg")),
+      (3L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "media")
+    val out = Multimodal.decodeDimensions(df, "id", "media")
+      .as[(Long, Int, Int, Int, Option[Long], Boolean)]
+      .collect().sortBy(_._1).toSeq
+    val png = out(0); val jpg = out(1); val txt = out(2)
+    assert(png._2 == 5 && png._3 == 3 && png._4 == 3 && png._6)
+    assert(png._5.contains(expectedSum))
+    // JPEG: dims exact, pixels lossy — sum present but not pinned
+    assert(jpg._2 == 5 && jpg._3 == 3 && jpg._4 == 3 && jpg._6 && jpg._5.nonEmpty)
+    assert(!txt._6 && txt._5.isEmpty)
+  }
+
+  test("solidPng round-trip: encode then decode is exact — dims, 3 " +
+      "channels, pixel_sum = w*h*(r+g+b)") {
+    val df = Seq(
+      (10L, Multimodal.solidPng(7, 4, (200 << 16) | (100 << 8) | 50)),
+      (11L, Multimodal.solidPng(1, 1, 0xFFFFFF)))
+      .toDF("id", "media")
+    val out = Multimodal.decodeDimensions(df, "id", "media")
+      .as[(Long, Int, Int, Int, Option[Long], Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(out(0) == ((10L, 7, 4, 3, Some(7L * 4 * 350), true)))
+    assert(out(1) == ((11L, 1, 1, 3, Some(765L), true)))
   }
 
   test("frame sampling: every stride-th fixed-size frame with indices") {
