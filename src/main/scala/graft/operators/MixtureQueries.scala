@@ -248,6 +248,72 @@ object MixtureQueries {
        |SELECT pair, count(*) AS n FROM p GROUP BY pair
        |ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q235
+  // Full BPE TRAINER over the corpus vocabulary: six count→merge→
+  // re-segment rounds (q113 is one round's counting kernel; this is the
+  // loop a tokenizer build actually runs). The oracle unrolls the same
+  // six rounds in SQL — pair counts from the current segmentation, top
+  // pair by (count desc, l, r), then the canonical greedy left-to-right
+  // merge via gaps-and-islands (marked-run offsets keep even positions,
+  // which only diverges from "merge every mark" on same-symbol runs) —
+  // so the whole iterative trainer is hash-gated, not just round one.
+  private def q235(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.TextAnalysis.bpeTrain(Tables.documents(s, d), merges = 6)
+      .orderBy($"round")
+  }
+  private val q235Sql = {
+    def round(k: Int): String = {
+      val prev = s"st${k - 1}"
+      s"""best$k AS MATERIALIZED (
+         |  SELECT l, r, n FROM (
+         |    SELECT syms[i] AS l, syms[i+1] AS r,
+         |      CAST(SUM(freq) AS BIGINT) AS n
+         |    FROM $prev, LATERAL unnest(range(1, len(syms))) t(i)
+         |    GROUP BY 1, 2)
+         |  ORDER BY n DESC, l, r LIMIT 1),
+         |mk$k AS (
+         |  SELECT w, freq, i, sym,
+         |    CASE WHEN sym = l AND
+         |      lead(sym) OVER (PARTITION BY w ORDER BY i) = r
+         |      THEN 1 ELSE 0 END AS mk, l, r
+         |  FROM (SELECT w, freq, i, syms[i] AS sym
+         |        FROM $prev, LATERAL unnest(range(1, len(syms)+1)) t(i))
+         |  CROSS JOIN best$k),
+         |isl$k AS (
+         |  SELECT *, CASE WHEN mk = 1 THEN
+         |      i - ROW_NUMBER() OVER (PARTITION BY w, mk ORDER BY i)
+         |    END AS isl
+         |  FROM mk$k),
+         |keep$k AS (
+         |  SELECT *, CASE WHEN mk = 1 AND
+         |      (i - MIN(i) OVER (PARTITION BY w, isl)) % 2 = 0
+         |    THEN 1 ELSE 0 END AS kp
+         |  FROM isl$k),
+         |st$k AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    list(CASE WHEN kp = 1 THEN l || r ELSE sym END ORDER BY i)
+         |      AS syms
+         |  FROM (SELECT *, LAG(kp, 1, 0) OVER (PARTITION BY w ORDER BY i)
+         |          AS pkp
+         |        FROM keep$k)
+         |  WHERE pkp = 0
+         |  GROUP BY w, freq)""".stripMargin
+    }
+    val rounds = (1 to 6).map(round).mkString(",\n")
+    val sel = (1 to 6).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS round, l AS lhs, r AS rhs, n AS pair_count FROM best$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH st0 AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    regexp_extract_all(w, '.') AS syms
+       |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |  WHERE strlen(w) >= 2 GROUP BY w),
+       |$rounds
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q114
   // Per-source uniform k-sample: exactly min(k, |group|) docs per source,
   // chosen by unsigned md5 order (deterministic "reservoir" — content-
@@ -439,6 +505,7 @@ object MixtureQueries {
     QueryDef("q111_bigram_nll", q111, Some(q111Sql)),
     QueryDef("q112_salted_join", q112, Some(q112Sql)),
     QueryDef("q113_bpe_pairs", q113, Some(q113Sql)),
+    QueryDef("q235_bpe_train", q235, Some(q235Sql)),
     QueryDef("q114_group_ksample", q114, Some(q114Sql)),
     QueryDef("q115_quality_quota", q115, Some(q115Sql)),
     QueryDef("q116_accent_fold", q116, Some(q116Sql)),

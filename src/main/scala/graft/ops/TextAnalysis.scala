@@ -112,6 +112,95 @@ object TextAnalysis {
       "n_sentences" -> nSent, "flesch_x3" -> flesch)
   }
 
+  /** One canonical greedy left-to-right BPE merge applied in-row: replace
+    * every non-overlapping (l, r) adjacency in `syms` with the merged
+    * symbol, scanning left to right (so a run "a a a" under pair (a, a)
+    * yields [aa, a], the textbook resolution). Implemented as an
+    * `aggregate` fold with a (out, carry) struct accumulator — a pure
+    * higher-order expression, no UDF; interpreted evaluation is fine
+    * because it runs on the |vocab|-row word table, never the corpus. */
+  private def mergePairFold(syms: Column, l: String, r: String): Column = {
+    def st(out: Column, carry: Column) =
+      struct(out.as("out"), carry.as("carry"))
+    val nil = lit(null).cast("string")
+    aggregate(syms,
+      st(lit(Array.empty[String]), nil),
+      (acc, x) => {
+        val out = acc.getField("out"); val carry = acc.getField("carry")
+        when(carry.isNull, st(out, x))
+          .when(carry === lit(l) && x === lit(r),
+            st(concat(out, array(lit(l + r))), nil))
+          .otherwise(st(concat(out, array(carry)), x))
+      },
+      acc => when(acc.getField("carry").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"),
+          array(acc.getField("carry")))))
+  }
+
+  /** Distributed BPE TRAINER: the full count→merge→re-segment loop, not
+    * just one round of pair counts. Classic byte-pair encoding over
+    * whitespace-normalized words: each round counts adjacent symbol
+    * pairs weighted by word frequency, picks the most frequent (ties:
+    * count desc, then left asc, right asc — deterministic cross-engine),
+    * merges it everywhere (greedy left-to-right, [[mergePairFold]]), and
+    * records the merge. Training stops early when no pairs remain.
+    *
+    * Scale shape: the corpus is scanned ONCE to build the word-frequency
+    * table (the classic BPE training input — |vocab| rows, not |corpus|);
+    * every round then costs one pair-count aggregate plus one in-row
+    * fold over that slim table. The winning pair is a 1-row collect
+    * (control-plane scalar, the PageRank `n` pattern) and the state
+    * localCheckpoints each round because two consumers read it (next
+    * round's count AND merge) — the HITS cadence, not PageRank's every-k
+    * (single-consumer) cadence. Cost model: merges × pair-agg(|vocab|).
+    *
+    * @param corpus frame with a text column
+    * @param merges maximum number of merge rounds (the vocab-size knob:
+    *               final vocab = chars + merges)
+    * @return ordered merge table (round, lhs, rhs, pair_count) — the
+    *         artifact a tokenizer builds its vocab from
+    */
+  def bpeTrain(corpus: DataFrame, merges: Int,
+      textCol: String = "text"): DataFrame = {
+    require(merges >= 1, "bpeTrain needs at least one merge round")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var words = corpus
+      .select(explode(split(Dedup.normalized(
+        coalesce(col(textCol), lit(""))), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= merges && !exhausted) {
+      val top = words
+        .select(explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = top.head
+        out += ((round.toLong, l, r, n))
+        words = words
+          .select(mergePairFold(col("syms"), l, r).as("syms"), col("freq"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    out.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+  }
+
   /** BPE-ish subword count estimate: word-boundary pieces plus an extra
     * piece per 6 chars of long words (common ~4 chars/token heuristic,
     * without a vocab file). */

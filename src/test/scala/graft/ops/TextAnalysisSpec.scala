@@ -244,4 +244,31 @@ class TextAnalysisSpec extends SparkSpec {
       out(2).isNullAt(4))
     assert(out(3).getLong(1) == 0L && out(3).isNullAt(4))
   }
+
+  test("bpeTrain: hand-computed merge sequence with frequency weighting, " +
+      "deterministic tie-break, early stop when no pairs remain") {
+    // words: aa x1, ab x2 → round 1 best (a,b) n=2; merging collapses ab
+    // to one symbol, so round 2 best is (a,a) n=1; round 3 finds nothing
+    val docs = Seq("aa ab", "ab").toDF("text")
+    val got = TextAnalysis.bpeTrain(docs, merges = 5)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a", "b", 2L), (2L, "a", "a", 1L)), s"got $got")
+  }
+
+  test("bpeTrain: greedy left-to-right on same-symbol runs — 'aaa' under " +
+      "(a,a) yields [aa, a], and merged symbols pair up in later rounds") {
+    // aaaa: r1 (a,a) n=3 → [aa, aa]; r2 (aa,aa) n=1 → [aaaa]; stop
+    val docs = Seq("aaaa").toDF("text")
+    val got = TextAnalysis.bpeTrain(docs, merges = 4)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)), s"got $got")
+
+    // layout invariance: the trainer's merges are partition-independent
+    val corpus = Seq("the cat", "the hat", "the bat", "cab").toDF("text")
+    val a = TextAnalysis.bpeTrain(corpus, merges = 3)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val b = TextAnalysis.bpeTrain(corpus.repartition(7), merges = 3)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(a == b && a.size == 3)
+  }
 }
