@@ -202,12 +202,25 @@ object Graph {
     val adj = edges.select(col("src"), col("dst"))
       .groupBy(col("src")).agg(collect_set(col("dst")).as("ns"))
       .localCheckpoint()
-    val nodes = adj.select(col("src").as("node"))
-      .unionByName(adj.select(explode(col("ns")).as("node")))
-      .distinct()
-    // seeds outside the graph carry no edges and (as before) no row
-    val f0 = nodes.join(seeds.select(col("node")).distinct(),
-        Seq("node"), "left_semi")
+    // seeds outside the graph carry no edges and (as before) no row.
+    // Validating a seed against the src keys is one slim semi-join; only
+    // seeds that are NOT src keys (sink nodes — none at all in symmetric
+    // graphs) force the expensive dst-side membership pass, so that
+    // full-|E| explode is driver-gated on the remainder being non-empty
+    // (at 30× the unconditional node-set distinct was a third of the
+    // whole query).
+    // one checkpoint: sd feeds both the semi and the anti probe; the
+    // probes themselves are slim single-consumer frames (rem is re-derived
+    // on the rare non-empty path — cheaper than a barrier per query)
+    val sd = seeds.select(col("node")).distinct().localCheckpoint()
+    val srcSeeds = sd.join(adj.select(col("src").as("node")),
+      Seq("node"), "left_semi")
+    val rem = sd.join(adj.select(col("src").as("node")),
+      Seq("node"), "left_anti")
+    val f0 = (if (rem.isEmpty) srcSeeds
+      else srcSeeds.unionByName(
+        rem.join(adj.select(explode(col("ns")).as("node")).distinct(),
+          Seq("node"), "left_semi")))
       .withColumn("dist", lit(0L))
       .localCheckpoint()
     val layers = scala.collection.mutable.ArrayBuffer(f0)

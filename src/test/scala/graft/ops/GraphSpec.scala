@@ -106,6 +106,15 @@ class GraphSpec extends SparkSpec {
     // empty seed set: no layers beyond the empty layer 0
     assert(Graph.bfsHops(edges, Seq.empty[Long].toDF("node"),
       rounds = 3).count() == 0L)
+
+    // directed graph, dst-only seed: node 30 is a pure sink, so it lives
+    // only on the dst side of the adjacency index — the seed-validation
+    // remainder path must still admit it (dist 0, no expansion), and a
+    // seed absent from BOTH sides must stay absent
+    val directed = Seq((20L, 30L), (21L, 30L)).toDF("src", "dst")
+    val dgot = Graph.bfsHops(directed, Seq(30L, 99L).toDF("node"),
+      rounds = 2).as[(Long, Long)].collect().toMap
+    assert(dgot == Map(30L -> 0L), s"got $dgot")
   }
 
   test("hits: hand-computed 3-round mutual reinforcement with max " +
