@@ -469,6 +469,81 @@ object EventStreams {
         sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
         sum(when(!col("__a") && col("__s"), 1L).otherwise(0L)).as("x_b")))
 
+  /** Streaming sample-ratio-mismatch guardrail face (the q232 batch
+    * statistic as a monitoring stream): per event-time window, count
+    * FIRST-SEEN users and how many landed in cohort A. Two chained
+    * stateful operators — watermarked dedup then a window aggregate —
+    * both with evictable state, so the plan runs forever; the cumulative
+    * readout ([[srmFromCounts]]) is one batch aggregate over the emitted
+    * window counts applying the identical exact-integer (n_a−n_b)²·10⁹/n
+    * statistic. Cohort assignment must be a deterministic function of
+    * the user (the A/B contract), so a user re-seen past the watermark
+    * re-counts in the SAME cohort: window counts inflate symmetrically
+    * and the mismatch signal stays directionally honest — the exact
+    * user-grain number is the batch operator's job.
+    *
+    * @param cohortA boolean column: user belongs to cohort A (else B) */
+  def srmWindowCounts(events: DataFrame, cohortA: Column,
+      windowLen: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id")
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_new_users"),
+        sum(when(cohortA, 1L).otherwise(0L)).as("n_a"))
+      .select(col("window.start").as("w_start"),
+        col("n_new_users"), col("n_a"))
+
+  /** Cumulative SRM readout over [[srmWindowCounts]] output — the same
+    * collapsed χ² vs a 50/50 split as the batch q232 statistic, exact
+    * integer arithmetic throughout. */
+  def srmFromCounts(counts: DataFrame): DataFrame =
+    counts
+      .agg(sum(col("n_new_users")).as("n_users"), sum(col("n_a")).as("n_a"))
+      .withColumn("n_b", col("n_users") - col("n_a"))
+      .withColumn("srm_x9",
+        when(col("n_users") > 0L,
+          expr("((n_a - n_b) * (n_a - n_b) * 1000000000L) div n_users")))
+
+  /** Streaming PSI drift face (the q187 batch statistic as a monitoring
+    * stream): bin live values against REFERENCE decile cuts — a 1-row
+    * broadcast batch frame of 9 cut values, so binning is stateless —
+    * and keep per-bin live counts as the one streaming aggregation
+    * (state: ≤10 fixed-width rows, bounded by the bin axis, not
+    * throughput; update/complete output). [[psiFromCounts]] then applies
+    * the identical quantized (p−q)·ln(p/q) tree against the reference
+    * bin counts. */
+  def psiBinCounts(stream: DataFrame, valueQ: Column,
+      cuts: DataFrame): DataFrame = {
+    val bin = (10 to 90 by 10).map(p =>
+      when(valueQ > col(s"p$p"), 1L).otherwise(0L)).reduce(_ + _)
+    stream.crossJoin(broadcast(cuts))
+      .select(bin.as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_cmp"))
+  }
+
+  /** PSI readout: join the live bin counts to the reference bin counts
+    * and emit per-bin quantized PSI terms — the identical fixed double
+    * tree as the batch population-stability query, so stream ≡ batch is
+    * spec-checkable term by term. Bins present on only one side carry a
+    * NULL term (the batch convention: a vanished/new bin is an alert of
+    * its own, not a number). */
+  def psiFromCounts(live: DataFrame, ref: DataFrame): DataFrame = {
+    val binned = ref.join(live, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cmp"), lit(0L)).as("n_cmp"))
+    val tot = binned.agg(sum(col("n_ref")).as("tr"), sum(col("n_cmp")).as("tc"))
+    val pa = col("n_ref").cast("double") / col("tr").cast("double")
+    val pb = col("n_cmp").cast("double") / col("tc").cast("double")
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cmp"),
+        when(col("n_ref") > 0L && col("n_cmp") > 0L,
+          floor(((pa - pb) * log(pa / pb)) * lit(1e9)).cast("long"))
+          .as("psi_term_x9"))
+  }
+
   /** Streaming materialized-view refresh: each micro-batch aggregates to
     * its mergeable state (`ops/Incremental.aggState`) and merges into a
     * parquet state table via `foreachBatch` — the production shape of

@@ -118,6 +118,64 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.contains("click") && streamed.contains("view"))
   }
 
+  test("streaming SRM guardrail ≡ batch q232 statistic: windowed " +
+      "first-seen cohort counts sum to the exact user-grain numbers") {
+    val input = MemoryStream[Ev](spark)
+    // users 1..5 with in-batch duplicates; cohort = even user id
+    input.addData(
+      Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 1, "view", 1.0),
+      Ev(3, ts(3), 2, "click", 1.0), Ev(4, ts(4), 3, "click", 1.0),
+      Ev(5, ts(12), 4, "view", 1.0), Ev(6, ts(13), 4, "click", 1.0),
+      Ev(7, ts(14), 5, "click", 1.0))
+    val q = EventStreams.srmWindowCounts(input.toDF(),
+        expr("user_id % 2 = 0"), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("srm").outputMode("append").start()
+    q.processAllAvailable()
+    // much-later sentinel advances the watermark so earlier windows emit
+    input.addData(Ev(8, ts(55), 6, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val got = EventStreams.srmFromCounts(spark.table("srm"))
+      .select("n_users", "n_a", "n_b", "srm_x9")
+      .as[(Long, Long, Long, Long)].collect().head
+    // batch reference: users 1..5 emitted (sentinel 6 still unflushed);
+    // 2 even of 5 → (2−3)²·1e9/5
+    assert(got == ((5L, 2L, 3L, 200000000L)), s"got $got")
+  }
+
+  test("streaming PSI drift ≡ batch population-stability terms on the " +
+      "same rows — identical quantized (p−q)·ln(p/q) tree per bin") {
+    // reference sample 1..100 → decile cuts; live sample shifted upward
+    val ref = (1 to 100).map(_.toLong).toDF("v")
+    val cuts = graft.ops.Stats.globalQuantileCuts(
+      ref.withColumn("id", $"v"), "id", $"v", (10 to 90 by 10))
+    val bin = (10 to 90 by 10).map(p =>
+      when($"v" > col(s"p$p"), 1L).otherwise(0L)).reduce(_ + _)
+    val refCounts = ref.crossJoin(broadcast(cuts))
+      .select(bin.as("bin")).groupBy("bin")
+      .agg(count(lit(1)).as("n_ref"))
+    val liveRows = (41 to 140).map(_.toLong)
+    val input = MemoryStream[Long](spark)
+    input.addData(liveRows.take(60): _*)
+    val q = EventStreams.psiBinCounts(input.toDF().toDF("v"), $"v", cuts)
+      .writeStream.format("memory").queryName("psibins")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    input.addData(liveRows.drop(60): _*) // batch boundaries must not matter
+    q.processAllAvailable(); q.stop()
+    val streamed = EventStreams.psiFromCounts(
+        spark.table("psibins"), refCounts)
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    // batch reference: same counts, same tree, all rows at once
+    val liveCounts = liveRows.toDF("v").crossJoin(broadcast(cuts))
+      .select(bin.as("bin")).groupBy("bin")
+      .agg(count(lit(1)).as("n_cmp"))
+    val batch = EventStreams.psiFromCounts(liveCounts, refCounts)
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // shifted distribution: the top bin gained mass and scores positive
+    assert(batch.exists { case (b, _, _, t) => b == 9L && t.exists(_ > 0L) })
+  }
+
   test("stream-static enrichment join carries dimension columns") {
     val input = MemoryStream[Ev](spark)
     input.addData(Ev(1, ts(1), 13, "click", 1.0), Ev(2, ts(2), 999, "view", 2.0))

@@ -6,6 +6,16 @@ Replicas get offset keys so joins keep their selectivity; dimension tables
 (region/nation/supplier/part/customer) are copied as-is so the broadcast-dim
 story is unchanged.
 
+Document and embedding replicas are MUTATED, not cloned: every ~20th token
+of a replica's text is swapped for a deterministic variant token (hash of
+doc, replica, position), and each embedding component gets a +-0.01
+deterministic jitter. Exact clones made every near-dup measurement
+exercise the clone-group fast path (and pair miners go clone-quadratic by
+construction); ~5% token noise gives realistic ~0.9-Jaccard /
+~0.999-cosine neighbors so LSH banding, PPJoin verification and
+semantic-dedup measurements hit their real code paths at 10x/30x.
+Replica 0 stays pristine.
+
 Each table is written as a DIRECTORY of 16 parquet files. A single
 monolithic file is NOT representative of warehouse layout: 50k highly
 repetitive docs compress to <1MB = one row group = ONE Spark input split,
@@ -72,10 +82,22 @@ write("events", key="event_id", sql=f"""
          event_type, value, props
   FROM {src('events')}, {rep}""")
 
+mut_text = f"""CASE WHEN i = 0 THEN text ELSE
+  array_to_string(list_transform(string_split(text, ' '), (w, j) ->
+    CASE WHEN CAST(hash(doc_id * 1000003 + i * 7919 + j) % 20 AS BIGINT) = 0
+         THEN 'v' || i || 'q' || CAST(hash(j * 31 + i) % 997 AS BIGINT)
+         ELSE w END), ' ') END"""
+
 write("documents", key="doc_id", sql=f"""
-  SELECT doc_id + i*{md} AS doc_id, text, lang, source, n_chars
+  SELECT doc_id + i*{md} AS doc_id, {mut_text} AS text, lang, source,
+         CAST(strlen({mut_text}) AS BIGINT) AS n_chars
   FROM {src('documents')}, {rep}""")
 
 write("embeddings", key="vec_id", sql=f"""
-  SELECT vec_id + i*{mv} AS vec_id, embedding, label
+  SELECT vec_id + i*{mv} AS vec_id,
+         CASE WHEN i = 0 THEN embedding ELSE
+           list_transform(embedding, (x, j) -> CAST(x +
+             (CAST(hash(vec_id * 131071 + i * 8191 + j) % 21 AS BIGINT) - 10)
+             * 0.001 AS FLOAT)) END AS embedding,
+         label
   FROM {src('embeddings')}, {rep}""")
