@@ -296,6 +296,45 @@ object CurationQueries {
       |  CAST(MAX(pos) + 30 - MIN(pos) AS BIGINT) AS span_len
       |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
 
+  // ---------------------------------------------------------------- q236
+  // Exact substring dedup via sampled-shard suffix arrays (Lee et al.
+  // 2022): a quarter of the corpus hash-shards 8 ways by md5(doc_id);
+  // each shard builds an in-task suffix array + LCP over its
+  // concatenation and emits maximal duplicate spans (every 30-gram
+  // recurring >= 2 times in the shard, multiplicity counted). One
+  // shuffle total, spans come straight out of the kernel — nothing
+  // position-grained crosses an exchange, vs q139 which shuffles every
+  // gram hash (and requires cross-DOC recurrence; this is the
+  // finer-recall within-shard construction). The oracle recomputes the
+  // covered set relationally: covered(p) ⇔ the 30-gram at p occurs ≥ 2
+  // times in the shard — provably the SA+LCP union.
+  private def q236(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.suffixArraySpans(
+        Tables.documents(s, d).filter($"doc_id" % 4 === 0),
+        gramLen = 30, shards = 8)
+      .orderBy($"doc_id", $"span_start")
+  }
+  private val q236Sql =
+    """WITH sh AS (SELECT doc_id, text,
+      |    md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS shard
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |g AS (SELECT doc_id, shard, i AS pos, substr(text, i+1, 30) AS gram
+      |      FROM sh, LATERAL unnest(range(length(text) - 30 + 1)) AS u(i)
+      |      WHERE length(text) >= 30),
+      |dup AS (SELECT shard, gram FROM g GROUP BY shard, gram
+      |        HAVING COUNT(*) >= 2),
+      |p AS (SELECT doc_id, pos FROM g JOIN dup USING (shard, gram)),
+      |s AS (SELECT doc_id, pos,
+      |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |          <= 30 THEN 0 ELSE 1 END AS brk FROM p),
+      |i AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id
+      |        ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl FROM s)
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |  CAST(MAX(pos) + 30 AS BIGINT) AS span_end,
+      |  CAST(MAX(pos) + 30 - MIN(pos) AS BIGINT) AS span_len
+      |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
+
   // ---------------------------------------------------------------- q191
   // Greedy k-center coreset selection (diversity sampling for eval /
   // annotation subsets): 6 farthest-point rounds over the exact long
@@ -448,6 +487,7 @@ object CurationQueries {
     QueryDef("q130_pmi_pairs", q130, Some(q130Sql)),
     QueryDef("q137_prefix_filter_pairs", q137, Some(q137Sql)),
     QueryDef("q139_duplicate_spans", q139, Some(q139Sql)),
+    QueryDef("q236_suffix_spans", q236, Some(q236Sql)),
     QueryDef("q191_kcenter_coreset", q191, Some(q191Sql)),
     QueryDef("q192_jl_distortion", q192, Some(q192Sql)),
     QueryDef("q195_pca_power", q195, Some(q195Sql)),

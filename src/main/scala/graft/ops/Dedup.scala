@@ -1063,6 +1063,156 @@ object Dedup {
     *
     * @return (doc_id, span_start 0-based, span_end exclusive, span_len)
     */
+  /** In-memory suffix-array duplicate-span kernel for ONE shard: build
+    * the suffix array of the shard's concatenation (unique private-use
+    * separator per doc, so no match crosses a boundary or survives two
+    * different separators), Kasai LCP, then mark every position whose
+    * `gramLen`-gram recurs — an adjacent SA pair with lcp ≥ L duplicates
+    * gram-starts [a, a+lcp−L] on BOTH suffixes (difference-array union,
+    * O(n)) — and merge marked positions into maximal per-doc spans.
+    * This is exactly the Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better" exact-substring construction; the
+    * covered set equals {p : gram_L(p) occurs ≥ 2 times in the shard},
+    * which is what the SQL oracle recomputes relationally.
+    *
+    * Construction is comparison-sort suffix sorting — O(n log n · LCP̄)
+    * worst case, fine for shards sized to a task's memory budget; swap
+    * in SA-IS for pathological-repetition corpora. */
+  private[ops] def suffixSpansJvm(docs: Array[(Long, String)], gramLen: Int)
+      : Iterator[(Long, Long, Long, Long)] = {
+    if (docs.isEmpty) return Iterator.empty
+    val total = docs.map(_._2.length).sum + docs.length
+    val s = new Array[Char](total)
+    val docStart = new Array[Int](docs.length)
+    var off = 0
+    var d = 0
+    while (d < docs.length) {
+      docStart(d) = off
+      val t = docs(d)._2
+      t.getChars(0, t.length, s, off)
+      off += t.length
+      s(off) = (0xE000 + (d % 0x1000)).toChar // unique-per-adjacent sep
+      off += 1
+      d += 1
+    }
+    val n = s.length
+    val saBoxed = Array.range(0, n).sortWith { (i, j) =>
+      var a = i; var b = j
+      while (a < n && b < n && s(a) == s(b)) { a += 1; b += 1 }
+      if (a == n) true else if (b == n) false else s(a) < s(b)
+    }
+    val rank = new Array[Int](n)
+    var k = 0
+    while (k < n) { rank(saBoxed(k)) = k; k += 1 }
+    val lcp = new Array[Int](n) // lcp(r) = LCP(sa(r-1), sa(r))
+    var h = 0
+    var i = 0
+    while (i < n) {
+      if (rank(i) > 0) {
+        val j = saBoxed(rank(i) - 1)
+        while (i + h < n && j + h < n && s(i + h) == s(j + h)) h += 1
+        lcp(rank(i)) = h
+        if (h > 0) h -= 1
+      } else h = 0
+      i += 1
+    }
+    // union of duplicated gram-start ranges via a difference array
+    val diff = new Array[Int](n + 1)
+    var r = 1
+    while (r < n) {
+      val l = lcp(r)
+      if (l >= gramLen) {
+        val cnt = l - gramLen + 1
+        val a = saBoxed(r); val b = saBoxed(r - 1)
+        diff(a) += 1; diff(a + cnt) -= 1
+        diff(b) += 1; diff(b + cnt) -= 1
+      }
+      r += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    var cover = 0
+    d = 0
+    var spanStart = -1
+    var lastCovered = -1
+    var p = 0
+    while (p < n) {
+      // doc boundary: flush the open span of the doc we just left
+      if (d < docs.length - 1 && p == docStart(d + 1)) d += 1
+      val atSep = d + 1 < docs.length + 1 &&
+        (p == docStart(d) + docs(d)._2.length)
+      cover += diff(p)
+      // clamp: a counted gram must fit inside its doc — separator chars
+      // wrap every 4096 docs, so an lcp can in principle cross a sep;
+      // in-doc windows are still true L-gram repeats (sep chars never
+      // occur in text, so a sep-free window only matches sep-free text),
+      // and the clamp drops exactly the cross-boundary artifacts
+      val rel = p - docStart(d)
+      val covered = cover > 0 && !atSep &&
+        rel + gramLen <= docs(d)._2.length
+      if (covered) {
+        if (spanStart >= 0 && rel - lastCovered <= gramLen) lastCovered = rel
+        else {
+          if (spanStart >= 0)
+            out += ((docs(d)._1, spanStart.toLong,
+              (lastCovered + gramLen).toLong,
+              (lastCovered + gramLen - spanStart).toLong))
+          spanStart = rel; lastCovered = rel
+        }
+      }
+      if (atSep && spanStart >= 0) {
+        out += ((docs(d)._1, spanStart.toLong,
+          (lastCovered + gramLen).toLong,
+          (lastCovered + gramLen - spanStart).toLong))
+        spanStart = -1; lastCovered = -1
+      }
+      p += 1
+    }
+    out.iterator
+  }
+
+  /** Exact substring dedup via SAMPLED-SHARD suffix arrays — the scale
+    * path for [[duplicateSpans]]' semantics, per Lee et al. 2022: docs
+    * hash-shard by a content-stable md5 of their id, each shard builds
+    * an in-task suffix array over its concatenation and emits maximal
+    * duplicate spans (every `gramLen`-window recurring ≥ 2 times in the
+    * shard, multiplicity counted — within-doc repeats included).
+    *
+    * Scale shape: ONE shuffle (the shard groupBy); each shard is one
+    * task whose memory is shard-chars (size `shards` so corpus/shards
+    * fits a task — the shard-size cost model in SCALE.md), and spans
+    * come straight out of the kernel, so nothing position-grained ever
+    * crosses an exchange (contrast [[duplicateSpans]], which shuffles
+    * every gram hash). Recall is within-shard by construction: a span
+    * duplicated ONLY across two different shards is missed — Lee et al's
+    * observation is that duplicate text is heavily clustered, and
+    * re-running with a different shard seed (or fewer, larger shards)
+    * trades memory for recall. `shards` must be a power of two so the
+    * unsigned-vs-signed md5 modulus agrees across engines.
+    *
+    * @return (doc_id, span_start, span_end, span_len), gram-grid maximal
+    */
+  def suffixArraySpans(docs: DataFrame, gramLen: Int = 30, shards: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(gramLen >= 2, "need gramLen >= 2")
+    require(shards >= 1 && Integer.bitCount(shards) == 1,
+      "shards must be a power of two (oracle-replicable md5 sharding)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"),
+        pmod(graft.functions.Md5Low64(col(idCol).cast("string")),
+          lit(shards.toLong)).as("shard"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (_, it) =>
+        val shardDocs = it.map(r => (r._1, r._2)).toArray.sortBy(_._1)
+        suffixSpansJvm(shardDocs, gramLen)
+      }
+      .toDF(idCol, "span_start", "span_end", "span_len")
+  }
+
   def duplicateSpans(docs: DataFrame, gramLen: Int = 30, minDocs: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(gramLen >= 2 && minDocs >= 2, "need gramLen >= 2, minDocs >= 2")

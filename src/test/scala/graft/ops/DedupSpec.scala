@@ -309,4 +309,87 @@ class DedupSpec extends SparkSpec {
       .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
     assert(c == Seq((1L, 3L, 0L, 0L), (2L, 3L, 0L, 0L)), s"got $c")
   }
+
+  test("suffixArraySpans: cross-doc shared paragraph found at its maximal " +
+      "extent; within-doc repeats count; unique text stays clean") {
+    val para = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"intro one $para outro alpha"),
+      (2L, s"other lead-in words here $para plus some more tail"),
+      (3L, "entirely unique content with no repeats whatsoever"),
+      (4L, "xyzxyzxyzxyzxyzxyz")) // within-doc period-3 repeat, 6 periods
+      .toDF("doc_id", "text")
+    val got = Dedup.suffixArraySpans(docs, gramLen = 10, shards = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val byDoc = got.groupBy(_._1)
+    // the shared paragraph is one maximal span per doc, len >= |para|
+    assert(byDoc(1L).size == 1 && byDoc(1L).head._4 >= para.length)
+    assert(byDoc(2L).size == 1 && byDoc(2L).head._4 >= para.length)
+    // maximal means MAXIMAL: the prefixes share the suffix "e " and both
+    // tails start with " ", so the true duplicated region is
+    // "e " + para + " " (54 chars) starting 2 before the paragraph
+    val s1 = byDoc(1L).head
+    assert(s1 == ((1L, 8L, 62L, 54L)), s"got $s1")
+    assert(!byDoc.contains(3L))
+    // 18-char period-3 string: every 10-gram start p has gram(p) ==
+    // gram(p±3) → positions 0..8 all covered → one whole-string span
+    assert(byDoc(4L) == Seq((4L, 0L, 18L, 18L)))
+  }
+
+  test("suffixArraySpans ≡ relational gram-multiplicity islands on a " +
+      "planted-duplicate corpus (single shard)") {
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "fox", "golf", "hotel", "india", "juliet")
+    val planted = "repeated block of shared text sits right here"
+    def doc(i: Int): String = {
+      val words = Seq.fill(12 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size)))
+      if (i % 3 == 0) (words.take(5) :+ planted).++(words.drop(5)).mkString(" ")
+      else words.mkString(" ")
+    }
+    val docs = (0 until 40).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+      .localCheckpoint()
+    val L = 12
+    val got = Dedup.suffixArraySpans(docs, gramLen = L, shards = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // relational reference: positions whose L-gram occurs >= 2 times
+    // (multiplicity), merged into islands with gap <= L
+    val grams = docs.filter(length($"text") >= L)
+      .select($"doc_id", explode(sequence(lit(0), length($"text") - L)).as("pos"), $"text")
+      .select($"doc_id", $"pos".cast("long").as("pos"),
+        expr(s"substring(text, pos + 1, $L)").as("g"))
+      .localCheckpoint()
+    val dup = grams.groupBy($"g").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2).select($"g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val ref = grams.join(dup, Seq("g"), "left_semi")
+      .select($"doc_id", $"pos")
+      .withColumn("brk", when($"pos" - lag($"pos", 1).over(w) <= L, 0L).otherwise(1L))
+      .withColumn("isl", sum($"brk").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"pos").as("span_start"), (max($"pos") + L).as("span_end"))
+      .select($"doc_id", $"span_start", $"span_end",
+        ($"span_end" - $"span_start").as("span_len"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == ref, s"sa-only ${got -- ref}; rel-only ${ref -- got}")
+    assert(got.nonEmpty)
+  }
+
+  test("suffixArraySpans: recall is within-shard by construction — a pair " +
+      "split across shards is missed at shards=4, found at shards=1") {
+    import org.apache.spark.sql.functions.pmod
+    // find two ids landing in different md5 shards
+    val ids = (0L until 16L).map(i => i ->
+      spark.range(i, i + 1).select(pmod(graft.functions.Md5Low64(
+        $"id".cast("string")), lit(4L))).as[Long].collect().head)
+    val (idA, shA) = ids.head
+    val (idB, _) = ids.find(_._2 != shA).get
+    val shared = "this exact duplicated sentence appears in both documents"
+    val docs = Seq((idA, s"aaa $shared"), (idB, s"bbb bbb $shared"))
+      .toDF("doc_id", "text")
+    assert(Dedup.suffixArraySpans(docs, gramLen = 12, shards = 4).count() == 0L)
+    assert(Dedup.suffixArraySpans(docs, gramLen = 12, shards = 1).count() == 2L)
+  }
 }
