@@ -3,19 +3,22 @@ package graft.operators
 import graft.SparkSpec
 import graft.SparkEntry
 
-/** Registry-wide no-recompute audit: no query's PHYSICAL plan may scan the
-  * same parquet table more than twice. One scan is the norm; two covers
-  * legitimate self-joins / two-pass shapes; three or more almost always
-  * means a shared sub-aggregate fans out without materialization — the
-  * exact defect class that made q205/q207 the two slowest round-3 queries
-  * (the risk-table / distinct-value-axis frames re-derived their upstream
-  * fact aggregation per consumer). This sweep guards the whole registry as
-  * it grows: a new query that forgets the materialize-slim-frames
-  * discipline fails here by name.
+/** Registry-wide no-recompute audit, TWO tiers:
+  *
+  *  - The default bound is ONE parquet scan per table per query. 198 of
+  *    the 233 registered queries already hold it; asserting it stops
+  *    silent second-scan creep (a shared sub-aggregate quietly fanning
+  *    out without materialization — the defect class that made q205/q207
+  *    the two slowest round-3 queries).
+  *  - A query may scan a table TWICE only with a written reason in
+  *    [[twoScanAllow]] — legitimate two-pass/self-join shapes (set ops,
+  *    as-of/interval/fuzzy self-joins, cuts-then-apply, state+delta).
+  *  - Three or more scans need [[allow]], reserved for disjoint
+  *    pushed-filter slices where merging passes would lose the pushdown.
   *
   * Scans that Spark itself deduplicates (ReusedExchange/ReuseSubquery)
-  * still print one Location per node, so the count is conservative — an
-  * allowlisted query documents WHY its multi-scan is intentional.
+  * still print one Location per node, so the count is conservative.
+  * `ScanCountDump` (Test/runMain) reprints the current inventory.
   */
 class NoRecomputeSweepSpec extends SparkSpec {
 
@@ -32,20 +35,80 @@ class NoRecomputeSweepSpec extends SparkSpec {
     "q123_survivorship" -> Set("events")
   )
 
-  test("no registered query's physical plan scans a parquet table " +
-      "more than twice") {
+  /** (query, table) pairs allowed exactly TWO scans, each with the
+    * two-pass/self-join shape that justifies it. A second scan of a
+    * pruned parquet slice is routinely cheaper than materializing the
+    * wider shared frame both branches would otherwise read. */
+  private val twoScanAllow: Map[String, Set[String]] = Map(
+    "q13_intersect" -> Set("orders"), // set op: two branches by definition
+    "q14_except" -> Set("orders"), // set op: two branches by definition
+    "q26_correlated_avg" -> Set("orders"), // decorrelation: facts + per-key avg
+    "q35_dictionary_upsert" -> Set("part"), // current vs incoming slices
+    "q42_ngram_jaccard" -> Set("documents"), // pair self-join, both sides
+    "q54_repetition" -> Set("documents"), // per-doc signal + corpus gram stats
+    "q63_tfidf_terms" -> Set("documents"), // tf and df branches prune differently
+    "q64_decontaminate" -> Set("documents"), // corpus + benchmark-gram build
+    "q78_source_overlap" -> Set("documents"), // per-source set self-join
+    "q83_asof_custom" -> Set("events"), // as-of self-join, two pushed slices
+    "q84_corpus_diff" -> Set("documents"), // old/new halves, disjoint filters
+    "q88_attribution" -> Set("events"), // conversions join touches
+    "q92_incremental_agg" -> Set("lineitem"), // state + delta date slices
+    "q95_retention" -> Set("events"), // cohort base + return visits
+    "q99_interval_overlap" -> Set("orders"), // interval self-join
+    "q105_temperature_mix" -> Set("documents"), // source weights applied back
+    "q108_cross_corpus_dups" -> Set("documents"), // two corpus halves
+    "q110_embed_outliers" -> Set("embeddings"), // stats pass + scoring pass
+    "q112_salted_join" -> Set("events"), // skewed fact + salted replica
+    "q116_accent_fold" -> Set("documents"), // raw vs folded views compared
+    "q120_split_leakage" -> Set("documents"), // train vs heldout slices
+    "q125_editdist_join" -> Set("part"), // fuzzy self-join over blocks
+    "q127_skew_report" -> Set("orders"), // key histogram + fact shares
+    "q128_incremental_dedup" -> Set("documents"), // signature store + batch
+    "q131_linear_attribution" -> Set("events"), // conversions join touches
+    "q133_jaro_winkler" -> Set("part", "documents"), // fuzzy self-join sides
+    "q143_chisq_terms" -> Set("documents"), // per-term counts + class totals
+    "q163_winsorize" -> Set("events"), // percentile cuts + clamp pass
+    "q166_heaps_curve" -> Set("documents"), // prefix vocab: two token passes
+    "q173_join_size_audit" -> Set("orders"), // estimate vs actual sides
+    "q179_woe_iv" -> Set("documents"), // per-bin counts + class totals
+    "q180_rfm_segments" -> Set("orders"), // quantile cuts + application
+    "q192_jl_distortion" -> Set("embeddings"), // original vs projected spaces
+    "q212_ngram_novelty" -> Set("documents")) // gram df build + scoring pass
+
+  test("every registered query scans each parquet table at most once, " +
+      "unless its two-pass shape is allowlisted with a reason") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         tables.flatMap { t =>
           val n = s"$t\\.parquet".r.findAllIn(plan).size
-          if (n > 2 && !allow.getOrElse(name, Set.empty).contains(t))
-            Some(s"$name scans $t $n times")
-          else None
+          val ok =
+            if (n <= 1) true
+            else if (n == 2) twoScanAllow.getOrElse(name, Set.empty).contains(t) ||
+              allow.getOrElse(name, Set.empty).contains(t)
+            else allow.getOrElse(name, Set.empty).contains(t)
+          if (ok) None else Some(s"$name scans $t $n times")
         }
       }
     assert(offenders.isEmpty,
-      "multi-scan plans (materialize the shared frame or allowlist " +
-        "with a reason):\n" + offenders.mkString("\n"))
+      "scan-count creep (materialize the shared frame, or allowlist " +
+        "with a reason in the right tier):\n" + offenders.mkString("\n"))
+  }
+
+  test("the two-scan allowlist carries no stale entries — every listed " +
+      "pair still scans exactly twice") {
+    val stale = twoScanAllow.toSeq.sortBy(_._1).flatMap { case (name, ts) =>
+      SparkEntry.queries.get(name) match {
+        case None => Seq(s"$name is not a registered query")
+        case Some(fn) =>
+          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          ts.flatMap { t =>
+            val n = s"$t\\.parquet".r.findAllIn(plan).size
+            if (n == 2) None
+            else Some(s"$name now scans $t $n times — move or drop the entry")
+          }
+      }
+    }
+    assert(stale.isEmpty, "stale allowlist entries:\n" + stale.mkString("\n"))
   }
 }
