@@ -60,12 +60,27 @@ object Similarity {
   private def qat(v: Column, i: Int): Column =
     floor(element_at(v, i).cast("double") * 1000 + 0.5).cast("long")
 
-  /** Unrolled fixed-dimension quantized dot/norm over raw float vectors. */
-  def dotIntUnrolled(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i => qat(a, i) * qat(b, i)).reduce(_ + _)
+  /** Unrolled fixed-dimension quantized dot/norm over raw float vectors.
+    * The dim bound is ENFORCED, not conventional: past ~64 terms the
+    * generated ANSI-checked expression tree exceeds the JIT method-size
+    * budget and silently deoptimizes to interpreted bytecode (the
+    * SCALE.md negative result) — higher dims belong on the
+    * [[bruteForceTopK]] mapPartitions kernel path. */
+  private def requireUnrollable(dim: Int): Unit =
+    require(dim >= 1 && dim <= 64,
+      s"unrolled kernels are JIT-bounded to dim <= 64 (got $dim); use the " +
+        "mapPartitions kernel paths (bruteForceTopK/cosineNearDupPairs) " +
+        "for higher dimensions")
 
-  def normIntUnrolled(a: Column, dim: Int): Column =
+  def dotIntUnrolled(a: Column, b: Column, dim: Int): Column = {
+    requireUnrollable(dim)
+    (1 to dim).map(i => qat(a, i) * qat(b, i)).reduce(_ + _)
+  }
+
+  def normIntUnrolled(a: Column, dim: Int): Column = {
+    requireUnrollable(dim)
     (1 to dim).map(i => qat(a, i) * qat(a, i)).reduce(_ + _)
+  }
 
   /** Exact cosine between quantized vectors, as double.
     * sqrt(na)*sqrt(nb), NOT sqrt(na*nb): the long product overflows for
