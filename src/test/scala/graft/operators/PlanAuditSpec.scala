@@ -547,6 +547,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"))
   }
 
+  test("q236: suffix-array spans — one documents scan, one shard " +
+      "exchange, spans emitted by the kernel (no gram explode/shuffle)") {
+    val p = planOf("q236_suffix_spans")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, found $scans")
+    // the per-shard SA kernel is a typed group-map over the shard key
+    assert(p.contains("MapGroups") || p.contains("FlatMapGroups"), p.take(400))
+    // position-grained work never crosses an exchange: no gram Generate
+    assert(!p.contains("Generate"))
+  }
+
+  test("q234: ImageIO round-trip — encode and decode both live in " +
+      "mapPartitions seams over one documents scan") {
+    val p = planOf("q234_imageio_roundtrip")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, found $scans")
+    assert("MapPartitions".r.findAllIn(p).length >= 2, p.take(400))
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
