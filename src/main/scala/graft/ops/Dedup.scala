@@ -72,10 +72,24 @@ object Dedup {
       .select(col("id"), col("sh"))
   }
 
-  /** Exact Jaccard similarity of two shingle arrays. */
+  /** Exact Jaccard similarity of two shingle arrays — the GENERIC form
+    * (hash-set intersect/union), safe for arrays of any order/origin,
+    * e.g. signature-store arrays persisted before the sorted-set era. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_union(a, b)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /** Exact Jaccard for SORTED distinct long arrays ([[hashedShingleSets]]
+    * output, sorted at build): one allocation-free merge pass per pair,
+    * |∪| = |a| + |b| − |∩| — replaces TWO hash-set builds per candidate
+    * in verify stages running millions of pairs. Use only on frames whose
+    * sortedness is guaranteed by construction in THIS plan (persisted
+    * arrays from older stores may predate the sort contract). */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = graft.functions.SortedIntersectCount(a, b).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
     when(union === 0, 0.0).otherwise(inter / union)
   }
 
@@ -231,6 +245,12 @@ object Dedup {
       val arr = new Array[Long](set.size)
       val it = set.iterator(); var i = 0
       while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      // sorted-ascending contract: every consumer is order-invariant
+      // (intersect/size/explode/min-lanes), and sorting once at build lets
+      // verify stages use the allocation-free merge intersect
+      // ([[graft.functions.SortedIntersectCount]]) instead of a hash-set
+      // build per candidate pair
+      java.util.Arrays.sort(arr)
       Iterator.single(org.apache.spark.sql.Row(id, arr.toSeq))
     }
   }
@@ -406,7 +426,7 @@ object Dedup {
     candidates
       .join(shs.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(shs.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -451,7 +471,7 @@ object Dedup {
     val sb = hashedShingleSets(bDocs, textCol, idCol)
       .select(col("id").as("id_b"), col("sh").as("sh_b"))
     candidates.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -897,11 +917,13 @@ object Dedup {
         && col("b.sz") >= ceil(col("a.sz") * threshold))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // verify with ONE set operation per pair: the shingle arrays are
-    // distinct by construction, so |∪| = |a| + |b| − |∩| and the
-    // array_union hash-set build (as costly as the intersect itself)
-    // is pure waste at 10⁵-10⁶ candidates
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    // verify with ONE allocation-free merge per pair: the shingle arrays
+    // are sorted-distinct by construction, so |∪| = |a| + |b| − |∩| (no
+    // array_union) and the sorted-merge count replaces array_intersect's
+    // per-call hash-set build — the verify stage was 3/4 of the whole
+    // query at 10× once variant replicas made every candidate real
+    val inter = graft.functions.SortedIntersectCount(
+      col("sh_a"), col("sh_b")).cast("double")
     val unionSz = (col("sz_a") + col("sz_b")).cast("double") - inter
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
