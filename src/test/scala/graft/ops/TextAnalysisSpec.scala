@@ -271,4 +271,62 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
     assert(a == b && a.size == 3)
   }
+
+  /** In-memory reference BPE trainer: the textbook algorithm, written
+    * independently of the distributed formulation (explicit pair-count
+    * map, explicit greedy left-to-right merge) — property-checks the
+    * operator on tie-heavy tiny-alphabet corpora where same-symbol runs
+    * and count ties are the norm, not the edge case. */
+  private def bpeRef(texts: Seq[String], merges: Int)
+      : Seq[(Long, String, String, Long)] = {
+    val words0 = texts
+      .flatMap(_.trim.toLowerCase.split("\\s+").filter(_.length >= 2))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    var words: Map[Vector[String], Long] =
+      words0.groupBy { case (w, _) => w.map(_.toString).toVector }
+        .map { case (syms, m) => syms -> m.values.sum }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var round = 1L
+    var done = false
+    while (round <= merges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), n) = counts.toSeq
+          .minBy { case ((pl, pr), pn) => (-pn, pl, pr) }
+        out += ((round, l, r, n))
+        words = words.toSeq.map { case (syms, f) =>
+          val m = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              m += (l + r); i += 2
+            } else { m += syms(i); i += 1 }
+          }
+          m.result() -> f
+        }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+        round += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain ≡ independent in-memory reference on tie-heavy " +
+      "tiny-alphabet corpora (same-symbol runs, count ties, re-merges)") {
+    val rng = new scala.util.Random(31)
+    val alphabet = "aab" // duplicates load the dice toward runs and ties
+    def word(): String =
+      Seq.fill(2 + rng.nextInt(6))(alphabet(rng.nextInt(alphabet.length))).mkString
+    for (trial <- 1 to 5) {
+      val texts = Seq.fill(4)(Seq.fill(3 + rng.nextInt(4))(word()).mkString(" "))
+      val got = TextAnalysis.bpeTrain(texts.toDF("text"), merges = 4)
+        .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+      val want = bpeRef(texts, merges = 4)
+      assert(got == want, s"trial $trial on $texts:\n got $got\nwant $want")
+    }
+  }
 }
