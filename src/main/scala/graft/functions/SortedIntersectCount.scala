@@ -19,19 +19,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // containsNull inputs are REJECTED, not tolerated: compute() reads
+  // elements with getLong, so a null slot would silently count as 0L on
+  // the unsafe path (wrong answer) or NPE interpreted — and a sorted-set
+  // contract has no place for null elements anyway
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == ArrayType(LongType, false) ||
-        left.dataType == ArrayType(LongType, true)) {
-      if (right.dataType == left.dataType ||
-          (right.dataType.isInstanceOf[ArrayType] &&
-            right.dataType.asInstanceOf[ArrayType].elementType == LongType))
-        TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count requires ARRAY<BIGINT> inputs, got " +
-          s"${right.dataType.catalogString}")
-    } else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count requires ARRAY<BIGINT> inputs, got " +
-        s"${left.dataType.catalogString}")
+    if (left.dataType == ArrayType(LongType, false) &&
+        right.dataType == ArrayType(LongType, false))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "sorted_intersect_count requires ARRAY<BIGINT> with non-null " +
+        s"elements on both sides, got ${left.dataType.catalogString} and " +
+        s"${right.dataType.catalogString}")
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"

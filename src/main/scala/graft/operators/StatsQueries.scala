@@ -2708,9 +2708,13 @@ object StatsQueries {
         sum(when(pmod($"user_id", lit(2L)) === 0L, 1L).otherwise(0L))
           .as("n_a"))
       .withColumn("n_b", $"n_users" - $"n_a")
+      // fixed double tree, not d²·10⁹ in long: the long product overflows
+      // at imbalance ~96k users — inside a 10⁹-user corpus's envelope
       .withColumn("srm_x9",
         when($"n_users" > 0L,
-          expr("((n_a - n_b) * (n_a - n_b) * 1000000000L) div n_users")))
+          floor(($"n_a" - $"n_b").cast("double")
+            * ($"n_a" - $"n_b").cast("double")
+            / $"n_users".cast("double") * lit(1e9)).cast("long")))
   }
   private val q232Sql =
     """WITH u AS (SELECT DISTINCT user_id FROM events),
@@ -2720,8 +2724,10 @@ object StatsQueries {
       |      FROM u)
       |SELECT n_users, n_a, n_users - n_a AS n_b,
       |  CASE WHEN n_users > 0 THEN
-      |    ((n_a - (n_users - n_a)) * (n_a - (n_users - n_a)) * 1000000000)
-      |      // n_users END AS srm_x9
+      |    CAST(floor(CAST(n_a - (n_users - n_a) AS DOUBLE)
+      |      * CAST(n_a - (n_users - n_a) AS DOUBLE)
+      |      / CAST(n_users AS DOUBLE) * 1e9) AS BIGINT)
+      |  END AS srm_x9
       |FROM c""".stripMargin
 
   // ---------------------------------------------------------------- q228

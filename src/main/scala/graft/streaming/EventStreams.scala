@@ -496,15 +496,21 @@ object EventStreams {
         col("n_new_users"), col("n_a"))
 
   /** Cumulative SRM readout over [[srmWindowCounts]] output — the same
-    * collapsed χ² vs a 50/50 split as the batch q232 statistic, exact
-    * integer arithmetic throughout. */
+    * collapsed χ² vs a 50/50 split as the batch q232 statistic. The
+    * ·10⁹ quantization is a fixed double tree, NOT a long product: this
+    * readout sums every window ever emitted, and d²·10⁹ in long
+    * overflows at a cumulative imbalance of only ~96k users — i.e. the
+    * monitor would throw (ANSI) exactly when the mismatch it watches
+    * for becomes large. */
   def srmFromCounts(counts: DataFrame): DataFrame =
     counts
       .agg(sum(col("n_new_users")).as("n_users"), sum(col("n_a")).as("n_a"))
       .withColumn("n_b", col("n_users") - col("n_a"))
       .withColumn("srm_x9",
         when(col("n_users") > 0L,
-          expr("((n_a - n_b) * (n_a - n_b) * 1000000000L) div n_users")))
+          floor((col("n_a") - col("n_b")).cast("double")
+            * (col("n_a") - col("n_b")).cast("double")
+            / col("n_users").cast("double") * lit(1e9)).cast("long")))
 
   /** Streaming PSI drift face (the q187 batch statistic as a monitoring
     * stream): bin live values against REFERENCE decile cuts — a 1-row

@@ -90,7 +90,8 @@ mut_text = f"""CASE WHEN i = 0 THEN text ELSE
 
 write("documents", key="doc_id", sql=f"""
   SELECT doc_id + i*{md} AS doc_id, {mut_text} AS text, lang, source,
-         CAST(strlen({mut_text}) AS BIGINT) AS n_chars
+         CASE WHEN i = 0 THEN n_chars
+              ELSE CAST(strlen({mut_text}) AS BIGINT) END AS n_chars
   FROM {src('documents')}, {rep}""")
 
 write("embeddings", key="vec_id", sql=f"""
