@@ -1239,7 +1239,12 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(gramLen >= 2 && minDocs >= 2, "need gramLen >= 2, minDocs >= 2")
     val L = gramLen
-    val grams = docs
+    // deliberately NOT checkpointed: the gram frame is |positions|-sized
+    // (~45M rows, >1 GB at 30×), so materializing it costs more than the
+    // two cheap codegen passes (substring+xxhash64) that recompute it —
+    // one for the dup-hash aggregate, one for the position semi-join.
+    // The two document scans are allowlisted in the no-recompute sweep.
+    def grams = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .filter(length(col("__t")) >= L)
       .select(col("doc_id"),
@@ -1247,7 +1252,6 @@ object Dedup {
         col("__t"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         xxhash64(expr(s"substring(__t, pos + 1, $L)")).as("__h"))
-      .localCheckpoint()
     val dup = grams.groupBy(col("__h"))
       .agg(count_distinct(col("doc_id")).as("__nd"))
       .filter(col("__nd") >= minDocs)

@@ -66,6 +66,9 @@ class NoRecomputeSweepSpec extends SparkSpec {
     "q128_incremental_dedup" -> Set("documents"), // signature store + batch
     "q131_linear_attribution" -> Set("events"), // conversions join touches
     "q133_jaro_winkler" -> Set("part", "documents"), // fuzzy self-join sides
+    // two cheap codegen gram passes beat materializing the |positions|-
+    // sized gram frame (>1 GB at 30×; measured 35.7 → 14.9 s isolated)
+    "q139_duplicate_spans" -> Set("documents"),
     "q143_chisq_terms" -> Set("documents"), // per-term counts + class totals
     "q163_winsorize" -> Set("events"), // percentile cuts + clamp pass
     "q166_heaps_curve" -> Set("documents"), // prefix vocab: two token passes
