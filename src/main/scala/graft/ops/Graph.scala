@@ -24,11 +24,16 @@ object Graph {
     * of mass per node per round (≈10⁻¹² relative) — ordering-irrelevant,
     * determinism-preserving.
     *
-    * Scale shape: the edge table and (src, deg) join once and checkpoint
-    * OUTSIDE the loop (they are re-read every round); each round is one
-    * equi-join of the slim (node, pr) state against it plus one
-    * partial-aggregated sum — the same per-round cost model as
-    * pointer-jumping components (rounds × one shuffle). The state frame
+    * Scale shape: contributions probe an ADJACENCY INDEX (the [[bfsHops]]
+    * form, applied here after it won there 6.6→3.7 s). One up-front
+    * collect_set aggregation folds the parallel-edge dedup and the
+    * grouping into a single exchange and materializes (src, ns[]) — V
+    * index rows instead of E edge rows; the out-degree is size(ns), free.
+    * Each round then equi-joins the slim (node, pr) state against the
+    * V-row index and explodes the matched adjacency lists IN-TASK, so the
+    * per-round shuffle moves V state rows + the partially-aggregated
+    * contribution sums, where the previous (src, dst, deg)-table form
+    * re-shuffled all E rows through the join every round. The state frame
     * checkpoints only every `checkpointInterval` rounds: a bounded
     * iteration count chains fine through Catalyst in one job, while long
     * runs need the barrier to cap lineage depth and stage-retry blast
@@ -37,7 +42,10 @@ object Graph {
     * control-plane scalar. Nodes with no inbound edges settle at the base
     * rank; dangling nodes (no outbound) simply leak their mass — the
     * standard simplification; redistribute via one extra aggregate per
-    * round if mass conservation matters.
+    * round if mass conservation matters. Degree-skew caveat: one
+    * adjacency array per node must fit in an executor row (the same
+    * collect_set contract as [[bfsHops]]); a web-scale hub graph should
+    * pre-cap degree or salt-split hub rows upstream.
     *
     * @param edges (src, dst) rows; pass both directions for undirected
     * @return (node, pr) — pr in 1e12 units
@@ -45,18 +53,21 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int = 5,
       checkpointInterval: Int = 8): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src").localCheckpoint() // (src, dst, deg), reused every round
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    // (src, ns[]) — collect_set dedups parallel edges, so this IS the
+    // distinct-edge adjacency; out-degree = size(ns)
+    val adj = edges.select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("ns"))
+      .localCheckpoint()
+    val nodes = adj.select(col("src").as("node"))
+      .unionByName(adj.select(explode(col("ns")).as("node")))
       .distinct().localCheckpoint()
     val n = nodes.count() // control-plane scalar (drives two literals)
     val base = 150000000000L / n // floor(0.15 · 1e12 / N)
     var pr = nodes.withColumn("pr", lit(1000000000000L / n))
     for (i <- 1 to iterations) {
-      val contrib = ed.join(pr.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("pr div deg").as("c"))
+      val contrib = adj.join(pr.withColumnRenamed("node", "src"), "src")
+        .select(col("ns"), expr("pr div size(ns)").as("c"))
+        .select(explode(col("ns")).as("node"), col("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("sc"))
       pr = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
@@ -76,10 +87,18 @@ object Graph {
     * division of exact-in-double values (numerator ≤ maxdeg·10⁶ ≪ 2⁵³) —
     * bit-reproducible cross-engine.
     *
-    * Scale shape: the [[pageRank]] cost model — edges checkpointed once,
-    * each round two slim-state equi-joins + partial-aggregated sums; the
-    * max is a 1-row broadcast. State checkpoints once per round (it is
-    * consumed by the next round AND the final ranking).
+    * Scale shape: the [[pageRank]]/[[bfsHops]] adjacency-index cost
+    * model, doubled because HITS scatters in both directions — an
+    * IN-index (dst, srcs[]) probed by the slim authority state (each
+    * authority scatters its score to its in-neighbors) and an OUT-index
+    * (src, dsts[]) probed by the hub state. Each index is one
+    * collect_set exchange (which also dedups parallel edges),
+    * checkpointed once; each round is then two V-row equi-joins with
+    * in-task explodes + partial-aggregated sums instead of two E-row
+    * edge-table joins; the max is a 1-row broadcast. State checkpoints
+    * once per round (it is consumed by the next round AND the final
+    * ranking). Same degree-skew contract as [[bfsHops]]: one adjacency
+    * array per node per executor row.
     *
     * @param edges (src, dst) rows
     * @return (kind, node, score): kind ∈ {hub, authority}, score 0..1000;
@@ -87,21 +106,33 @@ object Graph {
     */
   def hits(edges: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 1, "hits needs at least one round")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    var auth = e.select(col("dst").as("node")).distinct()
+    // upstream edge derivation is scanned exactly ONCE (into the
+    // out-index, whose collect_set partial aggregation dedups parallel
+    // edges map-side); the in-index re-derives the edge set from the
+    // materialized V-row out-index via an in-task explode — no raw E-row
+    // checkpoint needed
+    val outAdj = edges.select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("dsts"))
+      .localCheckpoint()
+    val inAdj = outAdj.select(col("src"), explode(col("dsts")).as("dst"))
+      .groupBy(col("dst"))
+      .agg(collect_set(col("src")).as("srcs")).localCheckpoint()
+    var auth = inAdj.select(col("dst").as("node"))
       .withColumn("a", lit(1000L))
     // always assigned on the first iteration (rounds >= 1): hubs are
     // recomputed from auth before any read
     var hub: DataFrame = null
     for (_ <- 1 to rounds) {
-      val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+      val hraw = inAdj.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .select(explode(col("srcs")).as("src"), col("a"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
       val hmax = hraw.agg(max(col("hr")).as("hm"))
       hub = hraw.crossJoin(broadcast(hmax))
         .select(col("src").as("node"),
           floor(col("hr") * 1000 / col("hm")).cast("long").as("h"))
         .localCheckpoint()
-      val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
+      val araw = outAdj.join(hub.withColumnRenamed("node", "src"), "src")
+        .select(explode(col("dsts")).as("dst"), col("h"))
         .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
       val amax = araw.agg(max(col("ar")).as("am"))
       auth = araw.crossJoin(broadcast(amax))

@@ -217,10 +217,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("q124: PageRank rounds consume checkpointed frontiers, equi-joins only") {
+  test("q124: PageRank rounds probe the checkpointed adjacency INDEX " +
+      "(V-row join + in-task explode), never re-join per-edge rows") {
     val p = planOf("q124_pagerank")
-    assert(p.contains("Scan ExistingRDD"), "edge/state tables must be materialized")
+    assert(p.contains("Scan ExistingRDD"), "adjacency index must be materialized")
     assert(!p.contains("CartesianProduct"))
+    // the index probe explodes matched ns[] lists in-task — every round
+    // must show a Generate; an edge-table re-join form has none
+    assert(p.contains("Generate explode"),
+      "rounds must explode adjacency lists, not join an E-row edge table")
   }
 
   test("q126: histogram quantiles = bin agg + one keyed window, no join") {
@@ -459,6 +464,9 @@ class PlanAuditSpec extends SparkSpec {
       "kind-partitioned window sorting full node frames in one task") {
     val p = planOf("q199_hits")
     assert(p.contains("TakeOrderedAndProject"))
+    // (HITS' per-round index-probe shape is invisible here — every round
+    // state is checkpointed — so it is pinned by GraphSpec's plan test
+    // on an uncheckpointed round instead.)
   }
 
   test("q201/q203/q204: bounded-axis statistics aggregate facts to the " +

@@ -42,6 +42,20 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pageRank rounds probe the adjacency index: explodes matched ns[] " +
+      "in-task, never re-joins an E-row edge table (hits shares the " +
+      "identical per-round construction — in/out indexes + explode — but " +
+      "checkpoints every round, so its shape is pinned here by proxy)") {
+    val df = (1L to 40L).map(i => (i, i % 7 + 1)).toDF("src", "dst")
+    val plan = Graph.pageRank(df, iterations = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"),
+      "rounds must explode adjacency lists (index probe form)")
+    // the only materialized inputs are the V-row index + node set — a
+    // per-round edge-table form would add an E-row ExistingRDD consumer
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("triangleCounts: K4 + pendant path, duplicate/reversed edges normalized") {
     // K4 over {1,2,3,4}: 4 triangles, each node in 3; path 4-5-6: none new.
     // Edges arrive duplicated and in both directions — normalization work.
