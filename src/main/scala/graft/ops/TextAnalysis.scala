@@ -137,22 +137,69 @@ object TextAnalysis {
           array(acc.getField("carry")))))
   }
 
+  /** UTF-8 binary string order == codepoint order — the ordering Spark's
+    * UTF8String comparator (and DuckDB's collation) applies in the
+    * distributed tie-break, which DIFFERS from Scala's UTF-16 code-unit
+    * `<` for supplementary characters vs U+E000..U+FFFF. The local merge
+    * loop must match it exactly. */
+  private def cpLt(a: String, b: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    a.length - i < b.length - j // strict prefix sorts first
+  }
+
+  /** In-JVM replica of one [[mergePairFold]] pass — greedy left-to-right
+    * non-overlapping merge, provably the same output (both consume the
+    * leftmost (l,r) occurrence first and never re-match across a fresh
+    * merge). */
+  private def mergeLocal(syms: Array[String], l: String, r: String)
+      : Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
   /** Distributed BPE TRAINER: the full count→merge→re-segment loop, not
     * just one round of pair counts. Classic byte-pair encoding over
     * whitespace-normalized words: each round counts adjacent symbol
     * pairs weighted by word frequency, picks the most frequent (ties:
-    * count desc, then left asc, right asc — deterministic cross-engine),
-    * merges it everywhere (greedy left-to-right, [[mergePairFold]]), and
-    * records the merge. Training stops early when no pairs remain.
+    * count desc, then left asc, right asc in UTF-8 binary order —
+    * deterministic cross-engine), merges it everywhere (greedy
+    * left-to-right, [[mergePairFold]]), and records the merge. Training
+    * stops early when no pairs remain. Symbols are seeded per CODEPOINT
+    * (regexp '.' extraction, matching the relational oracle) — a
+    * UTF-16 split would shear supplementary characters (emoji, rare
+    * CJK) into lone surrogates.
     *
-    * Scale shape: the corpus is scanned ONCE to build the word-frequency
-    * table (the classic BPE training input — |vocab| rows, not |corpus|);
-    * every round then costs one pair-count aggregate plus one in-row
-    * fold over that slim table. The winning pair is a 1-row collect
-    * (control-plane scalar, the PageRank `n` pattern) and the state
-    * localCheckpoints each round because two consumers read it (next
-    * round's count AND merge) — the HITS cadence, not PageRank's every-k
-    * (single-consumer) cadence. Cost model: merges × pair-agg(|vocab|).
+    * Scale shape — a two-tier hybrid keyed on vocabulary size, because
+    * the state after the first aggregate is a \|vocab\|-row table
+    * (KBs–MBs under Heaps' law even for TB corpora) while a REAL
+    * tokenizer build is 10k–50k merge rounds:
+    *
+    *  - The corpus is always scanned ONCE (distributed) to build the
+    *    word-frequency table — the only corpus-sized work.
+    *  - \|vocab\| ≤ `graft.bpe.localVocabMax` (default 262144 rows):
+    *    the table is collected once and the entire merge loop runs
+    *    in-JVM — merges=1000 costs seconds, not 1000 scheduled jobs
+    *    (the adaptive union-find precedent in [[Dedup.componentsAuto]]).
+    *  - Larger vocabularies fall back to the fully distributed loop:
+    *    one pair-count aggregate + one in-row fold per round over the
+    *    slim table, winner via a 1-row collect (control-plane scalar),
+    *    state localCheckpointed per round (two consumers: next count
+    *    AND merge — the HITS cadence).
+    *
+    * The two tiers are exactly equivalent (same greedy fold, same
+    * UTF-8-order tie-break, same early stop) — pinned by a spec that
+    * runs both on the same fixture.
     *
     * @param corpus frame with a text column
     * @param merges maximum number of merge rounds (the vocab-size knob:
@@ -170,8 +217,15 @@ object TextAnalysis {
         coalesce(col(textCol), lit(""))), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(split(col("w"), "").as("syms"), col("freq"))
+      .select(expr("regexp_extract_all(w, '.', 0)").as("syms"), col("freq"))
       .localCheckpoint()
+    val localMax = spark.conf
+      .getOption("graft.bpe.localVocabMax").map(_.toLong).getOrElse(262144L)
+    if (words.count() <= localMax) { // control-plane scalar off the checkpoint
+      val collected = words.as[(Array[String], Long)].collect()
+      return bpeTrainLocal(collected, merges).toDF(
+        "round", "lhs", "rhs", "pair_count")
+    }
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     var round = 1
@@ -199,6 +253,48 @@ object TextAnalysis {
       }
     }
     out.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+  }
+
+  /** The in-JVM tier of [[bpeTrain]]'s merge loop: same recurrence on a
+    * collected word-frequency table. Pair counts accumulate in one hash
+    * map per round; the winner is (count desc, l, r) in UTF-8 binary
+    * order ([[cpLt]]) — bit-identical to the distributed orderBy. */
+  private[ops] def bpeTrainLocal(words0: Array[(Array[String], Long)],
+      merges: Int): Seq[(Long, String, String, Long)] = {
+    var words = words0
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= merges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      for ((syms, freq) <- words) {
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + freq
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        for (e <- counts) {
+          if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (cpLt(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && cpLt(e._1._2, best._1._2)))))
+            best = e
+        }
+        val ((l, r), n) = best
+        out += ((round.toLong, l, r, n))
+        words = words.map { case (syms, freq) =>
+          (mergeLocal(syms, l, r), freq)
+        }
+        round += 1
+      }
+    }
+    out.toSeq
   }
 
   /** BPE-ish subword count estimate: word-boundary pieces plus an extra

@@ -315,6 +315,40 @@ class TextAnalysisSpec extends SparkSpec {
     out.toSeq
   }
 
+  test("bpeTrain: local tier ≡ distributed tier on the same corpus " +
+      "(graft.bpe.localVocabMax=0 forces the distributed loop)") {
+    val corpus = Seq("the cat sat", "the hat", "a bat sat", "cab cab",
+      "aaaa abab", "the the the").toDF("text")
+    val local = TextAnalysis.bpeTrain(corpus, merges = 6)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    spark.conf.set("graft.bpe.localVocabMax", "0")
+    try {
+      val dist = TextAnalysis.bpeTrain(corpus, merges = 6)
+        .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+      assert(local == dist, s"\nlocal $local\ndist  $dist")
+      assert(local.nonEmpty)
+    } finally spark.conf.unset("graft.bpe.localVocabMax")
+  }
+
+  test("bpeTrain seeds symbols per CODEPOINT: supplementary chars stay " +
+      "whole (no lone surrogates), both tiers") {
+    // 🍕 (U+1F355) is 2 UTF-16 code units; a code-unit split would shear
+    // it into unpaired surrogates and merge those instead
+    val corpus = Seq("x🍕y x🍕y", "🍕🍕").toDF("text")
+    for (forceDist <- Seq(false, true)) {
+      if (forceDist) spark.conf.set("graft.bpe.localVocabMax", "0")
+      try {
+        val got = TextAnalysis.bpeTrain(corpus, merges = 1)
+          .as[(Long, String, String, Long)].collect().toSeq
+        // best pair: (x,🍕) n=2 — ties (🍕,y) n=2 and (🍕,🍕) n=1 lose on
+        // UTF-8 order (x < 🍕)
+        // a code-unit split would instead merge lone-surrogate symbols
+        // (\uD83C,\uDF55) — the exact-match assertion rules that out
+        assert(got == Seq((1L, "x", "🍕", 2L)), s"forceDist=$forceDist got $got")
+      } finally if (forceDist) spark.conf.unset("graft.bpe.localVocabMax")
+    }
+  }
+
   test("bpeTrain ≡ independent in-memory reference on tie-heavy " +
       "tiny-alphabet corpora (same-symbol runs, count ties, re-merges)") {
     val rng = new scala.util.Random(31)
