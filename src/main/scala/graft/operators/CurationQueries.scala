@@ -316,7 +316,8 @@ object CurationQueries {
       .orderBy($"doc_id", $"span_start")
   }
   private val q236Sql =
-    """WITH sh AS (SELECT doc_id, text,
+    """WITH sh AS (SELECT doc_id,
+      |    regexp_replace(text, '[\x{E000}-\x{EFFF}]', chr(65533), 'g') AS text,
       |    md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS shard
       |  FROM documents WHERE doc_id % 4 = 0),
       |g AS (SELECT doc_id, shard, i AS pos, substr(text, i+1, 30) AS gram
@@ -334,6 +335,37 @@ object CurationQueries {
       |  CAST(MAX(pos) + 30 AS BIGINT) AS span_end,
       |  CAST(MAX(pos) + 30 - MIN(pos) AS BIGINT) AS span_len
       |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------- q237
+  // Cross-shard miss audit for q236's sampled-shard suffix arrays: the
+  // duplicate-gram mass whose occurrences never land twice in one shard
+  // is the operator's observable blind spot. Same slice, same sharding
+  // function (md5 % 8), same PUA remap; one summary row quantifies the
+  // recall loss the Lee et al. clustering argument predicts is small.
+  private def q237(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.crossShardGramMiss(
+      Tables.documents(s, d).filter($"doc_id" % 4 === 0),
+      gramLen = 30, shards = 8)
+  }
+  private val q237Sql =
+    """WITH sh AS (SELECT doc_id,
+      |    regexp_replace(text, '[\x{E000}-\x{EFFF}]', chr(65533), 'g') AS text,
+      |    md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS shard
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |g AS (SELECT shard, substr(text, i+1, 30) AS gram
+      |      FROM sh, LATERAL unnest(range(length(text) - 30 + 1)) AS u(i)
+      |      WHERE length(text) >= 30),
+      |ps AS (SELECT gram, shard, COUNT(*) AS n FROM g GROUP BY gram, shard),
+      |pg AS (SELECT gram, SUM(n) AS total, MAX(n) AS mx FROM ps
+      |       GROUP BY gram HAVING SUM(n) >= 2)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+      |  CAST(COALESCE(SUM(total), 0) AS BIGINT) AS dup_occurrences,
+      |  CAST(COALESCE(SUM(CASE WHEN mx < 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS n_missed_grams,
+      |  CAST(COALESCE(SUM(CASE WHEN mx < 2 THEN total ELSE 0 END), 0)
+      |    AS BIGINT) AS missed_occurrences
+      |FROM pg""".stripMargin
 
   // ---------------------------------------------------------------- q191
   // Greedy k-center coreset selection (diversity sampling for eval /
@@ -488,6 +520,7 @@ object CurationQueries {
     QueryDef("q137_prefix_filter_pairs", q137, Some(q137Sql)),
     QueryDef("q139_duplicate_spans", q139, Some(q139Sql)),
     QueryDef("q236_suffix_spans", q236, Some(q236Sql)),
+    QueryDef("q237_shard_miss_audit", q237, Some(q237Sql)),
     QueryDef("q191_kcenter_coreset", q191, Some(q191Sql)),
     QueryDef("q192_jl_distortion", q192, Some(q192Sql)),
     QueryDef("q195_pca_power", q195, Some(q195Sql)),

@@ -1097,41 +1097,127 @@ object Dedup {
     * covered set equals {p : gram_L(p) occurs ≥ 2 times in the shard},
     * which is what the SQL oracle recomputes relationally.
     *
-    * Construction is comparison-sort suffix sorting — O(n log n · LCP̄)
-    * worst case, fine for shards sized to a task's memory budget; swap
-    * in SA-IS for pathological-repetition corpora. */
+    * Construction is prefix-doubling (Manber–Myers) with counting
+    * sorts — O(n log n) time independent of repetition structure,
+    * primitive int arrays only (~18 bytes/char transient). The previous
+    * comparison sort boxed the position array and paid the common-prefix
+    * length per comparison, which degraded sharply on exactly the
+    * near-duplicate-heavy shards this operator exists for.
+    *
+    * Text chars in the private-use range U+E000–U+EFFF (reserved here as
+    * per-doc separators) are remapped to U+FFFD before concatenation —
+    * they carry no gram semantics, and leaving them in would let an
+    * in-doc window collide with a separator position and corrupt the
+    * boundary invariant. The relational oracle applies the identical
+    * remap, so the covered-set equivalence holds on any input. */
+  /** Fail-fast shard-size guard for [[suffixSpansJvm]]: 2^28 chars
+    * (~537 MB of char data, ~4.8 GB transient with the four int arrays)
+    * — beyond it a task would stall or OOM opaquely; the fix is always
+    * the `shards` knob, so say so loudly instead. */
+  private[ops] val MaxShardChars: Long = 1L << 28
+
+  /** Suffix array by prefix doubling (Manber & Myers 1990) with stable
+    * counting sorts: O(n log n) time, primitive int arrays only. Order
+    * matches full lexicographic suffix comparison with "proper prefix
+    * sorts first" (absent second key ranks below every present one). */
+  private[ops] def buildSuffixArray(s: Array[Char]): Array[Int] = {
+    val n = s.length
+    val sa = new Array[Int](n)
+    if (n == 0) return sa
+    var rank = new Array[Int](n)
+    var newRank = new Array[Int](n)
+    val tmp = new Array[Int](n) // positions ordered by second key
+    val cnt = new Array[Int](math.max(n, 65536) + 2)
+    // initial round: counting sort by character
+    var i = 0
+    while (i < n) { cnt(s(i).toInt + 1) += 1; i += 1 }
+    i = 1
+    while (i <= 65536) { cnt(i) += cnt(i - 1); i += 1 }
+    i = 0
+    while (i < n) { val c = s(i).toInt; sa(cnt(c)) = i; cnt(c) += 1; i += 1 }
+    rank(sa(0)) = 0
+    i = 1
+    while (i < n) {
+      rank(sa(i)) = rank(sa(i - 1)) + (if (s(sa(i)) != s(sa(i - 1))) 1 else 0)
+      i += 1
+    }
+    var maxRank = rank(sa(n - 1))
+    var k = 1
+    while (k < n && maxRank < n - 1) {
+      // order by second key rank(p+k): positions with no second key
+      // (p >= n-k) first, then previous sa order shifted left by k
+      var p = 0
+      i = n - k
+      while (i < n) { tmp(p) = i; p += 1; i += 1 }
+      i = 0
+      while (i < n) { if (sa(i) >= k) { tmp(p) = sa(i) - k; p += 1 }; i += 1 }
+      // stable counting sort of tmp by first key rank(p)
+      java.util.Arrays.fill(cnt, 0, maxRank + 2, 0)
+      i = 0
+      while (i < n) { cnt(rank(i) + 1) += 1; i += 1 }
+      i = 1
+      while (i <= maxRank + 1) { cnt(i) += cnt(i - 1); i += 1 }
+      i = 0
+      while (i < n) {
+        val pos = tmp(i); val r = rank(pos)
+        sa(cnt(r)) = pos; cnt(r) += 1
+        i += 1
+      }
+      // re-rank by the (rank, rank+k) pair
+      newRank(sa(0)) = 0
+      i = 1
+      while (i < n) {
+        val a = sa(i - 1); val b = sa(i)
+        val r2a = if (a + k < n) rank(a + k) else -1
+        val r2b = if (b + k < n) rank(b + k) else -1
+        newRank(b) = newRank(a) +
+          (if (rank(a) != rank(b) || r2a != r2b) 1 else 0)
+        i += 1
+      }
+      val sw = rank; rank = newRank; newRank = sw
+      maxRank = rank(sa(n - 1))
+      k <<= 1
+    }
+    sa
+  }
+
   private[ops] def suffixSpansJvm(docs: Array[(Long, String)], gramLen: Int)
       : Iterator[(Long, Long, Long, Long)] = {
     if (docs.isEmpty) return Iterator.empty
-    val total = docs.map(_._2.length).sum + docs.length
-    val s = new Array[Char](total)
+    val total = docs.map(_._2.length.toLong).sum + docs.length
+    require(total <= MaxShardChars,
+      s"suffixArraySpans shard holds $total chars (> $MaxShardChars); " +
+        "raise the shards knob so corpus/shards fits a task (SCALE.md " +
+        "shard-size cost model)")
+    val s = new Array[Char](total.toInt)
     val docStart = new Array[Int](docs.length)
     var off = 0
     var d = 0
     while (d < docs.length) {
       docStart(d) = off
       val t = docs(d)._2
-      t.getChars(0, t.length, s, off)
+      var ci = 0
+      while (ci < t.length) { // copy with the U+E000–U+EFFF → U+FFFD remap
+        val c = t.charAt(ci)
+        s(off + ci) = if (c >= 0xE000 && c <= 0xEFFF) '\uFFFD' else c
+        ci += 1
+      }
       off += t.length
       s(off) = (0xE000 + (d % 0x1000)).toChar // unique-per-adjacent sep
       off += 1
       d += 1
     }
     val n = s.length
-    val saBoxed = Array.range(0, n).sortWith { (i, j) =>
-      var a = i; var b = j
-      while (a < n && b < n && s(a) == s(b)) { a += 1; b += 1 }
-      if (a == n) true else if (b == n) false else s(a) < s(b)
-    }
+    val sa = buildSuffixArray(s)
     val rank = new Array[Int](n)
     var k = 0
-    while (k < n) { rank(saBoxed(k)) = k; k += 1 }
+    while (k < n) { rank(sa(k)) = k; k += 1 }
     val lcp = new Array[Int](n) // lcp(r) = LCP(sa(r-1), sa(r))
     var h = 0
     var i = 0
     while (i < n) {
       if (rank(i) > 0) {
-        val j = saBoxed(rank(i) - 1)
+        val j = sa(rank(i) - 1)
         while (i + h < n && j + h < n && s(i + h) == s(j + h)) h += 1
         lcp(rank(i)) = h
         if (h > 0) h -= 1
@@ -1145,7 +1231,7 @@ object Dedup {
       val l = lcp(r)
       if (l >= gramLen) {
         val cnt = l - gramLen + 1
-        val a = saBoxed(r); val b = saBoxed(r - 1)
+        val a = sa(r); val b = sa(r - 1)
         diff(a) += 1; diff(a + cnt) -= 1
         diff(b) += 1; diff(b + cnt) -= 1
       }
@@ -1221,8 +1307,19 @@ object Dedup {
       "shards must be a power of two (oracle-replicable md5 sharding)")
     val spark = docs.sparkSession
     import spark.implicits._
+    // doc-id contract: non-null and long-castable (the kernel emits it
+    // through a non-nullable tuple encoder). try_cast + an explicit
+    // raise_error so a violating id fails with THIS operator's named
+    // contract error under both ANSI and legacy cast modes (ANSI cast
+    // would throw its own generic error; legacy cast would silently
+    // null and NPE in the encoder).
+    val idL = expr(s"try_cast(`$idCol` AS BIGINT)")
     docs
-      .select(col(idCol).cast("long").as("id"),
+      .select(
+        when(idL.isNull, raise_error(concat(
+            lit("suffixArraySpans requires a non-null long-castable doc " +
+              s"id; got $idCol = "), coalesce(col(idCol).cast("string"),
+              lit("NULL"))))).otherwise(idL).as("id"),
         coalesce(col(textCol), lit("")).as("t"),
         pmod(graft.functions.Md5Low64(col(idCol).cast("string")),
           lit(shards.toLong)).as("shard"))
@@ -1233,6 +1330,59 @@ object Dedup {
         suffixSpansJvm(shardDocs, gramLen)
       }
       .toDF(idCol, "span_start", "span_end", "span_len")
+  }
+
+  /** AUDIT for [[suffixArraySpans]]' observable blind spot: a gram whose
+    * occurrences all land in DIFFERENT shards is invisible to every
+    * within-shard suffix array. One summary row, same sharding function:
+    *
+    *  - `n_dup_grams`: distinct `gramLen`-grams occurring ≥ 2 times
+    *    corpus-wide (multiplicity — the operator's own dup criterion)
+    *  - `dup_occurrences`: total positions those grams cover
+    *  - `n_missed_grams` / `missed_occurrences`: the subset no single
+    *    shard sees twice — the duplicate mass sharding hides
+    *
+    * `n_missed_grams / n_dup_grams` is the measured recall loss that Lee
+    * et al.'s duplicate-clustering argument predicts is small; when it
+    * is not, re-shard with fewer, larger shards (or a different seed and
+    * a second pass). House style: the oversizedMinhashBuckets pattern —
+    * run on a sample, read the number, then size the real job.
+    *
+    * Scale note: grams group by their TEXT (not a hash) so the audit is
+    * exactly replayable relationally; that shuffles gramLen-char keys —
+    * the price of an exact audit. Run it on the slice you intend to
+    * shard, not the full corpus. Applies the same U+E000–U+EFFF → U+FFFD
+    * remap as the kernel, so counts reflect what the operator matches. */
+  def crossShardGramMiss(docs: DataFrame, gramLen: Int = 30,
+      shards: Int = 4, textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    require(gramLen >= 2, "need gramLen >= 2")
+    require(shards >= 1 && Integer.bitCount(shards) == 1,
+      "shards must be a power of two (oracle-replicable md5 sharding)")
+    val L = gramLen
+    val g = docs
+      .select(
+        pmod(graft.functions.Md5Low64(col(idCol).cast("string")),
+          lit(shards.toLong)).as("shard"),
+        regexp_replace(coalesce(col(textCol), lit("")),
+          lit("[\\uE000-\\uEFFF]"), lit("\uFFFD")).as("__t"))
+      .filter(length(col("__t")) >= L)
+      .select(col("shard"),
+        explode(sequence(lit(0), length(col("__t")) - L)).as("pos"),
+        col("__t"))
+      .select(col("shard"), expr(s"substring(__t, pos + 1, $L)").as("gram"))
+    val perGram = g.groupBy(col("gram"), col("shard"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("gram"))
+      .agg(sum(col("n")).as("total"), max(col("n")).as("mx"))
+      .filter(col("total") >= 2)
+    perGram.agg(
+      count(lit(1)).as("n_dup_grams"),
+      coalesce(sum(col("total")), lit(0L)).as("dup_occurrences"),
+      coalesce(sum(when(col("mx") < 2, 1L).otherwise(0L)), lit(0L))
+        .as("n_missed_grams"),
+      coalesce(sum(when(col("mx") < 2, col("total")).otherwise(lit(0L))),
+        lit(0L)).as("missed_occurrences"))
   }
 
   def duplicateSpans(docs: DataFrame, gramLen: Int = 30, minDocs: Int = 2,

@@ -377,6 +377,90 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("buildSuffixArray (prefix doubling) ≡ naive full-comparison suffix " +
+      "sort, including repetition-heavy and all-equal inputs") {
+    val rng = new scala.util.Random(17)
+    val cases = Seq("", "a", "aaaaaaaaaa", "banana", "abababababab",
+      "mississippi" * 3) ++
+      (1 to 8).map(n => Seq.fill(20 + rng.nextInt(60))(
+        "ab ba"(rng.nextInt(5))).mkString) ++
+      (1 to 4).map(_ => Seq.fill(40)("xyzxyz"(rng.nextInt(6))).mkString)
+    for (t <- cases) {
+      val s = t.toCharArray
+      val got = Dedup.buildSuffixArray(s).toSeq
+      val want = s.indices.sortBy(i => t.substring(i))
+      assert(got == want, s"input '$t'\n got $got\nwant $want")
+    }
+  }
+
+  test("suffixSpansJvm: private-use chars U+E000–U+EFFF in TEXT are " +
+      "remapped to U+FFFD — no spurious separator-collision spans, and " +
+      "matching treats them as U+FFFD (oracle-equivalent remap)") {
+    // doc 1 contains the exact char used as doc-0's separator (U+E000):
+    // without the remap its window could match the separator position
+    val sep = '\uE000'
+    val a = (10L, "left payload unique alpha")
+    val b = (11L, s"text with ${sep}${sep}${sep} private use block here")
+    // only-dup content: nothing repeats → no spans at all
+    assert(Dedup.suffixSpansJvm(Array(a, b), 8).isEmpty)
+    // a PUA char matches where U+FFFD matches: two docs identical up to
+    // PUA-vs-FFFD produce identical full-coverage spans
+    val c = (1L, "shared content block \uE123 shared content block")
+    val d2 = (2L, "shared content block \uFFFD shared content block")
+    val spans = Dedup.suffixSpansJvm(Array(c, d2), 10).toSeq
+    assert(spans.map(_._1).toSet == Set(1L, 2L), s"got $spans")
+    val byDoc = spans.groupBy(_._1)
+    assert(byDoc(1L).map(s => (s._2, s._3)) == byDoc(2L).map(s => (s._2, s._3)))
+  }
+
+  test("suffixArraySpans: non-long-castable doc id fails with a NAMED " +
+      "error, not an opaque NPE") {
+    val docs = Seq(("doc-x", "some text body here"), ("doc-y", "other"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.suffixArraySpans(docs, gramLen = 5, shards = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("non-null long-castable doc id")),
+      s"got ${msgs(e)}")
+  }
+
+  test("crossShardGramMiss: quantifies the duplicate-gram mass no single " +
+      "shard sees twice; captured mass excluded; clean corpus all zeros") {
+    import org.apache.spark.sql.functions.pmod
+    val shard = (i: Long) => spark.range(i, i + 1)
+      .select(pmod(graft.functions.Md5Low64($"id".cast("string")), lit(4L)))
+      .as[Long].collect().head
+    val ids = (0L until 32L).map(i => i -> shard(i))
+    val (idA, shA) = ids.head
+    val (idB, _) = ids.find(_._2 != shA).get
+    val (idC, _) = ids.find(p => p._2 == shA && p._1 != idA).get
+    val crossDup = "cross-shard duplicated sentence" // split across shards
+    val sameDup = "same-shard duplicated sentence xx" // both in shard A
+    val docs = Seq(
+      (idA, s"one $crossDup and $sameDup"),
+      (idB, s"two $crossDup tail words"),
+      (idC, s"three $sameDup closing")).toDF("doc_id", "text")
+    val row = Dedup.crossShardGramMiss(docs, gramLen = 12, shards = 4)
+      .as[(Long, Long, Long, Long)].collect().head
+    val (nDup, dupOcc, nMissed, missedOcc) = row
+    assert(nDup > 0 && nMissed > 0, s"got $row")
+    // some dup grams ARE captured (the same-shard pair), so missed < all
+    assert(nMissed < nDup && missedOcc < dupOcc, s"got $row")
+    // at shards=1 nothing can be missed
+    val one = Dedup.crossShardGramMiss(docs, gramLen = 12, shards = 1)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(one._3 == 0L && one._4 == 0L && one._1 >= nDup, s"got $one")
+    // a corpus with no duplicate grams: zero row (sums NULL-coalesced by
+    // the caller; here count is 0 and sums are null)
+    val clean = Seq((1L, "totally unique first body"),
+      (2L, "completely different second")).toDF("doc_id", "text")
+    val z = Dedup.crossShardGramMiss(clean, gramLen = 12, shards = 4)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(z == ((0L, 0L, 0L, 0L)), s"got $z")
+  }
+
   test("suffixArraySpans: recall is within-shard by construction — a pair " +
       "split across shards is missed at shards=4, found at shards=1") {
     import org.apache.spark.sql.functions.pmod
