@@ -420,6 +420,136 @@ object LlmQueries {
       .orderBy($"qid", $"rn")
   }
 
+  // ------------------------------------------------------------ q238/q239
+  // ANN RECALL AUDITS at non-degenerate settings. q53/q56 hash-gate the
+  // IVF/PQ kernels in exact regimes (nprobe=nlist, rerank≥|corpus|);
+  // these two measure what the approximations actually cost: recall@10
+  // of IVF at nprobe=4/16 (q238) and of PQ-ADC at rerank=40 with an
+  // untrained (seeded-init) codebook (q239) against the brute-force
+  // list. seedHash="md5" makes the centroid/codebook sample
+  // relationally replayable (md5_number_lower order), so the ORACLE
+  // re-derives the entire approximate pipeline — centroids, list
+  // assignment, probes/codes, ADC tables, rerank — and recall is a
+  // hash-gated integer per query, not a trust-me number.
+  private def annRecallHits(s: SparkSession, emb: DataFrame,
+      approx: DataFrame): DataFrame = {
+    import s.implicits._
+    val brute = Similarity
+      .bruteForceTopK(emb, emb.filter($"vec_id" < 10), k = 10)
+      .select($"qid", $"eid")
+    val hits = brute.join(approx.select($"qid", $"eid"),
+        Seq("qid", "eid"), "left_semi")
+      .groupBy($"qid").agg(count(lit(1)).as("recall_hits_at_10"))
+    emb.filter($"vec_id" < 10)
+      .select($"vec_id".cast("long").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select($"qid", coalesce($"recall_hits_at_10", lit(0L))
+        .as("recall_hits_at_10"))
+      .orderBy($"qid")
+  }
+  private def q238(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    annRecallHits(s, emb, Similarity.ivfTopK(emb,
+      emb.filter($"vec_id" < 10), k = 10, nlist = 16, nprobe = 4,
+      refineIters = 0, seedHash = "md5"))
+  }
+  private def q239(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    annRecallHits(s, emb, Similarity.pqTopK(emb,
+      emb.filter($"vec_id" < 10), k = 10, m = 8, ksub = 16,
+      trainIters = 0, rerank = 40, seedHash = "md5"))
+  }
+  // shared oracle scaffolding: quantized corpus/queries + the 16
+  // md5-ordered seed rows (cid = 0-based hash-order rank) + exact norms
+  private val annAuditPrelude =
+    s"""WITH q AS (SELECT vec_id AS qid, $quantSql AS qv FROM embeddings
+       |  WHERE vec_id < 10),
+       |e AS (SELECT vec_id AS eid, $quantSql AS ev FROM embeddings),
+       |ini AS (SELECT row_number() OVER (
+       |      ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+       |    $quantSql AS iv
+       |  FROM embeddings
+       |  ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)) LIMIT 16),
+       |en AS (SELECT eid, CAST(list_sum(list_transform(ev, x->x*x))
+       |    AS DOUBLE) AS nrm FROM e),
+       |qn AS (SELECT qid, CAST(list_sum(list_transform(qv, x->x*x))
+       |    AS DOUBLE) AS nrm FROM q),
+       |bt AS (SELECT qid, eid FROM (
+       |    SELECT q.qid, e.eid, CAST(ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY CAST(list_sum(list_transform(range(1, len(qv)+1),
+       |          i -> qv[i]*ev[i])) AS DOUBLE)
+       |          / (sqrt(qn.nrm) * sqrt(en.nrm)) DESC, e.eid) AS INT) AS rn
+       |    FROM q JOIN qn USING (qid), e JOIN en USING (eid)
+       |    WHERE q.qid <> e.eid) WHERE rn <= 10)""".stripMargin
+  private val annAuditEpilogue =
+    """SELECT bt.qid, CAST(COUNT(ap.eid) AS BIGINT) AS recall_hits_at_10
+      |FROM bt LEFT JOIN ap ON ap.qid = bt.qid AND ap.eid = bt.eid
+      |GROUP BY bt.qid ORDER BY bt.qid""".stripMargin
+  private val q238Sql =
+    s"""$annAuditPrelude,
+       |cn AS (SELECT cid, iv, CAST(list_sum(list_transform(iv, x->x*x))
+       |    AS DOUBLE) AS nrm FROM ini),
+       |asg AS (SELECT eid, cid FROM (
+       |    SELECT e.eid, cn.cid, ROW_NUMBER() OVER (PARTITION BY e.eid
+       |        ORDER BY CASE WHEN en.nrm = 0 OR cn.nrm = 0 THEN 0.0
+       |          ELSE CAST(list_sum(list_transform(range(1, len(ev)+1),
+       |            i -> ev[i]*iv[i])) AS DOUBLE)
+       |            / (sqrt(en.nrm) * sqrt(cn.nrm)) END DESC, cn.cid) AS rn
+       |    FROM e JOIN en USING (eid), cn) WHERE rn = 1),
+       |prb AS (SELECT qid, cid FROM (
+       |    SELECT q.qid, cn.cid, ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY CASE WHEN qn.nrm = 0 OR cn.nrm = 0 THEN 0.0
+       |          ELSE CAST(list_sum(list_transform(range(1, len(qv)+1),
+       |            i -> qv[i]*iv[i])) AS DOUBLE)
+       |            / (sqrt(qn.nrm) * sqrt(cn.nrm)) END DESC, cn.cid) AS rn
+       |    FROM q JOIN qn USING (qid), cn) WHERE rn <= 4),
+       |ap AS (SELECT qid, eid FROM (
+       |    SELECT p.qid, e.eid, ROW_NUMBER() OVER (PARTITION BY p.qid
+       |        ORDER BY CAST(list_sum(list_transform(range(1, len(qv)+1),
+       |          i -> qv[i]*ev[i])) AS DOUBLE)
+       |          / (sqrt(qn.nrm) * sqrt(en.nrm)) DESC, e.eid) AS rn
+       |    FROM prb p JOIN asg a USING (cid)
+       |      JOIN e ON e.eid = a.eid JOIN en ON en.eid = e.eid
+       |      JOIN q ON q.qid = p.qid JOIN qn ON qn.qid = p.qid
+       |    WHERE e.eid <> p.qid) WHERE rn <= 10)
+       |$annAuditEpilogue""".stripMargin
+  private val q239Sql =
+    s"""$annAuditPrelude,
+       |bk AS (SELECT cid, s, list_transform(range(1, 9),
+       |      i -> iv[s*8 + i]) AS bv
+       |    FROM ini, UNNEST(range(8)) AS t(s)),
+       |cod AS (SELECT eid, s, cid AS code FROM (
+       |    SELECT e.eid, bk.s, bk.cid, ROW_NUMBER() OVER (
+       |        PARTITION BY e.eid, bk.s ORDER BY
+       |        list_sum(list_transform(range(1, 9),
+       |          i -> (ev[bk.s*8 + i] - bv[i])*(ev[bk.s*8 + i] - bv[i]))),
+       |        bk.cid) AS rn
+       |    FROM e, bk) WHERE rn = 1),
+       |tab AS (SELECT q.qid, bk.s, bk.cid,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> q.qv[bk.s*8 + i] * bv[i])) AS d
+       |  FROM q, bk),
+       |apx AS (SELECT t.qid, c.eid, SUM(t.d) AS approx
+       |  FROM cod c JOIN tab t ON t.s = c.s AND t.cid = c.code
+       |  GROUP BY t.qid, c.eid),
+       |cand AS (SELECT qid, eid FROM (
+       |    SELECT x.qid, x.eid, ROW_NUMBER() OVER (PARTITION BY x.qid
+       |        ORDER BY CASE WHEN qn.nrm = 0 OR en.nrm = 0 THEN 0.0
+       |          ELSE CAST(x.approx AS DOUBLE)
+       |            / (sqrt(qn.nrm) * sqrt(en.nrm)) END DESC, x.eid) AS rn
+       |    FROM apx x JOIN qn USING (qid) JOIN en USING (eid)
+       |    WHERE x.eid <> x.qid) WHERE rn <= 40),
+       |ap AS (SELECT qid, eid FROM (
+       |    SELECT c.qid, c.eid, ROW_NUMBER() OVER (PARTITION BY c.qid
+       |        ORDER BY CAST(list_sum(list_transform(range(1, len(qv)+1),
+       |          i -> qv[i]*ev[i])) AS DOUBLE)
+       |          / (sqrt(qn.nrm) * sqrt(en.nrm)) DESC, c.eid) AS rn
+       |    FROM cand c JOIN q ON q.qid = c.qid JOIN qn ON qn.qid = c.qid
+       |      JOIN e ON e.eid = c.eid JOIN en ON en.eid = c.eid) WHERE rn <= 10)
+       |$annAuditEpilogue""".stripMargin
+
   // ---------------------------------------------------------------- q54
   // Repetition signals (Gopher-style quality filters).
   private def q54(s: SparkSession, d: String): DataFrame = {
@@ -730,6 +860,8 @@ object LlmQueries {
     QueryDef("q54_repetition", q54, Some(q54Sql)),
     QueryDef("q55_common_ngrams", q55, Some(q55Sql)),
     QueryDef("q56_pq_topk", q56, Some(q43Sql)),
+    QueryDef("q238_ivf_recall", q238, Some(q238Sql)),
+    QueryDef("q239_pq_recall", q239, Some(q239Sql)),
     QueryDef("q57_hash_split", q57, Some(q57Sql)),
     QueryDef("q58_stratified_sample", q58, Some(q58Sql)),
     QueryDef("q59_sessionize", q59, Some(q59Sql)),

@@ -314,12 +314,28 @@ object Similarity {
     * sample, no training job. [[lloydRefine]] optionally recenters it; on
     * near-uniform embedding clouds the sampled set alone gives a similar
     * recall/pruning tradeoff. */
+  /** Seed-hash column for the deterministic samplers: "xx" (xxhash64,
+    * the fast default) or "md5" ([[graft.functions.Md5Low64]] with the
+    * sign bit flipped, so SIGNED ordering equals DuckDB's unsigned
+    * md5_number_lower order) — the simhash `tokenHash` precedent: md5
+    * buys exact relational replayability for recall-audit oracles at a
+    * few ns/row extra. */
+  private def seedHashCol(c: Column, seedHash: String): Column =
+    seedHash match {
+      case "xx" => xxhash64(c)
+      case "md5" => graft.functions.Md5Low64(c.cast("string"))
+        .bitwiseXOR(lit(Long.MinValue))
+      case other => throw new IllegalArgumentException(
+        s"seedHash must be 'xx' or 'md5', got '$other'")
+    }
+
   private def sampleCentroids(corpus: DataFrame, nlist: Int,
-      idCol: String, vecCol: String): Array[(Long, Array[Long], Long)] = {
+      idCol: String, vecCol: String, seedHash: String = "xx")
+      : Array[(Long, Array[Long], Long)] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     corpus.select(col(idCol).cast("long"), col(vecCol))
-      .withColumn("__m", xxhash64(col(idCol)))
+      .withColumn("__m", seedHashCol(col(idCol), seedHash))
       .orderBy(col("__m"))
       .limit(nlist)
       .select(col(idCol).cast("long"), col(vecCol))
@@ -409,11 +425,12 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, seedHash: String = "xx"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = lloydRefine(corpus,
-      sampleCentroids(corpus, nlist, idCol, vecCol), refineIters, idCol, vecCol)
+      sampleCentroids(corpus, nlist, idCol, vecCol, seedHash), refineIters,
+      idCol, vecCol)
     val qRows = collectProbes(queries, idCol, vecCol)
       .map { case (id, v) =>
         val q = quantizeJvm(v); val n = normJvm(q)
@@ -466,13 +483,16 @@ object Similarity {
     * The sample is id-hash keyed — identical under any partitioning. */
   def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainSampleMax: Long = 16384L): Array[Array[Array[Long]]] = {
+      trainSampleMax: Long = 16384L, seedHash: String = "xx")
+      : Array[Array[Array[Long]]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val all = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Seq[Float])]
-    val n = all.count()
-    val vecs =
+    // the training sample (and its count pass) only exist for Lloyd
+    // iterations; iters=0 keeps the seeded init as the codebook
+    lazy val vecs = {
+      val all = corpus.select(col(idCol).cast("long"), col(vecCol))
+        .as[(Long, Seq[Float])]
+      val n = all.count()
       if (n <= trainSampleMax) all
       else {
         val every = (n + trainSampleMax - 1) / trainSampleMax
@@ -480,8 +500,9 @@ object Similarity {
           .filter(pmod(xxhash64(col(idCol).cast("long")), lit(every)) === 0)
           .as[(Long, Seq[Float])]
       }
+    }
     val init = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .withColumn("__m", xxhash64(col(idCol)))
+      .withColumn("__m", seedHashCol(col(idCol), seedHash))
       .orderBy(col("__m"))
       .limit(ksub)
       .select(col(idCol).cast("long"), col(vecCol))
@@ -566,11 +587,12 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ksub: Int = 16, trainIters: Int = 3, rerank: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, seedHash: String = "xx"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val r = if (rerank > 0) rerank else math.max(k * 4, 32)
-    val books = pqTrain(corpus, m, ksub, trainIters, idCol, vecCol)
+    val books = pqTrain(corpus, m, ksub, trainIters, idCol, vecCol,
+      seedHash = seedHash)
     val sub = books(0)(0).length
     val qRows = collectProbes(queries, idCol, vecCol)
       .map { case (id, v) =>
