@@ -299,6 +299,20 @@ object EntityQueries {
       .unionByName(Tables.documents(s, d).select(explode(split(
         graft.ops.Dedup.normalized(coalesce($"text", lit(""))), " ")).as("k")))
       .distinct()
+      .localCheckpoint() // 3 consumers: the guard count + both join sides
+    // RUNTIME GUARD (the graft.ann.maxProbe pattern): the exact all-pairs
+    // join is |vocab|² — vocab grows sublinearly (Heaps), but a 100 TB
+    // multilingual corpus would still push it into the billions-of-pairs
+    // regime. Fail loudly with the scale path named instead of stalling;
+    // the count is control-plane off the materialized frame.
+    val cap = s.conf.getOption("graft.editdist.maxVocab")
+      .map(_.toLong).getOrElse(250000L)
+    val n = vocab.count()
+    require(n <= cap,
+      s"exact all-pairs Jaro-Winkler is quadratic in vocab size: |vocab|=" +
+        s"$n exceeds graft.editdist.maxVocab=$cap. Use the blocked " +
+        "generation path (q97/q125's first-char+length banding) at this " +
+        "scale, or raise the cap deliberately.")
     vocab.select($"k".as("key_a"))
       .crossJoin(vocab.select($"k".as("key_b")))
       .filter($"key_a" < $"key_b")

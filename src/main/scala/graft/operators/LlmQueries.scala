@@ -839,9 +839,52 @@ object LlmQueries {
       |    AS BIGINT) AS pixel_sum
       |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q240
+  // WAV decode round-trip — the second REAL media modality (the q234
+  // pattern): synthesize a deterministic PCM16 WAV per sampled doc
+  // (sample rate, channel count, frame count and every sample value are
+  // pure functions of doc_id), decode it with the REAL JDK parser
+  // (javax.sound.sampled — no stub), and report true rate/channels/
+  // frames plus the exact Σ|sample| amplitude fingerprint. PCM is
+  // lossless, so the oracle recomputes everything arithmetically —
+  // hash-gating the real decoder end to end. Compressed codecs fall to
+  // the stub seam (fakeAudioDecode), where a native decoder plugs in.
+  private def q240(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, d)
+      .select($"doc_id".cast("long").as("doc_id"))
+      .filter($"doc_id" % 10 === 3)
+    val wav = ids.as[Long].mapPartitions { it =>
+      it.map { id =>
+        val sr = (8000 + (id % 4) * 4000).toInt
+        val ch = (1 + id % 2).toInt
+        val frames = (50 + id % 100).toInt
+        val samples = Array.tabulate(frames * ch)(i =>
+          ((id * 31 + i.toLong * 7) % 2048 - 1024).toShort)
+        (id, Multimodal.pcm16Wav(sr, ch, samples))
+      }
+    }.toDF("doc_id", "media")
+    Multimodal.decodeAudio(wav, "doc_id", "media")
+      .select($"doc_id", $"sample_rate".cast("long").as("sample_rate"),
+        $"channels".cast("long").as("channels"), $"n_frames",
+        $"amplitude_sum", $"decoded")
+      .orderBy($"doc_id")
+  }
+  private val q240Sql =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      |  CAST(50 + doc_id % 100 AS BIGINT) AS n_frames,
+      |  CAST((SELECT SUM(abs((doc_id * 31 + i * 7) % 2048 - 1024))
+      |        FROM unnest(range((50 + doc_id % 100) * (1 + doc_id % 2)))
+      |          AS u(i)) AS BIGINT) AS amplitude_sum,
+      |  TRUE AS decoded
+      |FROM documents WHERE doc_id % 10 = 3 ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q206_readability", q206, Some(q206Sql)),
     QueryDef("q234_imageio_roundtrip", q234, Some(q234Sql)),
+    QueryDef("q240_wav_roundtrip", q240, Some(q240Sql)),
     QueryDef("q40_dedup_exact", q40, Some(q40Sql)),
     QueryDef("q41_minhash_pairs", q41, Some(q41Sql)),
     QueryDef("q42_ngram_jaccard", q42, Some(q42Sql)),

@@ -119,6 +119,104 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** STUB audio decode: deterministic pseudo-stats from content bytes —
+    * the fallback for payloads [[audioDecode]] cannot read (compressed
+    * codecs: mp3/ogg/aac need a native decoder; this is that seam). */
+  def fakeAudioDecode(bytes: Array[Byte]): (Int, Int, Long) = {
+    val h = java.util.Arrays.hashCode(bytes)
+    (8000 + math.abs(h % 4) * 4000, 1 + math.abs(h % 2),
+      100L + math.abs((h / 8) % 1000))
+  }
+
+  /** REAL audio decode via the JDK's bundled `javax.sound.sampled` WAV
+    * parser (zero extra dependencies — the ImageIO of audio). Accepts
+    * PCM-signed 16-bit WAV; returns (sample_rate, channels, n_frames,
+    * amplitude_sum) where amplitude_sum = Σ|sample| over every channel
+    * sample — an exact integer content fingerprint, PCM being lossless.
+    * None for compressed codecs or non-PCM16 encodings — callers fall
+    * back to [[fakeAudioDecode]], the native-decoder seam. */
+  def audioDecode(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getEncoding !=
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) None
+      else {
+        val frameSize = fmt.getFrameSize // channels * 2 bytes
+        val big = fmt.isBigEndian
+        val buf = new Array[Byte](frameSize * 1024)
+        var sum = 0L
+        var totalBytes = 0L
+        var n = ais.read(buf)
+        while (n > 0) {
+          var i = 0
+          while (i + 1 < n) { // n is a frame multiple by the API contract
+            val s =
+              if (big) ((buf(i) << 8) | (buf(i + 1) & 0xFF)).toShort
+              else ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort
+            sum += math.abs(s.toLong)
+            i += 2
+          }
+          totalBytes += n
+          n = ais.read(buf)
+        }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels,
+          totalBytes / frameSize, sum))
+      }
+    } catch { case _: Exception => None }
+
+  /** Partition-batched audio decode — the [[decodeDimensions]] seam for
+    * the second modality: real `javax.sound.sampled` WAV decode first
+    * (`decoded` = true, exact frame count + amplitude sum); unreadable
+    * or compressed payloads keep deterministic stub stats with
+    * `decoded` = false and a NULL amplitude sum. */
+  def decodeAudio(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          audioDecode(bytes) match {
+            case Some((sr, ch, nf, amp)) => (id, sr, ch, nf, Some(amp), true)
+            case None =>
+              val (sr, ch, nf) = fakeAudioDecode(bytes)
+              (id, sr, ch, nf, None: Option[Long], false)
+          }
+        }
+      }
+      .toDF(idCol, "sample_rate", "channels", "n_frames", "amplitude_sum",
+        "decoded")
+  }
+
+  /** Deterministic PCM16 WAV synthesis (JDK AudioSystem encoder) — the
+    * audio counterpart of [[solidPng]]: PCM is lossless, so the decoded
+    * stats are pure functions of the synthesized samples, checkable by
+    * any SQL engine. `samples` are interleaved channel samples. */
+  def pcm16Wav(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(samples.length % channels == 0,
+      "interleaved sample count must be a frame multiple")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) { // little-endian per fmt
+      raw(2 * i) = (samples(i) & 0xFF).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt,
+      samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Frame-sampling contract for video-ish payloads: split a byte payload
     * into `frameBytes`-sized pseudo-frames and keep every `stride`-th —
     * the real implementation swaps the splitter for a container demuxer.

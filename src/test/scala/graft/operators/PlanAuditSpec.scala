@@ -228,6 +228,20 @@ class PlanAuditSpec extends SparkSpec {
       "rounds must explode adjacency lists, not join an E-row edge table")
   }
 
+  test("q133: the exact all-pairs Jaro-Winkler join is gated by a " +
+      "vocab-size cap that names the blocked scale path") {
+    spark.conf.set("graft.editdist.maxVocab", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("q133_jaro_winkler")(spark, sfDir)
+      }
+      assert(e.getMessage.contains("graft.editdist.maxVocab") &&
+        e.getMessage.contains("q97"), e.getMessage)
+    } finally spark.conf.unset("graft.editdist.maxVocab")
+    // default cap admits the fixture
+    assert(SparkEntry.queries("q133_jaro_winkler")(spark, sfDir).count() > 0)
+  }
+
   test("q126: histogram quantiles = bin agg + one keyed window, no join") {
     val p = planOf("q126_hist_quantiles")
     assert(!p.contains("Join"), "the scale-path percentile must not join")

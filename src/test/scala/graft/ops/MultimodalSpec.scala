@@ -76,6 +76,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1) == ((11L, 1, 1, 3, Some(765L), true)))
   }
 
+  test("pcm16Wav round-trip: encode then audioDecode is exact — rate, " +
+      "channels, frames, Σ|sample| — mono and stereo, both via the " +
+      "batched decodeAudio path") {
+    // hand-built signals with known sums: mono ramp, stereo constants
+    val mono = Array[Short](0, 100, -200, 300, -400) // Σ|s| = 1000
+    val stereo = Array[Short](10, -10, 20, -20, 30, -30) // 3 frames, Σ=120
+    val df = Seq(
+      (1L, Multimodal.pcm16Wav(8000, 1, mono)),
+      (2L, Multimodal.pcm16Wav(16000, 2, stereo))).toDF("id", "media")
+    val out = Multimodal.decodeAudio(df, "id", "media")
+      .as[(Long, Int, Int, Long, Option[Long], Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 8000, 1, 5L, Some(1000L), true),
+      (2L, 16000, 2, 3L, Some(120L), true)), s"got $out")
+    // extreme samples survive the little-endian round trip
+    val edge = Array[Short](Short.MinValue, Short.MaxValue)
+    val e = Multimodal.audioDecode(Multimodal.pcm16Wav(44100, 1, edge)).get
+    assert(e == ((44100, 1, 2L, 32768L + 32767L)), s"got $e")
+  }
+
+  test("audio stub fallback: non-WAV bytes get deterministic pseudo-stats, " +
+      "decoded=false, NULL amplitude sum; layout-invariant") {
+    val df = Seq((1L, "not audio at all".getBytes("UTF-8")),
+      (2L, jpegMagic)).toDF("id", "media")
+    val a = Multimodal.decodeAudio(df, "id", "media")
+      .as[(Long, Int, Int, Long, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
+    val b = Multimodal.decodeAudio(df.repartition(3), "id", "media")
+      .as[(Long, Int, Int, Long, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.forall { case (_, sr, ch, nf, amp, dec) =>
+      sr >= 8000 && (ch == 1 || ch == 2) && nf >= 100 && amp.isEmpty && !dec })
+  }
+
   test("frame sampling: every stride-th fixed-size frame with indices") {
     val payload = Array.tabulate[Byte](10240)(i => (i % 251).toByte)
     val df = Seq((7L, payload)).toDF("id", "media")

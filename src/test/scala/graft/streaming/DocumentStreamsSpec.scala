@@ -123,6 +123,64 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(replay == Set(1L))
   }
 
+  test("near-dedup exactly-once across a MULTI-restart schedule: repeated " +
+      "replays and mid-write crashes at several different batches leave " +
+      "corpus and signature store identical to the clean run") {
+    // 5 batches: internal dups, cross-batch near-dups (one token off),
+    // fresh docs — every dedup path exercised under restart chaos
+    def batches: Seq[Seq[Doc]] = Seq(
+      Seq(Doc(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "a", 0),
+        Doc(2, "ships and harbors at dawn with fog over the quiet water", "en", "a", 0)),
+      Seq(Doc(10, "alpha beta gamma delta epsilon zeta eta theta iota lambda", "en", "a", 0), // ~dup of 1
+        Doc(11, "fresh content entirely new thing never seen before anywhere", "en", "a", 0)),
+      Seq(Doc(20, "ships and harbors at dusk with fog over the quiet water", "en", "a", 0), // ~dup of 2
+        Doc(21, "completely novel sentence about glaciers calving into the sea", "en", "a", 0),
+        Doc(22, "completely novel sentence about glaciers calving into the sea", "en", "a", 0)), // internal dup
+      Seq(Doc(30, "fresh content entirely new thing never seen before anywhere", "en", "a", 0)), // exact dup of 11
+      Seq(Doc(40, "a final genuinely unique closing document about map making", "en", "a", 0)))
+    def ingestAll(dir: String, chaos: Boolean): Unit = {
+      def run(i: Int): Unit = DocumentStreams.ingestBatchNearDedup(
+        batches(i).toDF(), s"$dir/state", s"$dir/out", i.toLong)
+      def rm(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(go)); f.delete(); ()
+        }
+        go(new java.io.File(p))
+      }
+      run(0)
+      if (chaos) run(0) // restart before checkpoint commit → replay 0
+      run(1)
+      run(2)
+      if (chaos) { // crash between the bands and shingles writes of 2 …
+        rm(s"$dir/state/shingles/batch_2")
+        run(2) // … restart replays 2
+        run(2) // … and a second restart replays it again
+      }
+      run(3)
+      if (chaos) { // crash after bands of 3 was PARTIALLY rewritten
+        rm(s"$dir/state/bands/batch_3")
+        run(3)
+      }
+      run(4)
+    }
+    val clean = java.nio.file.Files.createTempDirectory("nd_clean").toString
+    val chaosD = java.nio.file.Files.createTempDirectory("nd_chaos").toString
+    ingestAll(clean, chaos = false)
+    ingestAll(chaosD, chaos = true)
+    def outDocs(dir: String): Set[Long] =
+      spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/out")
+        .select("doc_id").as[Long].collect().toSet
+    def store(dir: String, half: String): Set[String] =
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/state/$half").collect()
+        .map(_.toString).toSet
+    assert(outDocs(clean) == Set(1L, 2L, 11L, 21L, 40L),
+      s"clean got ${outDocs(clean)}")
+    assert(outDocs(chaosD) == outDocs(clean))
+    assert(store(chaosD, "bands") == store(clean, "bands"))
+    assert(store(chaosD, "shingles") == store(clean, "shingles"))
+  }
+
   test("shard sink writes split-partitioned parquet via checkpointed file sink") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     val input = MemoryStream[Doc](spark)
