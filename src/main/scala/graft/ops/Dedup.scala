@@ -1099,42 +1099,50 @@ object Dedup {
     *
     * Construction is prefix-doubling (Manber–Myers) with counting
     * sorts — O(n log n) time independent of repetition structure,
-    * primitive int arrays only (~18 bytes/char transient). The previous
-    * comparison sort boxed the position array and paid the common-prefix
-    * length per comparison, which degraded sharply on exactly the
-    * near-duplicate-heavy shards this operator exists for.
+    * primitive int arrays only (~24 bytes/codepoint transient). The
+    * previous comparison sort boxed the position array and paid the
+    * common-prefix length per comparison, which degraded sharply on
+    * exactly the near-duplicate-heavy shards this operator exists for.
     *
-    * Text chars in the private-use range U+E000–U+EFFF (reserved here as
-    * per-doc separators) are remapped to U+FFFD before concatenation —
-    * they carry no gram semantics, and leaving them in would let an
-    * in-doc window collide with a separator position and corrupt the
-    * boundary invariant. The relational oracle applies the identical
-    * remap, so the covered-set equivalence holds on any input. */
-  /** Fail-fast shard-size guard for [[suffixSpansJvm]]: 2^28 chars
-    * (~537 MB of char data, ~4.8 GB transient with the four int arrays)
+    * The kernel works in CODEPOINT units (positions, lengths, gram
+    * windows) — the unit of DuckDB's substr/length AND Spark's
+    * UTF8String — so the covered-set equivalence holds on any input
+    * including supplementary characters. Codepoints in the private-use
+    * range U+E000–U+EFFF (reserved as per-doc separators) are remapped
+    * to U+FFFD before concatenation — they carry no gram semantics, and
+    * leaving them in would let an in-doc window collide with a separator
+    * position and corrupt the boundary invariant. The relational oracle
+    * applies the identical remap. */
+  /** Fail-fast shard-size guard for [[suffixSpansJvm]]: 2^28 codepoints
+    * (~6.4 GB transient across the codepoint buffer + four int arrays)
     * — beyond it a task would stall or OOM opaquely; the fix is always
     * the `shards` knob, so say so loudly instead. */
   private[ops] val MaxShardChars: Long = 1L << 28
 
   /** Suffix array by prefix doubling (Manber & Myers 1990) with stable
-    * counting sorts: O(n log n) time, primitive int arrays only. Order
-    * matches full lexicographic suffix comparison with "proper prefix
-    * sorts first" (absent second key ranks below every present one). */
-  private[ops] def buildSuffixArray(s: Array[Char]): Array[Int] = {
+    * counting sorts: O(n log n) time, primitive int arrays only. The
+    * alphabet is Unicode CODEPOINTS (the kernel's position unit — see
+    * [[suffixSpansJvm]]). Order matches full lexicographic suffix
+    * comparison with "proper prefix sorts first" (absent second key
+    * ranks below every present one). */
+  private[ops] def buildSuffixArray(s: Array[Int]): Array[Int] = {
     val n = s.length
     val sa = new Array[Int](n)
     if (n == 0) return sa
     var rank = new Array[Int](n)
     var newRank = new Array[Int](n)
     val tmp = new Array[Int](n) // positions ordered by second key
-    val cnt = new Array[Int](math.max(n, 65536) + 2)
-    // initial round: counting sort by character
+    var maxSym = 0
     var i = 0
-    while (i < n) { cnt(s(i).toInt + 1) += 1; i += 1 }
-    i = 1
-    while (i <= 65536) { cnt(i) += cnt(i - 1); i += 1 }
+    while (i < n) { if (s(i) > maxSym) maxSym = s(i); i += 1 }
+    val cnt = new Array[Int](math.max(n, maxSym + 1) + 2)
+    // initial round: counting sort by codepoint
     i = 0
-    while (i < n) { val c = s(i).toInt; sa(cnt(c)) = i; cnt(c) += 1; i += 1 }
+    while (i < n) { cnt(s(i) + 1) += 1; i += 1 }
+    i = 1
+    while (i <= maxSym + 1) { cnt(i) += cnt(i - 1); i += 1 }
+    i = 0
+    while (i < n) { val c = s(i); sa(cnt(c)) = i; cnt(c) += 1; i += 1 }
     rank(sa(0)) = 0
     i = 1
     while (i < n) {
@@ -1184,26 +1192,34 @@ object Dedup {
   private[ops] def suffixSpansJvm(docs: Array[(Long, String)], gramLen: Int)
       : Iterator[(Long, Long, Long, Long)] = {
     if (docs.isEmpty) return Iterator.empty
-    val total = docs.map(_._2.length.toLong).sum + docs.length
+    // CODEPOINT units throughout: positions, span offsets/lengths and
+    // gram windows all count Unicode codepoints — the unit both the
+    // relational oracle (DuckDB substr/length) and Spark's UTF8String
+    // substring/length use. A UTF-16 code-unit kernel diverges from
+    // both on any supplementary character (emoji, rare CJK).
+    val cps: Array[Array[Int]] = docs.map { case (_, t) =>
+      val a = t.codePoints().toArray
+      var i = 0
+      while (i < a.length) { // U+E000–U+EFFF → U+FFFD remap (separators)
+        if (a(i) >= 0xE000 && a(i) <= 0xEFFF) a(i) = 0xFFFD
+        i += 1
+      }
+      a
+    }
+    val total = cps.map(_.length.toLong).sum + docs.length
     require(total <= MaxShardChars,
-      s"suffixArraySpans shard holds $total chars (> $MaxShardChars); " +
+      s"suffixArraySpans shard holds $total codepoints (> $MaxShardChars); " +
         "raise the shards knob so corpus/shards fits a task (SCALE.md " +
         "shard-size cost model)")
-    val s = new Array[Char](total.toInt)
+    val s = new Array[Int](total.toInt)
     val docStart = new Array[Int](docs.length)
     var off = 0
     var d = 0
     while (d < docs.length) {
       docStart(d) = off
-      val t = docs(d)._2
-      var ci = 0
-      while (ci < t.length) { // copy with the U+E000–U+EFFF → U+FFFD remap
-        val c = t.charAt(ci)
-        s(off + ci) = if (c >= 0xE000 && c <= 0xEFFF) '\uFFFD' else c
-        ci += 1
-      }
-      off += t.length
-      s(off) = (0xE000 + (d % 0x1000)).toChar // unique-per-adjacent sep
+      System.arraycopy(cps(d), 0, s, off, cps(d).length)
+      off += cps(d).length
+      s(off) = 0xE000 + (d % 0x1000) // unique-per-adjacent sep
       off += 1
       d += 1
     }
@@ -1248,7 +1264,7 @@ object Dedup {
       // doc boundary: flush the open span of the doc we just left
       if (d < docs.length - 1 && p == docStart(d + 1)) d += 1
       val atSep = d + 1 < docs.length + 1 &&
-        (p == docStart(d) + docs(d)._2.length)
+        (p == docStart(d) + cps(d).length)
       cover += diff(p)
       // clamp: a counted gram must fit inside its doc — separator chars
       // wrap every 4096 docs, so an lcp can in principle cross a sep;
@@ -1257,7 +1273,7 @@ object Dedup {
       // and the clamp drops exactly the cross-boundary artifacts
       val rel = p - docStart(d)
       val covered = cover > 0 && !atSep &&
-        rel + gramLen <= docs(d)._2.length
+        rel + gramLen <= cps(d).length
       if (covered) {
         if (spanStart >= 0 && rel - lastCovered <= gramLen) lastCovered = rel
         else {
@@ -1321,7 +1337,11 @@ object Dedup {
               s"id; got $idCol = "), coalesce(col(idCol).cast("string"),
               lit("NULL"))))).otherwise(idL).as("id"),
         coalesce(col(textCol), lit("")).as("t"),
-        pmod(graft.functions.Md5Low64(col(idCol).cast("string")),
+        // shard by the CANONICAL long id (not the raw column rendering):
+        // a long-castable-but-non-canonical id ("07", 7.0) must land in
+        // the same shard as id 7 — the shard the oracle's
+        // md5(CAST(id AS VARCHAR)) computes
+        pmod(graft.functions.Md5Low64(idL.cast("string")),
           lit(shards.toLong)).as("shard"))
       .as[(Long, String, Long)]
       .groupByKey(_._3)

@@ -54,8 +54,12 @@ object Graph {
       checkpointInterval: Int = 8): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     // (src, ns[]) — collect_set dedups parallel edges, so this IS the
-    // distinct-edge adjacency; out-degree = size(ns)
+    // distinct-edge adjacency; out-degree = size(ns). NULL endpoints are
+    // dropped EXPLICITLY (a null is not a node): collect_set would skip
+    // null dst anyway but silently keep a null-src group — declare the
+    // contract instead of inheriting aggregate null semantics.
     val adj = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .groupBy(col("src")).agg(collect_set(col("dst")).as("ns"))
       .localCheckpoint()
     val nodes = adj.select(col("src").as("node"))
@@ -111,7 +115,9 @@ object Graph {
     // edges map-side); the in-index re-derives the edge set from the
     // materialized V-row out-index via an in-task explode — no raw E-row
     // checkpoint needed
+    // null endpoints dropped explicitly — the [[pageRank]] contract
     val outAdj = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .groupBy(col("src")).agg(collect_set(col("dst")).as("dsts"))
       .localCheckpoint()
     val inAdj = outAdj.select(col("src"), explode(col("dsts")).as("dst"))

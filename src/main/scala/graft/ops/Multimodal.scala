@@ -38,6 +38,19 @@ object Multimodal {
       format.as("format")))
   }
 
+  /** Id contract shared by the decode seams: non-null and long-castable
+    * (results ride a non-nullable tuple encoder). try_cast + raise_error
+    * so a violating id fails with a named operator error under both ANSI
+    * and legacy cast modes — the [[graft.ops.Dedup.suffixArraySpans]]
+    * idiom. */
+  private def longIdOrRaise(idCol: String): org.apache.spark.sql.Column = {
+    val idL = expr(s"try_cast(`$idCol` AS BIGINT)")
+    when(idL.isNull, raise_error(concat(
+      lit(s"media decode requires a non-null long-castable id; got " +
+        s"$idCol = "), coalesce(col(idCol).cast("string"), lit("NULL")))))
+      .otherwise(idL)
+  }
+
   /** STUB decode: deterministic pseudo-dimensions from content bytes —
     * the fallback for formats [[imageDecode]] cannot read. The signature
     * — bytes in, (width, height, channels) out — is the production
@@ -84,7 +97,7 @@ object Multimodal {
   def decodeDimensions(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol))
+    df.select(longIdOrRaise(idCol), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition native-decoder init would go here; ImageIO's
@@ -175,7 +188,7 @@ object Multimodal {
   def decodeAudio(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol))
+    df.select(longIdOrRaise(idCol), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -225,7 +238,7 @@ object Multimodal {
       frameBytes: Int = 1024, stride: Int = 10): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol))
+    df.select(longIdOrRaise(idCol), col(binCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         bytes.grouped(frameBytes).zipWithIndex.collect {

@@ -613,9 +613,21 @@ object Similarity {
       .mapPartitions { it =>
         val bks = bcB.value
         val qs = bcQ.value
-        // (approxCos, eid) min-heaps, one per query
+        // (approxCos, eid) min-heaps, one per query. The heap order is
+        // the FULL global ordering (cos desc, eid asc) reversed — root =
+        // worst kept, where "worse" = lower cos, ties to the LARGER eid.
+        // A cos-only comparator with strict eviction broke approx-score
+        // ties by partition scan order: identical PQ codes + equal norms
+        // tie exactly, and the kept eid then disagreed with the
+        // (cos desc, eid) window below AND the q239 oracle's rerank —
+        // partition-layout-dependent results. A total order (eid unique)
+        // has no ties, so per-partition top-r provably contains the
+        // global top-r.
         val heaps = qs.map(_ => new java.util.PriorityQueue[(Double, Long)](
-          (a: (Double, Long), b: (Double, Long)) => java.lang.Double.compare(a._1, b._1)))
+          (a: (Double, Long), b: (Double, Long)) => {
+            val c = java.lang.Double.compare(a._1, b._1)
+            if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+          }))
         it.foreach { case (eid, ev) =>
           val e = quantizeJvm(ev)
           val en = normJvm(e)
@@ -632,7 +644,14 @@ object Similarity {
               val cos = cosJvm(approx, qn, en)
               val h = heaps(qi)
               if (h.size < r) h.add((cos, eid))
-              else if (cos > h.peek()._1) { h.poll(); h.add((cos, eid)) }
+              else {
+                val root = h.peek()
+                // evict iff the new row beats the worst kept under the
+                // SAME total order the global window applies
+                if (cos > root._1 || (cos == root._1 && eid < root._2)) {
+                  h.poll(); h.add((cos, eid))
+                }
+              }
             }
             qi += 1
           }

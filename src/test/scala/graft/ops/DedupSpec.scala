@@ -385,12 +385,33 @@ class DedupSpec extends SparkSpec {
       (1 to 8).map(n => Seq.fill(20 + rng.nextInt(60))(
         "ab ba"(rng.nextInt(5))).mkString) ++
       (1 to 4).map(_ => Seq.fill(40)("xyzxyz"(rng.nextInt(6))).mkString)
+    def lexLt(s: Array[Int])(i: Int, j: Int): Boolean = {
+      var a = i; var b = j
+      while (a < s.length && b < s.length && s(a) == s(b)) { a += 1; b += 1 }
+      if (a == s.length) true else if (b == s.length) false else s(a) < s(b)
+    }
     for (t <- cases) {
-      val s = t.toCharArray
+      val s = t.codePoints().toArray
       val got = Dedup.buildSuffixArray(s).toSeq
-      val want = s.indices.sortBy(i => t.substring(i))
+      val want = s.indices.sortWith(lexLt(s))
       assert(got == want, s"input '$t'\n got $got\nwant $want")
     }
+    // non-BMP alphabet: codepoints above 0xFFFF sort as single symbols
+    val emoji = "🍕a🍕🍕ab".codePoints().toArray
+    assert(Dedup.buildSuffixArray(emoji).toSeq ==
+      emoji.indices.sortWith(lexLt(emoji)))
+  }
+
+  test("suffixSpansJvm counts CODEPOINTS: spans after a supplementary " +
+      "char match the relational (substr/length) offsets, not UTF-16") {
+    // 🍕 = 2 UTF-16 units but 1 codepoint; the shared 12-codepoint block
+    // starts at codepoint offset 2 in doc 1 ("🍕x" prefix) — a UTF-16
+    // kernel would report 3
+    val block = "shared block" // 12 codepoints
+    val docs = Array((1L, s"🍕x$block"), (2L, s"yz$block"))
+    val spans = Dedup.suffixSpansJvm(docs, 12).toSeq.sortBy(_._1)
+    assert(spans == Seq((1L, 2L, 14L, 12L), (2L, 2L, 14L, 12L)),
+      s"got $spans")
   }
 
   test("suffixSpansJvm: private-use chars U+E000–U+EFFF in TEXT are " +
