@@ -681,26 +681,21 @@ object Relational3 {
 
   // ---------------------------------------------------------------- q101
   // Concentration / Pareto analysis: per order priority, the share of
-  // total revenue carried by the top decile of orders. Cumulative-share
-  // windows (ratio-to-report) over exact cents sums; the decile boundary
-  // is a row-count rank (integer), not a float percentile, so the cut is
-  // engine-exact.
+  // total revenue carried by the top decile of orders. The decile
+  // boundary is a row-count rank (integer), not a float percentile, so
+  // the cut is engine-exact; the top-k cents sum comes from two-phase
+  // histogram selection (Stats.groupTopFractionSum) — a per-row
+  // rank window over 5 priorities funnels the whole table through 5
+  // reducers (measured 10.9 s at 100×), while the boundary value + the
+  // exact mass above it read off domain-bounded histograms. The result
+  // is tie-break-free: boundary-tied orders all carry the same cents.
   private def q101(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, d).select($"o_orderpriority",
-      floor($"o_totalprice" * 100 + 0.5).cast("decimal(18,0)").as("cents"))
-    val byPrice = Window.partitionBy($"o_orderpriority")
-      .orderBy($"cents".desc, $"o_orderpriority") // cents ties: any order sums the same
-    val grp = Window.partitionBy($"o_orderpriority")
-    o.select($"o_orderpriority",
-        $"cents",
-        row_number().over(byPrice).as("rn"),
-        count(lit(1)).over(grp).as("n"),
-        sum($"cents").over(grp).as("total"))
-      .filter($"rn" * 10 <= $"n") // top decile by count
-      .groupBy($"o_orderpriority")
-      .agg(count(lit(1)).as("n_top"),
-        (sum($"cents").cast("double") / first($"total").cast("double"))
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    graft.ops.Stats.groupTopFractionSum(o, Seq("o_orderpriority"), $"cents")
+      .select($"o_orderpriority", $"n_top",
+        ($"top_sum".cast("double") / $"total".cast("double"))
           .as("top_decile_share"))
       .orderBy($"o_orderpriority")
   }

@@ -281,6 +281,52 @@ class StatsSpec extends SparkSpec {
       && !got(5).getBoolean(5))
   }
 
+  test("madOutliers: histogram rank pick ≡ brute-force order statistic") {
+    // duplicate-heavy + even-n groups: the histogram picks rank (n+1) div 2
+    // off cumulative counts; brute force sorts and indexes. Must agree on
+    // every group including all-equal and two-point ones.
+    val rng = new scala.util.Random(7)
+    val rows = for {
+      g <- Seq("a", "b", "c", "d")
+      i <- 1 to (rng.nextInt(9) + 2)
+    } yield (g, i.toLong, (rng.nextInt(5) * 10 + (if (g == "c") 0 else rng.nextInt(2))).toLong)
+    val df = rows.toDF("grp", "id", "v")
+    val got = Stats.madOutliers(df, Seq("grp"), col("v"), col("id"))
+      .select("grp", "med", "mad").distinct().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val vs = rs.map(_._3).sorted
+      val med = vs((vs.size + 1) / 2 - 1)
+      val devs = rs.map(r => math.abs(r._3 - med)).sorted
+      val mad = devs((devs.size + 1) / 2 - 1)
+      assert(got(g) == (med, mad), s"group $g")
+    }
+  }
+
+  test("groupTopFractionSum: boundary ties, cross-bucket selection, k=0 drop") {
+    // group g: 20 values; top-2 (n div 10 = 2) are 95 and one of the
+    // tied 85s — tie-break-free because tied values sum identically.
+    // bucketWidth=10 puts 95 in bucket 9 and the 85s in boundary bucket 8,
+    // exercising the phase-1 above-mass + phase-2 remainder path.
+    val g = Seq(95L, 85L, 85L, 85L) ++ Seq.fill(16)(10L)
+    // group h: n=9 → k=0 → dropped entirely
+    val h = Seq.fill(9)(50L)
+    val df = (g.map(("g", _)) ++ h.map(("h", _))).toDF("grp", "v")
+    val got = Stats.groupTopFractionSum(df, Seq("grp"), col("v"),
+        fracDenom = 10, bucketWidth = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == Set("g"))
+    assert(got("g") == ((20L, 95L + 255L + 160L, 2L, 95L + 85L)))
+    // all-in-one-bucket group: phase 2 does the whole selection
+    val one = Seq(9L, 8L, 7L, 6L, 5L, 4L, 3L, 2L, 1L, 1L, 1L, 1L)
+      .map(("o", _)).toDF("grp", "v")
+    val gotOne = Stats.groupTopFractionSum(one, Seq("grp"), col("v"),
+        fracDenom = 4, bucketWidth = 1000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(gotOne.toSeq == Seq((12L, 48L, 3L, 9L + 8L + 7L)))
+  }
+
   test("jsDivergenceDrift: identical mix ~0; disjoint mix ~2·ln2; missing cats") {
     // src_same mirrors the global 50/50 en/fr mix (up to its own counts);
     // src_skew is all-en. Global: en 6, fr 2.
