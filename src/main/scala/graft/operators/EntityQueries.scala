@@ -92,14 +92,17 @@ object EntityQueries {
   // unrolls the same five rounds as chained CTEs.
   private def q124(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // q102's in-row pair expansion (codegen double explode), both
-    // directions; one set-agg exchange, no self-join
+    // in-row ORDERED pair expansion (Graph.orderedPairs: k(k−1)/2
+    // generated rows, half the double-explode's k²) → distinct undirected
+    // edge set (one partial-combined exchange of the halved stream),
+    // checkpointed slim, then mirrored into both directions for the
+    // adjacency build — the undirected graph's E rows are shuffled once
+    // at full width and once at distinct-edge width, instead of the
+    // full k(k−1) generation feeding the set-agg exchange directly
     val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
       .agg(collect_set($"l_partkey").as("ps"))
-      .filter(size($"ps") >= 2)
-    val edges = sets.select($"ps", explode($"ps").as("src"))
-      .select($"src", explode($"ps").as("dst"))
-      .filter($"src" =!= $"dst")
+    val und = Graph.orderedPairs(sets, "ps").distinct().localCheckpoint()
+    val edges = und.unionByName(und.select($"dst".as("src"), $"src".as("dst")))
     Graph.pageRank(edges, iterations = 5).orderBy($"node")
   }
   private val q124Sql = {
@@ -487,10 +490,9 @@ object EntityQueries {
     import s.implicits._
     val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
       .agg(collect_set($"l_partkey").as("ps"))
-      .filter(size($"ps") >= 2)
-    val strong = sets.select($"ps", explode($"ps").as("src"))
-      .select($"src", explode($"ps").as("dst"))
-      .filter($"src" < $"dst")
+    // ordered in-row expansion (Graph.orderedPairs): src < dst by
+    // construction — k(k−1)/2 generated rows, no post-hoc filter
+    val strong = Graph.orderedPairs(sets, "ps")
       .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
       .filter($"w" >= 2)
       .select($"src", $"dst")
@@ -520,10 +522,9 @@ object EntityQueries {
     import s.implicits._
     val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
       .agg(collect_set($"l_partkey").as("ps"))
-      .filter(size($"ps") >= 2)
-    val strong = sets.select($"ps", explode($"ps").as("src"))
-      .select($"src", explode($"ps").as("dst"))
-      .filter($"src" < $"dst")
+    // ordered in-row expansion (Graph.orderedPairs): src < dst by
+    // construction — k(k−1)/2 generated rows, no post-hoc filter
+    val strong = Graph.orderedPairs(sets, "ps")
       .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
       .filter($"w" >= 2)
       .select($"src", $"dst")
@@ -652,12 +653,13 @@ object EntityQueries {
     import s.implicits._
     val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
       .agg(collect_set($"l_partkey").as("ps"))
-      .filter(size($"ps") >= 2)
-    val edges = sets.select($"ps", explode($"ps").as("src"))
-      .select($"src", explode($"ps").as("dst"))
-      .filter($"src" =!= $"dst")
-    val seeds = edges.select($"src".as("node")).distinct()
-      .filter($"node" % 97 === 0)
+    // q124's halved-generation edge build: ordered pairs → distinct →
+    // checkpoint → mirror; seeds read the same checkpoint (the node set
+    // of the undirected graph), so the final plan holds ONE fact scan
+    val und = Graph.orderedPairs(sets, "ps").distinct().localCheckpoint()
+    val edges = und.unionByName(und.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = und.select(explode(array($"src", $"dst")).as("node"))
+      .distinct().filter($"node" % 97 === 0)
     Graph.bfsHops(edges, seeds, rounds = 4).orderBy($"node")
   }
   private val q183Sql = {

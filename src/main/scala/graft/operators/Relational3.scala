@@ -731,12 +731,10 @@ object Relational3 {
     val sets = Tables.lineitem(s, d)
       .groupBy($"l_orderkey")
       .agg(collect_set($"l_partkey").as("ps"))
-    // double explode, not a higher-order transform: Generate stays in
-    // whole-stage codegen where the lambda formulation is interpreted
-    // (CodegenFallback) — measured 1.5x slower at 10x data
-    sets.select($"ps", explode($"ps").as("part_a"))
-      .select($"part_a", explode($"ps").as("part_b"))
-      .filter($"part_a" < $"part_b")
+    // ordered in-row expansion (Graph.orderedPairs): k(k−1)/2 generated
+    // rows, no post-hoc filter — everything stays in whole-stage codegen
+    graft.ops.Graph.orderedPairs(sets, "ps")
+      .select($"src".as("part_a"), $"dst".as("part_b"))
       .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("n_orders"))
       .orderBy($"n_orders".desc, $"part_a", $"part_b").limit(20)
   }
@@ -807,6 +805,17 @@ object Relational3 {
   // the lift ordering (ties → ante, cons) reproduces cross-engine. The
   // basket frame materializes once and feeds margins + pairs; the pair
   // expansion is the codegen double-explode (q102's measured lesson).
+  // MEASURED DEAD END (round 6): generating each unordered pair once
+  // (Graph.orderedPairs) and mirroring the aggregated rule frame after
+  // the n_ab ≥ 3 cut — half the Generate output and half the pair-agg
+  // input — lost consistently in back-to-back A/Bs (10× warm 19.9 →
+  // 29.1 s, 30× warm 31.1 → 54.1 s): the sort+posexplode+slice
+  // generation costs ~2× per emitted element vs the bare double
+  // explode (slice allocates a tail array per position), and the
+  // mirror needs an eager localCheckpoint barrier job. The halved
+  // shuffle never pays that back because the pair agg is map-side
+  // combined anyway. orderedPairs still wins where it REPLACES a
+  // k²-generate feeding distinct/a<b filters (q124/q138/q183).
   private def q196(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)

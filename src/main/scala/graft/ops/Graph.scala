@@ -151,6 +151,30 @@ object Graph {
         col("a").as("score")))
   }
 
+  /** In-row ORDERED co-occurrence pairs from per-group element sets:
+    * each input row carries a distinct-element array (a collect_set
+    * basket); emits (src, dst) with src < dst exactly once per unordered
+    * pair — k(k−1)/2 generated rows where the double-explode-then-filter
+    * form generates k² and discards half. The array is sorted in-row via
+    * `sort_array` (a plain codegen expression — `array_sort`'s default
+    * LAMBDA comparator is a higher-order function and CodegenFallback,
+    * which split the span and measured ~1.8× slower warm at 100×), so
+    * the tail slice after position i holds exactly the elements greater
+    * than ps[i]; posexplode, Slice, and the inner explode all stay in
+    * whole-stage codegen (same HOF lesson as transform() — measured 1.5×
+    * slower at 10×; the [[graft.ops.RecordLinkage]] intra-block idiom).
+    * Arrays of size < 2 emit nothing (the greatest(…, 0) guard), so
+    * callers need no size() pre-filter.
+    *
+    * @param sets  one row per group, `setCol` holding the distinct set
+    * @return (src, dst) with src < dst, one row per in-group pair
+    */
+  def orderedPairs(sets: DataFrame, setCol: String): DataFrame =
+    sets.select(sort_array(col(setCol)).as("__ps"))
+      .select(posexplode(col("__ps")).as(Seq("__i", "src")), col("__ps"))
+      .select(col("src"), explode(slice(col("__ps"), col("__i") + 2,
+        greatest(size(col("__ps")) - col("__i") - 1, lit(0)))).as("dst"))
+
   /** Per-node triangle counts via DEGREE ORIENTATION — the standard trick
     * that makes distributed triangle enumeration tractable: direct every
     * undirected edge from its lower-(degree, id) endpoint to the higher
