@@ -92,18 +92,14 @@ object EntityQueries {
   // unrolls the same five rounds as chained CTEs.
   private def q124(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // in-row ORDERED pair expansion (Graph.orderedPairs: k(k−1)/2
-    // generated rows, half the double-explode's k²) → distinct undirected
-    // edge set (one partial-combined exchange of the halved stream),
-    // checkpointed slim, then mirrored into both directions for the
-    // adjacency build — the undirected graph's E rows are shuffled once
-    // at full width and once at distinct-edge width, instead of the
-    // full k(k−1) generation feeding the set-agg exchange directly
+    // one-shot undirected edge build (Graph.undirectedEdges: ordered
+    // k(k−1)/2 generation → distinct → checkpoint → mirror) — the
+    // adjacency build consumes slim deduped edges instead of the full
+    // k(k−1) generation feeding the set-agg exchange directly
     val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
       .agg(collect_set($"l_partkey").as("ps"))
-    val und = Graph.orderedPairs(sets, "ps").distinct().localCheckpoint()
-    val edges = und.unionByName(und.select($"dst".as("src"), $"src".as("dst")))
-    Graph.pageRank(edges, iterations = 5).orderBy($"node")
+    Graph.pageRank(Graph.undirectedEdges(sets, "ps"), iterations = 5)
+      .orderBy($"node")
   }
   private val q124Sql = {
     val rounds = (1 to 5).map { i =>
@@ -653,12 +649,11 @@ object EntityQueries {
     import s.implicits._
     val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
       .agg(collect_set($"l_partkey").as("ps"))
-    // q124's halved-generation edge build: ordered pairs → distinct →
-    // checkpoint → mirror; seeds read the same checkpoint (the node set
-    // of the undirected graph), so the final plan holds ONE fact scan
-    val und = Graph.orderedPairs(sets, "ps").distinct().localCheckpoint()
-    val edges = und.unionByName(und.select($"dst".as("src"), $"src".as("dst")))
-    val seeds = und.select(explode(array($"src", $"dst")).as("node"))
+    // q124's one-shot edge build (Graph.undirectedEdges); seeds read the
+    // same checkpoint — every node of the mirrored frame appears as src —
+    // so the final plan holds ONE fact scan
+    val edges = Graph.undirectedEdges(sets, "ps")
+    val seeds = edges.select($"src".as("node"))
       .distinct().filter($"node" % 97 === 0)
     Graph.bfsHops(edges, seeds, rounds = 4).orderBy($"node")
   }

@@ -617,24 +617,41 @@ object Stats {
     *           exact count/sum strictly above it;
     *  phase 2  (group, v) histogram restricted to the boundary bucket —
     *           ≤ `bucketWidth` distinct values per group whatever the
-    *           row count — pins v* and the above-v* remainder.
+    *           row count — pins v* and the above-v* remainder. The
+    *           bucket id is the FLOORED quotient (v − pmod(v, w)) div w,
+    *           not the toward-zero `div`, so the bound holds on signed
+    *           domains too (toward-zero truncation would make bucket 0
+    *           span (−w, w): 2w−1 distinct values).
     *
     * top_sum = sum_above + (k − count_above) · v*: tie-break-free
     * (boundary ties all carry the same value) and exact in int64.
     * Groups with n < fracDenom (k = 0) are dropped, matching the
     * rank-filter semantics. Both phase windows run over domain-bounded
     * histogram frames, never rows, so the shape survives any SF.
+    * CONTRACT: `valQ` must be non-null — a null has no rank, and the
+    * two formulations this kernel must agree with (rank window, SQL
+    * oracle) disagree on where nulls land; the slim coarse frame raises
+    * a named error if one appears (cost-free: one IsNull over
+    * domain-bounded rows).
     *
     * @return per group: n, total (Σ all values), n_top (= n div
     *         fracDenom), top_sum */
   def groupTopFractionSum(df: DataFrame, groupCols: Seq[String],
       valQ: Column, fracDenom: Int = 10,
       bucketWidth: Long = 1000000L): DataFrame = {
+    require(fracDenom >= 1, "groupTopFractionSum: fracDenom must be >= 1")
+    require(bucketWidth >= 1, "groupTopFractionSum: bucketWidth must be >= 1")
     val g = groupCols.map(col)
     val base = df.withColumn("__v", valQ.cast("long"))
     val coarse = base
-      .groupBy(g :+ expr(s"__v div $bucketWidth").as("__b"): _*)
+      .groupBy(g :+ expr(
+        s"(__v - pmod(__v, ${bucketWidth}L)) div ${bucketWidth}L")
+        .as("__b"): _*)
       .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__s"))
+      .withColumn("__b", when(col("__b").isNull, raise_error(lit(
+        "groupTopFractionSum: null value in valQ — nulls have no rank; " +
+          "filter or coalesce the value column upstream")).cast("long"))
+        .otherwise(col("__b")))
       .localCheckpoint() // slim; feeds totals, the boundary scan, phase 2
     val totals = coarse.groupBy(g: _*)
       .agg(sum(col("__c")).as("n"), sum(col("__s")).as("total"))
@@ -655,7 +672,9 @@ object Stats {
     val wFine = Window.partitionBy(g: _*).orderBy(col("__v").desc)
     val fine = base
       .join(broadcast(bound), groupCols)
-      .filter(expr(s"__v div $bucketWidth") === col("__b"))
+      .filter(expr(
+        s"(__v - pmod(__v, ${bucketWidth}L)) div ${bucketWidth}L") ===
+        col("__b"))
       .groupBy(g :+ col("__v") :+ col("cnt_above") :+ col("sum_above"): _*)
       .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__s"))
       .withColumn("__cumc", sum(col("__c")).over(wFine) + col("cnt_above"))

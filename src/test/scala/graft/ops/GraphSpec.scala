@@ -60,8 +60,8 @@ class GraphSpec extends SparkSpec {
       "singletons and empties emit nothing") {
     val sets = Seq(
       (1L, Seq(30L, 10L, 20L)), // unsorted arrival — sort is in-row
-      (2L, Seq(7L)), // singleton: no pairs
-      (3L, Seq.empty[Long]), // empty: no pairs (greatest(…,0) guard)
+      (2L, Seq(7L)), // singleton: one posexplode row, empty slice
+      (3L, Seq.empty[Long]), // empty: zero posexplode rows
       (4L, Seq(10L, 20L)) // repeats a pair from set 1: emitted again
     ).toDF("gid", "ps")
     val got = Graph.orderedPairs(sets, "ps")
@@ -79,6 +79,17 @@ class GraphSpec extends SparkSpec {
     assert(plan.linesIterator.filter(_.contains("Generate"))
       .forall(_.contains("*(")), plan)
     assert(!plan.contains("lambdafunction"), plan)
+  }
+
+  test("undirectedEdges: distinct, mirrored, cross-row duplicates collapsed") {
+    val sets = Seq(
+      (1L, Seq(10L, 20L, 30L)),
+      (2L, Seq(20L, 10L)) // repeats the (10,20) pair — distinct must fold it
+    ).toDF("gid", "ps")
+    val got = Graph.undirectedEdges(sets, "ps")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((10L, 20L), (10L, 30L), (20L, 10L), (20L, 30L),
+      (30L, 10L), (30L, 20L)), s"got $got")
   }
 
   test("triangleCounts: K4 + pendant path, duplicate/reversed edges normalized") {

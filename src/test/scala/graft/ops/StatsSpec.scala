@@ -327,6 +327,38 @@ class StatsSpec extends SparkSpec {
     assert(gotOne.toSeq == Seq((12L, 48L, 3L, 9L + 8L + 7L)))
   }
 
+  test("groupTopFractionSum: floored buckets on negative domains; " +
+      "null value raises; parameter guards") {
+    // values straddling zero with a tiny bucketWidth: toward-zero
+    // truncation would merge (-3,-2,-1,0,1,2) into one double-width
+    // bucket 0 and put the boundary there; floored bucketing keeps every
+    // bucket exactly `width` wide. Brute-force oracle: top-3 of 12.
+    val vals = Seq(-7L, -5L, -3L, -2L, -1L, 0L, 1L, 2L, 4L, 6L, 8L, 9L)
+    val df = vals.map(("n", _)).toDF("grp", "v")
+    val got = Stats.groupTopFractionSum(df, Seq("grp"), col("v"),
+        fracDenom = 4, bucketWidth = 3L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((12L, vals.sum, 3L, 9L + 8L + 6L)))
+
+    // a null value has no rank: named error, not a silently absent group
+    val withNull = Seq(("x", Some(5L)), ("x", None), ("x", Some(3L)),
+      ("x", Some(2L)), ("x", Some(1L))).toDF("grp", "v")
+    val err = intercept[Exception] {
+      Stats.groupTopFractionSum(withNull, Seq("grp"), col("v"),
+        fracDenom = 2, bucketWidth = 10L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(err).exists(_.contains("null value in valQ")), msgs(err))
+
+    intercept[IllegalArgumentException] {
+      Stats.groupTopFractionSum(df, Seq("grp"), col("v"), fracDenom = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Stats.groupTopFractionSum(df, Seq("grp"), col("v"), bucketWidth = 0L)
+    }
+  }
+
   test("jsDivergenceDrift: identical mix ~0; disjoint mix ~2·ln2; missing cats") {
     // src_same mirrors the global 50/50 en/fr mix (up to its own counts);
     // src_skew is all-en. Global: en 6, fr 2.
