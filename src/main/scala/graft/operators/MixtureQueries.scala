@@ -314,6 +314,71 @@ object MixtureQueries {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q241
+  // BPE APPLY: per-document token counts under a PINNED six-merge table
+  // (q235 trains; this prices documents with the trained artifact — the
+  // token-budget statistic). The merge table is fixed literals so the
+  // oracle unrolls only the apply replay (six gaps-and-islands rounds
+  // over the DISTINCT vocabulary, the operator's own cost model); the
+  // train→apply composition is pinned by TextAnalysisSpec instead. The
+  // pairs are chosen so every round fires on the fixture vocabulary,
+  // including one merge (in+e) that consumes another's output (i+n).
+  private val q241Merges = Seq(
+    (1L, "t", "a"), (2L, "a", "n"), (3L, "r", "t"),
+    (4L, "i", "n"), (5L, "in", "e"), (6L, "ta", "b"))
+  private def q241(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.TextAnalysis.bpeSegmentCounts(Tables.documents(s, d),
+        q241Merges.toDF("round", "lhs", "rhs"))
+      .orderBy($"doc_id")
+  }
+  private val q241Sql = {
+    def round(k: Int, l: String, r: String): String = {
+      val prev = s"st${k - 1}"
+      s"""mk$k AS (
+         |  SELECT w, i, sym,
+         |    CASE WHEN sym = '$l' AND
+         |      lead(sym) OVER (PARTITION BY w ORDER BY i) = '$r'
+         |      THEN 1 ELSE 0 END AS mk
+         |  FROM (SELECT w, i, syms[i] AS sym
+         |        FROM $prev, LATERAL unnest(range(1, len(syms)+1)) t(i))),
+         |isl$k AS (
+         |  SELECT *, CASE WHEN mk = 1 THEN
+         |      i - ROW_NUMBER() OVER (PARTITION BY w, mk ORDER BY i)
+         |    END AS isl
+         |  FROM mk$k),
+         |keep$k AS (
+         |  SELECT *, CASE WHEN mk = 1 AND
+         |      (i - MIN(i) OVER (PARTITION BY w, isl)) % 2 = 0
+         |    THEN 1 ELSE 0 END AS kp
+         |  FROM isl$k),
+         |st$k AS MATERIALIZED (
+         |  SELECT w,
+         |    list(CASE WHEN kp = 1 THEN '$l' || '$r' ELSE sym END ORDER BY i)
+         |      AS syms
+         |  FROM (SELECT *, LAG(kp, 1, 0) OVER (PARTITION BY w ORDER BY i)
+         |          AS pkp
+         |        FROM keep$k)
+         |  WHERE pkp = 0
+         |  GROUP BY w)""".stripMargin
+    }
+    val rounds = q241Merges
+      .map { case (k, l, r) => round(k.toInt, l, r) }.mkString(",\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT doc_id, u.w
+       |  FROM documents, LATERAL unnest($toksSql) AS u(w)
+       |  WHERE u.w <> ''),
+       |st0 AS MATERIALIZED (
+       |  SELECT w, regexp_extract_all(w, '.') AS syms
+       |  FROM (SELECT DISTINCT w FROM w0)),
+       |$rounds,
+       |seg AS (SELECT w, len(syms) AS n_toks FROM st6)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |FROM w0 JOIN seg USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q114
   // Per-source uniform k-sample: exactly min(k, |group|) docs per source,
   // chosen by unsigned md5 order (deterministic "reservoir" — content-
@@ -506,6 +571,7 @@ object MixtureQueries {
     QueryDef("q112_salted_join", q112, Some(q112Sql)),
     QueryDef("q113_bpe_pairs", q113, Some(q113Sql)),
     QueryDef("q235_bpe_train", q235, Some(q235Sql)),
+    QueryDef("q241_bpe_segment", q241, Some(q241Sql)),
     QueryDef("q114_group_ksample", q114, Some(q114Sql)),
     QueryDef("q115_quality_quota", q115, Some(q115Sql)),
     QueryDef("q116_accent_fold", q116, Some(q116Sql)),

@@ -297,6 +297,88 @@ object TextAnalysis {
     out.toSeq
   }
 
+  /** Distributed BPE APPLY (tokenize and count): segments every word of
+    * the corpus under an ORDERED merge table — the [[bpeTrain]]
+    * artifact — and returns per-document word/token counts, the
+    * token-budget statistic a training-data pipeline prices every
+    * document with (fertility = n_tokens/n_words at the caller).
+    *
+    * Semantics: replay the merges in recorded round order, each applied
+    * greedy left-to-right ([[mergeLocal]] — the identical fold the
+    * trainer's re-segment step uses), symbols seeded per CODEPOINT.
+    * Replay order matters (a later merge may consume an earlier one's
+    * output symbol) and is the contract the relational oracle unrolls.
+    *
+    * Scale shape — the trainer's cost model inverted: segmentation work
+    * is VOCAB-sized, never corpus-sized. The corpus explodes to (id,
+    * word) occurrence rows; the distinct vocabulary (KBs–MBs under
+    * Heaps' law for TB corpora) is segmented once per distinct word in
+    * a `mapPartitions` batch seam (the [[Multimodal]] precedent) with
+    * the merge table shipped in the closure — a control-plane payload
+    * bounded by the merge count, same contract as the trainer's 1-row
+    * collects. Per word the replay skips any merge whose fused string
+    * is not a substring of the word (exact: symbols are always
+    * contiguous substrings, so an adjacent (l,r) implies l+r occurs) —
+    * O(merges · |w|) scan bound per DISTINCT word. The occurrence
+    * frame then joins the (word → n_toks) map — AQE broadcasts the
+    * vocab side — and aggregates per document. The documents scan runs
+    * twice (vocab + join-back): materializing the corpus-sized word
+    * frame costs more than re-deriving the cheap codegen explode (the
+    * q200/q139 recompute rule).
+    *
+    * Documents with no words (null/empty text) are absent from the
+    * output, matching the relational join the oracle runs.
+    *
+    * @param merges ordered merge table with (round, lhs, rhs) — extra
+    *               columns ignored; null lhs/rhs raise
+    * @return (idCol, n_words, n_tokens) one row per document with ≥1 word
+    */
+  def bpeSegmentCounts(corpus: DataFrame, merges: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val mergeList: Array[(String, String)] = merges
+      .select(col("round").cast("long"), col("lhs"), col("rhs"))
+      .orderBy(col("round"))
+      .as[(Long, String, String)].collect()
+      .map { case (_, l, r) =>
+        require(l != null && r != null,
+          "bpeSegmentCounts: null lhs/rhs in the merge table")
+        (l, r)
+      }
+    val words = corpus.select(col(idCol).as("__id"),
+        explode(split(Dedup.normalized(
+          coalesce(col(textCol), lit(""))), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+    val seg = words.select(col("w")).distinct().as[String]
+      .mapPartitions { it =>
+        it.map(w => (w, segmentLocal(w, mergeList).toLong))
+      }.toDF("w", "n_toks")
+    words.join(seg, "w")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_tokens"))
+      .select(col("__id").as(idCol), col("n_words"), col("n_tokens"))
+  }
+
+  /** One word through the ordered merge replay: codepoint symbols, then
+    * [[mergeLocal]] per merge in round order, with the exact substring
+    * skip (adjacent (l,r) in any segmentation state implies l+r is a
+    * contiguous substring of the original word). Returns the final
+    * symbol count. */
+  private[ops] def segmentLocal(w: String,
+      merges: Array[(String, String)]): Int = {
+    var syms: Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var k = 0
+    while (k < merges.length) {
+      val (l, r) = merges(k)
+      if (syms.length >= 2 && w.contains(l + r))
+        syms = mergeLocal(syms, l, r)
+      k += 1
+    }
+    syms.length
+  }
+
   /** BPE-ish subword count estimate: word-boundary pieces plus an extra
     * piece per 6 chars of long words (common ~4 chars/token heuristic,
     * without a vocab file). */

@@ -86,7 +86,10 @@ class NoRecomputeSweepSpec extends SparkSpec {
     "q179_woe_iv" -> Set("documents"), // per-bin counts + class totals
     "q180_rfm_segments" -> Set("orders"), // quantile cuts + application
     "q192_jl_distortion" -> Set("embeddings"), // original vs projected spaces
-    "q212_ngram_novelty" -> Set("documents")) // gram df build + scoring pass
+    "q212_ngram_novelty" -> Set("documents"), // gram df build + scoring pass
+    // vocab build + occurrence join-back: the corpus-sized word frame is
+    // cheaper to re-derive (codegen explode) than to materialize (q200)
+    "q241_bpe_segment" -> Set("documents"))
 
   test("every registered query scans each parquet table at most once, " +
       "unless its two-pass shape is allowlisted with a reason") {

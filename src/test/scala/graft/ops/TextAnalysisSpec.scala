@@ -363,4 +363,49 @@ class TextAnalysisSpec extends SparkSpec {
       assert(got == want, s"trial $trial on $texts:\n got $got\nwant $want")
     }
   }
+
+  test("segmentLocal: ordered replay, merge consuming a prior merge's " +
+      "output, substring skip is exact, non-BMP codepoint symbols") {
+    val m = Array(("i", "n"), ("in", "e"))
+    // "line": l i n e -> l in e -> l ine = 2 tokens; order matters —
+    // reversed table never forms "ine" (3 tokens)
+    assert(TextAnalysis.segmentLocal("line", m) == 2)
+    assert(TextAnalysis.segmentLocal("line", m.reverse) == 3)
+    // "nine": n i n e -> (i,n): n in e -> (in,e): n ine = 2 tokens —
+    // the substring skip never skips a live merge (any adjacent (l,r)
+    // makes l+r a contiguous substring of the original word)
+    assert(TextAnalysis.segmentLocal("nine", m) == 2)
+    // single-char and no-hit words pass through untouched
+    assert(TextAnalysis.segmentLocal("x", m) == 1)
+    assert(TextAnalysis.segmentLocal("zzz", m) == 3)
+    // supplementary chars are one symbol each, never surrogate halves
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(TextAnalysis.segmentLocal(emoji + "a" + emoji,
+      Array((emoji, "a"))) == 2)
+  }
+
+  test("bpeSegmentCounts: train→apply composition ≡ in-JVM replay; " +
+      "no-word docs absent; null merge raises") {
+    val texts = Seq((1L, "tab data tan"), (2L, "line nine in"),
+      (3L, "  "), (4L, null.asInstanceOf[String]))
+    val docs = texts.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, merges = 4)
+    val mergeArr = merges.orderBy("round")
+      .select("lhs", "rhs").as[(String, String)].collect()
+    val got = TextAnalysis.bpeSegmentCounts(docs, merges)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val want = texts.collect { case (id, t) if t != null && t.trim.nonEmpty =>
+      val ws = t.trim.toLowerCase.split("\\s+").toSeq
+      id -> (ws.size.toLong,
+        ws.map(w => TextAnalysis.segmentLocal(w, mergeArr).toLong).sum)
+    }.toMap
+    assert(got == want, s"got $got want $want")
+
+    val bad = Seq((1L, "x", null.asInstanceOf[String])).toDF("round", "lhs", "rhs")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeSegmentCounts(docs, bad)
+    }
+    assert(e.getMessage.contains("null lhs/rhs"))
+  }
 }
