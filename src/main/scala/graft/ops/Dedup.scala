@@ -1422,10 +1422,22 @@ object Dedup {
         col("__t"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         xxhash64(expr(s"substring(__t, pos + 1, $L)")).as("__h"))
-    val dup = grams.groupBy(col("__h"))
-      .agg(count_distinct(col("doc_id")).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select(col("__h"))
+    // minDocs == 2 (the Lee-et-al default) avoids the distinct-aggregate
+    // rewrite: count_distinct(doc_id) plans as Aggregate(h, doc_id) →
+    // exchange → Aggregate(h), i.e. the near-unique (hash, doc) pairs
+    // cross the wire and aggregate twice. "appears in >= 2 distinct docs"
+    // is exactly min(doc_id) != max(doc_id) (both ignore nulls the same
+    // way count_distinct does), which is a single map-side-combinable
+    // HashAggregate — one exchange keyed by hash alone.
+    val dup = (if (minDocs == 2)
+      grams.groupBy(col("__h"))
+        .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+        .filter(col("__mn") =!= col("__mx"))
+    else
+      grams.groupBy(col("__h"))
+        .agg(count_distinct(col("doc_id")).as("__nd"))
+        .filter(col("__nd") >= minDocs)
+      ).select(col("__h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     grams.join(dup, Seq("__h"), "left_semi")
       .select(col("doc_id"), col("pos"))
