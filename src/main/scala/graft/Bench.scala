@@ -51,8 +51,11 @@ object Bench {
     // section — restores per-query isolation; nothing is shared across them.
     var sinceGc = 0
     def release(): Unit = {
+      // blocking: async unpersist was measured still in flight when the
+      // next query's timed section opened — the free must complete HERE,
+      // in the untimed gap
       spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       // drain the weak-ref cleaner queue at a bounded cadence, always
       // OUTSIDE the timed section (a timer-based GC was measured landing

