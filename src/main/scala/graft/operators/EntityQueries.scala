@@ -791,6 +791,150 @@ object EntityQueries {
     b.result()
   }
 
+  // ---------------------------------------------------------------- q242
+  // Cheapest route to a promoted part: weighted SSSP over the co-purchase
+  // graph where an edge costs 1e6 div co-occurrence-count (strong
+  // affinities are cheap to traverse), seeds = promoted parts
+  // (partkey % 97 = 0), 4 bounded Bellman–Ford rounds. The weighted
+  // generalization of q183's hop distance. The oracle unrolls the same
+  // four relaxations; each round's CASE mirrors the operator's explicit
+  // null handling (the q183 discipline).
+  private def q242(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+    // one-shot weighted edge build: ordered k(k−1)/2 pair generation →
+    // co-occurrence counts → integer weights, checkpointed BEFORE the
+    // mirror so the generation runs once (the undirectedEdges discipline)
+    val half = Graph.orderedPairs(sets, "ps")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("c"))
+      .select($"src", $"dst", expr("1000000 div c").as("w"))
+      .localCheckpoint()
+    val edges = half.unionByName(
+      half.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    val seeds = edges.select($"src".as("node"))
+      .distinct().filter($"node" % 97 === 0)
+    Graph.ssspWeighted(edges, seeds, rounds = 4, symmetric = true)
+      .orderBy($"node")
+  }
+  private val q242Sql = {
+    val rounds = (1 to 4).map { i =>
+      val prev = s"it${i - 1}"
+      s"""it$i AS MATERIALIZED (
+         |  SELECT p.node,
+         |    CASE WHEN p.cost IS NULL THEN c.nc
+         |         WHEN c.nc IS NULL THEN p.cost
+         |         ELSE least(p.cost, c.nc) END AS cost
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(MIN(q.cost + e.w) AS BIGINT) AS nc
+         |    FROM e JOIN $prev q ON e.src = q.node
+         |    WHERE q.cost IS NOT NULL GROUP BY e.dst) c ON p.node = c.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pe AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |         AND a.l_partkey < b.l_partkey),
+       |pc AS (SELECT src, dst, COUNT(*) AS c FROM pe GROUP BY src, dst),
+       |wh AS (SELECT src, dst, CAST(1000000 // c AS BIGINT) AS w FROM pc),
+       |e AS MATERIALIZED (SELECT src, dst, w FROM wh
+       |  UNION ALL SELECT dst, src, w FROM wh),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |it0 AS (SELECT node,
+       |    CASE WHEN node % 97 = 0 THEN CAST(0 AS BIGINT) END AS cost
+       |  FROM nodes),
+       |$rounds
+       |SELECT node, cost FROM it4 WHERE cost IS NOT NULL
+       |ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q243
+  // Seed-expansion relevance: personalized PageRank over the co-purchase
+  // graph with the teleport set pinned to the promoted parts
+  // (partkey % 97 = 0) — "how close is every part to the curated set",
+  // the walk-based generalization of q183's hop distance and the
+  // standard seed-expansion primitive for corpus/domain curation. Four
+  // integer rounds; the oracle unrolls them with the seed-conditional
+  // teleport base (q124's shape).
+  private def q243(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+    val edges = Graph.undirectedEdges(sets, "ps")
+    val seeds = edges.select($"src".as("node"))
+      .distinct().filter($"node" % 97 === 0)
+    Graph.personalizedPageRank(edges, seeds, iterations = 4,
+        symmetric = true)
+      .orderBy($"node")
+  }
+  private val q243Sql = {
+    val rounds = (1 to 4).map { i =>
+      val prev = if (i == 1) "pr0" else s"it${i - 1}"
+      s"""it$i AS (
+         |  SELECT nodes.node,
+         |    CAST(CASE WHEN nodes.node % 97 = 0 THEN 150000000000 // ns.n
+         |              ELSE 0 END
+         |      + (85 * COALESCE(s.sc, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes CROSS JOIN ns
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(p.pr // d.deg) AS BIGINT) AS sc
+         |    FROM e JOIN $prev p ON e.src = p.node JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) s ON nodes.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pe AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |         AND a.l_partkey <> b.l_partkey),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM pe),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |ns AS (SELECT COUNT(*) AS n FROM nodes WHERE node % 97 = 0),
+       |pr0 AS (SELECT node,
+       |    CAST(CASE WHEN node % 97 = 0 THEN 1000000000000 // ns.n
+       |              ELSE 0 END AS BIGINT) AS pr
+       |  FROM nodes CROSS JOIN ns),
+       |$rounds
+       |SELECT node, pr FROM it4 ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q244
+  // Co-purchase communities: deterministic synchronous label propagation
+  // (3 rounds, max-count-then-min-label adoption) over the undirected
+  // co-purchase graph — the cheap community pass for assortment /
+  // catalog segmentation. The oracle unrolls the three rounds; its
+  // window argmax (count DESC, label ASC) is exactly the operator's
+  // min-over-(−count, label) struct aggregate.
+  private def q244(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+    val edges = Graph.undirectedEdges(sets, "ps")
+    Graph.labelPropagation(edges, rounds = 3, symmetric = true)
+      .orderBy($"node")
+  }
+  private val q244Sql = {
+    val rounds = (1 to 3).map { i =>
+      val prev = s"l${i - 1}"
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (
+         |        PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |    FROM (SELECT e.dst AS node, p.lbl, COUNT(*) AS c
+         |          FROM e JOIN $prev p ON e.src = p.node
+         |          GROUP BY e.dst, p.lbl))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pe AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |         AND a.l_partkey <> b.l_partkey),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM pe),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |$rounds
+       |SELECT node, CAST(lbl AS BIGINT) AS label FROM l3
+       |ORDER BY node""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q199_hits", q199, Some(q199Sql)),
     QueryDef("q122_rate_limit", q122, Some(q122Sql)),
@@ -807,6 +951,9 @@ object EntityQueries {
     QueryDef("q208_logrank", q208, Some(q208Sql)),
     QueryDef("q138_triangles", q138, Some(q138Sql)),
     QueryDef("q158_kcore", q158, Some(q158Sql)),
+    QueryDef("q242_sssp_weighted", q242, Some(q242Sql)),
+    QueryDef("q243_personalized_pagerank", q243, Some(q243Sql)),
+    QueryDef("q244_label_propagation", q244, Some(q244Sql)),
     QueryDef("q141_trend_fit", q141, Some(q141Sql)),
     QueryDef("q142_corr_matrix", q142, Some(q142Sql)),
     QueryDef("q183_bfs_hops", q183, Some(q183Sql)),

@@ -357,6 +357,222 @@ object Graph {
   private def rem(sd: DataFrame, adj: DataFrame): DataFrame =
     sd.join(adj.select(col("src").as("node")), Seq("node"), "left_anti")
 
+  /** Personalized PageRank: the random surfer teleports to a SEED SET
+    * instead of everywhere — scores measure proximity to the seeds, the
+    * standard seed-expansion primitive for data curation ("rank the
+    * catalog by closeness to the curated/flagged set", "expand a seed
+    * domain list through the link graph").
+    *
+    * EXACTNESS: the [[pageRank]] integer contract. Teleport mass lives
+    * only on seeds — pr₀ = 1e12 div |S| on seeds (0 elsewhere), and each
+    * round pr' = [seed]·(0.15·1e12 div |S|) + (85·Σcontrib) div 100 —
+    * so every step is integer arithmetic, bit-identical across engines
+    * and partition layouts. Non-seed nodes with no inbound mass sit at
+    * exactly 0.
+    *
+    * Scale shape: identical to [[pageRank]] — one collect_set exchange
+    * builds the V-row adjacency index; each round equi-joins the slim
+    * rank state and explodes matched lists in-task. The only addition is
+    * the (node, seed-base) frame, built once by a left-semi-derived flag
+    * join and checkpointed: per-round cost is unchanged. |S| counts only
+    * seeds PRESENT in the graph (a seed with no edges can neither give
+    * nor receive mass through the walk; callers wanting strict teleport
+    * semantics over absent seeds should union them in as isolated
+    * self-loop nodes explicitly).
+    *
+    * @param edges (src, dst) rows; pass both directions for undirected
+    * @param seeds (node) rows — the teleport set; must intersect the graph
+    * @param symmetric caller-asserted mirrored edge set ([[pageRank]]):
+    *   skips the sink-node union and the dangling left join
+    * @return (node, pr) — pr in 1e12 units
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = 5, checkpointInterval: Int = 8,
+      symmetric: Boolean = false): DataFrame = {
+    require(iterations >= 1, "personalizedPageRank needs at least one iteration")
+    val adj = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("ns"))
+      .localCheckpoint()
+    val nodes = if (symmetric) adj.select(col("src").as("node"))
+      else adj.select(col("src").as("node"))
+        .unionByName(adj.select(explode(col("ns")).as("node")))
+        .distinct().localCheckpoint()
+    val sd = seeds.select(col("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+    // (node, sb) — per-node teleport base, the only state beyond pageRank's;
+    // checkpointed once, consumed every round. |S| is a control-plane scalar.
+    val flagged = nodes.join(sd.withColumn("__s", lit(1)), Seq("node"), "left")
+      .localCheckpoint()
+    val nSeeds = flagged.filter(col("__s").isNotNull).count()
+    require(nSeeds >= 1, "personalizedPageRank: no seed is present in the graph")
+    // lazy projections of the one checkpoint — materializing copies
+    // would only add jobs
+    val basis = flagged.select(col("node"),
+      when(col("__s").isNotNull, lit(150000000000L / nSeeds))
+        .otherwise(lit(0L)).as("sb"))
+    var pr = flagged.select(col("node"),
+      when(col("__s").isNotNull, lit(1000000000000L / nSeeds))
+        .otherwise(lit(0L)).as("pr"))
+    for (i <- 1 to iterations) {
+      val contrib = adj.join(pr.withColumnRenamed("node", "src"), "src")
+        .select(col("ns"), expr("pr div size(ns)").as("c"))
+        .select(explode(col("ns")).as("node"), col("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("sc"))
+      // symmetric: every node receives a contribution row (mirror edges),
+      // so basis ⋈ contrib is total — inner join, one exchange
+      pr = if (symmetric)
+        basis.join(contrib, Seq("node"))
+          .select(col("node"), (col("sb") + expr("(85 * sc) div 100")).as("pr"))
+      else basis.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("sb") + expr("(85 * coalesce(sc, 0L)) div 100")).as("pr"))
+      if (i % checkpointInterval == 0 && i < iterations) pr = pr.localCheckpoint()
+    }
+    pr
+  }
+
+  /** Bounded-round single-source(-set) shortest paths over NON-NEGATIVE
+    * integer edge weights — Bellman–Ford relaxation with a DELTA
+    * frontier: after r rounds every node holds the exact minimum path
+    * cost over paths of ≤ r edges from the nearest seed (the [[bfsHops]]
+    * bounded-semantics discipline; extra rounds past the weighted
+    * eccentricity are no-ops, and the loop short-circuits when a round
+    * improves nothing). The weighted generalization of [[bfsHops]]:
+    * "cheapest route to a flagged entity" where hops are not equal cost.
+    *
+    * EXACTNESS: costs are longs produced only by min() and addition of
+    * non-negative long weights — bit-identical across engines and
+    * layouts. Parallel edges collapse to their MINIMUM weight (the only
+    * one shortest paths can use). Callers keep Σweights along any path
+    * below 2⁶³ — the practical contract for any quantized cost.
+    *
+    * Scale shape: the adjacency index carries (dst, w) structs — one
+    * (src,dst)-min exchange + one src grouping, both up-front and
+    * checkpointed. Each round probes the index with the FRONTIER (nodes
+    * whose cost improved last round — initially the seeds), explodes
+    * only matched lists, min-aggregates candidates (map-side combined),
+    * and full-outer-merges them into the V-row state; unchanged nodes
+    * are never re-expanded, so total work across rounds is
+    * O(Σ|edges(changed)|), the textbook delta-stepping bound for
+    * round-synchronous Bellman–Ford. State checkpoints per round (three
+    * consumers: next probe, merge, output).
+    *
+    * @param edges (src, dst, w) rows, w a non-negative integral column;
+    *              pass both directions for undirected
+    * @param seeds (node) rows — cost-0 sources
+    * @param symmetric caller-asserted mirrored edge set: seed validation
+    *   is the src-key semi-join alone ([[bfsHops]] contract)
+    * @return (node, cost) for nodes reachable within `rounds` edges
+    */
+  def ssspWeighted(edges: DataFrame, seeds: DataFrame, rounds: Int = 4,
+      symmetric: Boolean = false): DataFrame = {
+    require(rounds >= 1, "ssspWeighted needs at least one round")
+    val minEdges = edges
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w") >= 0)
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    val adj = minEdges
+      .groupBy(col("src"))
+      .agg(collect_list(struct(col("dst"), col("w"))).as("ns"))
+      .localCheckpoint()
+    val sd0 = seeds.select(col("node")).distinct()
+    val sd = if (symmetric) sd0 else sd0.localCheckpoint()
+    val srcSeeds = sd.join(adj.select(col("src").as("node")),
+      Seq("node"), "left_semi")
+    // sink-only seeds: the bfsHops driver-gated membership probe
+    val f0 = (if (symmetric || rem(sd, adj).isEmpty) srcSeeds
+      else srcSeeds.unionByName(
+        rem(sd, adj).join(
+          adj.select(explode(col("ns")).as("e"))
+            .select(col("e.dst").as("node")).distinct(),
+          Seq("node"), "left_semi")))
+      .withColumn("cost", lit(0L))
+      .localCheckpoint()
+    var dist = f0
+    var frontier = f0
+    var r = 1
+    var done = frontier.isEmpty
+    while (r <= rounds && !done) {
+      val cand = adj.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(explode(col("ns")).as("e"), col("cost"))
+        .select(col("e.dst").as("node"), (col("cost") + col("e.w")).as("nc"))
+        .groupBy(col("node")).agg(min(col("nc")).as("nc"))
+      val merged = dist.join(cand, Seq("node"), "full")
+        .select(col("node"),
+          when(col("cost").isNull || (col("nc").isNotNull && col("nc") < col("cost")),
+            col("nc")).otherwise(col("cost")).as("cost"),
+          (col("cost").isNull || (col("nc").isNotNull && col("nc") < col("cost")))
+            .as("__chg"))
+        .localCheckpoint()
+      frontier = merged.filter(col("__chg")).select(col("node"), col("cost"))
+      dist = merged.select(col("node"), col("cost"))
+      done = frontier.isEmpty // checkpointed → control-plane probe
+      r += 1
+    }
+    dist
+  }
+
+  /** Synchronous label propagation (community detection), fixed rounds,
+    * DETERMINISTIC: every node starts labeled with its own id; each round
+    * it adopts the label held by the most of its in-neighbors, ties
+    * broken toward the SMALLEST label; nodes with no in-neighbors keep
+    * their label. Bounded-round semantics ([[bfsHops]]): the result is
+    * DEFINED as the state after `rounds` synchronous steps — sync LPA
+    * can 2-cycle on bipartite structure, so convergence is not the
+    * contract, the fixed round count is. The cheap community pass for
+    * corpus mixing / domain clustering where modularity-grade output
+    * isn't worth a 100× costlier algorithm.
+    *
+    * EXACTNESS: labels are ids, updates are integer counts + an ordered
+    * argmax — bit-identical across engines and partition layouts. The
+    * argmax is one aggregate, not a per-node window: min over
+    * (−count, label) structs picks max-count-then-min-label for any id
+    * sign, so the plan stays two map-side-combinable exchanges per round
+    * (counts to the (node, label) axis, then the struct-min to nodes).
+    *
+    * Scale shape: the [[pageRank]] adjacency-index cost model — V-row
+    * index probed by the slim (node, label) state, matched lists exploded
+    * in-task. The (node, label) count frame is bounded by
+    * Σ|edges(frontier)| per round, never materializing the E-row edge
+    * table again. State checkpoints per round (consumed by the next
+    * probe and the keep-old merge).
+    *
+    * @param edges (src, dst) rows; pass both directions for undirected
+    * @param symmetric caller-asserted mirrored edge set: the node set is
+    *   the src key set and every node has in-neighbors, so the keep-old
+    *   left join is the identity — inner merge, one exchange less
+    * @return (node, label) after `rounds` steps
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3,
+      symmetric: Boolean = false): DataFrame = {
+    require(rounds >= 1, "labelPropagation needs at least one round")
+    val adj = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("ns"))
+      .localCheckpoint()
+    val nodes = if (symmetric) adj.select(col("src").as("node"))
+      else adj.select(col("src").as("node"))
+        .unionByName(adj.select(explode(col("ns")).as("node")))
+        .distinct().localCheckpoint()
+    var lab = nodes.select(col("node"), col("node").as("label"))
+    for (r <- 1 to rounds) {
+      val cnt = adj.join(lab.withColumnRenamed("node", "src"), "src")
+        .select(explode(col("ns")).as("node"), col("label"))
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+      val best = cnt
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("label"))
+      lab = (if (symmetric) best
+        else lab.select(col("node"), col("label").as("__old"))
+          .join(best, Seq("node"), "left")
+          .select(col("node"), coalesce(col("label"), col("__old")).as("label")))
+      if (r < rounds) lab = lab.localCheckpoint()
+    }
+    lab
+  }
+
   /** Bounded-round k-core peel: repeatedly remove nodes with (current)
     * degree < k; what survives `rounds` peels approximates the k-core —
     * the standard "dense cohesive subgraph" extraction (community cores,

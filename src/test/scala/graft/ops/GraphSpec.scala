@@ -216,4 +216,171 @@ class GraphSpec extends SparkSpec {
     assert(a.filter(_._1 == "hub").map(_._3).max == 1000L)
     assert(a.filter(_._1 == "authority").map(_._3).max == 1000L)
   }
+
+  /** Local replica of personalizedPageRank's integer recurrence. */
+  private def localPPR(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val s = seeds.intersect(nodes.toSet)
+    val ns = s.size.toLong
+    var pr = nodes.map(v => v -> (if (s(v)) 1000000000000L / ns else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val sc = e.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      pr = nodes.map(v => v ->
+        ((if (s(v)) 150000000000L / ns else 0L) + 85 * sc.getOrElse(v, 0L) / 100)).toMap
+    }
+    pr
+  }
+
+  test("personalizedPageRank ≡ local integer recurrence; mass concentrates " +
+      "near the seed; absent-seed require; disconnected stays at 0") {
+    // path 1-2-3-4-5 (bidirectional) + disconnected 2-cycle, seed {1}
+    val path = (1L to 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val edges = path ++ Seq((200L, 201L), (201L, 200L))
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        Seq(1L).toDF("node"), iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == localPPR(edges, Set(1L), 4))
+    // sync PPR oscillates with parity on bipartite structure, so adjacent
+    // hops aren't monotone — but the far end of the path must hold far
+    // less mass than the seed at any round
+    assert(got(1L) > got(5L),
+      "seed must outrank the farthest node")
+    assert(got(200L) == 0L && got(201L) == 0L,
+      "nodes unreachable from the seed hold exactly zero mass")
+    val err = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(path.toDF("src", "dst"),
+        Seq(999L).toDF("node"), iterations = 2).collect()
+    }
+    assert(err.getMessage.contains("no seed is present"))
+  }
+
+  test("personalizedPageRank: symmetric fast path ≡ general on mirrored " +
+      "edges; layout-invariant") {
+    val sets = Seq(Seq(1L, 2L, 3L), Seq(3L, 4L), Seq(4L, 5L, 1L))
+      .toDF("ps")
+    val edges = Graph.undirectedEdges(sets, "ps")
+    val seeds = Seq(1L, 4L).toDF("node")
+    val gen = Graph.personalizedPageRank(edges, seeds, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val sym = Graph.personalizedPageRank(edges, seeds, iterations = 3,
+      symmetric = true).as[(Long, Long)].collect().toMap
+    val rep = Graph.personalizedPageRank(edges.repartition(7), seeds,
+      iterations = 3).as[(Long, Long)].collect().toMap
+    assert(gen == sym)
+    assert(gen == rep)
+  }
+
+  /** Local bounded-round Bellman–Ford replica (full relaxation per round —
+    * the semantics the frontier form must reproduce exactly). */
+  private def localSssp(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+      rounds: Int): Map[Long, Long] = {
+    val minE = edges.groupBy(e => (e._1, e._2))
+      .map { case ((s, d), xs) => (s, d, xs.map(_._3).min) }.toSeq
+    val nodes = (minE.map(_._1) ++ minE.map(_._2)).distinct.toSet
+    var dist: Map[Long, Long] = seeds.intersect(nodes).map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val cand = minE.flatMap { case (s, d, w) =>
+        dist.get(s).map(c => d -> (c + w))
+      }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).min }
+      dist = (dist.keySet ++ cand.keySet).map { v =>
+        v -> math.min(dist.getOrElse(v, Long.MaxValue),
+          cand.getOrElse(v, Long.MaxValue))
+      }.toMap
+    }
+    dist
+  }
+
+  test("ssspWeighted ≡ local bounded Bellman–Ford: cheaper long route wins, " +
+      "bounded horizon hides it, parallel edges take the min weight") {
+    // 1→5 direct cost 10; 1→2→3→4→5 each cost 1 (total 4, needs 4 rounds);
+    // parallel duplicate of 1→5 at cost 7 must be the one used early
+    val edges = Seq(
+      (1L, 5L, 10L), (1L, 5L, 7L),
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))
+    val df = edges.toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val r1 = Graph.ssspWeighted(df, seeds, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == localSssp(edges, Set(1L), 1))
+    assert(r1(5L) == 7L, "one round sees only the direct min-weight edge")
+    val r4 = Graph.ssspWeighted(df, seeds, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r4 == localSssp(edges, Set(1L), 4))
+    assert(r4(5L) == 4L, "four rounds find the cheaper 4-hop route")
+  }
+
+  test("ssspWeighted: multi-seed min, zero-weight edges, early exit past " +
+      "the eccentricity, layout invariance, sink-only seed reached") {
+    val edges = Seq((1L, 2L, 0L), (2L, 3L, 5L), (9L, 3L, 1L), (4L, 9L, 1L))
+    val df = edges.toDF("src", "dst", "w")
+    val seeds = Seq(1L, 9L).toDF("node")
+    val got = Graph.ssspWeighted(df, seeds, rounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == localSssp(edges, Set(1L, 9L), 10))
+    assert(got(3L) == 1L, "nearest seed (9) wins over the farther (1)")
+    assert(got(2L) == 0L, "zero-weight edges propagate cost unchanged")
+    val rep = Graph.ssspWeighted(df.repartition(5), seeds, rounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == rep)
+    // a seed that never appears as src (pure sink) still seeds at cost 0
+    val sink = Graph.ssspWeighted(df, Seq(3L).toDF("node"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(sink == Map(3L -> 0L))
+  }
+
+  /** Local replica of the synchronous min-tie-break label propagation. */
+  private def localLPA(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var lab = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      val in = e.groupBy(_._2)
+      lab = nodes.map { v =>
+        in.get(v) match {
+          case None => v -> lab(v)
+          case Some(es) =>
+            val counts = es.map { case (s, _) => lab(s) }
+              .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+            v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }.toMap
+    }
+    lab
+  }
+
+  test("labelPropagation ≡ local sync replica: two cliques joined by a " +
+      "bridge split into two min-label communities; ties go to the " +
+      "smallest label; layout-invariant") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((4L, 10L), (10L, 4L))
+    val df = edges.toDF("src", "dst")
+    val got = Graph.labelPropagation(df, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == localLPA(edges, 3))
+    assert(Seq(1L, 2L, 3L).forall(got(_) == 1L),
+      "the first clique converges to its min label")
+    assert(Seq(11L, 12L, 13L).forall(got(_) == 10L),
+      "the second clique converges to ITS min label, not the global one")
+    val rep = Graph.labelPropagation(df.repartition(9), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == rep)
+    val sym = Graph.labelPropagation(df, rounds = 3, symmetric = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == sym, "symmetric fast path ≡ general on mirrored input")
+  }
+
+  test("labelPropagation: a node with no in-neighbors keeps its own label") {
+    // 7 → 1 only: node 7 has no inbound edges, must keep label 7
+    val df = Seq((7L, 1L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(df, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(7L -> 7L, 1L -> 7L))
+  }
 }
