@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Regression, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators under the correctness gate (north-star
   * EXT): dedup family, similarity search, text analysis, multimodal
@@ -881,8 +881,86 @@ object LlmQueries {
       |  TRUE AS decoded
       |FROM documents WHERE doc_id % 10 = 3 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q245
+  // Model-based language filter TRAINED in the engine: a 3-round batch
+  // perceptron separating en from the rest on four integer text features
+  // (en-stopword hits, other-language stopword hits, token count, digit
+  // count), then the confusion readout under the final weights — the
+  // "train a cheap classifier on the corpus, gate the corpus with it"
+  // loop with zero ML-runtime dependencies. The oracle unrolls the three
+  // synchronous updates as chained 1-row CTEs over the same feature
+  // frame (batch updates have no arrival-order dependence, so the SQL
+  // replay is exact).
+  //
+  // Honest outcome on THIS corpus: the synthetic documents' text is the
+  // same vocabulary soup in every declared lang (q231's finding), so no
+  // text feature separates en — the trainer converges to the
+  // majority-class prior (all-negative, accuracy = P(¬en) = 56.4% at
+  // sf0.01). That IS the audit readout ("the lang column is
+  // uncorrelated with the text"); the oracle gates the TRAINER's
+  // round-for-round exactness, and RegressionSpec proves learning on a
+  // separable fixture where learning is possible.
+  private def q245(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Regression.perceptronTrain(
+      Tables.documents(s, d),
+      Seq(
+        TextAnalysis.stopwordHitCount($"text", "en"),
+        TextAnalysis.stopwordHitCount($"text", "de") +
+          TextAnalysis.stopwordHitCount($"text", "es") +
+          TextAnalysis.stopwordHitCount($"text", "fr"),
+        TextAnalysis.tokenCount($"text"),
+        length($"text") - length(regexp_replace($"text", "[0-9]", ""))),
+      when($"lang" === "en", 1L).otherwise(-1L),
+      rounds = 3)
+  }
+  private val q245Sql = {
+    val marginOf = (w: String) =>
+      s"($w.b + $w.v1*x1 + $w.v2*x2 + $w.v3*x3 + $w.v4*x4)"
+    val rounds = (1 to 3).map { i =>
+      val prev = s"w${i - 1}r"
+      val m = marginOf(prev)
+      val deltas = (s"COALESCE(SUM(CASE WHEN y*$m <= 0 THEN y END), 0) AS db" +:
+        (1 to 4).map(j =>
+          s"COALESCE(SUM(CASE WHEN y*$m <= 0 THEN y*x$j END), 0) AS d$j"))
+        .mkString(",\n    ")
+      s"""u$i AS (SELECT
+         |    $deltas
+         |  FROM f CROSS JOIN $prev),
+         |w${i}r AS (SELECT $prev.b + u$i.db AS b,
+         |    $prev.v1 + u$i.d1 AS v1, $prev.v2 + u$i.d2 AS v2,
+         |    $prev.v3 + u$i.d3 AS v3, $prev.v4 + u$i.d4 AS v4
+         |  FROM $prev CROSS JOIN u$i)""".stripMargin
+    }.mkString(",\n")
+    val fm = marginOf("w3r")
+    s"""WITH f AS (SELECT
+       |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE -1 END AS y,
+       |    CAST(${hitsSql("en")} AS BIGINT) AS x1,
+       |    CAST(${hitsSql("de")} + ${hitsSql("es")} + ${hitsSql("fr")}
+       |      AS BIGINT) AS x2,
+       |    CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+       |         ELSE len($toksSql) END AS BIGINT) AS x3,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+       |      AS BIGINT) AS x4
+       |  FROM documents),
+       |w0r AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS v1,
+       |  CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3,
+       |  CAST(0 AS BIGINT) AS v4),
+       |$rounds
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+       |  CAST(MIN(w3r.b) AS BIGINT) AS bias,
+       |  CAST(MIN(w3r.v1) AS BIGINT) AS w1, CAST(MIN(w3r.v2) AS BIGINT) AS w2,
+       |  CAST(MIN(w3r.v3) AS BIGINT) AS w3, CAST(MIN(w3r.v4) AS BIGINT) AS w4,
+       |  CAST(COALESCE(SUM(CASE WHEN y = 1 AND $fm > 0 THEN 1 END), 0) AS BIGINT) AS tp,
+       |  CAST(COALESCE(SUM(CASE WHEN y = -1 AND $fm > 0 THEN 1 END), 0) AS BIGINT) AS fp,
+       |  CAST(COALESCE(SUM(CASE WHEN y = -1 AND $fm <= 0 THEN 1 END), 0) AS BIGINT) AS tn,
+       |  CAST(COALESCE(SUM(CASE WHEN y = 1 AND $fm <= 0 THEN 1 END), 0) AS BIGINT) AS fn
+       |FROM f CROSS JOIN w3r""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q206_readability", q206, Some(q206Sql)),
+    QueryDef("q245_perceptron_langfilter", q245, Some(q245Sql)),
     QueryDef("q234_imageio_roundtrip", q234, Some(q234Sql)),
     QueryDef("q240_wav_roundtrip", q240, Some(q240Sql)),
     QueryDef("q40_dedup_exact", q40, Some(q40Sql)),

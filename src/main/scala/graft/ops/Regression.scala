@@ -96,4 +96,85 @@ object Regression {
       .select(groupCols.map(col) ++ Seq(col("n"), col("__pr.var_x"),
         col("__pr.var_y"), col("__pr.corr")): _*)
   }
+
+  /** Batch perceptron trainer — the model-based filter primitive
+    * (quality / language / domain gates) trained IN the engine, no ML
+    * runtime: fixed synchronous rounds of w ← w + Σ_misclassified y·x
+    * over integer features, then a confusion readout under the final
+    * weights. The batch (synchronous) update is the distributed form of
+    * the perceptron rule: each round is ONE aggregate over the feature
+    * frame (k+1 exact long sums, map-side combined) plus a 1-row
+    * control-plane collect that folds the new weights into the next
+    * round's literals — the [[graft.ops.TextAnalysis]] bpeTrain
+    * winner-collect discipline. No per-example sequential dependence, so
+    * results are bit-identical across engines, partition layouts, and
+    * retries (a classic one-pass perceptron is arrival-order-dependent —
+    * useless under the determinism contract).
+    *
+    * EXACTNESS: labels are ±1 (enforced in-plan with a named error),
+    * features cast to long; margins, deltas, and counts are exact int64.
+    * A margin of EXACTLY 0 counts as misclassified (the standard ≤ 0
+    * update rule) — deterministic, engine-agnostic. Overflow contract:
+    * |w| grows ≤ rounds·Σ|x| per feature, so rounds·(Σ|x|)·max|x| must
+    * stay below 2⁶³ — comfortable for count-valued features (≤10⁶) on
+    * ≤10¹⁰ rows; rescale feature units beyond.
+    *
+    * Scale shape: the feature frame (1 label + k longs per row) is
+    * computed once and localCheckpoint'ed — rounds+1 consumers (each
+    * round's delta aggregate + the confusion pass) re-reading a slim
+    * columnar frame instead of re-deriving features from raw text each
+    * round (the q200 materialize-vs-recompute rule: many consumers ×
+    * expensive derivation → materialize). Each round's shuffle is ONE
+    * row of k+1 partial sums per task.
+    *
+    * @param df       training rows
+    * @param features integer feature columns, in order
+    * @param label    ±1 column
+    * @param rounds   synchronous update rounds (≥1)
+    * @return one row: n_train, bias, w1..wk, then tp/fp/tn/fn of the
+    *         final weights (prediction = margin > 0)
+    */
+  def perceptronTrain(df: DataFrame, features: Seq[Column], label: Column,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "perceptronTrain needs at least one round")
+    require(features.nonEmpty, "perceptronTrain needs at least one feature")
+    val k = features.size
+    val y = label.cast("long")
+    val f = df.select(
+      (when(y === 1L || y === -1L, y)
+        .otherwise(expr("raise_error('perceptronTrain: label must be +1 or -1')"))
+        .as("y") +:
+        features.zipWithIndex.map { case (c, i) =>
+          c.cast("long").as(s"x${i + 1}")
+        }): _*)
+      .localCheckpoint()
+    def margin(b: Long, w: Array[Long]): Column =
+      w.zipWithIndex.foldLeft(lit(b): Column) { case (acc, (wi, i)) =>
+        acc + lit(wi) * col(s"x${i + 1}")
+      }
+    var b = 0L
+    val w = Array.fill(k)(0L)
+    for (_ <- 1 to rounds) {
+      val mis = col("y") * margin(b, w) <= 0L
+      val aggs =
+        coalesce(sum(when(mis, col("y"))), lit(0L)).as("db") +:
+          (1 to k).map(i =>
+            coalesce(sum(when(mis, col("y") * col(s"x$i"))), lit(0L))
+              .as(s"dw$i"))
+      val row = f.agg(aggs.head, aggs.tail: _*).head() // 1-row control plane
+      b += row.getLong(0)
+      for (i <- 0 until k) w(i) += row.getLong(i + 1)
+    }
+    val m = margin(b, w)
+    val confusion = Seq(
+      count(lit(1)).as("n_train"),
+      coalesce(sum(when(col("y") === 1L && m > 0L, 1L)), lit(0L)).as("tp"),
+      coalesce(sum(when(col("y") === -1L && m > 0L, 1L)), lit(0L)).as("fp"),
+      coalesce(sum(when(col("y") === -1L && m <= 0L, 1L)), lit(0L)).as("tn"),
+      coalesce(sum(when(col("y") === 1L && m <= 0L, 1L)), lit(0L)).as("fn"))
+    f.agg(confusion.head, confusion.tail: _*)
+      .select(col("n_train") +: lit(b).as("bias") +:
+        (1 to k).map(i => lit(w(i - 1)).as(s"w$i")) ++:
+        Seq(col("tp"), col("fp"), col("tn"), col("fn")): _*)
+  }
 }

@@ -395,6 +395,12 @@ object TextAnalysis {
   private def stopwordHits(text: Column, words: Seq[String]): Column =
     size(filter(toks(text), t => t.isin(words.map(lit(_)): _*)))
 
+  /** Public face of the per-language stopword hit count — the raw integer
+    * language-evidence feature behind [[langId]], exposed for feature
+    * vectors (e.g. [[Regression.perceptronTrain]] classifiers). */
+  def stopwordHitCount(text: Column, lang: String): Column =
+    stopwordHits(text, stopwords(lang))
+
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),

@@ -75,4 +75,75 @@ class RegressionSpec extends SparkSpec {
       .orderBy("g").collect().toSeq
     assert(a == b) // bit-identical: sums are exact longs, divisions correctly rounded
   }
+
+  /** Local replica of the batch perceptron recurrence (the ≤0 update rule,
+    * synchronous rounds) — the spec's oracle. */
+  private def localPerceptron(rows: Seq[(Long, Seq[Long])], rounds: Int)
+      : (Long, Seq[Long]) = {
+    val k = rows.head._2.size
+    var b = 0L
+    var w = Seq.fill(k)(0L)
+    for (_ <- 1 to rounds) {
+      val mis = rows.filter { case (y, x) =>
+        y * (b + w.zip(x).map { case (a, v) => a * v }.sum) <= 0
+      }
+      b += mis.map(_._1).sum
+      w = w.zipWithIndex.map { case (a, i) =>
+        a + mis.map { case (y, x) => y * x(i) }.sum
+      }
+    }
+    (b, w)
+  }
+
+  test("perceptronTrain ≡ local batch replica; first round folds in every " +
+      "example; converged data stops updating; exact confusion counts") {
+    // linearly separable on x1: y = +1 iff x1 > 4 (x2 is a decoy)
+    val rows = Seq(
+      (1L, Seq(9L, 1L)), (1L, Seq(7L, 5L)), (1L, Seq(6L, 2L)),
+      (-1L, Seq(1L, 4L)), (-1L, Seq(2L, 1L)), (-1L, Seq(3L, 5L)))
+    val df = rows.map { case (y, x) => (y, x(0), x(1)) }.toDF("y", "x1", "x2")
+    val got3 = Regression.perceptronTrain(df, Seq(col("x1"), col("x2")),
+      col("y"), rounds = 3).head()
+    val (b3, w3) = localPerceptron(rows, 3)
+    assert(got3.getLong(0) == 6L) // n_train
+    assert(got3.getLong(1) == b3)
+    assert(got3.getLong(2) == w3(0) && got3.getLong(3) == w3(1))
+    // confusion under the final weights, recomputed locally
+    val preds = rows.map { case (y, x) =>
+      (y, b3 + w3.zip(x).map { case (a, v) => a * v }.sum > 0)
+    }
+    assert(got3.getLong(4) == preds.count { case (y, p) => y == 1 && p })
+    assert(got3.getLong(5) == preds.count { case (y, p) => y == -1 && p })
+    assert(got3.getLong(6) == preds.count { case (y, p) => y == -1 && !p })
+    assert(got3.getLong(7) == preds.count { case (y, p) => y == 1 && !p })
+    // once every margin is strictly positive, extra rounds are no-ops
+    val (b9, w9) = localPerceptron(rows, 9)
+    if ((b9, w9) == ((b3, w3))) {
+      val got9 = Regression.perceptronTrain(df, Seq(col("x1"), col("x2")),
+        col("y"), rounds = 9).head()
+      assert(got9.getLong(1) == b3 && got9.getLong(2) == w3(0))
+    }
+    // round 1 from zero weights treats EVERY example as misclassified
+    val got1 = Regression.perceptronTrain(df, Seq(col("x1"), col("x2")),
+      col("y"), rounds = 1).head()
+    assert(got1.getLong(1) == rows.map(_._1).sum)
+    assert(got1.getLong(2) == rows.map { case (y, x) => y * x(0) }.sum)
+  }
+
+  test("perceptronTrain: layout invariance and the ±1 label contract") {
+    val rows = (1L to 40L).map(i =>
+      (if (i % 3 == 0) 1L else -1L, i % 7, (i * i) % 11))
+    val df = rows.toDF("y", "x1", "x2")
+    val a = Regression.perceptronTrain(df, Seq(col("x1"), col("x2")),
+      col("y"), rounds = 4).head()
+    val b = Regression.perceptronTrain(df.repartition(13),
+      Seq(col("x1"), col("x2")), col("y"), rounds = 4).head()
+    assert(a == b, "batch updates must be partition-layout-invariant")
+    val bad = Seq((0L, 1L, 1L)).toDF("y", "x1", "x2")
+    val err = intercept[Exception] {
+      Regression.perceptronTrain(bad, Seq(col("x1"), col("x2")),
+        col("y"), rounds = 1).collect()
+    }
+    assert(err.getMessage.contains("label must be +1 or -1"))
+  }
 }
