@@ -814,7 +814,9 @@ object EntityQueries {
       half.select($"dst".as("src"), $"src".as("dst"), $"w"))
     val seeds = edges.select($"src".as("node"))
       .distinct().filter($"node" % 97 === 0)
-    Graph.ssspWeighted(edges, seeds, rounds = 4, symmetric = true)
+    // uniqueEdges: the per-pair count aggregate emits each direction once
+    Graph.ssspWeighted(edges, seeds, rounds = 4, symmetric = true,
+        uniqueEdges = true)
       .orderBy($"node")
   }
   private val q242Sql = {

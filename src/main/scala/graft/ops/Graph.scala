@@ -433,13 +433,12 @@ object Graph {
   }
 
   /** Bounded-round single-source(-set) shortest paths over NON-NEGATIVE
-    * integer edge weights — Bellman–Ford relaxation with a DELTA
-    * frontier: after r rounds every node holds the exact minimum path
-    * cost over paths of ≤ r edges from the nearest seed (the [[bfsHops]]
-    * bounded-semantics discipline; extra rounds past the weighted
-    * eccentricity are no-ops, and the loop short-circuits when a round
-    * improves nothing). The weighted generalization of [[bfsHops]]:
-    * "cheapest route to a flagged entity" where hops are not equal cost.
+    * integer edge weights — synchronous Bellman–Ford relaxation: after r
+    * rounds every node holds the exact minimum path cost over paths of
+    * ≤ r edges from the nearest seed (the [[bfsHops]] bounded-semantics
+    * discipline; extra rounds past the weighted eccentricity are no-ops).
+    * The weighted generalization of [[bfsHops]]: "cheapest route to a
+    * flagged entity" where hops are not equal cost.
     *
     * EXACTNESS: costs are longs produced only by min() and addition of
     * non-negative long weights — bit-identical across engines and
@@ -447,31 +446,47 @@ object Graph {
     * one shortest paths can use). Callers keep Σweights along any path
     * below 2⁶³ — the practical contract for any quantized cost.
     *
-    * Scale shape: the adjacency index carries (dst, w) structs — one
-    * (src,dst)-min exchange + one src grouping, both up-front and
-    * checkpointed. Each round probes the index with the FRONTIER (nodes
-    * whose cost improved last round — initially the seeds), explodes
-    * only matched lists, min-aggregates candidates (map-side combined),
-    * and full-outer-merges them into the V-row state; unchanged nodes
-    * are never re-expanded, so total work across rounds is
-    * O(Σ|edges(changed)|), the textbook delta-stepping bound for
-    * round-synchronous Bellman–Ford. State checkpoints per round (three
-    * consumers: next probe, merge, output).
+    * Scale shape: the adjacency index carries (dst, w) structs — built in
+    * one exchange from unique edges (two with the parallel-edge collapse)
+    * and checkpointed, since every round's join consumes it. Each round
+    * is then ONE exchange: the state right-joins the index and each node
+    * emits its neighbors' relaxed costs AND ITSELF as candidates of one
+    * in-row generated array, so a min-aggregate both relaxes and carries
+    * unreached-by-this-round state — the previous round is consumed
+    * exactly ONCE, lineage stays linear, and all rounds chain LAZILY into
+    * a single job (the [[pageRank]] shape; state checkpoints only every
+    * `checkpointInterval` rounds). Measured against the delta-frontier
+    * alternative (probe with only improved nodes, checkpoint + merge +
+    * empty-probe per round): the per-round materialization barriers cost
+    * more than the full-relaxation explode saves at bench scale (sf0.1
+    * co-purchase q242, median of 3: isolated 11.3 → 7.2 s, warm in-suite
+    * ~12 → 5.7 s) — revisit the frontier form only for graphs whose
+    * diameter ≫ rounds where late-round change sets vanish against V. The
+    * self-candidate row also makes each round EXACTLY the oracle's
+    * full-relaxation CTE, not just equivalent to it.
     *
     * @param edges (src, dst, w) rows, w a non-negative integral column;
     *              pass both directions for undirected
     * @param seeds (node) rows — cost-0 sources
     * @param symmetric caller-asserted mirrored edge set: seed validation
     *   is the src-key semi-join alone ([[bfsHops]] contract)
+    * @param uniqueEdges caller-asserted "(src, dst) appears at most once"
+    *   (e.g. a per-pair aggregate's output) — skips the min-per-(src,dst)
+    *   parallel-edge collapse, one full E-row exchange. Results are
+    *   identical on already-unique input; duplicated input under this
+    *   flag would duplicate adjacency entries (harmless for min-cost but
+    *   wasted work), so assert it only by construction.
     * @return (node, cost) for nodes reachable within `rounds` edges
     */
   def ssspWeighted(edges: DataFrame, seeds: DataFrame, rounds: Int = 4,
-      symmetric: Boolean = false): DataFrame = {
+      symmetric: Boolean = false, uniqueEdges: Boolean = false,
+      checkpointInterval: Int = 8): DataFrame = {
     require(rounds >= 1, "ssspWeighted needs at least one round")
-    val minEdges = edges
+    val typed = edges
       .select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("w") >= 0)
-      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    val minEdges = if (uniqueEdges) typed
+      else typed.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
     val adj = minEdges
       .groupBy(col("src"))
       .agg(collect_list(struct(col("dst"), col("w"))).as("ns"))
@@ -481,34 +496,28 @@ object Graph {
     val srcSeeds = sd.join(adj.select(col("src").as("node")),
       Seq("node"), "left_semi")
     // sink-only seeds: the bfsHops driver-gated membership probe
-    val f0 = (if (symmetric || rem(sd, adj).isEmpty) srcSeeds
+    var dist = (if (symmetric || rem(sd, adj).isEmpty) srcSeeds
       else srcSeeds.unionByName(
         rem(sd, adj).join(
           adj.select(explode(col("ns")).as("e"))
             .select(col("e.dst").as("node")).distinct(),
           Seq("node"), "left_semi")))
       .withColumn("cost", lit(0L))
-      .localCheckpoint()
-    var dist = f0
-    var frontier = f0
-    var r = 1
-    var done = frontier.isEmpty
-    while (r <= rounds && !done) {
-      val cand = adj.join(frontier.withColumnRenamed("node", "src"), "src")
-        .select(explode(col("ns")).as("e"), col("cost"))
-        .select(col("e.dst").as("node"), (col("cost") + col("e.w")).as("nc"))
-        .groupBy(col("node")).agg(min(col("nc")).as("nc"))
-      val merged = dist.join(cand, Seq("node"), "full")
-        .select(col("node"),
-          when(col("cost").isNull || (col("nc").isNotNull && col("nc") < col("cost")),
-            col("nc")).otherwise(col("cost")).as("cost"),
-          (col("cost").isNull || (col("nc").isNotNull && col("nc") < col("cost")))
-            .as("__chg"))
-        .localCheckpoint()
-      frontier = merged.filter(col("__chg")).select(col("node"), col("cost"))
-      dist = merged.select(col("node"), col("cost"))
-      done = frontier.isEmpty // checkpointed → control-plane probe
-      r += 1
+    for (r <- 1 to rounds) {
+      // right join: every reached node survives; each emits its relaxed
+      // neighbors + ITSELF from one generated array, so the round is a
+      // single exchange and the state has exactly one consumer
+      val joined = adj.join(dist.withColumnRenamed("node", "src"),
+        Seq("src"), "right")
+      val self = array(struct(col("src").as("n"), col("cost").as("c")))
+      val relaxed = transform(col("ns"), e =>
+        struct(e.getField("dst").as("n"), (col("cost") + e.getField("w")).as("c")))
+      dist = joined
+        .select(explode(when(col("ns").isNull, self)
+          .otherwise(concat(relaxed, self))).as("x"))
+        .select(col("x.n").as("node"), col("x.c").as("cost"))
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+      if (r % checkpointInterval == 0 && r < rounds) dist = dist.localCheckpoint()
     }
     dist
   }
@@ -535,8 +544,10 @@ object Graph {
     * index probed by the slim (node, label) state, matched lists exploded
     * in-task. The (node, label) count frame is bounded by
     * Σ|edges(frontier)| per round, never materializing the E-row edge
-    * table again. State checkpoints per round (consumed by the next
-    * probe and the keep-old merge).
+    * table again. On the symmetric path the state has exactly one
+    * consumer per round, so rounds chain lazily into a single job; the
+    * general path's keep-old merge adds a second consumer and a per-round
+    * checkpoint barrier with it.
     *
     * @param edges (src, dst) rows; pass both directions for undirected
     * @param symmetric caller-asserted mirrored edge set: the node set is
@@ -568,7 +579,12 @@ object Graph {
         else lab.select(col("node"), col("label").as("__old"))
           .join(best, Seq("node"), "left")
           .select(col("node"), coalesce(col("label"), col("__old")).as("label")))
-      if (r < rounds) lab = lab.localCheckpoint()
+      // general path: lab feeds both the next probe and the keep-old merge
+      // — without the barrier lineage doubles per round. Symmetric path:
+      // exactly one consumer per round, so the whole loop chains lazily
+      // into one job (the pageRank/ssspWeighted shape; measured sf0.1
+      // q244: 5.5 → 2.6 s isolated dropping the per-round barrier).
+      if (!symmetric && r < rounds) lab = lab.localCheckpoint()
     }
     lab
   }
