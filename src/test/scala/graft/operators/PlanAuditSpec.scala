@@ -588,6 +588,47 @@ class PlanAuditSpec extends SparkSpec {
     assert("MapPartitions".r.findAllIn(p).length >= 2, p.take(400))
   }
 
+  test("q242: SSSP rounds chain LAZILY over the checkpointed weighted " +
+      "adjacency — all four relaxations in ONE plan, each a Generate, " +
+      "no per-round barrier, no cartesian") {
+    val p = planOf("q242_sssp_weighted")
+    assert(p.contains("Scan ExistingRDD"), "adjacency index must be materialized")
+    val gens = "Generate".r.findAllIn(p).length
+    assert(gens >= 4,
+      s"4 bounded rounds must chain into one lazy plan (found $gens Generate nodes" +
+        " — a per-round checkpoint would hide them behind ExistingRDD scans)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q243: personalized PageRank keeps the q124 shape — index probe " +
+      "explodes in-task, rounds chain lazily, no E-row edge re-join") {
+    val p = planOf("q243_personalized_pagerank")
+    assert(p.contains("Scan ExistingRDD"))
+    val gens = "Generate explode".r.findAllIn(p).length
+    assert(gens >= 4, s"expected ≥4 in-task adjacency explodes, found $gens")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q244: label propagation argmax is a struct-min AGGREGATE, not a " +
+      "per-node window; symmetric rounds chain lazily into one plan") {
+    val p = planOf("q244_label_propagation")
+    assert(!p.contains("Window"),
+      "the (count, label) argmax must not plan as a window sort")
+    val gens = "Generate explode".r.findAllIn(p).length
+    assert(gens >= 3, s"expected ≥3 in-task adjacency explodes, found $gens")
+    assert(p.contains("Scan ExistingRDD"))
+  }
+
+  test("q245: perceptron confusion readout is one aggregate over the " +
+      "checkpointed feature frame — no re-derivation from text, no joins") {
+    val p = planOf("q245_perceptron_langfilter")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0,
+      s"features must come from the checkpoint, found $scans parquet scans")
+    assert(p.contains("Scan ExistingRDD"))
+    assert(!p.contains("Join"), "scoring is a projection + aggregate, no joins")
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
