@@ -881,6 +881,86 @@ object LlmQueries {
       |  TRUE AS decoded
       |FROM documents WHERE doc_id % 10 = 3 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q246
+  // Image RESIZE round-trip — the TRANSFORM stage of the multimodal
+  // pipeline, gated end to end: synthesize a solid PNG per sampled doc
+  // (the q234 generator), nearest-neighbor-resize it to 16×12 with the
+  // deterministic integer floor map, re-encode as lossless PNG, then
+  // RE-DECODE the resized bytes with the real ImageIO reader — so one
+  // plan exercises decode → resample → encode → decode, and the final
+  // stats must equal the arithmetic the oracle computes (solid color
+  // survives NN resampling: pixel_sum = 192·(r+g+b)).
+  private def q246(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, d)
+      .select($"doc_id".cast("long").as("doc_id"))
+      .filter($"doc_id" % 10 === 4)
+    val png = ids.as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 16).toInt
+        val h = (8 + (id / 16) % 16).toInt
+        val rgb = ((id % 256) << 16 | ((id * 7) % 256) << 8 |
+          (id * 13) % 256).toInt
+        (id, Multimodal.solidPng(w, h, rgb))
+      }
+    }.toDF("doc_id", "media")
+    val resized = Multimodal.resizeImages(png, "doc_id", "media", 16, 12)
+      .select($"doc_id", $"media")
+    Multimodal.decodeDimensions(resized, "doc_id", "media")
+      .select($"doc_id", $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        $"channels".cast("long").as("channels"), $"pixel_sum")
+      .orderBy($"doc_id")
+  }
+  private val q246Sql =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(16 AS BIGINT) AS width,
+      |  CAST(12 AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  CAST(192 * (doc_id % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256)
+      |    AS BIGINT) AS pixel_sum
+      |FROM documents WHERE doc_id % 10 = 4 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q247
+  // Audio FEATURE EXTRACTION — per-window energy over real decoded PCM:
+  // the q240 synthesizer feeds Multimodal.audioEnergyWindows (32-frame
+  // windows, exact Σ sample² per window, last window partial), the VAD /
+  // level-audit primitive. Every sample is a pure function of
+  // (doc_id, index), so the oracle regenerates the windows and their
+  // energies arithmetically — hash-gating the decode + windowing kernel.
+  private def q247(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, d)
+      .select($"doc_id".cast("long").as("doc_id"))
+      .filter($"doc_id" % 10 === 7)
+    val wav = ids.as[Long].mapPartitions { it =>
+      it.map { id =>
+        val sr = (8000 + (id % 4) * 4000).toInt
+        val ch = (1 + id % 2).toInt
+        val frames = (50 + id % 100).toInt
+        val samples = Array.tabulate(frames * ch)(i =>
+          ((id * 31 + i.toLong * 7) % 2048 - 1024).toShort)
+        (id, Multimodal.pcm16Wav(sr, ch, samples))
+      }
+    }.toDF("doc_id", "media")
+    Multimodal.audioEnergyWindows(wav, "doc_id", "media", windowFrames = 32)
+      .orderBy($"doc_id", $"win_idx")
+  }
+  private val q247Sql =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+      |    CAST(50 + doc_id % 100 AS BIGINT) AS frames
+      |  FROM documents WHERE doc_id % 10 = 7),
+      |s AS (SELECT doc_id, ch,
+      |    CAST(u.i // (32 * ch) AS BIGINT) AS win_idx,
+      |    (doc_id * 31 + u.i * 7) % 2048 - 1024 AS smp
+      |  FROM d, unnest(range(frames * ch)) AS u(i))
+      |SELECT doc_id, win_idx,
+      |  CAST(COUNT(*) // ch AS BIGINT) AS n_frames,
+      |  CAST(SUM(smp * smp) AS BIGINT) AS energy
+      |FROM s GROUP BY doc_id, ch, win_idx
+      |ORDER BY doc_id, win_idx""".stripMargin
+
   // ---------------------------------------------------------------- q245
   // Model-based language filter TRAINED in the engine: a 3-round batch
   // perceptron separating en from the rest on four integer text features
@@ -963,6 +1043,8 @@ object LlmQueries {
     QueryDef("q245_perceptron_langfilter", q245, Some(q245Sql)),
     QueryDef("q234_imageio_roundtrip", q234, Some(q234Sql)),
     QueryDef("q240_wav_roundtrip", q240, Some(q240Sql)),
+    QueryDef("q246_image_resize", q246, Some(q246Sql)),
+    QueryDef("q247_audio_energy", q247, Some(q247Sql)),
     QueryDef("q40_dedup_exact", q40, Some(q40Sql)),
     QueryDef("q41_minhash_pairs", q41, Some(q41Sql)),
     QueryDef("q42_ngram_jaccard", q42, Some(q42Sql)),

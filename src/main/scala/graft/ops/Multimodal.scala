@@ -114,6 +114,73 @@ object Multimodal {
       .toDF(idCol, "width", "height", "channels", "pixel_sum", "decoded")
   }
 
+  /** REAL image resize — nearest-neighbor resampling with the
+    * DETERMINISTIC floor map srcX = x·srcW div outW (pure integer
+    * arithmetic, so the sampled pixel grid is identical on every JVM;
+    * Graphics2D's interpolating scalers make no such cross-platform
+    * guarantee, which is why this loop is hand-rolled), re-encoded as
+    * lossless PNG. The standard thumbnail/normalize stage between decode
+    * and feature extraction. Returns the resized bytes plus the resized
+    * raster's exact (width, height, channels, pixel_sum) so the
+    * transform is content-gated, not just size-gated; None when ImageIO
+    * can't read the input (the native-codec seam). */
+  def imageResize(bytes: Array[Byte], outW: Int, outH: Int)
+      : Option[(Array[Byte], Int, Int, Int, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val srcW = img.getWidth; val srcH = img.getHeight
+        val out = new java.awt.image.BufferedImage(
+          outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var s = 0L; var y = 0
+        while (y < outH) {
+          val sy = (y.toLong * srcH / outH).toInt
+          var x = 0
+          while (x < outW) {
+            val rgb = img.getRGB((x.toLong * srcW / outW).toInt, sy)
+            out.setRGB(x, y, rgb)
+            s += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some((bos.toByteArray, outW, outH,
+          out.getColorModel.getNumComponents, s))
+      }
+    } catch { case _: Exception => None }
+
+  /** Partition-batched resize — the [[decodeDimensions]] seam for the
+    * TRANSFORM stage: decode → deterministic nearest-neighbor resample →
+    * lossless re-encode, emitting resized bytes + exact resized-raster
+    * stats. Unreadable payloads pass through with NULL media and stub
+    * dims (`decoded` = false) — the error-channel contract: nothing is
+    * dropped, downstream filters on `decoded`. */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String,
+      outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, "resize target must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(longIdOrRaise(idCol), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          imageResize(bytes, outW, outH) match {
+            case Some((out, w, h, c, ps)) =>
+              (id, Some(out), w, h, c, Some(ps), true)
+            case None =>
+              val (w, h, c) = fakeDecode(bytes)
+              (id, None: Option[Array[Byte]], w, h, c,
+                None: Option[Long], false)
+          }
+        }
+      }
+      .toDF(idCol, "media", "width", "height", "channels", "pixel_sum",
+        "decoded")
+  }
+
   /** Deterministic solid-color PNG synthesis (JDK ImageIO encoder) —
     * the test/demo payload generator for the decode round-trip: PNG is
     * lossless, so dims and the pixel sum of the decoded raster are pure
@@ -203,6 +270,74 @@ object Multimodal {
       .toDF(idCol, "sample_rate", "channels", "n_frames", "amplitude_sum",
         "decoded")
   }
+
+  /** REAL audio feature extraction — per-window ENERGY over decoded PCM16
+    * frames: one row per `windowFrames`-frame window with the exact
+    * Σ sample² across every channel sample in the window (the classic
+    * silence/clipping/level feature behind VAD gates and loudness
+    * audits). Exact longs: |s| ≤ 2¹⁵ → s² ≤ 2³⁰, so even a 2²⁰-frame
+    * window of stereo full-scale stays < 2⁵². The last window keeps its
+    * true (shorter) frame count. Undecodable payloads emit ZERO rows —
+    * feature extraction's error contract is the side channel, and the
+    * `decoded` flag already lives on the decode stage ([[decodeAudio]]).
+    * Same mapPartitions batch seam as every media kernel here; the
+    * per-window fan-out happens INSIDE the task (iterator flatMap), so
+    * only feature rows — never payload bytes — reach the shuffle. */
+  def audioEnergyWindows(df: DataFrame, idCol: String, binCol: String,
+      windowFrames: Int = 1024): DataFrame = {
+    require(windowFrames > 0, "windowFrames must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(longIdOrRaise(idCol), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodePcm16(bytes) match {
+            case None => Iterator.empty
+            case Some((_, ch, samples)) =>
+              val perWin = windowFrames * ch
+              val nWin = (samples.length + perWin - 1) / perWin
+              (0 until nWin).iterator.map { w =>
+                var s = 0L
+                var i = w * perWin
+                val end = math.min(samples.length, i + perWin)
+                val nf = (end - w * perWin) / ch
+                while (i < end) {
+                  s += samples(i).toLong * samples(i); i += 1
+                }
+                (id, w.toLong, nf.toLong, s)
+              }
+          }
+        }
+      }
+      .toDF(idCol, "win_idx", "n_frames", "energy")
+  }
+
+  /** Raw PCM16 sample decode shared by the audio kernels: (sample_rate,
+    * channels, interleaved samples) or None for non-PCM16 payloads. */
+  private def decodePcm16(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Short])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getEncoding !=
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) None
+      else {
+        val big = fmt.isBigEndian
+        val raw = ais.readAllBytes()
+        val out = new Array[Short](raw.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) =
+            if (big) ((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xFF)).toShort
+            else ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)).toShort
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, out))
+      }
+    } catch { case _: Exception => None }
 
   /** Deterministic PCM16 WAV synthesis (JDK AudioSystem encoder) — the
     * audio counterpart of [[solidPng]]: PCM is lossless, so the decoded

@@ -118,4 +118,67 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_._2).toSeq == Seq(0, 3, 6, 9))
     assert(frames.forall(_._3.length == 1024))
   }
+
+  test("imageResize: nearest-neighbor floor map on a gradient matches the " +
+      "hand replica exactly; re-decode of the resized PNG agrees; solid " +
+      "stays solid; upscale works; stub fallback for junk") {
+    // 4×2 gradient: pixel (x, y) has r=40x, g=20y, b=5 — NN to 2×1 must
+    // sample src (0,0) and (2,0) exactly (floor map x·4/2)
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, (40 * x) << 16 | (20 * y) << 8 | 5)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val Some((outBytes, w, h, c, ps)) = Multimodal.imageResize(bos.toByteArray, 2, 1)
+    assert((w, h, c) == ((2, 1, 3)))
+    // sampled pixels: (0,0) = (0,0,5) and (2,0) = (80,0,5) → sum 90
+    assert(ps == 90L, s"got $ps")
+    // the re-encoded PNG is lossless: decoding it reproduces the stats
+    val Some((dw, dh, dc, dps)) = Multimodal.imageDecode(outBytes)
+    assert((dw, dh, dc, dps) == ((2, 1, 3, 90L)))
+    // solid color survives resampling at any target, including upscale
+    val solid = Multimodal.solidPng(3, 3, 0x0A0B0C)
+    val Some((_, uw, uh, _, ups)) = Multimodal.imageResize(solid, 7, 5)
+    assert((uw, uh) == ((7, 5)) && ups == 7L * 5 * (0x0A + 0x0B + 0x0C))
+    assert(Multimodal.imageResize("junk".getBytes, 2, 2).isEmpty)
+  }
+
+  test("resizeImages seam: stats + bytes for readable payloads, NULL " +
+      "media + stub dims for junk; layout-invariant") {
+    val df = Seq(
+      (1L, Multimodal.solidPng(8, 4, 0x010203)),
+      (2L, "not an image".getBytes("UTF-8"))).toDF("id", "media")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.resizeImages(d, "id", "media", 4, 2)
+        .select("id", "width", "height", "pixel_sum", "decoded")
+        .as[(Long, Int, Int, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
+    val a = run(df)
+    assert(a(0) == ((1L, 4, 2, Some(8L * 1 + 8 * 2 + 8 * 3), true)))
+    assert(a(1)._5 == false && a(1)._4.isEmpty)
+    assert(a == run(df.repartition(3)))
+  }
+
+  test("audioEnergyWindows: hand-computed windows, partial last window, " +
+      "stereo interleave, undecodable emits no rows; layout-invariant") {
+    // mono, 5 frames, window 2: wins (1²+2²), (3²+4²), (5²)
+    val mono = Multimodal.pcm16Wav(8000, 1, Array[Short](1, 2, 3, 4, 5))
+    // stereo, 3 frames, window 2: (1²+1²+2²+2²), (3²+3²)
+    val stereo = Multimodal.pcm16Wav(16000, 2, Array[Short](1, 1, 2, 2, 3, 3))
+    val df = Seq((1L, mono), (2L, stereo), (3L, "junk".getBytes("UTF-8")))
+      .toDF("id", "media")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.audioEnergyWindows(d, "id", "media", windowFrames = 2)
+        .as[(Long, Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val got = run(df)
+    assert(got == Seq(
+      (1L, 0L, 2L, 5L), (1L, 1L, 2L, 25L), (1L, 2L, 1L, 25L),
+      (2L, 0L, 2L, 10L), (2L, 1L, 1L, 18L)), s"got $got")
+    assert(got == run(df.repartition(3)))
+    // full-scale samples stay exact: Short.MinValue² sums without overflow
+    val extreme = Multimodal.pcm16Wav(8000, 1,
+      Array[Short](Short.MinValue, Short.MaxValue))
+    val e = run(Seq((9L, extreme)).toDF("id", "media"))
+    assert(e == Seq((9L, 0L, 2L, 32768L * 32768 + 32767L * 32767)))
+  }
 }
