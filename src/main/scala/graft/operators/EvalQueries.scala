@@ -330,6 +330,39 @@ object EvalQueries {
        |  CAST(SUM(sxv) AS BIGINT) AS sil_sum_x6
        |FROM sx GROUP BY 1 ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q248
+  // Label-centroid cosine matrix: which labeled embedding groups point
+  // the same way (merge candidates / label noise) and which are
+  // orthogonal — the pairwise SEPARATION complement of q219's cohesion
+  // silhouette, over the same integer-sum centroid machinery. One corpus
+  // pass to k·dim component sums; the k×k upper triangle is a
+  // control-plane cross of the checkpointed k-row centroid frame.
+  private def q248(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Embeddings.labelCentroidMatrix(Tables.embeddings(s, d))
+      .orderBy($"label_a", $"label_b")
+  }
+  private val q248Sql =
+    s"""WITH q AS (SELECT CAST(label AS BIGINT) AS lbl, $quantSql AS qv
+       |  FROM embeddings),
+       |comp AS (SELECT lbl, unnest(qv) AS x,
+       |    generate_subscripts(qv, 1) AS i FROM q),
+       |cs AS (SELECT lbl, i, CAST(SUM(x) AS BIGINT) AS s
+       |  FROM comp GROUP BY 1, 2),
+       |cent AS (SELECT lbl, list(s ORDER BY i) AS cv FROM cs GROUP BY 1),
+       |cn AS (SELECT lbl, cv,
+       |    CAST(list_sum(list_transform(cv, v -> CAST(v AS HUGEINT) * v))
+       |      AS HUGEINT) AS cc
+       |  FROM cent),
+       |cf AS (SELECT * FROM cn WHERE cc > 0)
+       |SELECT a.lbl AS label_a, b.lbl AS label_b,
+       |  CAST(floor(CAST(list_sum(list_transform(range(1, len(a.cv)+1),
+       |        i -> CAST(a.cv[i] AS HUGEINT) * b.cv[i])) AS DOUBLE)
+       |      / (sqrt(CAST(a.cc AS DOUBLE)) * sqrt(CAST(b.cc AS DOUBLE)))
+       |      * 1e6) AS BIGINT) AS cos_x6
+       |FROM cf a JOIN cf b ON a.lbl < b.lbl
+       |ORDER BY label_a, label_b""".stripMargin
+
   // ---------------------------------------------------------------- q220
   // Per-state transition entropy of the user event chain, by even/odd-id
   // cohort: how predictable is the NEXT event after each event type? The
@@ -374,5 +407,6 @@ object EvalQueries {
     QueryDef("q193_forecast_backtest", q193, Some(q193Sql)),
     QueryDef("q194_markov_accuracy", q194, Some(q194Sql)),
     QueryDef("q219_silhouette", q219, Some(q219Sql)),
+    QueryDef("q248_label_centroid_matrix", q248, Some(q248Sql)),
     QueryDef("q220_transition_entropy", q220, Some(q220Sql)))
 }

@@ -285,4 +285,48 @@ object Embeddings {
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("sx")).as("sil_sum_x6"))
   }
+
+  /** Pairwise cosine between LABEL CENTROIDS — the embedding-space
+    * confusion/drift matrix: which labeled groups point the same way
+    * (candidates for merging, or evidence of label noise / source drift)
+    * and which are orthogonal. The pairwise complement of
+    * [[labelSilhouette]] (that scores member-to-centroid cohesion; this
+    * scores centroid-to-centroid separation).
+    *
+    * EXACTNESS: the [[labelSilhouette]] integer-centroid contract —
+    * cosine is scale-invariant, so un-divided component SUMS are the
+    * centroid directions; dots/norms through DECIMAL(38,0)
+    * ([[Similarity.dotIntBig]], HUGEINT on a SQL engine), and the final
+    * cosine is one fixed double tree over exact integers, quantized ·10⁶.
+    *
+    * Scale shape: one corpus pass to k·dim component sums (map-side
+    * combined), re-packed to k centroid rows and checkpointed; the k×k
+    * upper-triangle pairing is a control-plane cross of k-row frames
+    * (labels are a bounded axis — the q186 discipline). Zero-mass labels
+    * drop (no direction to compare).
+    *
+    * @return (label_a, label_b, cos_x6) for label_a < label_b, cosine
+    *         in 1e-6 units */
+  def labelCentroidMatrix(emb: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = emb.select(col(labelCol).cast("long").as("lbl"),
+      Similarity.quantize(col(vecCol)).as("qv"))
+    val comp = q.select(col("lbl"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy(col("lbl"), col("i")).agg(sum(col("x")).as("s"))
+    val cents = comp.groupBy(col("lbl"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+        e => e.getField("s")).as("cv"))
+      .withColumn("cc", Similarity.normIntBig(col("cv")))
+      .filter(col("cc") > 0L)
+      .localCheckpoint() // consumed by BOTH sides of the pair cross
+    val a = cents.select(col("lbl").as("label_a"), col("cv").as("cva"),
+      col("cc").as("cca"))
+    val b = cents.select(col("lbl").as("label_b"), col("cv").as("cvb"),
+      col("cc").as("ccb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        floor(Similarity.dotIntBig(col("cva"), col("cvb")).cast("double")
+          / (sqrt(col("cca").cast("double")) * sqrt(col("ccb").cast("double")))
+          * lit(1e6)).cast("long").as("cos_x6"))
+  }
 }

@@ -169,4 +169,24 @@ class EmbeddingsSpec extends SparkSpec {
       .orderBy($"label").as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((0L, 2L, 2000000L), (1L, 2L, 2000000L)))
   }
+
+  test("labelCentroidMatrix: exact ±1e6/0 cosines on axis-aligned " +
+      "centroids (perfect-square norms), zero-mass label dropped, " +
+      "upper triangle only; layout-invariant") {
+    val df = Seq(
+      (1L, Seq(1f, 0f), 1), (2L, Seq(1f, 0f), 1), // centroid (2000, 0)
+      (3L, Seq(0f, 1f), 2),                       // centroid (0, 1000)
+      (4L, Seq(-1f, 0f), 3),                      // centroid (-1000, 0)
+      (5L, Seq(0f, 0f), 4))                       // zero mass → dropped
+      .toDF("vec_id", "embedding", "label")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Embeddings.labelCentroidMatrix(d)
+        .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val got = run(df)
+    // norms 4e6/1e6/1e6 are perfect squares → the double tree is exact:
+    // cos(1,3) = -2e6/(2000·1000) = exactly -1
+    assert(got == Seq((1L, 2L, 0L), (1L, 3L, -1000000L), (2L, 3L, 0L)),
+      s"got $got")
+    assert(got == run(df.repartition(3)))
+  }
 }
