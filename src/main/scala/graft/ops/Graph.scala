@@ -446,24 +446,25 @@ object Graph {
     * one shortest paths can use). Callers keep Σweights along any path
     * below 2⁶³ — the practical contract for any quantized cost.
     *
-    * Scale shape: the adjacency index carries (dst, w) structs — built in
-    * one exchange from unique edges (two with the parallel-edge collapse)
-    * and checkpointed, since every round's join consumes it. Each round
-    * is then ONE exchange: the state right-joins the index and each node
-    * emits its neighbors' relaxed costs AND ITSELF as candidates of one
-    * in-row generated array, so a min-aggregate both relaxes and carries
-    * unreached-by-this-round state — the previous round is consumed
-    * exactly ONCE, lineage stays linear, and all rounds chain LAZILY into
-    * a single job (the [[pageRank]] shape; state checkpoints only every
-    * `checkpointInterval` rounds). Measured against the delta-frontier
-    * alternative (probe with only improved nodes, checkpoint + merge +
-    * empty-probe per round): the per-round materialization barriers cost
-    * more than the full-relaxation explode saves at bench scale (sf0.1
-    * co-purchase q242, median of 3: isolated 11.3 → 7.2 s, warm in-suite
-    * ~12 → 5.7 s) — revisit the frontier form only for graphs whose
-    * diameter ≫ rounds where late-round change sets vanish against V. The
-    * self-candidate row also makes each round EXACTLY the oracle's
-    * full-relaxation CTE, not just equivalent to it.
+    * Scale shape: the adjacency index carries (dst, w) structs plus a
+    * ZERO-WEIGHT SELF-EDGE per node — built in one exchange from unique
+    * edges (two with the parallel-edge collapse) and checkpointed, since
+    * every round's join consumes it. Each round is then ONE exchange: the
+    * state right-joins the index and a single plain-codegen explode emits
+    * every node's relaxed neighbors AND (via the self-edge) its own cost,
+    * so a min-aggregate both relaxes and carries unimproved state — the
+    * previous round is consumed exactly ONCE, lineage stays linear, and
+    * all rounds chain LAZILY into a single job (the [[pageRank]] shape;
+    * state checkpoints only every `checkpointInterval` rounds). Measured
+    * against the delta-frontier alternative (probe with only improved
+    * nodes, checkpoint + merge + empty-probe per round): the per-round
+    * materialization barriers cost more than the full-relaxation explode
+    * saves at bench scale (sf0.1 co-purchase q242, isolated: 11.3 s
+    * frontier → 7.2 s lazy HOF form → 4.1 s self-edge form; 100×:
+    * 238.8 → 31.2 s) — revisit the frontier form
+    * only for graphs whose diameter ≫ rounds where late-round change sets
+    * vanish against V. The self-edge also makes each round EXACTLY the
+    * oracle's full-relaxation CTE, not just equivalent to it.
     *
     * @param edges (src, dst, w) rows, w a non-negative integral column;
     *              pass both directions for undirected
@@ -487,9 +488,20 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("w") >= 0)
     val minEdges = if (uniqueEdges) typed
       else typed.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    // the index carries a ZERO-WEIGHT SELF-EDGE per node (appended once,
+    // before the checkpoint): relaxing it re-emits the node's own cost,
+    // so each round's "carry unimproved state" candidate comes out of the
+    // SAME plain-codegen explode as the neighbors. The first shipped form
+    // built the self-candidate per row per round with transform()+concat()
+    // — higher-order functions are CodegenFallback and allocate a struct
+    // array per node per round, measured 238.8 s isolated at 100× vs
+    // 35.8 s for the identically-shaped q243 explode; the self-edge form
+    // moves that work to one materialized build.
     val adj = minEdges
       .groupBy(col("src"))
       .agg(collect_list(struct(col("dst"), col("w"))).as("ns"))
+      .select(col("src"), concat(col("ns"),
+        array(struct(col("src").as("dst"), lit(0L).as("w")))).as("ns"))
       .localCheckpoint()
     val sd0 = seeds.select(col("node")).distinct()
     val sd = if (symmetric) sd0 else sd0.localCheckpoint()
@@ -504,19 +516,17 @@ object Graph {
           Seq("node"), "left_semi")))
       .withColumn("cost", lit(0L))
     for (r <- 1 to rounds) {
-      // right join: every reached node survives; each emits its relaxed
-      // neighbors + ITSELF from one generated array, so the round is a
-      // single exchange and the state has exactly one consumer
-      val joined = adj.join(dist.withColumnRenamed("node", "src"),
-        Seq("src"), "right")
-      val self = array(struct(col("src").as("n"), col("cost").as("c")))
-      val relaxed = transform(col("ns"), e =>
-        struct(e.getField("dst").as("n"), (col("cost") + e.getField("w")).as("c")))
-      dist = joined
-        .select(explode(when(col("ns").isNull, self)
-          .otherwise(concat(relaxed, self))).as("x"))
-        .select(col("x.n").as("node"), col("x.c").as("cost"))
-        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+      // right join: every reached node survives (explode_outer + coalesce
+      // cover the sink-only nodes with no index row — their "self-edge"
+      // is synthesized from the null match); each node emits its relaxed
+      // neighbors AND its own cost via the baked-in self-edge, so the
+      // round is one plain-codegen Generate + one exchange and the state
+      // has exactly one consumer
+      dist = adj.join(dist.withColumnRenamed("node", "src"), Seq("src"), "right")
+        .select(col("src"), col("cost"), explode_outer(col("ns")).as("e"))
+        .select(coalesce(col("e.dst"), col("src")).as("node"),
+          (col("cost") + coalesce(col("e.w"), lit(0L))).as("c"))
+        .groupBy(col("node")).agg(min(col("c")).as("cost"))
       if (r % checkpointInterval == 0 && r < rounds) dist = dist.localCheckpoint()
     }
     dist
