@@ -984,13 +984,7 @@ object LlmQueries {
     import s.implicits._
     Regression.perceptronTrain(
       Tables.documents(s, d),
-      Seq(
-        TextAnalysis.stopwordHitCount($"text", "en"),
-        TextAnalysis.stopwordHitCount($"text", "de") +
-          TextAnalysis.stopwordHitCount($"text", "es") +
-          TextAnalysis.stopwordHitCount($"text", "fr"),
-        TextAnalysis.tokenCount($"text"),
-        length($"text") - length(regexp_replace($"text", "[0-9]", ""))),
+      TextAnalysis.langFilterFeatures($"text"),
       when($"lang" === "en", 1L).otherwise(-1L),
       rounds = 3)
   }

@@ -401,6 +401,19 @@ object TextAnalysis {
   def stopwordHitCount(text: Column, lang: String): Column =
     stopwordHits(text, stopwords(lang))
 
+  /** The en-vs-rest language-filter feature vector (integer, exact on any
+    * engine): en-stopword hits, other-language stopword hits, token
+    * count, digit count. ONE definition shared by the batch trainer
+    * query (q245) and the streaming scorer
+    * ([[graft.streaming.DocumentStreams.scoreStream]]) so trained
+    * weights apply to bit-identical features in both planes. */
+  def langFilterFeatures(text: Column): Seq[Column] = Seq(
+    stopwordHitCount(text, "en"),
+    stopwordHitCount(text, "de") + stopwordHitCount(text, "es") +
+      stopwordHitCount(text, "fr"),
+    tokenCount(text),
+    length(text) - length(regexp_replace(text, "[0-9]", "")))
+
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),

@@ -68,6 +68,33 @@ object DocumentStreams {
       .filter(col("quality") >= minQuality)
   }
 
+  /** Model-scored ingestion gate — the serving face of
+    * [[graft.ops.Regression.perceptronTrain]]: score each arriving
+    * document with a TRAINED linear model (bias + Σ w·x over the shared
+    * [[TextAnalysis.langFilterFeatures]] vector, exact long arithmetic)
+    * and flag keep = margin > 0. STATELESS — weights are plan literals
+    * (broadcast-free, codegen-resident), so the stream face is
+    * bit-identical to batch scoring under any micro-batch slicing,
+    * restart, or replay; retrain upstream and restart the query to roll
+    * a new model. The standard "train offline, gate the firehose"
+    * split.
+    *
+    * @param docs    streaming (or static) frame with doc_id + text
+    * @param bias    trained bias (perceptronTrain's `bias` column)
+    * @param weights trained weights, in [[TextAnalysis.langFilterFeatures]]
+    *                order (perceptronTrain's w1..wk)
+    */
+  def scoreStream(docs: DataFrame, bias: Long, weights: Seq[Long]): DataFrame = {
+    val feats = TextAnalysis.langFilterFeatures(col("text"))
+    require(weights.size == feats.size,
+      s"expected ${feats.size} weights for the langFilter feature vector")
+    val margin = weights.zip(feats).foldLeft(lit(bias): org.apache.spark.sql.Column) {
+      case (acc, (w, f)) => acc + lit(w) * f.cast("long")
+    }
+    docs.select(col("doc_id"), margin.as("margin"),
+      (margin > 0L).as("keep"))
+  }
+
   /** Content-exact dedup on the fingerprint: first arrival wins, later
     * re-uploads/re-crawls of identical content drop. Unbounded state by
     * design — the dedup ledger must remember the whole corpus (one long

@@ -49,6 +49,32 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("trained-model scoring stream ≡ batch scoring with the same " +
+      "weights, across micro-batch boundaries; keep-count matches the " +
+      "trainer's own confusion row") {
+    // train on the static corpus (labels: en vs rest)
+    val trained = graft.ops.Regression.perceptronTrain(docs.toDF(),
+      graft.ops.TextAnalysis.langFilterFeatures(org.apache.spark.sql.functions.col("text")),
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("lang") === "en", 1L).otherwise(-1L),
+      rounds = 3).head()
+    val bias = trained.getLong(1)
+    val w = (2 to 5).map(trained.getLong)
+    val input = MemoryStream[Doc](spark)
+    val q = DocumentStreams.scoreStream(input.toDF(), bias, w)
+      .writeStream.format("memory").queryName("scored").outputMode("append").start()
+    input.addData(docs.take(2): _*); q.processAllAvailable()
+    input.addData(docs.drop(2): _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("scored").as[(Long, Long, Boolean)].collect().toSet
+    val batch = DocumentStreams.scoreStream(docs.toDF(), bias, w)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(streamed == batch, "stateless scoring must be slice-invariant")
+    assert(streamed.size == docs.size)
+    // the trainer's confusion row counted predictions with these weights:
+    // keep (margin > 0) count = tp + fp
+    assert(streamed.count(_._3) == trained.getLong(6) + trained.getLong(7))
+  }
+
   test("streaming CMS across micro-batches ≡ batch sketch of the whole " +
       "corpus (mergeable exact counters, fixed-size state)") {
     val input = MemoryStream[Doc](spark)
