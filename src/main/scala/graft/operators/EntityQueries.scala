@@ -937,8 +937,59 @@ object EntityQueries {
        |ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q249
+  // Affinity-weighted PageRank: rank splits across out-edges in
+  // proportion to co-occurrence COUNT (q242's edge frame with the raw
+  // count as the weight) — centrality by co-purchase STRENGTH where q124
+  // ranks by existence. Four integer rounds, per-edge share
+  // (pr·w) div sw; the oracle unrolls them with the same share.
+  private def q249(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+    val half = Graph.orderedPairs(sets, "ps")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val edges = half.unionByName(
+      half.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    Graph.pageRankWeighted(edges, iterations = 4, symmetric = true,
+        uniqueEdges = true)
+      .orderBy($"node")
+  }
+  private val q249Sql = {
+    val rounds = (1 to 4).map { i =>
+      val prev = if (i == 1) "pr0" else s"it${i - 1}"
+      s"""it$i AS (
+         |  SELECT nodes.node,
+         |    CAST(150000000000 // nn.n + (85 * COALESCE(s.sc, 0)) // 100
+         |      AS BIGINT) AS pr
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(SUM((p.pr * e.w) // d.sw) AS BIGINT) AS sc
+         |    FROM e JOIN $prev p ON e.src = p.node JOIN sw d ON e.src = d.src
+         |    GROUP BY e.dst) s ON nodes.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pe AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |         AND a.l_partkey < b.l_partkey),
+       |pc AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+       |       FROM pe GROUP BY src, dst),
+       |e AS MATERIALIZED (SELECT src, dst, w FROM pc
+       |  UNION ALL SELECT dst, src, w FROM pc),
+       |sw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS sw FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |pr0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS pr
+       |        FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, pr FROM it4 ORDER BY node""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q199_hits", q199, Some(q199Sql)),
+    QueryDef("q249_pagerank_weighted", q249, Some(q249Sql)),
     QueryDef("q122_rate_limit", q122, Some(q122Sql)),
     QueryDef("q123_survivorship", q123, Some(q123Sql)),
     QueryDef("q124_pagerank", q124, Some(q124Sql)),

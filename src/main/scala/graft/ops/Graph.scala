@@ -432,6 +432,73 @@ object Graph {
     pr
   }
 
+  /** WEIGHTED PageRank: each node's rank splits across its out-edges in
+    * proportion to edge WEIGHT instead of uniformly — affinity-weighted
+    * centrality ("rank parts by co-purchase strength, not just co-purchase
+    * existence"; domains by link count, not link existence).
+    *
+    * EXACTNESS: the [[pageRank]] integer contract with the per-edge share
+    * `contrib = (pr·w) div sw` (sw = the node's exact out-weight sum) —
+    * still pure integer arithmetic, bit-identical across engines and
+    * layouts. OVERFLOW CONTRACT: pr ≤ 1e12, so per-edge weights must stay
+    * below ~9·10⁶ (pr·w < 2⁶³) — quantize affinity ratios into that range;
+    * counts/frequencies fit naturally. Zero-or-negative weights are
+    * dropped with their edges (a zero-weight edge carries no mass and
+    * would only pad the index).
+    *
+    * Scale shape: identical to [[pageRank]] — (dst, w)-struct adjacency
+    * index with the out-weight sum folded into the SAME build exchange
+    * (no per-round weight aggregation, no higher-order functions — the
+    * q242 lesson), rounds chain lazily, one V-row state join + in-task
+    * explode + partial-aggregated sum per round.
+    *
+    * @param edges (src, dst, w) rows, w positive integral; pass both
+    *              directions for undirected
+    * @param symmetric caller-asserted mirrored edge set ([[pageRank]])
+    * @param uniqueEdges caller-asserted unique (src, dst) — skips the
+    *   parallel-edge weight-SUM collapse ([[ssspWeighted]]'s flag; here
+    *   parallel edges ADD affinity rather than taking the min)
+    * @return (node, pr) — pr in 1e12 units
+    */
+  def pageRankWeighted(edges: DataFrame, iterations: Int = 5,
+      checkpointInterval: Int = 8, symmetric: Boolean = false,
+      uniqueEdges: Boolean = false): DataFrame = {
+    require(iterations >= 1, "pageRankWeighted needs at least one iteration")
+    val typed = edges
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+    val summed = if (uniqueEdges) typed
+      else typed.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val adj = summed
+      .groupBy(col("src"))
+      .agg(collect_list(struct(col("dst"), col("w"))).as("ns"),
+        sum(col("w")).as("sw"))
+      .localCheckpoint()
+    val nodes = if (symmetric) adj.select(col("src").as("node"))
+      else adj.select(col("src").as("node"))
+        .unionByName(adj.select(explode(col("ns")).as("e"))
+          .select(col("e.dst").as("node")))
+        .distinct().localCheckpoint()
+    val n = nodes.count()
+    val base = 150000000000L / n
+    var pr = nodes.withColumn("pr", lit(1000000000000L / n))
+    for (i <- 1 to iterations) {
+      val contrib = adj.join(pr.withColumnRenamed("node", "src"), "src")
+        .select(explode(col("ns")).as("e"), col("pr"), col("sw"))
+        .select(col("e.dst").as("node"),
+          expr("(pr * e.w) div sw").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("sc"))
+      pr = if (symmetric)
+        contrib.select(col("node"),
+          (lit(base) + expr("(85 * sc) div 100")).as("pr"))
+      else nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("pr"))
+      if (i % checkpointInterval == 0 && i < iterations) pr = pr.localCheckpoint()
+    }
+    pr
+  }
+
   /** Bounded-round single-source(-set) shortest paths over NON-NEGATIVE
     * integer edge weights — synchronous Bellman–Ford relaxation: after r
     * rounds every node holds the exact minimum path cost over paths of

@@ -609,6 +609,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q249: weighted PageRank folds out-weight sums into the index " +
+      "build — rounds explode in-task with no per-round weight aggregation " +
+      "or E-row re-join") {
+    val p = planOf("q249_pagerank_weighted")
+    assert(p.contains("Scan ExistingRDD"))
+    val gens = "Generate explode".r.findAllIn(p).length
+    assert(gens >= 4, s"expected ≥4 in-task adjacency explodes, found $gens")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q244: label propagation argmax is a struct-min AGGREGATE, not a " +
       "per-node window; symmetric rounds chain lazily into one plan") {
     val p = planOf("q244_label_propagation")

@@ -275,6 +275,68 @@ class GraphSpec extends SparkSpec {
     assert(gen == rep)
   }
 
+  /** Local replica of pageRankWeighted's integer recurrence. */
+  private def localWPR(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges
+    val sw = e.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size.toLong
+    var pr = nodes.map(_ -> 1000000000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val sc = e.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (src, _, w) => pr(src) * w / sw(src) }.sum
+      }
+      pr = nodes.map(v => v -> (150000000000L / n + 85 * sc.getOrElse(v, 0L) / 100)).toMap
+    }
+    pr
+  }
+
+  test("pageRankWeighted ≡ local integer recurrence; the heavier edge " +
+      "pulls more mass; unit weights ≡ unweighted pageRank; parallel " +
+      "edges SUM affinity; zero-weight edges dropped") {
+    // hub 1 links leaves 2 (w=1) and 3 (w=3); back-edges keep it symmetric
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 1L, 1L), (3L, 1L, 3L))
+    val got = Graph.pageRankWeighted(edges.toDF("src", "dst", "w"),
+      iterations = 4).as[(Long, Long)].collect().toMap
+    assert(got == localWPR(edges, 4))
+    assert(got(3L) > got(2L), "the w=3 leaf must outrank the w=1 leaf")
+    // unit weights reduce exactly to the uniform split
+    val uni = (1L to 12L).map(i => (i, i % 5 + 1))
+    val w1 = Graph.pageRankWeighted(uni.map { case (a, b) => (a, b, 1L) }
+      .toDF("src", "dst", "w"), iterations = 3).as[(Long, Long)].collect().toMap
+    val plain = Graph.pageRank(uni.toDF("src", "dst"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(w1 == plain)
+    // parallel (src,dst) edges sum their affinity = one combined edge
+    val par = Graph.pageRankWeighted(
+      Seq((1L, 2L, 1L), (1L, 2L, 2L), (2L, 1L, 3L)).toDF("src", "dst", "w"),
+      iterations = 2).as[(Long, Long)].collect().toMap
+    val comb = Graph.pageRankWeighted(
+      Seq((1L, 2L, 3L), (2L, 1L, 3L)).toDF("src", "dst", "w"),
+      iterations = 2).as[(Long, Long)].collect().toMap
+    assert(par == comb)
+    // zero weights carry no mass and don't pad the node set
+    val z = Graph.pageRankWeighted(
+      Seq((1L, 2L, 1L), (2L, 1L, 1L), (1L, 99L, 0L)).toDF("src", "dst", "w"),
+      iterations = 2).as[(Long, Long)].collect().toMap
+    assert(!z.contains(99L))
+  }
+
+  test("pageRankWeighted: symmetric fast path ≡ general on mirrored " +
+      "weighted edges; layout-invariant") {
+    val half = Seq((1L, 2L, 2L), (2L, 3L, 5L), (3L, 1L, 1L), (3L, 4L, 7L))
+    val edges = (half ++ half.map { case (a, b, w) => (b, a, w) })
+      .toDF("src", "dst", "w")
+    val gen = Graph.pageRankWeighted(edges, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val sym = Graph.pageRankWeighted(edges, iterations = 3, symmetric = true)
+      .as[(Long, Long)].collect().toMap
+    val rep = Graph.pageRankWeighted(edges.repartition(7), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(gen == sym)
+    assert(gen == rep)
+  }
+
   /** Local bounded-round Bellman–Ford replica (full relaxation per round —
     * the semantics the frontier form must reproduce exactly). */
   private def localSssp(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
