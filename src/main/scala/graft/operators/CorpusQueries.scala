@@ -758,7 +758,48 @@ object CorpusQueries {
        |LEFT JOIN c ON c.lang_a = x.lang AND c.lang_b = y.lang
        |ORDER BY lang_a, lang_b""".stripMargin
 
+  // ---------------------------------------------------------------- q250
+  // Zipf rank-frequency fit: OLS slope of ln(count) vs ln(tie-averaged
+  // rank) over the token frequency spectrum — the corpus-health
+  // diagnostic (natural text ≈ −1; template/boilerplate corpora bend
+  // it). One corpus token pass; the spectrum axis flows through the
+  // two-phase prefix sum, never a global window. The oracle replays the
+  // doubled midpoint ranks, the ·1e6 ln quantization, and trendFit's
+  // exact-sum double tree.
+  private def q250(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.zipfFit(Tables.documents(s, d))
+  }
+  private val q250Sql =
+    s"""WITH c AS (SELECT unnest($toksSql) AS t FROM documents),
+       |n AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM c
+       |      WHERE t <> '' GROUP BY t),
+       |sp AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS k FROM n GROUP BY n),
+       |r AS (SELECT n, k,
+       |    CAST(2 * COALESCE(SUM(k) OVER (ORDER BY n DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + k + 1
+       |      AS BIGINT) AS r2
+       |  FROM sp),
+       |p AS (SELECT CAST(floor(ln(r2 / 2.0) * 1e6) AS BIGINT) AS x,
+       |             CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS y
+       |      FROM r),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS np, CAST(SUM(x) AS BIGINT) AS sx,
+       |             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+       |             CAST(SUM(x*x) AS BIGINT) AS sxx
+       |      FROM p),
+       |t AS (SELECT *, np*sxy - sx*sy AS num, np*sxx - sx*sx AS den FROM s)
+       |SELECT np AS n_points,
+       |  CASE WHEN den <> 0
+       |    THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+       |  CASE WHEN den <> 0
+       |    THEN (CAST(sy AS DOUBLE)
+       |            - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+       |              * CAST(sx AS DOUBLE)) / CAST(np AS DOUBLE)
+       |  END AS intercept
+       |FROM t""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q250_zipf_fit", q250, Some(q250Sql)),
     QueryDef("q200_cms_estimate", q200, Some(q200Sql)),
     QueryDef("q64_decontaminate", q64, Some(q64Sql)),
     QueryDef("q212_ngram_novelty", q212, Some(q212Sql)),

@@ -401,6 +401,50 @@ object TextAnalysis {
   def stopwordHitCount(text: Column, lang: String): Column =
     stopwordHits(text, stopwords(lang))
 
+  /** Zipf rank-frequency fit — the corpus-health diagnostic: OLS slope of
+    * ln(count) against ln(rank) over the token frequency spectrum
+    * (natural text sits near −1; machine-generated/boilerplate corpora
+    * bend the curve). Ranks are TIE-AVERAGED per count value (the
+    * kruskalWallis doubled-rank discipline): all k_n tokens sharing count
+    * n get the midpoint rank, kept exact as the integer
+    * r2 = 2·prefix + k_n + 1 (doubled), so the fit runs over the COUNT
+    * SPECTRUM — one point per distinct count value — not per token.
+    *
+    * Determinism: ranks/counts are exact integers; ln is evaluated on
+    * exact-in-double inputs and quantized ·10⁶ (the transition-entropy
+    * ln-parity precedent), and the OLS is [[Regression.trendFit]]'s fixed
+    * double tree over exact long sums. ·10⁶ keeps Σx² within int64 for
+    * spectra up to ~10⁴ distinct count values (ln ≤ ~30 → x ≤ 3e7,
+    * x² ≤ 9e14).
+    *
+    * Scale shape: one token explode to (token, count) — the only
+    * corpus-sized pass — then the spectrum (distinct count values, a
+    * Heaps-sublinear axis) flows through [[Packing.packSequences]]'s
+    * two-phase prefix sum for the descending rank offsets: no global
+    * window anywhere, per the house rule.
+    *
+    * @return one row: (n_points, slope, intercept) — slope/intercept of
+    *         ln(count) ≈ slope·ln(rank) + intercept */
+  def zipfFit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = docs.select(explode(toks(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val spectrum = counts.groupBy(col("n")).agg(count(lit(1)).as("k"))
+      .withColumn("__negn", -col("n"))
+      .localCheckpoint() // prefix pass + the k join-back both read it
+    val pre = Packing.packSequences(spectrum, "n", "k",
+        orderCols = Seq("__negn"), seqTokens = Long.MaxValue)
+      .select(col("id").as("n"), col("start_tok").as("prefix"))
+    val pts = pre.join(spectrum.select(col("n"), col("k")), Seq("n"))
+      .select(
+        floor(log((col("prefix") * 2 + col("k") + 1).cast("double") / lit(2.0))
+          * 1e6).cast("long").as("lnr_x6"),
+        floor(log(col("n").cast("double")) * 1e6).cast("long").as("lnn_x6"))
+    Regression.trendFit(pts.withColumn("__g", lit(1)), Seq("__g"),
+        col("lnr_x6"), col("lnn_x6"))
+      .select(col("n").as("n_points"), col("slope"), col("intercept"))
+  }
+
   /** The en-vs-rest language-filter feature vector (integer, exact on any
     * engine): en-stopword hits, other-language stopword hits, token
     * count, digit count. ONE definition shared by the batch trainer

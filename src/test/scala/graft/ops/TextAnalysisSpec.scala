@@ -408,4 +408,50 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("null lhs/rhs"))
   }
+
+  /** Local replica of zipfFit: counts → spectrum → doubled midpoint ranks
+    * → ·1e6 ln quantization → trendFit's exact-sum double tree. */
+  private def localZipf(tokens: Seq[String]): (Long, Double, Double) = {
+    val counts = tokens.groupBy(identity).map { case (_, xs) => xs.size.toLong }
+    val spectrum = counts.groupBy(identity).map { case (n, ks) => (n, ks.size.toLong) }
+      .toSeq.sortBy(-_._1)
+    var prefix = 0L
+    val pts = spectrum.map { case (n, k) =>
+      val r2 = 2 * prefix + k + 1
+      prefix += k
+      (math.floor(math.log(r2.toDouble / 2.0) * 1e6).toLong,
+        math.floor(math.log(n.toDouble) * 1e6).toLong)
+    }
+    val np = pts.size.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val num = np * sxy - sx * sy; val den = np * sxx - sx * sx
+    val slope = num.toDouble / den.toDouble
+    (np, slope, (sy.toDouble - slope * sx.toDouble) / np.toDouble)
+  }
+
+  test("zipfFit ≡ local replica (tie-averaged doubled ranks, quantized ln, " +
+      "exact-sum OLS); Zipfian fixture slopes negative; layout-invariant; " +
+      "single-point spectrum yields NULL slope") {
+    // counts: the=8, of=4, to=4, in=2, a=1, b=1 → spectrum (8,1)(4,2)(2,1)(1,2)
+    val words = Seq.fill(8)("the") ++ Seq.fill(4)("of") ++ Seq.fill(4)("to") ++
+      Seq.fill(2)("in") ++ Seq("a", "b")
+    // spread across docs so counts cross document boundaries
+    val docs = words.grouped(5).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.zipfFit(docs)
+      .as[(Long, Double, Double)].collect().head
+    val want = localZipf(words)
+    assert(got == want, s"got $got want $want")
+    assert(got._2 < 0, "rank-frequency slope must be negative")
+    val rep = TextAnalysis.zipfFit(docs.repartition(5))
+      .as[(Long, Double, Double)].collect().head
+    assert(got == rep)
+    // all tokens share one count → one spectrum point → zero variance
+    val flat = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val f = TextAnalysis.zipfFit(flat)
+      .select($"n_points", $"slope".isNull).as[(Long, Boolean)].collect().head
+    assert(f == ((1L, true)))
+  }
 }
