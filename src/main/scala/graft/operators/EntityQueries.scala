@@ -987,9 +987,53 @@ object EntityQueries {
        |SELECT node, pr FROM it4 ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q251
+  // Degree assortativity of the co-purchase graph: do popular parts
+  // co-sell with other popular parts (r > 0) or with the long tail
+  // (r < 0)? One number deciding whether hub-salting / degree-capped
+  // sampling matter downstream. Exact DECIMAL sufficient statistics over
+  // the mirrored edge set; the oracle replays q142's fixed double tree
+  // num/(sqrt(vx)·sqrt(vy)) over HUGEINT sums.
+  private def q251(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+    Graph.degreeAssortativity(Graph.undirectedEdges(sets, "ps"))
+  }
+  private val q251Sql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pe AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |         AND a.l_partkey <> b.l_partkey),
+      |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM pe),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+      |p AS (SELECT a.d AS dx, b.d AS dy
+      |      FROM e JOIN deg a ON e.src = a.src JOIN deg b ON e.dst = b.src),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+      |    CAST(SUM(CAST(dx AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(SUM(CAST(dy AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(SUM(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
+      |    CAST(SUM(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+      |    CAST(SUM(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy
+      |  FROM p)
+      |SELECT n_edges,
+      |  CASE WHEN (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+      |        AND (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+      |               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+      |    THEN (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |            * sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |  END AS assortativity
+      |FROM s""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q199_hits", q199, Some(q199Sql)),
     QueryDef("q249_pagerank_weighted", q249, Some(q249Sql)),
+    QueryDef("q251_assortativity", q251, Some(q251Sql)),
     QueryDef("q122_rate_limit", q122, Some(q122Sql)),
     QueryDef("q123_survivorship", q123, Some(q123Sql)),
     QueryDef("q124_pagerank", q124, Some(q124Sql)),

@@ -666,6 +666,57 @@ object Graph {
     lab
   }
 
+  /** Degree assortativity — the Pearson correlation of (deg(src),
+    * deg(dst)) over the directed edge list: do high-degree nodes attach
+    * to other hubs (assortative, r > 0 — social graphs) or to leaves
+    * (disassortative, r < 0 — catalogs, the web)? The one-number
+    * structure-health readout that decides whether hub-salting and
+    * degree-capped sampling are needed downstream.
+    *
+    * EXACTNESS: degrees are exact counts; all five sufficient statistics
+    * accumulate in DECIMAL(38,0) (HUGEINT on a SQL engine — per-edge
+    * products deg² hold to 10¹⁹, sums to 10³⁸, far past any real E), and
+    * the final r is [[Regression.corrPairs]]' fixed double tree
+    * num/(√vx·√vy) over exact-decimal casts — bit-identical across
+    * engines and layouts. Zero-variance degree distributions (regular
+    * graphs) yield null.
+    *
+    * Scale shape: one degree aggregation + two equi-joins of the slim
+    * (node, degree) frame back onto edges + ONE fixed-width aggregate —
+    * every stage E-row-bounded and map-side combinable; the edge frame is
+    * checkpointed once (degree pass + pair join both read it). For
+    * undirected semantics pass the mirrored edge set ([[undirectedEdges]]),
+    * which makes src-counts true undirected degrees and weighs each
+    * undirected edge once per direction — the standard convention.
+    *
+    * @param edges (src, dst) rows
+    * @return one row: (n_edges, assortativity) */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint() // degree aggregation + the pair join both read it
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val d19 = "decimal(19,0)"
+    val d38 = "decimal(38,0)"
+    val stats = e
+      .join(deg.select(col("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("dx").cast(d38)).as("sx"),
+        sum(col("dy").cast(d38)).as("sy"),
+        sum(col("dx").cast(d19) * col("dy").cast(d19)).as("sxy"),
+        sum(col("dx").cast(d19) * col("dx").cast(d19)).as("sxx"),
+        sum(col("dy").cast(d19) * col("dy").cast(d19)).as("syy"))
+    val dbl = "double"
+    val nd = col("n_edges").cast(dbl)
+    val num = nd * col("sxy").cast(dbl) - col("sx").cast(dbl) * col("sy").cast(dbl)
+    val vx = nd * col("sxx").cast(dbl) - col("sx").cast(dbl) * col("sx").cast(dbl)
+    val vy = nd * col("syy").cast(dbl) - col("sy").cast(dbl) * col("sy").cast(dbl)
+    stats.select(col("n_edges"),
+      when(vx > 0d && vy > 0d, num / (sqrt(vx) * sqrt(vy)))
+        .as("assortativity"))
+  }
+
   /** Bounded-round k-core peel: repeatedly remove nodes with (current)
     * degree < k; what survives `rounds` peels approximates the k-core —
     * the standard "dense cohesive subgraph" extraction (community cores,

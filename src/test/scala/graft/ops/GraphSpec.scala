@@ -438,6 +438,26 @@ class GraphSpec extends SparkSpec {
     assert(got == sym, "symmetric fast path ≡ general on mirrored input")
   }
 
+  test("degreeAssortativity: mirrored star is exactly -1 (hub meets " +
+      "leaves only); regular cycle has zero degree variance → null; " +
+      "layout-invariant") {
+    // star: hub 9 ↔ leaves 1..3, mirrored → degrees hub 3, leaves 1;
+    // sums are perfect squares so the double tree lands on exactly -1
+    val star = (1L to 3L).flatMap(l => Seq((9L, l), (l, 9L))).toDF("src", "dst")
+    val s = Graph.degreeAssortativity(star)
+      .as[(Long, Option[Double])].collect().head
+    assert(s == ((6L, Some(-1.0))), s"got $s")
+    val rep = Graph.degreeAssortativity(star.repartition(5))
+      .as[(Long, Option[Double])].collect().head
+    assert(s == rep)
+    // 4-cycle mirrored: every degree 2 → zero variance → null
+    val cyc = (0L to 3L).flatMap(i => Seq((i, (i + 1) % 4), ((i + 1) % 4, i)))
+      .toDF("src", "dst")
+    val c = Graph.degreeAssortativity(cyc)
+      .as[(Long, Option[Double])].collect().head
+    assert(c == ((8L, None)), s"got $c")
+  }
+
   test("labelPropagation: a node with no in-neighbors keeps its own label") {
     // 7 → 1 only: node 7 has no inbound edges, must keep label 7
     val df = Seq((7L, 1L)).toDF("src", "dst")
