@@ -787,7 +787,9 @@ object CorpusQueries {
        |             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
        |             CAST(SUM(x*x) AS BIGINT) AS sxx
        |      FROM p),
-       |t AS (SELECT *, np*sxy - sx*sy AS num, np*sxx - sx*sx AS den FROM s)
+       |t AS (SELECT *,
+       |  CAST(np AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS num,
+       |  CAST(np AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS den FROM s)
        |SELECT np AS n_points,
        |  CASE WHEN den <> 0
        |    THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,

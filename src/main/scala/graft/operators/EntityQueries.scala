@@ -575,7 +575,9 @@ object EntityQueries {
       |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
       |  CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
       |  FROM q GROUP BY 1),
-      |t AS (SELECT *, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM s)
+      |t AS (SELECT *,
+      |  CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS num,
+      |  CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS den FROM s)
       |SELECT o_orderpriority, n,
       |  CASE WHEN den <> 0
       |    THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
@@ -1007,8 +1009,9 @@ object EntityQueries {
       |         AND a.l_partkey <> b.l_partkey),
       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM pe),
       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
-      |p AS (SELECT a.d AS dx, b.d AS dy
-      |      FROM e JOIN deg a ON e.src = a.src JOIN deg b ON e.dst = b.src),
+      |p AS (SELECT a.d AS dx, COALESCE(b.d, 0) AS dy
+      |      FROM e JOIN deg a ON e.src = a.src
+      |      LEFT JOIN deg b ON e.dst = b.src),
       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
       |    CAST(SUM(CAST(dx AS HUGEINT)) AS HUGEINT) AS sx,
       |    CAST(SUM(CAST(dy AS HUGEINT)) AS HUGEINT) AS sy,

@@ -896,7 +896,9 @@ object StatsQueries {
        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
        |        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
        |        CAST(SUM(x*x) AS BIGINT) AS sxx FROM q),
-       |t AS (SELECT *, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM s)
+       |t AS (SELECT *,
+       |  CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS num,
+       |  CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS den FROM s)
        |SELECT n,
        |  CASE WHEN den <> 0
        |    THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,

@@ -302,8 +302,13 @@ object Embeddings {
     * Scale shape: one corpus pass to k·dim component sums (map-side
     * combined), re-packed to k centroid rows and checkpointed; the k×k
     * upper-triangle pairing is a control-plane cross of k-row frames
-    * (labels are a bounded axis — the q186 discipline). Zero-mass labels
-    * drop (no direction to compare).
+    * (labels are a bounded axis — the q186 discipline). The non-equi
+    * pair predicate plans as a nested loop, so the bounded axis is
+    * ENFORCED, not assumed: a runtime `graft.embeddings.maxLabels`
+    * guard (default 10 000 → ≤ ~5·10⁷ pairs) fails with a named error
+    * instead of silently degrading to an O(k²) loop on a
+    * high-cardinality label column (the `graft.ann.maxProbe` pattern).
+    * Zero-mass labels drop (no direction to compare).
     *
     * @return (label_a, label_b, cos_x6) for label_a < label_b, cosine
     *         in 1e-6 units */
@@ -319,6 +324,15 @@ object Embeddings {
       .withColumn("cc", Similarity.normIntBig(col("cv")))
       .filter(col("cc") > 0L)
       .localCheckpoint() // consumed by BOTH sides of the pair cross
+    val maxLabels = emb.sparkSession.conf
+      .get("graft.embeddings.maxLabels", "10000").toLong
+    val k = cents.count() // k rows — control-plane by construction
+    require(k <= maxLabels,
+      s"labelCentroidMatrix: $k distinct labels exceeds " +
+        s"graft.embeddings.maxLabels=$maxLabels — the k x k centroid pair " +
+        "cross is a nested-loop join sized k^2; this label column is not a " +
+        "bounded axis. Cluster first (kMeans/kCenter) or raise the conf if " +
+        "k^2 pairs are genuinely wanted.")
     val a = cents.select(col("lbl").as("label_a"), col("cv").as("cva"),
       col("cc").as("cca"))
     val b = cents.select(col("lbl").as("label_b"), col("cv").as("cvb"),

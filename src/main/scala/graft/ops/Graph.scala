@@ -666,12 +666,20 @@ object Graph {
     lab
   }
 
-  /** Degree assortativity — the Pearson correlation of (deg(src),
-    * deg(dst)) over the directed edge list: do high-degree nodes attach
-    * to other hubs (assortative, r > 0 — social graphs) or to leaves
-    * (disassortative, r < 0 — catalogs, the web)? The one-number
+  /** Degree assortativity — the Pearson correlation of (outdeg(src),
+    * outdeg(dst)) over the directed edge list: do high-degree nodes
+    * attach to other hubs (assortative, r > 0 — social graphs) or to
+    * leaves (disassortative, r < 0 — catalogs, the web)? The one-number
     * structure-health readout that decides whether hub-salting and
     * degree-capped sampling are needed downstream.
+    *
+    * SEMANTICS: BOTH endpoints are scored by OUT-degree; a dst with no
+    * out-edges (a pure sink) contributes dy = 0 rather than dropping the
+    * edge (left join + coalesce — every edge counts exactly once in
+    * n_edges). On a mirrored edge set ([[undirectedEdges]], the usual
+    * call) out-degree IS the undirected degree and no sink exists, so
+    * this coincides with the textbook undirected definition; on a raw
+    * directed list it is explicitly the out/out variant.
     *
     * EXACTNESS: degrees are exact counts; all five sufficient statistics
     * accumulate in DECIMAL(38,0) (HUGEINT on a SQL engine — per-edge
@@ -700,7 +708,9 @@ object Graph {
     val d38 = "decimal(38,0)"
     val stats = e
       .join(deg.select(col("src"), col("d").as("dx")), Seq("src"))
-      .join(deg.select(col("src").as("dst"), col("d").as("dy")), Seq("dst"))
+      .join(deg.select(col("src").as("dst"), col("d").as("dy0")), Seq("dst"),
+        "left") // sinks have no out-edges: keep the edge, dy = 0
+      .withColumn("dy", coalesce(col("dy0"), lit(0L)))
       .agg(count(lit(1)).as("n_edges"),
         sum(col("dx").cast(d38)).as("sx"),
         sum(col("dy").cast(d38)).as("sy"),

@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
   * operations are the final slope/intercept divisions of two exact longs,
   * which are correctly rounded identically on every engine. The caller
   * CENTERS x near its mean (e.g. days since a mid-range date): the
-  * statistics stay exact while |n·Σxy| < 2^63 — with centered x that
+  * SUMS stay exact while Σx² and Σxy fit int64 — with centered x that
   * bound holds far past 10^9 rows per group; beyond it, rescale units.
+  * The closing products n·Σxy − Σx·Σy and n·Σx² − (Σx)² are evaluated
+  * in DECIMAL(38,0) (HUGEINT on a SQL engine): (Σx)² squares the SUM,
+  * so it blows int64 long before the sums themselves do (at x ≈ 3·10⁷
+  * it takes only ~10² points — the zipfFit regime), and Spark with ANSI
+  * off would WRAP it silently where DuckDB errors loudly — the decimal
+  * close keeps the two engines bit-identical instead (the
+  * [[graft.ops.Graph.degreeAssortativity]] discipline).
   */
 object Regression {
 
@@ -36,8 +43,11 @@ object Regression {
         sum(col("__y")).as("__sy"),
         sum(col("__x") * col("__y")).as("__sxy"),
         sum(col("__x") * col("__x")).as("__sxx"))
-    val num = col("n") * col("__sxy") - col("__sx") * col("__sy")
-    val den = col("n") * col("__sxx") - col("__sx") * col("__sx")
+    val d38 = "decimal(38,0)"
+    val num = col("n").cast(d38) * col("__sxy").cast(d38) -
+      col("__sx").cast(d38) * col("__sy").cast(d38)
+    val den = col("n").cast(d38) * col("__sxx").cast(d38) -
+      col("__sx").cast(d38) * col("__sx").cast(d38)
     stats
       .withColumn("slope",
         when(den =!= 0L, num.cast("double") / den.cast("double")))
@@ -111,8 +121,11 @@ object Regression {
     * retries (a classic one-pass perceptron is arrival-order-dependent —
     * useless under the determinism contract).
     *
-    * EXACTNESS: labels are ±1 (enforced in-plan with a named error),
-    * features cast to long; margins, deltas, and counts are exact int64.
+    * EXACTNESS: labels are ±1 and features are non-NULL (both enforced
+    * in-plan with a named error — a NULL feature would otherwise
+    * silently exclude the row from updates and the confusion quadrants
+    * while still counting in n_train), features cast to long; margins,
+    * deltas, and counts are exact int64.
     * A margin of EXACTLY 0 counts as misclassified (the standard ≤ 0
     * update rule) — deterministic, engine-agnostic. Overflow contract:
     * |w| grows ≤ rounds·Σ|x| per feature, so rounds·(Σ|x|)·max|x| must
@@ -145,7 +158,15 @@ object Regression {
         .otherwise(expr("raise_error('perceptronTrain: label must be +1 or -1')"))
         .as("y") +:
         features.zipWithIndex.map { case (c, i) =>
-          c.cast("long").as(s"x${i + 1}")
+          // a NULL feature would silently null the margin, dropping the
+          // row from every update AND the confusion quadrants while still
+          // counting in n_train — fail loudly like a bad label instead
+          val xc = c.cast("long")
+          when(xc.isNotNull, xc)
+            .otherwise(expr(
+              s"raise_error('perceptronTrain: feature ${i + 1} is NULL')")
+              .cast("long"))
+            .as(s"x${i + 1}")
         }): _*)
       .localCheckpoint()
     def margin(b: Long, w: Array[Long]): Column =

@@ -415,7 +415,9 @@ object TextAnalysis {
     * ln-parity precedent), and the OLS is [[Regression.trendFit]]'s fixed
     * double tree over exact long sums. ·10⁶ keeps Σx² within int64 for
     * spectra up to ~10⁴ distinct count values (ln ≤ ~30 → x ≤ 3e7,
-    * x² ≤ 9e14).
+    * x² ≤ 9e14); the closing (Σx)²-class products blow int64 at ~10²
+    * points already, which is why trendFit evaluates them in
+    * DECIMAL(38,0) — that, not Σx², was the binding budget here.
     *
     * Scale shape: one token explode to (token, count) — the only
     * corpus-sized pass — then the spectrum (distinct count values, a

@@ -189,4 +189,18 @@ class EmbeddingsSpec extends SparkSpec {
       s"got $got")
     assert(got == run(df.repartition(3)))
   }
+
+  test("labelCentroidMatrix: graft.embeddings.maxLabels guard names the " +
+      "k² nested-loop hazard instead of running it") {
+    val df = Seq((1L, Seq(1f, 0f), 1), (2L, Seq(0f, 1f), 2),
+      (3L, Seq(1f, 1f), 3)).toDF("vec_id", "embedding", "label")
+    spark.conf.set("graft.embeddings.maxLabels", "2")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        Embeddings.labelCentroidMatrix(df).collect()
+      }
+      assert(err.getMessage.contains("graft.embeddings.maxLabels"),
+        err.getMessage)
+    } finally spark.conf.unset("graft.embeddings.maxLabels")
+  }
 }

@@ -458,6 +458,19 @@ class GraphSpec extends SparkSpec {
     assert(c == ((8L, None)), s"got $c")
   }
 
+  test("degreeAssortativity: directed list with a pure sink keeps every " +
+      "edge (dy = 0 via left join), n_edges exact") {
+    // out-degrees: 1→2, 3→1, 2→0 (sink). Edges (dx,dy): (1,2)→(2,0),
+    // (1,3)→(2,1), (3,2)→(1,0). An inner join would drop both edges
+    // into the sink (n_edges 1); the contract keeps all 3:
+    // num = 3·2−5·1 = 1, vx = 3·9−25 = 2, vy = 3·1−1 = 2 → r = 0.5
+    val e = Seq((1L, 2L), (1L, 3L), (3L, 2L)).toDF("src", "dst")
+    val got = Graph.degreeAssortativity(e)
+      .as[(Long, Option[Double])].collect().head
+    assert(got._1 == 3L, s"got $got")
+    assert(math.abs(got._2.get - 0.5) < 1e-12, s"got $got")
+  }
+
   test("labelPropagation: a node with no in-neighbors keeps its own label") {
     // 7 → 1 only: node 7 has no inbound edges, must keep label 7
     val df = Seq((7L, 1L)).toDF("src", "dst")

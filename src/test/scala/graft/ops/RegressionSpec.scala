@@ -146,4 +146,29 @@ class RegressionSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("label must be +1 or -1"))
   }
+
+  test("trendFit: (Σx)²-class closing products past int64 stay exact " +
+      "(the zipfFit ln·1e6 regime — int64 would wrap silently)") {
+    // x ~ 1.5e9: every SUM fits int64 (Σx² = 7.7e18 < 2^63) but the
+    // closing products n·Σx² = 2.31e19 and (Σx)² = 2.304e19 both
+    // overflow int64 — the decimal(38,0) close must yield the exact
+    // den = 6e16, num = 6e8 → slope exactly 1e-8, intercept exactly 0
+    val df = Seq((1500000000L, 15L), (1600000000L, 16L), (1700000000L, 17L))
+      .toDF("x", "y")
+    val got = Regression.trendFit(df, Nil, col("x"), col("y")).collect().head
+    assert(got.getAs[Double]("slope") == 1e-8, s"got $got")
+    assert(got.getAs[Double]("intercept") == 0.0, s"got $got")
+  }
+
+  test("perceptronTrain: NULL feature fails loudly (would otherwise " +
+      "silently drop the row from updates and confusion while counting " +
+      "in n_train)") {
+    val df = Seq((1L, Some(2L), 3L), (-1L, None, 4L))
+      .toDF("y", "x1", "x2")
+    val err = intercept[Exception] {
+      Regression.perceptronTrain(df, Seq(col("x1"), col("x2")), col("y"),
+        rounds = 1).collect()
+    }
+    assert(err.getMessage.contains("feature 1 is NULL"), err.getMessage)
+  }
 }
