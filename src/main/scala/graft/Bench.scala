@@ -63,6 +63,37 @@ object Bench {
       sinceGc += 1
       if (sinceGc >= 10) { sinceGc = 0; System.gc() }
     }
+    // --- self-calibration canary -----------------------------------------
+    // A fixed CPU-bound probe (max of xxhash64 over a 1.6e9-row range,
+    // one partition per core — no I/O, no data dependence) timed at suite
+    // start, between the cold and warm passes, and after the isolated
+    // re-times. Its clean-box value is pinned below (measured on this
+    // container class, idle, median of repeated runs; override via
+    // SPARK_GRAFT_CANARY_CLEAN_S when the fleet hardware changes).
+    // noise_factor = median(canary_s)/clean makes a contended/polluted run
+    // SELF-EVIDENT in the emitted JSON — the round-6 driver artifact was
+    // silently ~3.4x inflated by environment and had to be adjudicated by
+    // hand. Factor > 1.5 additionally prints a loud stderr warning.
+    val canaryCleanS =
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_CLEAN_S", "0.45").toDouble
+    def canaryProbe(rows: Long): Unit =
+      spark.range(0L, rows, 1L, cpus.toInt)
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("id")))).head()
+    def canary(): Double = {
+      System.gc() // never measure someone else's collection
+      val t0 = System.nanoTime()
+      canaryProbe(1600000000L)
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryProbe(10000000L) // untimed: JIT/codegen warm the probe itself
+    val canaries = scala.collection.mutable.ArrayBuffer[Double]()
+    def noiseFactor: Double = {
+      val s = canaries.sorted
+      math.rint(s(s.size / 2) / canaryCleanS * 1000) / 1000
+    }
+    canaries += canary()
     // a failed query is reported as -1, never as a (fast-looking) timing
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
@@ -76,6 +107,7 @@ object Bench {
         name -> (if (ok) t else -1.0)
       }
     val cold = pass()
+    canaries += canary()
     val warm = pass()
     def r3(v: Double) = math.rint(v * 1000) / 1000
     def total(xs: Seq[(String, Double)]) = r3(xs.map(_._2).filter(_ >= 0).sum)
@@ -85,7 +117,9 @@ object Bench {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
       s""""cold_total":${total(cold)},"warm_total":${total(warm)},""" +
-      s""""n_queries":${warm.size},"sf":"$sfDir","queries":$qs}""")
+      s""""n_queries":${warm.size},"sf":"$sfDir",""" +
+      s""""canary_s":${canaries.map(r3).mkString("[", ",", "]")},""" +
+      s""""noise_factor":$noiseFactor,"queries":$qs}""")
     // Isolated re-measure of the tail: in-suite numbers run up to 2x above
     // isolated on IDENTICAL plans (residual page-cache / code-cache /
     // block-manager state across 200+ queries in one JVM — the round-4
@@ -105,6 +139,14 @@ object Bench {
     }
     val isoJson = iso.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    canaries += canary()
+    if (noiseFactor > 1.5)
+      System.err.println(
+        s"[bench] WARNING: canary noise_factor $noiseFactor > 1.5 " +
+          s"(canaries ${canaries.map(r3).mkString(", ")} s vs clean " +
+          s"$canaryCleanS s) — this box is contended or throttled; the " +
+          "totals on this line are NOT comparable across rounds. Re-run " +
+          "on an idle box before drawing per-query conclusions.")
     // The per-query line is ~8 KB at 230+ queries and the driver keeps only
     // the LAST 2000 chars of output — repeat the scalars on a short FINAL
     // line (plus the compact isolated tail, ~400 chars) so the totals
@@ -112,6 +154,8 @@ object Bench {
     println(s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
       s""""cold_total":${total(cold)},"warm_total":${total(warm)},""" +
       s""""n_queries":${warm.size},"sf":"$sfDir",""" +
+      s""""canary_s":${canaries.map(r3).mkString("[", ",", "]")},""" +
+      s""""noise_factor":$noiseFactor,""" +
       s""""slowest_isolated":$isoJson}""")
     spark.stop()
   }

@@ -128,6 +128,50 @@ object EntityQueries {
        |SELECT node, pr FROM it5 ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q252
+  // Mass-conserving PageRank over the DIRECTED supplier→part ship graph:
+  // every part is a pure sink (no out-edges), so default PageRank leaks
+  // the entire part-side mass each round — this is the
+  // redistributeDangling variant (Graph.pageRank): one slim aggregate
+  // per round folds the dangling mass back in as a uniform share, Σ pr
+  // stays ≈ 1e12. Part keys are offset +1e7 so the supplier/part id
+  // spaces stay disjoint. The oracle unrolls the same four rounds with a
+  // per-round 1-row dangling-mass CTE (dm // n = the Spark literal).
+  private def q252(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.lineitem(s, d)
+      .select($"l_suppkey".cast("long").as("src"),
+        ($"l_partkey".cast("long") + 10000000L).as("dst"))
+    Graph.pageRank(e, iterations = 4, redistributeDangling = true)
+      .orderBy($"node")
+  }
+  private val q252Sql = {
+    val rounds = (1 to 4).map { i =>
+      val prev = if (i == 1) "pr0" else s"it${i - 1}"
+      s"""dg$i AS (SELECT CAST(COALESCE(SUM(p.pr), 0) AS BIGINT) AS dm
+         |  FROM $prev p WHERE p.node NOT IN (SELECT src FROM deg)),
+         |it$i AS (
+         |  SELECT nodes.node,
+         |    CAST(150000000000 // nn.n
+         |      + (85 * (COALESCE(s.sc, 0) + dg$i.dm // nn.n)) // 100
+         |      AS BIGINT) AS pr
+         |  FROM nodes CROSS JOIN nn CROSS JOIN dg$i
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(p.pr // d.deg) AS BIGINT) AS sc
+         |    FROM e JOIN $prev p ON e.src = p.node JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) s ON nodes.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+       |    CAST(l_partkey AS BIGINT) + 10000000 AS dst FROM lineitem),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |pr0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS pr
+       |        FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, pr FROM it4 ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q125
   // Edit-distance-1 vocabulary linkage via FastSS deletion neighborhoods
   // (RecordLinkage.editDistance1Join): spelling-variant detection over the
@@ -1040,6 +1084,7 @@ object EntityQueries {
     QueryDef("q122_rate_limit", q122, Some(q122Sql)),
     QueryDef("q123_survivorship", q123, Some(q123Sql)),
     QueryDef("q124_pagerank", q124, Some(q124Sql)),
+    QueryDef("q252_pagerank_dangling", q252, Some(q252Sql)),
     QueryDef("q125_editdist_join", q125, Some(q125Sql)),
     QueryDef("q126_hist_quantiles", q126, Some(q126Sql)),
     QueryDef("q127_skew_report", q127, Some(q127Sql)),

@@ -629,13 +629,24 @@ object Dedup {
     * canonicalization (greedy pair-drop can over-delete when clusters
     * chain: a~b, b~c drops both b and c even if a~c is false).
     *
-    * Scale shape: each round is one join + one min-aggregation over
-    * (id, label) pairs — never documents — and the driver loop stops at
-    * the fixpoint, reached in O(cluster diameter) rounds (near-dup
-    * clusters are shallow; web-scale runs converge in ≤ ~5 rounds).
-    * `localCheckpoint` cuts each round's lineage so plans don't nest
-    * exponentially (on a cluster, prefer `checkpoint` with a checkpoint
-    * dir for fault tolerance across rounds).
+    * Scale shape — the adjacency-index push form (the graph-loop house
+    * rule, cf. [[graft.ops.Graph.pageRank]]): ONE collect_set exchange
+    * builds the V-row index (id, nbrs); each round then joins two V-row
+    * frames (index ⋈ labels, both hash-partitioned on id) and re-derives
+    * the E candidate rows IN-TASK via explode, where the partial min
+    * aggregate folds them map-side back to ≤ V rows before the exchange.
+    * The previous edge-join form shuffled 2E rows per round — decisive
+    * exactly where components are expensive: near-dup pair graphs are
+    * CLIQUES (E ≈ d·V with d the family size), and the clique min
+    * reaches every member in ONE push. Pointer jumping (adopt the label
+    * OF the current label — a V-row self-join folded into the same
+    * union+min exchange) keeps chain-shaped clusters at O(log diameter)
+    * rounds. The loop stops at the fixpoint; `localCheckpoint` cuts each
+    * round's lineage so plans don't nest exponentially (on a cluster,
+    * prefer `checkpoint` with a checkpoint dir for fault tolerance).
+    * Degree contract: one nbrs array per node must fit an executor row —
+    * bounded by construction here (LSH pair degrees ≤ bands ×
+    * maxBucketSize); pre-cap or salt-split hubs on raw web-scale graphs.
     *
     * Adaptive small-graph path: the edge set here is the LSH *survivor*
     * set — orders of magnitude smaller than the corpus — and when it fits
@@ -662,9 +673,12 @@ object Dedup {
     val edges = undirected
       .union(undirected.select(col("v").as("u"), col("u").as("v")))
       .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
+    val index = Graph.guardDegree(
+        edges.groupBy(col("u").as("id"))
+          .agg(collect_set(col("v")).as("nbrs")),
+        "id", "nbrs") // graft.graph.maxDegree: fail named, never OOM
+      .localCheckpoint() // re-read every round
+    var labels = index.select(col("id"), col("id").as("component"))
       .localCheckpoint()
     // Convergence check without a join: propagation can only LOWER labels,
     // so Σ component is strictly decreasing until the fixpoint — one tiny
@@ -676,14 +690,16 @@ object Dedup {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val viaNeighbor = edges
-        .join(labels, edges("v") === labels("id"))
-        .select(edges("u").as("id"), col("component"))
+      // push: every node broadcasts its label to its neighbors — a V-row
+      // equi-join on id (exchange-reusable against the index partitioning),
+      // with the E exploded candidates min-folded map-side in the same stage
+      val viaNeighbor = index.join(labels, Seq("id"))
+        .select(explode(col("nbrs")).as("id"), col("component"))
       // pointer jumping: also adopt the label OF the current label (a
       // component value is always a vertex id, so the inner self-join is
       // total). Convergence drops from O(diameter) to O(log diameter)
-      // rounds — each round is one more small join, but rounds are the
-      // expensive unit here (a full shuffle + checkpoint barrier each).
+      // rounds — each round is one more small V-row join, but rounds are
+      // the expensive unit here (a full shuffle + checkpoint barrier each).
       val viaParent = labels
         .join(labels.select(col("id").as("pid"), col("component").as("pcomp")),
           col("component") === col("pid"))
@@ -1409,19 +1425,24 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(gramLen >= 2 && minDocs >= 2, "need gramLen >= 2, minDocs >= 2")
     val L = gramLen
-    // deliberately NOT checkpointed: the gram frame is |positions|-sized
-    // (~45M rows, >1 GB at 30×), so materializing it costs more than the
-    // two cheap codegen passes (substring+xxhash64) that recompute it —
-    // one for the dup-hash aggregate, one for the position semi-join.
-    // The two document scans are allowlisted in the no-recompute sweep.
-    def grams = docs
+    // Per-doc PACKED gram-hash arrays via the native rolling-hash kernel
+    // ([[graft.functions.GramHashes]]): one O(n) loop per document
+    // replaces the previous explode+substring+xxhash64 derivation, which
+    // paid an O(L) hash and a String allocation PER POSITION — and had to
+    // run twice because the |positions|-row frame (~45M rows, >1 GB at
+    // 30×) was too fat to checkpoint profitably. The packed form is
+    // |docs| rows × 8 B/position, cheap to materialize, so the text is
+    // now scanned ONCE and both consumers (dup-hash aggregate + position
+    // semi-join) re-derive their position rows in-task from the arrays.
+    val packed = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .filter(length(col("__t")) >= L)
       .select(col("doc_id"),
-        explode(sequence(lit(0), length(col("__t")) - L)).as("pos"),
-        col("__t"))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        xxhash64(expr(s"substring(__t, pos + 1, $L)")).as("__h"))
+        graft.functions.GramHashes(col("__t"), L).as("__hs"))
+      .localCheckpoint()
+    def grams = packed
+      .select(col("doc_id"), posexplode(col("__hs")).as(Seq("pos", "__h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("__h"))
     // minDocs == 2 (the Lee-et-al default) avoids the distinct-aggregate
     // rewrite: count_distinct(doc_id) plans as Aggregate(h, doc_id) →
     // exchange → Aggregate(h), i.e. the near-unique (hash, doc) pairs

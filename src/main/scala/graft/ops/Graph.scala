@@ -11,6 +11,35 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** ENFORCED degree-skew contract for every adjacency index below: each
+    * loop documents "one neighbor array per node must fit an executor
+    * row — pre-cap or salt-split hubs upstream", and this guard turns
+    * that prose into a named in-plan error instead of an executor OOM
+    * halfway through a web-scale job. One `size(ns) <= cap` comparison
+    * per node at index-build (checkpoint) time — no extra job, no extra
+    * exchange (the `graft.ann.maxProbe` pattern). The error names the
+    * first offending hub and its degree; run
+    * [[graft.ops.Profile.joinSizeAudit]] on the edge list for the full
+    * hub ranking. Default cap 1e6 neighbors ≈ 8–16 MB per row — far
+    * above any healthy adjacency, far below an OOM-at-collect_set. */
+  private[ops] def guardDegree(adj: DataFrame, nodeCol: String,
+      nsCol: String): DataFrame = {
+    val cap = adj.sparkSession.conf
+      .get("graft.graph.maxDegree", "1000000").toLong
+    val t = adj.schema(adj.schema.fieldIndex(nsCol)).dataType.catalogString
+    adj.withColumn(nsCol,
+      when(size(col(nsCol)) <= cap, col(nsCol))
+        .otherwise(raise_error(concat(
+          lit(s"graph adjacency degree cap graft.graph.maxDegree=$cap " +
+            "exceeded: node "),
+          col(nodeCol).cast("string"),
+          lit(" has degree "), size(col(nsCol)).cast("string"),
+          lit(" — pre-cap or salt-split hub nodes upstream " +
+            "(Profile.joinSizeAudit ranks the hubs), or raise the conf " +
+            "if executor rows this large are genuinely intended")))
+          .cast(t)))
+  }
+
   /** PageRank with damping 0.85 over a directed edge list, fixed
     * iteration count — entity-importance scoring (e.g. rank parts by
     * co-purchase centrality, domains by cross-link mass) where the
@@ -40,12 +69,22 @@ object Graph {
     * radius (measured locally: per-round checkpoints tripled a 5-round
     * wall-clock in scheduler overhead alone). N (node count) is a
     * control-plane scalar. Nodes with no inbound edges settle at the base
-    * rank; dangling nodes (no outbound) simply leak their mass — the
-    * standard simplification; redistribute via one extra aggregate per
-    * round if mass conservation matters. Degree-skew caveat: one
-    * adjacency array per node must fit in an executor row (the same
-    * collect_set contract as [[bfsHops]]); a web-scale hub graph should
-    * pre-cap degree or salt-split hub rows upstream.
+    * rank; dangling nodes (no outbound) leak their mass by DEFAULT — the
+    * standard simplification — or redistribute it uniformly when
+    * `redistributeDangling` is set: each round then runs one extra slim
+    * aggregate (Σ pr over the once-built dangling-node frame, a 1-row
+    * control-plane collect that becomes the next round's literal — the
+    * perceptron/BPE discipline) and adds `(dangling_mass div N)` to every
+    * node's contribution sum before damping, so Σ pr stays ≈ 1e12 up to
+    * the documented ≤1-unit-per-node floor leaks. On a dangling-free
+    * graph the frame is empty, the collects are skipped, and the output
+    * is bit-identical to the default path. Mass-conserving mode
+    * checkpoints the state per round (the collect forces it anyway).
+    * Degree-skew contract: one adjacency array per node must fit in an
+    * executor row — ENFORCED at build time by [[guardDegree]]
+    * (`graft.graph.maxDegree`, named error instead of an executor OOM);
+    * a web-scale hub graph should pre-cap degree or salt-split hub rows
+    * upstream.
     *
     * @param edges (src, dst) rows; pass both directions for undirected
     * @param symmetric caller-asserted "every (src,dst) has its (dst,src)"
@@ -59,16 +98,18 @@ object Graph {
     * @return (node, pr) — pr in 1e12 units
     */
   def pageRank(edges: DataFrame, iterations: Int = 5,
-      checkpointInterval: Int = 8, symmetric: Boolean = false): DataFrame = {
+      checkpointInterval: Int = 8, symmetric: Boolean = false,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     // (src, ns[]) — collect_set dedups parallel edges, so this IS the
     // distinct-edge adjacency; out-degree = size(ns). NULL endpoints are
     // dropped EXPLICITLY (a null is not a node): collect_set would skip
     // null dst anyway but silently keep a null-src group — declare the
     // contract instead of inheriting aggregate null semantics.
-    val adj = edges.select(col("src"), col("dst"))
+    val adj = guardDegree(edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .groupBy(col("src")).agg(collect_set(col("dst")).as("ns"))
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("ns")),
+      "src", "ns")
       .localCheckpoint()
     // symmetric: dst values ⊆ src keys, so the adjacency keys are the
     // node set — a projection of the materialized index (checkpointing
@@ -80,8 +121,23 @@ object Graph {
         .distinct().localCheckpoint()
     val n = nodes.count() // control-plane scalar (drives two literals)
     val base = 150000000000L / n // floor(0.15 · 1e12 / N)
+    // mass-conserving mode: dangling nodes (no out-edges) are exactly the
+    // node-set remainder against the adjacency keys — built once; empty
+    // on symmetric input by construction (every node is a src key)
+    val dang = if (redistributeDangling && !symmetric)
+      nodes.join(adj.select(col("src").as("node")), Seq("node"), "left_anti")
+        .localCheckpoint() // consumed once per round
+    else null
+    val dangActive = dang != null && !dang.isEmpty
     var pr = nodes.withColumn("pr", lit(1000000000000L / n))
     for (i <- 1 to iterations) {
+      // dangling mass of the CURRENT state, folded in as a literal (the
+      // 1-row control-plane collect discipline); div N floors like every
+      // other mass split here
+      val dangShare = if (dangActive)
+        pr.join(dang, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("pr")), lit(0L))).head.getLong(0) / n
+      else 0L
       val contrib = adj.join(pr.withColumnRenamed("node", "src"), "src")
         .select(col("ns"), expr("pr div size(ns)").as("c"))
         .select(explode(col("ns")).as("node"), col("c"))
@@ -90,11 +146,16 @@ object Graph {
       // mirror edge), so the dangling-node left join is the identity
       pr = if (symmetric)
         contrib.select(col("node"),
-          (lit(base) + expr("(85 * sc) div 100")).as("pr"))
+          (lit(base) + expr(s"(85 * (sc + ${dangShare}L)) div 100")).as("pr"))
       else nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("pr"))
-      if (i % checkpointInterval == 0 && i < iterations) pr = pr.localCheckpoint()
+          (lit(base) + expr(
+            s"(85 * (coalesce(sc, 0L) + ${dangShare}L)) div 100")).as("pr"))
+      // dangling mode: the next round's collect forces the state anyway —
+      // checkpoint so it is computed once, not re-derived per consumer
+      if (dangActive && i < iterations) pr = pr.localCheckpoint()
+      else if (i % checkpointInterval == 0 && i < iterations)
+        pr = pr.localCheckpoint()
     }
     pr
   }
@@ -134,13 +195,16 @@ object Graph {
     // materialized V-row out-index via an in-task explode — no raw E-row
     // checkpoint needed
     // null endpoints dropped explicitly — the [[pageRank]] contract
-    val outAdj = edges.select(col("src"), col("dst"))
+    val outAdj = guardDegree(edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .groupBy(col("src")).agg(collect_set(col("dst")).as("dsts"))
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("dsts")),
+      "src", "dsts")
       .localCheckpoint()
-    val inAdj = outAdj.select(col("src"), explode(col("dsts")).as("dst"))
-      .groupBy(col("dst"))
-      .agg(collect_set(col("src")).as("srcs")).localCheckpoint()
+    val inAdj = guardDegree(
+      outAdj.select(col("src"), explode(col("dsts")).as("dst"))
+        .groupBy(col("dst"))
+        .agg(collect_set(col("src")).as("srcs")),
+      "dst", "srcs").localCheckpoint()
     var auth = inAdj.select(col("dst").as("node"))
       .withColumn("a", lit(1000L))
     // always assigned on the first iteration (rounds >= 1): hubs are
@@ -308,8 +372,9 @@ object Graph {
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 6,
       symmetric: Boolean = false): DataFrame = {
     require(rounds >= 1, "bfsHops needs at least one round")
-    val adj = edges.select(col("src"), col("dst"))
-      .groupBy(col("src")).agg(collect_set(col("dst")).as("ns"))
+    val adj = guardDegree(edges.select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("ns")),
+      "src", "ns")
       .localCheckpoint()
     // seeds outside the graph carry no edges and (as before) no row.
     // Validating a seed against the src keys is one slim semi-join; only
@@ -390,9 +455,10 @@ object Graph {
       iterations: Int = 5, checkpointInterval: Int = 8,
       symmetric: Boolean = false): DataFrame = {
     require(iterations >= 1, "personalizedPageRank needs at least one iteration")
-    val adj = edges.select(col("src"), col("dst"))
+    val adj = guardDegree(edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .groupBy(col("src")).agg(collect_set(col("dst")).as("ns"))
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("ns")),
+      "src", "ns")
       .localCheckpoint()
     val nodes = if (symmetric) adj.select(col("src").as("node"))
       else adj.select(col("src").as("node"))
@@ -469,10 +535,11 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
     val summed = if (uniqueEdges) typed
       else typed.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-    val adj = summed
+    val adj = guardDegree(summed
       .groupBy(col("src"))
       .agg(collect_list(struct(col("dst"), col("w"))).as("ns"),
-        sum(col("w")).as("sw"))
+        sum(col("w")).as("sw")),
+      "src", "ns")
       .localCheckpoint()
     val nodes = if (symmetric) adj.select(col("src").as("node"))
       else adj.select(col("src").as("node"))
@@ -564,11 +631,12 @@ object Graph {
     // array per node per round, measured 238.8 s isolated at 100× vs
     // 35.8 s for the identically-shaped q243 explode; the self-edge form
     // moves that work to one materialized build.
-    val adj = minEdges
+    val adj = guardDegree(minEdges
       .groupBy(col("src"))
       .agg(collect_list(struct(col("dst"), col("w"))).as("ns"))
       .select(col("src"), concat(col("ns"),
-        array(struct(col("src").as("dst"), lit(0L).as("w")))).as("ns"))
+        array(struct(col("src").as("dst"), lit(0L).as("w")))).as("ns")),
+      "src", "ns")
       .localCheckpoint()
     val sd0 = seeds.select(col("node")).distinct()
     val sd = if (symmetric) sd0 else sd0.localCheckpoint()
@@ -635,9 +703,10 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int = 3,
       symmetric: Boolean = false): DataFrame = {
     require(rounds >= 1, "labelPropagation needs at least one round")
-    val adj = edges.select(col("src"), col("dst"))
+    val adj = guardDegree(edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .groupBy(col("src")).agg(collect_set(col("dst")).as("ns"))
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("ns")),
+      "src", "ns")
       .localCheckpoint()
     val nodes = if (symmetric) adj.select(col("src").as("node"))
       else adj.select(col("src").as("node"))

@@ -224,4 +224,113 @@ object DocumentStreams {
         ingestBatchNearDedup(batch, stateDir, outDir, batchId, threshold)
         ()
       }
+
+  // ---- incremental CONNECTED COMPONENTS maintenance ------------------
+  // The [[ingestBatchNearDedup]] architecture keeps the corpus deduped;
+  // this face keeps CLUSTER MEMBERSHIP current instead — every ingested
+  // doc gets a component id (min reachable doc id, exactly
+  // [[graft.ops.Dedup.connectedComponents]]' semantics), maintained
+  // incrementally: components can only MERGE as edges arrive, so folding
+  // a batch in is connectedComponents over the SLIM union of the prior
+  // (id → component) assignment — |ids| star edges — plus the batch's
+  // new verified pair edges; history text/pairs are never reprocessed.
+  // State layout under `stateDir` (all replay-idempotent by the same
+  // bid-filter + batch-keyed-overwrite discipline as the dedup ingest):
+  //   bands/batch_<id>, shingles/batch_<id> — signatures of EVERY
+  //     ingested doc (nothing is dropped here — membership, not
+  //     suppression), a few dozen bytes per doc, never the text;
+  //   components/batch_<id> — the full (id, component) SNAPSHOT after
+  //     the batch (16 B/doc): each batch reads the latest snapshot with
+  //     bid < its own, so a replayed batch rebuilds from exactly the
+  //     state its first attempt saw, and overwrite reclaims the rest.
+
+  /** Fold one micro-batch into the component store; returns the
+    * refreshed full (id, component) assignment (also written to
+    * `stateDir/components/batch_<batchId>`). */
+  def ingestBatchComponents(batch: DataFrame, stateDir: String,
+      batchId: Long, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val spark = batch.sparkSession
+    val b = batch.localCheckpoint() // signatures + id set read it twice
+    val newBands = graft.ops.Dedup.minhashBandRows(b)
+      .localCheckpoint() // store join + store write
+    val newSh = graft.ops.Dedup.hashedShingleSets(b)
+      .localCheckpoint() // within/cross verify + store write
+    // within-batch verified pairs (LSH candidates + exact-Jaccard gate)
+    val internalPairs = graft.ops.Dedup
+      .minhashDuplicatePairs(b, threshold = threshold)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/$p"))
+    def withBid(df: DataFrame): DataFrame =
+      if (df.columns.contains("bid")) df else df.withColumn("bid", lit(-1L))
+    // cross-batch verified pairs against the signature store
+    val crossPairs =
+      if (!exists("bands") || !exists("shingles"))
+        spark.emptyDataFrame
+          .select(lit(0L).as("u"), lit(0L).as("v")).limit(0)
+      else {
+        val stBands = withBid(spark.read
+          .option("recursiveFileLookup", "true").parquet(s"$stateDir/bands"))
+          .filter(col("bid") < batchId)
+          .select(col("id").as("old_id"), col("band"), col("bh"))
+        val stSh = withBid(spark.read
+          .option("recursiveFileLookup", "true").parquet(s"$stateDir/shingles"))
+          .filter(col("bid") < batchId)
+          .select(col("id").as("old_id"), col("sh").as("old_sh"))
+        newBands.join(stBands, Seq("band", "bh"))
+          .select(col("id"), col("old_id")).distinct()
+          .join(newSh, "id").join(stSh, "old_id")
+          .filter(graft.ops.Dedup.jaccard(col("sh"), col("old_sh"))
+            >= threshold)
+          .select(col("id").as("u"), col("old_id").as("v")).distinct()
+      }
+    // prior snapshot = the latest components/batch_<k> with k < batchId
+    val priorIds = (if (exists("components"))
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/components"))
+        .map(_.getPath.getName).filter(_.startsWith("batch_"))
+        .map(_.stripPrefix("batch_").toLong).filter(_ < batchId)
+      else Array.empty[Long]).sorted
+    val prior: Option[DataFrame] = priorIds.lastOption.map(k =>
+      spark.read.parquet(s"$stateDir/components/batch_$k"))
+    // merge: components over prior star edges (id → component) + new
+    // pairs — min-label over stars re-yields every prior assignment
+    // (component ids ARE min member ids) and merging chains re-resolve
+    val starEdges = prior.map(_.select(col("id").as("u"),
+      col("component").as("v"))).getOrElse(crossPairs.limit(0))
+    val allIds = b.select(col("doc_id").as("id"))
+      .unionByName(prior.map(_.select(col("id"))).getOrElse(
+        b.select(col("doc_id").as("id")).limit(0)))
+      .distinct()
+    val edges = internalPairs.unionByName(crossPairs).unionByName(starEdges)
+    val solved = graft.ops.Dedup.connectedComponents(edges,
+      aCol = "u", bCol = "v")
+    val snapshot = allIds
+      .join(solved, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id"))
+        .as("component")) // singletons are their own component
+    snapshot.write.mode("overwrite")
+      .parquet(s"$stateDir/components/batch_$batchId")
+    newBands.withColumn("bid", lit(batchId)).write.mode("overwrite")
+      .parquet(s"$stateDir/bands/batch_$batchId")
+    newSh.withColumn("bid", lit(batchId)).write.mode("overwrite")
+      .parquet(s"$stateDir/shingles/batch_$batchId")
+    spark.read.parquet(s"$stateDir/components/batch_$batchId")
+  }
+
+  /** The streaming wrapper: continuously maintained near-dup cluster
+    * membership (stream-maintained components ≡ batch
+    * `connectedComponents` over the union of all batches — pinned by
+    * DocumentStreamsSpec, including across a replayed batch). */
+  def componentIngest(stream: DataFrame, stateDir: String,
+      checkpoint: String, threshold: Double = 0.5):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchComponents(batch, stateDir, batchId, threshold)
+        ()
+      }
 }

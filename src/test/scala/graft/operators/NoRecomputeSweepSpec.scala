@@ -76,9 +76,9 @@ class NoRecomputeSweepSpec extends SparkSpec {
     // (q133's former two-scan entry is gone: its vocab now materializes
     // once at construction — guard count + both join sides read the
     // checkpoint, so the final plan holds zero parquet scans)
-    // two cheap codegen gram passes beat materializing the |positions|-
-    // sized gram frame (>1 GB at 30×; measured 35.7 → 14.9 s isolated)
-    "q139_duplicate_spans" -> Set("documents"),
+    // (q139's former two-scan entry is gone: the GramHashes kernel packs
+    // per-doc hash arrays — 8 B/position, cheap to checkpoint — so the
+    // text scans once and both consumers explode the packed frame)
     "q143_chisq_terms" -> Set("documents"), // per-term counts + class totals
     "q163_winsorize" -> Set("events"), // percentile cuts + clamp pass
     "q166_heaps_curve" -> Set("documents"), // prefix vocab: two token passes

@@ -471,6 +471,50 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got._2.get - 0.5) < 1e-12, s"got $got")
   }
 
+  test("pageRank redistributeDangling: bit-parity with the default path " +
+      "on a dangling-free graph; conserves total mass on a sink graph") {
+    // mirrored square: no dangling nodes → flag must be a bit-exact no-op
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val off = Graph.pageRank(sq, iterations = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val on = Graph.pageRank(sq, iterations = 3, redistributeDangling = true)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(off == on)
+    // directed star a→b, a→c: b and c are pure sinks. Default leaks their
+    // whole mass every round; redistribution keeps Σpr at 1e12 up to the
+    // documented ≤1-unit floor leaks per node per round.
+    val star = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val cons = Graph.pageRank(star, iterations = 4,
+      redistributeDangling = true).as[(Long, Long)].collect()
+    val leak = Graph.pageRank(star, iterations = 4)
+      .as[(Long, Long)].collect()
+    assert(math.abs(cons.map(_._2).sum - 1000000000000L) <= 3 * 4 * 2,
+      s"conserving sum ${cons.map(_._2).sum}")
+    assert(leak.map(_._2).sum < 900000000000L, // default really leaks
+      s"leaking sum ${leak.map(_._2).sum}")
+    // round-1 hand check (n=3, base=5e10): a gets base + 85%·share only
+    val m = cons.toMap
+    assert(m.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("guardDegree: graft.graph.maxDegree fails with a named error " +
+      "instead of building an oversized adjacency row") {
+    val star = (1L to 5L).map(l => (9L, l)).toDF("src", "dst")
+    spark.conf.set("graft.graph.maxDegree", "3")
+    try {
+      val err = intercept[Exception] {
+        Graph.pageRank(star, iterations = 1).collect()
+      }
+      assert(err.getMessage.contains("graft.graph.maxDegree"),
+        err.getMessage)
+      assert(err.getMessage.contains("node 9"), err.getMessage)
+      // under the cap: same graph passes
+      spark.conf.set("graft.graph.maxDegree", "5")
+      assert(Graph.pageRank(star, iterations = 1).count() == 6L)
+    } finally spark.conf.unset("graft.graph.maxDegree")
+  }
+
   test("labelPropagation: a node with no in-neighbors keeps its own label") {
     // 7 → 1 only: node 7 has no inbound edges, must keep label 7
     val df = Seq((7L, 1L)).toDF("src", "dst")

@@ -207,6 +207,58 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(store(chaosD, "shingles") == store(clean, "shingles"))
   }
 
+  test("incremental components ≡ batch connectedComponents over the " +
+      "union of all batches, across a replayed (restarted) batch; " +
+      "chains spanning three batches merge; singletons self-labeled") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ingest").toString
+    // a 3-batch chain (1 ~ 10 ~ 20 by one-token edits), a 2-batch pair
+    // (2 ~ 11), an internal pair (21 ~ 22), and per-batch singletons
+    val b0 = Seq(
+      Doc(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "a", 0),
+      Doc(2, "ships and harbors at dawn with fog over the quiet water", "en", "a", 0),
+      Doc(3, "a lone document about nothing else in particular at all", "en", "a", 0))
+    val b1 = Seq(
+      Doc(10, "alpha beta gamma delta epsilon zeta eta theta iota lambda", "en", "a", 0),
+      Doc(11, "ships and harbors at dawn with fog over the quiet harbor", "en", "a", 0))
+    val b2 = Seq(
+      Doc(20, "alpha beta gamma delta epsilon zeta eta theta iota mu", "en", "a", 0),
+      Doc(21, "completely novel sentence about glaciers calving into sea", "en", "a", 0),
+      Doc(22, "completely novel sentence about glaciers calving into sea", "en", "a", 0))
+    def snap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.as[(Long, Long)].collect().toMap
+    DocumentStreams.ingestBatchComponents(b0.toDF(), s"$dir/state", 0L)
+    DocumentStreams.ingestBatchComponents(b1.toDF(), s"$dir/state", 1L)
+    // crash-after-write: batch 1 re-delivered — must not self-match or
+    // double-count, and must rebuild from the batch-0 snapshot it saw
+    val replay1 = snap(DocumentStreams
+      .ingestBatchComponents(b1.toDF(), s"$dir/state", 1L))
+    val fin = snap(DocumentStreams
+      .ingestBatchComponents(b2.toDF(), s"$dir/state", 2L))
+    // batch reference over the UNION of everything ingested
+    val all = (b0 ++ b1 ++ b2).toDF()
+    val pairs = graft.ops.Dedup.minhashDuplicatePairs(all, threshold = 0.5)
+    val cc = graft.ops.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val expected = (b0 ++ b1 ++ b2)
+      .map(d => d.doc_id -> cc.getOrElse(d.doc_id, d.doc_id)).toMap
+    assert(fin == expected, s"stream $fin\nbatch $expected")
+    // the three-batch chain actually merged into one component…
+    assert(fin(1L) == fin(10L) && fin(10L) == fin(20L))
+    assert(fin(2L) == fin(11L) && fin(21L) == fin(22L))
+    // …and singletons stayed their own (the fixture exercised both paths)
+    assert(fin(3L) == 3L && fin(1L) != fin(2L))
+    // restart idempotence: the replayed batch-1 snapshot matches a clean
+    // batch-0+1 reference
+    val ref01 = {
+      val u = (b0 ++ b1).toDF()
+      val c = graft.ops.Dedup.connectedComponents(
+        graft.ops.Dedup.minhashDuplicatePairs(u, threshold = 0.5))
+        .as[(Long, Long)].collect().toMap
+      (b0 ++ b1).map(d => d.doc_id -> c.getOrElse(d.doc_id, d.doc_id)).toMap
+    }
+    assert(replay1 == ref01, s"replay $replay1\nref $ref01")
+  }
+
   test("shard sink writes split-partitioned parquet via checkpointed file sink") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     val input = MemoryStream[Doc](spark)
