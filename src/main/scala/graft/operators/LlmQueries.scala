@@ -454,6 +454,43 @@ object LlmQueries {
       emb.filter($"vec_id" < 10), k = 10, nlist = 16, nprobe = 4,
       refineIters = 0, seedHash = "md5"))
   }
+  /** Planted-cluster corpus derived BY SELECTION from the uniform
+    * embeddings (no float arithmetic → bit-identical on both engines):
+    * member v of cluster (vec_id % 16) = center's dims 1–56 ++ v's own
+    * dims 57–64. Uniform-random embeddings are the worst case for
+    * space-partitioning ANN (q238/q239's honest 0.31–0.52); real corpora
+    * cluster, and this fixture measures the operators in that regime. */
+  private def clusteredEmb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val centers = emb.filter($"vec_id" < 16)
+      .select(($"vec_id" % 16).as("cl"), $"embedding".as("cv"))
+    emb.select($"vec_id", ($"vec_id" % 16).as("cl"), $"embedding")
+      .join(broadcast(centers), Seq("cl"))
+      .select($"vec_id",
+        concat(slice($"cv", 1, 56), slice($"embedding", 57, 8))
+          .as("embedding"))
+  }
+  // IVF recall on the clustered corpus, SAME settings as q238
+  // (nlist=16, nprobe=4, seeded centroids): the regime where IVF is
+  // supposed to work — recall measured and hash-gated
+  private def q253(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = clusteredEmb(s, d)
+    annRecallHits(s, emb, Similarity.ivfTopK(emb,
+      emb.filter($"vec_id" < 10), k = 10, nlist = 16, nprobe = 4,
+      refineIters = 0, seedHash = "md5"))
+  }
+  // TRAINED PQ recall on the clustered corpus, same rerank=40 as q239 —
+  // one Lloyd iteration (replayed exactly by the oracle) vs q239's
+  // seeded-init codebooks
+  private def q254(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = clusteredEmb(s, d)
+    annRecallHits(s, emb, Similarity.pqTopK(emb,
+      emb.filter($"vec_id" < 10), k = 10, m = 8, ksub = 16,
+      trainIters = 1, rerank = 40, seedHash = "md5"))
+  }
   private def q239(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
@@ -462,15 +499,17 @@ object LlmQueries {
       trainIters = 0, rerank = 40, seedHash = "md5"))
   }
   // shared oracle scaffolding: quantized corpus/queries + the 16
-  // md5-ordered seed rows (cid = 0-based hash-order rank) + exact norms
-  private val annAuditPrelude =
-    s"""WITH q AS (SELECT vec_id AS qid, $quantSql AS qv FROM embeddings
+  // md5-ordered seed rows (cid = 0-based hash-order rank) + exact norms;
+  // parameterized over the corpus CTE so the planted-cluster audits
+  // (q253/q254) can run the identical pipeline on a derived table
+  private def annAuditPreludeOn(tbl: String, pre: String = "") =
+    s"""WITH ${pre}q AS (SELECT vec_id AS qid, $quantSql AS qv FROM $tbl
        |  WHERE vec_id < 10),
-       |e AS (SELECT vec_id AS eid, $quantSql AS ev FROM embeddings),
+       |e AS (SELECT vec_id AS eid, $quantSql AS ev FROM $tbl),
        |ini AS (SELECT row_number() OVER (
        |      ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR))) - 1 AS cid,
        |    $quantSql AS iv
-       |  FROM embeddings
+       |  FROM $tbl
        |  ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)) LIMIT 16),
        |en AS (SELECT eid, CAST(list_sum(list_transform(ev, x->x*x))
        |    AS DOUBLE) AS nrm FROM e),
@@ -483,54 +522,72 @@ object LlmQueries {
        |          / (sqrt(qn.nrm) * sqrt(en.nrm)) DESC, e.eid) AS INT) AS rn
        |    FROM q JOIN qn USING (qid), e JOIN en USING (eid)
        |    WHERE q.qid <> e.eid) WHERE rn <= 10)""".stripMargin
+  private val annAuditPrelude = annAuditPreludeOn("embeddings")
+  // planted-cluster corpus DERIVED BY SELECTION from the uniform table —
+  // no float arithmetic, so both engines see bit-identical vectors:
+  // member v of cluster (vec_id % 16) = the cluster center's dims 1..56
+  // ++ v's own dims 57..64 (within-cluster cosine ≈ 56/64, cross ≈ 0)
+  private val clusterCtes =
+    """ce AS (SELECT vec_id % 16 AS cl, embedding AS cv
+      |       FROM embeddings WHERE vec_id < 16),
+      |emb2 AS (SELECT e0.vec_id,
+      |    list_concat(ce.cv[1:56], e0.embedding[57:64]) AS embedding
+      |  FROM embeddings e0 JOIN ce ON e0.vec_id % 16 = ce.cl),
+      |""".stripMargin
   private val annAuditEpilogue =
     """SELECT bt.qid, CAST(COUNT(ap.eid) AS BIGINT) AS recall_hits_at_10
       |FROM bt LEFT JOIN ap ON ap.qid = bt.qid AND ap.eid = bt.eid
       |GROUP BY bt.qid ORDER BY bt.qid""".stripMargin
+  // IVF audit body — references only prelude CTE names, so it runs
+  // unchanged on the uniform (q238) and planted-cluster (q253) corpora
+  private val ivfAuditBody =
+    """cn AS (SELECT cid, iv, CAST(list_sum(list_transform(iv, x->x*x))
+      |    AS DOUBLE) AS nrm FROM ini),
+      |asg AS (SELECT eid, cid FROM (
+      |    SELECT e.eid, cn.cid, ROW_NUMBER() OVER (PARTITION BY e.eid
+      |        ORDER BY CASE WHEN en.nrm = 0 OR cn.nrm = 0 THEN 0.0
+      |          ELSE CAST(list_sum(list_transform(range(1, len(ev)+1),
+      |            i -> ev[i]*iv[i])) AS DOUBLE)
+      |            / (sqrt(en.nrm) * sqrt(cn.nrm)) END DESC, cn.cid) AS rn
+      |    FROM e JOIN en USING (eid), cn) WHERE rn = 1),
+      |prb AS (SELECT qid, cid FROM (
+      |    SELECT q.qid, cn.cid, ROW_NUMBER() OVER (PARTITION BY q.qid
+      |        ORDER BY CASE WHEN qn.nrm = 0 OR cn.nrm = 0 THEN 0.0
+      |          ELSE CAST(list_sum(list_transform(range(1, len(qv)+1),
+      |            i -> qv[i]*iv[i])) AS DOUBLE)
+      |            / (sqrt(qn.nrm) * sqrt(cn.nrm)) END DESC, cn.cid) AS rn
+      |    FROM q JOIN qn USING (qid), cn) WHERE rn <= 4),
+      |ap AS (SELECT qid, eid FROM (
+      |    SELECT p.qid, e.eid, ROW_NUMBER() OVER (PARTITION BY p.qid
+      |        ORDER BY CAST(list_sum(list_transform(range(1, len(qv)+1),
+      |          i -> qv[i]*ev[i])) AS DOUBLE)
+      |          / (sqrt(qn.nrm) * sqrt(en.nrm)) DESC, e.eid) AS rn
+      |    FROM prb p JOIN asg a USING (cid)
+      |      JOIN e ON e.eid = a.eid JOIN en ON en.eid = e.eid
+      |      JOIN q ON q.qid = p.qid JOIN qn ON qn.qid = p.qid
+      |    WHERE e.eid <> p.qid) WHERE rn <= 10)""".stripMargin
   private val q238Sql =
     s"""$annAuditPrelude,
-       |cn AS (SELECT cid, iv, CAST(list_sum(list_transform(iv, x->x*x))
-       |    AS DOUBLE) AS nrm FROM ini),
-       |asg AS (SELECT eid, cid FROM (
-       |    SELECT e.eid, cn.cid, ROW_NUMBER() OVER (PARTITION BY e.eid
-       |        ORDER BY CASE WHEN en.nrm = 0 OR cn.nrm = 0 THEN 0.0
-       |          ELSE CAST(list_sum(list_transform(range(1, len(ev)+1),
-       |            i -> ev[i]*iv[i])) AS DOUBLE)
-       |            / (sqrt(en.nrm) * sqrt(cn.nrm)) END DESC, cn.cid) AS rn
-       |    FROM e JOIN en USING (eid), cn) WHERE rn = 1),
-       |prb AS (SELECT qid, cid FROM (
-       |    SELECT q.qid, cn.cid, ROW_NUMBER() OVER (PARTITION BY q.qid
-       |        ORDER BY CASE WHEN qn.nrm = 0 OR cn.nrm = 0 THEN 0.0
-       |          ELSE CAST(list_sum(list_transform(range(1, len(qv)+1),
-       |            i -> qv[i]*iv[i])) AS DOUBLE)
-       |            / (sqrt(qn.nrm) * sqrt(cn.nrm)) END DESC, cn.cid) AS rn
-       |    FROM q JOIN qn USING (qid), cn) WHERE rn <= 4),
-       |ap AS (SELECT qid, eid FROM (
-       |    SELECT p.qid, e.eid, ROW_NUMBER() OVER (PARTITION BY p.qid
-       |        ORDER BY CAST(list_sum(list_transform(range(1, len(qv)+1),
-       |          i -> qv[i]*ev[i])) AS DOUBLE)
-       |          / (sqrt(qn.nrm) * sqrt(en.nrm)) DESC, e.eid) AS rn
-       |    FROM prb p JOIN asg a USING (cid)
-       |      JOIN e ON e.eid = a.eid JOIN en ON en.eid = e.eid
-       |      JOIN q ON q.qid = p.qid JOIN qn ON qn.qid = p.qid
-       |    WHERE e.eid <> p.qid) WHERE rn <= 10)
+       |$ivfAuditBody
        |$annAuditEpilogue""".stripMargin
-  private val q239Sql =
-    s"""$annAuditPrelude,
-       |bk AS (SELECT cid, s, list_transform(range(1, 9),
-       |      i -> iv[s*8 + i]) AS bv
-       |    FROM ini, UNNEST(range(8)) AS t(s)),
-       |cod AS (SELECT eid, s, cid AS code FROM (
-       |    SELECT e.eid, bk.s, bk.cid, ROW_NUMBER() OVER (
-       |        PARTITION BY e.eid, bk.s ORDER BY
+  private val q253Sql =
+    s"""${annAuditPreludeOn("emb2", clusterCtes)},
+       |$ivfAuditBody
+       |$annAuditEpilogue""".stripMargin
+  // PQ audit body parameterized over the codebook CTE name (`bk` for the
+  // untrained q239 path, `bk1` for q254's one-Lloyd-iteration codebooks)
+  private def pqAuditBody(bk: String) =
+    s"""cod AS (SELECT eid, s, cid AS code FROM (
+       |    SELECT e.eid, $bk.s, $bk.cid, ROW_NUMBER() OVER (
+       |        PARTITION BY e.eid, $bk.s ORDER BY
        |        list_sum(list_transform(range(1, 9),
-       |          i -> (ev[bk.s*8 + i] - bv[i])*(ev[bk.s*8 + i] - bv[i]))),
-       |        bk.cid) AS rn
-       |    FROM e, bk) WHERE rn = 1),
-       |tab AS (SELECT q.qid, bk.s, bk.cid,
+       |          i -> (ev[$bk.s*8 + i] - bv[i])*(ev[$bk.s*8 + i] - bv[i]))),
+       |        $bk.cid) AS rn
+       |    FROM e, $bk) WHERE rn = 1),
+       |tab AS (SELECT q.qid, $bk.s, $bk.cid,
        |    list_sum(list_transform(range(1, 9),
-       |      i -> q.qv[bk.s*8 + i] * bv[i])) AS d
-       |  FROM q, bk),
+       |      i -> q.qv[$bk.s*8 + i] * bv[i])) AS d
+       |  FROM q, $bk),
        |apx AS (SELECT t.qid, c.eid, SUM(t.d) AS approx
        |  FROM cod c JOIN tab t ON t.s = c.s AND t.cid = c.code
        |  GROUP BY t.qid, c.eid),
@@ -547,7 +604,43 @@ object LlmQueries {
        |          i -> qv[i]*ev[i])) AS DOUBLE)
        |          / (sqrt(qn.nrm) * sqrt(en.nrm)) DESC, c.eid) AS rn
        |    FROM cand c JOIN q ON q.qid = c.qid JOIN qn ON qn.qid = c.qid
-       |      JOIN e ON e.eid = c.eid JOIN en ON en.eid = c.eid) WHERE rn <= 10)
+       |      JOIN e ON e.eid = c.eid JOIN en ON en.eid = c.eid) WHERE rn <= 10)""".stripMargin
+  // seeded-init codebooks: 16 md5-ordered rows split into 8 subspaces
+  private val pqInitBk = (name: String) =>
+    s"""$name AS (SELECT cid, s, list_transform(range(1, 9),
+       |      i -> iv[s*8 + i]) AS bv
+       |    FROM ini, UNNEST(range(8)) AS t(s))""".stripMargin
+  private val q239Sql =
+    s"""$annAuditPrelude,
+       |${pqInitBk("bk")},
+       |${pqAuditBody("bk")}
+       |$annAuditEpilogue""".stripMargin
+  // one exact Lloyd iteration (Similarity.pqTrain trainIters=1, full
+  // corpus — n ≤ trainSampleMax at every oracle SF, so no sampling CTE):
+  // assign every corpus subvector to its nearest seeded codeword (L2,
+  // ties → lower cid, exactly nearestSub), then new centroid component =
+  // floor(sum/count + 0.5); empty codewords keep their seed (the JVM
+  // fallback). The audit body then codes/ADCs/reranks against bk1.
+  private val q254Sql =
+    s"""${annAuditPreludeOn("emb2", clusterCtes)},
+       |${pqInitBk("bk0")},
+       |asg0 AS (SELECT eid, s, cid AS code FROM (
+       |    SELECT e.eid, bk0.s, bk0.cid, ROW_NUMBER() OVER (
+       |        PARTITION BY e.eid, bk0.s ORDER BY
+       |        list_sum(list_transform(range(1, 9),
+       |          i -> (ev[bk0.s*8 + i] - bv[i])*(ev[bk0.s*8 + i] - bv[i]))),
+       |        bk0.cid) AS rn
+       |    FROM e, bk0) WHERE rn = 1),
+       |upd AS (SELECT a.s, a.code AS cid, t.i,
+       |    CAST(floor(CAST(SUM(e.ev[a.s*8 + t.i]) AS DOUBLE) / COUNT(*)
+       |      + 0.5) AS BIGINT) AS comp
+       |  FROM asg0 a JOIN e USING (eid), UNNEST(range(1, 9)) AS t(i)
+       |  GROUP BY a.s, a.code, t.i),
+       |nv AS (SELECT s, cid, list(comp ORDER BY i) AS bv
+       |       FROM upd GROUP BY s, cid),
+       |bk1 AS (SELECT b.cid, b.s, COALESCE(nv.bv, b.bv) AS bv
+       |        FROM bk0 b LEFT JOIN nv ON nv.s = b.s AND nv.cid = b.cid),
+       |${pqAuditBody("bk1")}
        |$annAuditEpilogue""".stripMargin
 
   // ---------------------------------------------------------------- q54
@@ -1059,6 +1152,8 @@ object LlmQueries {
     QueryDef("q56_pq_topk", q56, Some(q43Sql)),
     QueryDef("q238_ivf_recall", q238, Some(q238Sql)),
     QueryDef("q239_pq_recall", q239, Some(q239Sql)),
+    QueryDef("q253_ivf_recall_clustered", q253, Some(q253Sql)),
+    QueryDef("q254_pq_recall_trained", q254, Some(q254Sql)),
     QueryDef("q57_hash_split", q57, Some(q57Sql)),
     QueryDef("q58_stratified_sample", q58, Some(q58Sql)),
     QueryDef("q59_sessionize", q59, Some(q59Sql)),
