@@ -191,11 +191,27 @@ object TextAnalysis {
     *    the table is collected once and the entire merge loop runs
     *    in-JVM — merges=1000 costs seconds, not 1000 scheduled jobs
     *    (the adaptive union-find precedent in [[Dedup.componentsAuto]]).
-    *  - Larger vocabularies fall back to the fully distributed loop:
-    *    one pair-count aggregate + one in-row fold per round over the
-    *    slim table, winner via a 1-row collect (control-plane scalar),
-    *    state localCheckpointed per round (two consumers: next count
-    *    AND merge — the HITS cadence).
+    *  - Larger vocabularies fall back to the distributed loop with
+    *    BATCHED merge selection: each super-round is one pair-count
+    *    aggregate + one (batchTopK+1)-row collect, and the driver
+    *    accepts the longest SYMBOL-DISJOINT PREFIX of the sorted
+    *    candidate list, trimmed to counts STRICTLY above the first
+    *    excluded candidate (`graft.bpe.batchTopK`, default 64; 1 =
+    *    one-merge-per-job). This batch is PROVABLY sequential-
+    *    equivalent: (a) old pairs never gain occurrences (new
+    *    adjacencies always involve a new symbol) and disjointness keeps
+    *    every accepted pair's count unchanged, so accepted merges apply
+    *    at their recorded counts; (b) every non-accepted old pair ranks
+    *    at or below the excluded candidate, whose count the strict trim
+    *    puts below every accepted count — no tie can promote it
+    *    mid-batch; (c) any pair CREATED mid-batch maps occurrence-for-
+    *    occurrence onto a pre-batch old pair sharing a symbol with an
+    *    accepted merge — such a pair is necessarily non-accepted
+    *    (disjointness), so created counts are also < every accepted
+    *    count. When the trim empties the batch (top ties overlap), the
+    *    argmax alone is applied — that IS the sequential step, so
+    *    progress is guaranteed. Fully-merged single-symbol words drop
+    *    from the state each super-round.
     *
     * The two tiers are exactly equivalent (same greedy fold, same
     * UTF-8-order tie-break, same early stop) — pinned by a spec that
@@ -226,11 +242,16 @@ object TextAnalysis {
       return bpeTrainLocal(collected, merges).toDF(
         "round", "lhs", "rhs", "pair_count")
     }
+    val batchTopK = spark.conf
+      .getOption("graft.bpe.batchTopK").map(_.toInt).getOrElse(64)
+    require(batchTopK >= 1, "graft.bpe.batchTopK must be >= 1")
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     var round = 1
     var exhausted = false
     while (round <= merges && !exhausted) {
+      val want = merges - round + 1
+      val k = math.min(batchTopK, want)
       val top = words
         .select(explode(zip_with(
             slice(col("syms"), lit(1), size(col("syms")) - 1),
@@ -239,17 +260,37 @@ object TextAnalysis {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1)
+        .limit(k + 1) // +1: the first excluded candidate bounds the trim
         .as[(String, String, Long)]
-        .collect()
+        .collect() // ≤ batchTopK+1 rows — control-plane
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, n) = top.head
-        out += ((round.toLong, l, r, n))
+        // longest symbol-disjoint prefix of the (count desc, l, r) order…
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val prefix = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        var i = 0
+        var stopped = false
+        while (i < top.length && prefix.size < k && !stopped) {
+          val (l, r, _) = top(i)
+          if (used(l) || used(r)) stopped = true
+          else { prefix += top(i); used += l; used += r; i += 1 }
+        }
+        // …trimmed STRICTLY above the first excluded candidate (list
+        // exhausted without overlap ⇒ every pair was seen and accepted —
+        // no overlapping pair exists to create a competitor ⇒ bound 0)
+        val nStop = if (i < top.length) top(i)._3 else 0L
+        var batch = prefix.takeWhile(_._3 > nStop).toSeq
+        if (batch.isEmpty) batch = prefix.take(1).toSeq // argmax = seq step
+        batch.foreach { case (l, r, n) =>
+          out += ((round.toLong, l, r, n)); round += 1
+        }
         words = words
-          .select(mergePairFold(col("syms"), l, r).as("syms"), col("freq"))
+          .select(batch.foldLeft(col("syms")) { case (c, (l, r, _)) =>
+            mergePairFold(c, l, r)
+          }.as("syms"), col("freq"))
+          .filter(size(col("syms")) >= 2) // fully-merged words are dead
           .localCheckpoint()
-        round += 1
       }
     }
     out.toSeq.toDF("round", "lhs", "rhs", "pair_count")

@@ -330,6 +330,36 @@ class TextAnalysisSpec extends SparkSpec {
     } finally spark.conf.unset("graft.bpe.localVocabMax")
   }
 
+  test("bpeTrain distributed tier: BATCHED merge selection ≡ sequential " +
+      "≡ in-JVM on tie-heavy and overlap-heavy corpora (the cases the " +
+      "disjoint-prefix trim must refuse to batch)") {
+    // overlap-heavy: top pairs chain (t,h)(h,e); tie-heavy: equal counts
+    // on shared symbols; plus same-symbol runs and a clean disjoint tail
+    val corpora = Seq(
+      Seq("the the the then them", "he she thee", "aaaa abab"),
+      Seq("ab ab ab", "bc bc bc", "cd cd cd", "de de de"), // equal-count chain
+      Seq("xy xy pq pq mn mn", "uv uv uv"), // fully disjoint: batches big
+      Seq("zzzz zzz zz", "zz zz")) // same-symbol runs
+    for (corpus0 <- corpora) {
+      val corpus = corpus0.toDF("text")
+      val reference = TextAnalysis.bpeTrain(corpus, merges = 8)
+        .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+      for (topK <- Seq("1", "3", "64")) {
+        spark.conf.set("graft.bpe.localVocabMax", "0")
+        spark.conf.set("graft.bpe.batchTopK", topK)
+        try {
+          val got = TextAnalysis.bpeTrain(corpus, merges = 8)
+            .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+          assert(got == reference,
+            s"batchTopK=$topK on $corpus0:\nref $reference\ngot $got")
+        } finally {
+          spark.conf.unset("graft.bpe.localVocabMax")
+          spark.conf.unset("graft.bpe.batchTopK")
+        }
+      }
+    }
+  }
+
   test("bpeTrain seeds symbols per CODEPOINT: supplementary chars stay " +
       "whole (no lone surrogates), both tiers") {
     // 🍕 (U+1F355) is 2 UTF-16 code units; a code-unit split would shear
