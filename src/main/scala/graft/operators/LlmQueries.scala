@@ -462,7 +462,11 @@ object LlmQueries {
     * cluster, and this fixture measures the operators in that regime. */
   private def clusteredEmb(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
+    // one parquet scan: centers + members both read the checkpoint, and
+    // the derived table checkpoints once for its many audit consumers
+    // (queries, corpus passes, seeds, brute force) — a |corpus|-row
+    // fixture frame, the cheapest thing in the query
+    val emb = Tables.embeddings(s, d).localCheckpoint()
     val centers = emb.filter($"vec_id" < 16)
       .select(($"vec_id" % 16).as("cl"), $"embedding".as("cv"))
     emb.select($"vec_id", ($"vec_id" % 16).as("cl"), $"embedding")
@@ -470,6 +474,7 @@ object LlmQueries {
       .select($"vec_id",
         concat(slice($"cv", 1, 56), slice($"embedding", 57, 8))
           .as("embedding"))
+      .localCheckpoint()
   }
   // IVF recall on the clustered corpus, SAME settings as q238
   // (nlist=16, nprobe=4, seeded centroids): the regime where IVF is
