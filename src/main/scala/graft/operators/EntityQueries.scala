@@ -552,6 +552,44 @@ object EntityQueries {
       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
       |FROM n GROUP BY node ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------- q255
+  // Local clustering coefficient on the strong co-purchase graph (q138's
+  // edge set): per-part cohesion normalized for degree — the signal that
+  // separates "hub of unrelated parts" (cc→0) from "member of a co-bought
+  // clique" (cc→1). One canonical-edge derivation feeds degrees,
+  // orientation, and the wedge close; cc is integer-exact
+  // (2e6·tri) div (d·(d−1)). The oracle enumerates canonical u<v<w
+  // triangles directly and replays the same integer division.
+  private def q255(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+    val strong = Graph.orderedPairs(sets, "ps")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"src", $"dst")
+    Graph.clusteringCoefficient(strong).orderBy($"node")
+  }
+  private val q255Sql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
+      |  (SELECT u AS n FROM p UNION ALL SELECT v AS n FROM p) GROUP BY 1),
+      |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |      FROM p e1 JOIN p e2 ON e1.v = e2.u
+      |      JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |tri AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM
+      |  (SELECT unnest([a, b, c]) AS node FROM t) GROUP BY node)
+      |SELECT deg.n AS node, deg.d AS degree,
+      |  COALESCE(tri.n_triangles, 0) AS n_triangles,
+      |  (2000000 * COALESCE(tri.n_triangles, 0)) // (deg.d * (deg.d - 1))
+      |    AS cc_x6
+      |FROM deg LEFT JOIN tri ON deg.n = tri.node
+      |WHERE deg.d >= 2 ORDER BY node""".stripMargin
+
   // ---------------------------------------------------------------- q158
   // k-core of the strong co-purchase graph (q138's edge set): the dense
   // "community core" after 8 bounded peel rounds — semantics ARE the
@@ -1095,6 +1133,7 @@ object EntityQueries {
     QueryDef("q205_nelson_aalen", q205, Some(q205Sql)),
     QueryDef("q208_logrank", q208, Some(q208Sql)),
     QueryDef("q138_triangles", q138, Some(q138Sql)),
+    QueryDef("q255_clustering_coefficient", q255, Some(q255Sql)),
     QueryDef("q158_kcore", q158, Some(q158Sql)),
     QueryDef("q242_sssp_weighted", q242, Some(q242Sql)),
     QueryDef("q243_personalized_pagerank", q243, Some(q243Sql)),

@@ -496,6 +496,18 @@ object LlmQueries {
       emb.filter($"vec_id" < 10), k = 10, m = 8, ksub = 16,
       trainIters = 1, rerank = 40, seedHash = "md5"))
   }
+  // SQ8 recall audit on the UNIFORM corpus: global per-dim extrema →
+  // 8-bit affine codes → int-code dot scan → exact rerank at 40 (q239's
+  // setting). Scalar quantization preserves geometry far better than
+  // space partitioning on uniform data, so this audits the complementary
+  // regime to q253/q254. The oracle replays extrema, coding, approx scan,
+  // and rerank in the same integer arithmetic.
+  private def q256(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    annRecallHits(s, emb, Similarity.sq8TopK(emb,
+      emb.filter($"vec_id" < 10), k = 10, rerank = 40))
+  }
   private def q239(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
@@ -619,6 +631,58 @@ object LlmQueries {
     s"""$annAuditPrelude,
        |${pqInitBk("bk")},
        |${pqAuditBody("bk")}
+       |$annAuditEpilogue""".stripMargin
+  // SQ8 audit body: per-dim corpus extrema (zipped parallel unnest),
+  // affine 8-bit coding + integer DEQUANTIZATION of corpus AND probes
+  // against the same extrema (code = clamp((q−mn)·255 // (mx−mn));
+  // recon = mn + (code·(mx−mn)) // 255 — the operator's exact integer
+  // chain; clamp is identity for in-corpus probes but mirrored anyway),
+  // reconstructed-cosine approx scan, exact-cosine rerank at 40
+  private val sq8AuditBody =
+    """u AS (SELECT i, CAST(MIN(v) AS BIGINT) AS mn,
+      |    CAST(MAX(v) AS BIGINT) AS mx FROM
+      |  (SELECT unnest(ev) AS v, unnest(range(1, len(ev)+1)) AS i FROM e)
+      |  GROUP BY i),
+      |b AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+      |  FROM u),
+      |ec AS (SELECT eid, list_transform(range(1, len(ev)+1),
+      |    i -> CASE WHEN b.mxs[i] <= b.mns[i] THEN b.mns[i]
+      |         ELSE b.mns[i] + (GREATEST(0, LEAST(255,
+      |             ((ev[i] - b.mns[i]) * 255) // (b.mxs[i] - b.mns[i])))
+      |           * (b.mxs[i] - b.mns[i])) // 255 END)
+      |    AS rv FROM e, b),
+      |ecn AS (SELECT eid, CAST(list_sum(list_transform(rv, x->x*x))
+      |    AS DOUBLE) AS nrm FROM ec),
+      |qc AS (SELECT qid, list_transform(range(1, len(qv)+1),
+      |    i -> CASE WHEN b.mxs[i] <= b.mns[i] THEN b.mns[i]
+      |         ELSE b.mns[i] + (GREATEST(0, LEAST(255,
+      |             ((qv[i] - b.mns[i]) * 255) // (b.mxs[i] - b.mns[i])))
+      |           * (b.mxs[i] - b.mns[i])) // 255 END)
+      |    AS qrv FROM q, b),
+      |qcn AS (SELECT qid, CAST(list_sum(list_transform(qrv, x->x*x))
+      |    AS DOUBLE) AS nrm FROM qc),
+      |s8 AS (SELECT qc.qid, ec.eid,
+      |    CASE WHEN qcn.nrm = 0 OR ecn.nrm = 0 THEN 0.0
+      |      ELSE CAST(list_sum(list_transform(range(1, len(qrv)+1),
+      |        i -> qrv[i]*rv[i])) AS DOUBLE)
+      |        / (sqrt(qcn.nrm) * sqrt(ecn.nrm)) END AS approx
+      |  FROM qc JOIN qcn USING (qid), ec JOIN ecn USING (eid)
+      |  WHERE qc.qid <> ec.eid),
+      |cand AS (SELECT qid, eid FROM (
+      |    SELECT qid, eid, ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY approx DESC, eid) AS rn FROM s8) WHERE rn <= 40),
+      |ap AS (SELECT qid, eid FROM (
+      |    SELECT c.qid, c.eid, ROW_NUMBER() OVER (PARTITION BY c.qid
+      |        ORDER BY CASE WHEN qn.nrm = 0 OR en.nrm = 0 THEN 0.0
+      |          ELSE CAST(list_sum(list_transform(range(1, len(qv)+1),
+      |            i -> qv[i]*ev[i])) AS DOUBLE)
+      |            / (sqrt(qn.nrm) * sqrt(en.nrm)) END DESC, c.eid) AS rn
+      |    FROM cand c JOIN q ON q.qid = c.qid JOIN qn ON qn.qid = c.qid
+      |      JOIN e ON e.eid = c.eid JOIN en ON en.eid = c.eid)
+      |  WHERE rn <= 10)""".stripMargin
+  private val q256Sql =
+    s"""$annAuditPrelude,
+       |$sq8AuditBody
        |$annAuditEpilogue""".stripMargin
   // one exact Lloyd iteration (Similarity.pqTrain trainIters=1, full
   // corpus — n ≤ trainSampleMax at every oracle SF, so no sampling CTE):
@@ -1159,6 +1223,7 @@ object LlmQueries {
     QueryDef("q239_pq_recall", q239, Some(q239Sql)),
     QueryDef("q253_ivf_recall_clustered", q253, Some(q253Sql)),
     QueryDef("q254_pq_recall_trained", q254, Some(q254Sql)),
+    QueryDef("q256_sq8_recall", q256, Some(q256Sql)),
     QueryDef("q57_hash_split", q57, Some(q57Sql)),
     QueryDef("q58_stratified_sample", q58, Some(q58Sql)),
     QueryDef("q59_sessionize", q59, Some(q59Sql)),

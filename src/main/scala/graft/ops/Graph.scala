@@ -296,12 +296,26 @@ object Graph {
     * @return (node, n_triangles), one row per node in ≥1 triangle
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges
+    val e = canonicalUndirected(edges)
+    val deg = degreesOf(e)
+    triangleCountsOn(e, deg)
+  }
+
+  /** Canonical simple undirected edge frame: (u < v), deduped, self-loops
+    * dropped, checkpointed so every consumer reads the slim materialized
+    * form instead of re-running the distinct. */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+
+  /** (n, d) undirected degree table of a canonical edge frame. */
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+
+  private def triangleCountsOn(e: DataFrame, deg: DataFrame): DataFrame = {
     // orient: tail = (degree, id)-smaller endpoint
     val dir = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
@@ -321,6 +335,34 @@ object Graph {
       col("b") === col("u") && col("c") === col("v"), "left_semi")
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Per-node LOCAL CLUSTERING COEFFICIENT over the simple undirected
+    * graph: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the degree-
+    * normalized cohesion readout raw triangle counts miss (a hub whose
+    * neighbors never interconnect scores ~0; a clique corner scores 1).
+    * The canonical edge frame is derived ONCE ([[canonicalUndirected]])
+    * and its checkpointed form feeds the degree aggregate, the
+    * [[triangleCounts]] orientation, and the wedge close — no second
+    * distinct over the raw edges. The degree table is checkpointed too
+    * (V rows) because it has two consumers (orientation join + final
+    * join). EXACTNESS: cc is emitted as (2e6·tri) div (d·(d−1)) —
+    * integer arithmetic end-to-end (the ·1e6 quantization discipline);
+    * nodes of degree < 2 are excluded (coefficient undefined).
+    *
+    * @return (node, degree, n_triangles, cc_x6) for every node with
+    *         degree ≥ 2; triangle-free nodes appear with 0
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e = canonicalUndirected(edges)
+    val deg = degreesOf(e).localCheckpoint()
+    val tri = triangleCountsOn(e, deg)
+    deg.filter(col("d") >= 2)
+      .join(tri, col("n") === col("node"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc_x6",
+        expr("(2000000 * n_triangles) div (degree * (degree - 1))"))
   }
 
   /** Multi-source BFS hop distance, bounded rounds: every node reachable

@@ -212,6 +212,18 @@ object TextAnalysis {
     *    argmax alone is applied — that IS the sequential step, so
     *    progress is guaranteed. Fully-merged single-symbol words drop
     *    from the state each super-round.
+    *  - DELTA-MAINTAINED pair counts (`graft.bpe.deltaCounts`, default
+    *    true): the pair-count table is seeded by ONE corpus-sized
+    *    aggregate and thereafter maintained incrementally — each round
+    *    withdraws (−freq) the old pairs and asserts (+freq) the new
+    *    pairs of exactly the words the fold changed, then folds the
+    *    signed delta into the maintained (l, r, n) frame. Per-round
+    *    shuffle drops from Θ(all adjacent positions) to Θ(touched
+    *    positions) + the V₂-row table update — the decisive term in the
+    *    overlap-bounded regime where batching degrades to ~1 merge per
+    *    round. Exact by construction (integer sums; a word's
+    *    contribution moves atomically in one aggregate), pinned
+    *    batched ≡ delta ≡ sequential ≡ in-JVM by the conf-forced spec.
     *
     * The two tiers are exactly equivalent (same greedy fold, same
     * UTF-8-order tie-break, same early stop) — pinned by a spec that
@@ -245,6 +257,30 @@ object TextAnalysis {
     val batchTopK = spark.conf
       .getOption("graft.bpe.batchTopK").map(_.toInt).getOrElse(64)
     require(batchTopK >= 1, "graft.bpe.batchTopK must be >= 1")
+    val deltaCounts = spark.conf
+      .getOption("graft.bpe.deltaCounts").forall(_.toBoolean)
+    // Signed adjacent-pair structs of a symbol array — the unit both the
+    // full aggregate and the delta maintenance count in.
+    def pairStructs(syms: Column, d: Column): Column =
+      zip_with(
+        slice(syms, lit(1), size(syms) - 1),
+        slice(syms, lit(2), size(syms) - 1),
+        (a, b) => struct(a.as("l"), b.as("r"), d.as("d")))
+    // Delta mode: pair counts live in a maintained V₂-row (l, r, n) frame
+    // (invariant: ≡ the full aggregate over the CURRENT word table, exact
+    // integer sums). Seeded by one corpus-sized aggregate; per round only
+    // the TOUCHED words (fold changed their symbols) are re-counted, so
+    // the per-round shuffle is Θ(touched pairs) + the pair-table update,
+    // never a corpus-positions re-explode. Exactness is structural: a
+    // word's contribution is withdrawn (−freq on its old pairs) and
+    // re-asserted (+freq on its new pairs) atomically in one aggregate.
+    var pairCounts: DataFrame =
+      if (!deltaCounts) null
+      else words
+        .select(explode(pairStructs(col("syms"), col("freq"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("p.d")).as("n"))
+        .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     var round = 1
@@ -252,13 +288,13 @@ object TextAnalysis {
     while (round <= merges && !exhausted) {
       val want = merges - round + 1
       val k = math.min(batchTopK, want)
-      val top = words
-        .select(explode(zip_with(
-            slice(col("syms"), lit(1), size(col("syms")) - 1),
-            slice(col("syms"), lit(2), size(col("syms")) - 1),
-            (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("freq"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("n"))
+      val topSource =
+        if (deltaCounts) pairCounts
+        else words
+          .select(explode(pairStructs(col("syms"), col("freq"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("p.d")).as("n"))
+      val top = topSource
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(k + 1) // +1: the first excluded candidate bounds the trim
         .as[(String, String, Long)]
@@ -285,12 +321,40 @@ object TextAnalysis {
         batch.foreach { case (l, r, n) =>
           out += ((round.toLong, l, r, n)); round += 1
         }
-        words = words
-          .select(batch.foldLeft(col("syms")) { case (c, (l, r, _)) =>
-            mergePairFold(c, l, r)
-          }.as("syms"), col("freq"))
-          .filter(size(col("syms")) >= 2) // fully-merged words are dead
-          .localCheckpoint()
+        val foldExpr = batch.foldLeft(col("syms")) { case (c, (l, r, _)) =>
+          mergePairFold(c, l, r)
+        }
+        if (deltaCounts) {
+          // One checkpoint holds (old, new) so the fold runs once and
+          // both the next word table and the delta derive from it.
+          val folded = words
+            .select(col("syms"), foldExpr.as("nsyms"), col("freq"))
+            .localCheckpoint()
+          val delta = folded
+            .filter(col("nsyms") =!= col("syms"))
+            .select(explode(concat(
+              pairStructs(col("syms"), -col("freq")),
+              pairStructs(col("nsyms"), col("freq")))).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("p.d")).as("d"))
+            .filter(col("d") =!= 0)
+          pairCounts = pairCounts
+            .join(delta, Seq("l", "r"), "full_outer")
+            .select(col("l"), col("r"),
+              (coalesce(col("n"), lit(0L)) +
+                coalesce(col("d"), lit(0L))).as("n"))
+            .filter(col("n") > 0) // a fully-withdrawn pair is dead
+            .localCheckpoint()
+          // Projection of the checkpointed frame — no second job.
+          words = folded
+            .select(col("nsyms").as("syms"), col("freq"))
+            .filter(size(col("syms")) >= 2) // fully-merged words are dead
+        } else {
+          words = words
+            .select(foldExpr.as("syms"), col("freq"))
+            .filter(size(col("syms")) >= 2) // fully-merged words are dead
+            .localCheckpoint()
+        }
       }
     }
     out.toSeq.toDF("round", "lhs", "rhs", "pair_count")

@@ -515,6 +515,29 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.unset("graft.graph.maxDegree")
   }
 
+  test("clusteringCoefficient: hand-computed — K3 corner cc=1, bridge " +
+      "node normalized down, pendant (deg<2) excluded") {
+    // triangle {1,2,3} + pendant edge 3–4: cc(1)=cc(2)=2·1/(2·1)=1 →
+    // 1e6; cc(3)=2·1/(3·2)=1/3 → 333333; node 4 deg 1 → absent
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficient(df)
+      .select($"node", $"degree", $"n_triangles", $"cc_x6")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 1L, 1000000L),
+      (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L)))
+  }
+
+  test("clusteringCoefficient: triangle-free node of degree >= 2 appears " +
+      "with cc 0; duplicate/mirrored edges collapse") {
+    // path 1–2–3 given with duplicates and both directions
+    val df = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficient(df)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 2L, 0L, 0L)))
+  }
+
   test("labelPropagation: a node with no in-neighbors keeps its own label") {
     // 7 → 1 only: node 7 has no inbound edges, must keep label 7
     val df = Seq((7L, 1L)).toDF("src", "dst")

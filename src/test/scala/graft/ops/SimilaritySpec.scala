@@ -139,6 +139,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"SRP near-dup recall = $recall (bits=2, tables=8)")
   }
 
+  test("sq8TopK: rerank >= |corpus| reproduces brute force exactly; " +
+      "recall at tight rerank stays high (8-bit codes preserve geometry)") {
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // every corpus row survives to the exact rerank → bit-identical
+    val full = Similarity.sq8TopK(emb, queries, k = 10, rerank = Int.MaxValue)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full == exact)
+    val tight = Similarity.sq8TopK(emb, queries, k = 10, rerank = 40)
+      .as[(Long, Long, Double, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exactByQ = exact.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val recalls = exactByQ.map { case (q, ids) =>
+      tight.get(q).map(a => (a intersect ids).size.toDouble / ids.size)
+        .getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@10 = $mean")
+  }
+
   test("embeddingOutliers: planted far vector flagged, cluster members not") {
     // 20 near-identical vectors around two centroid seeds + one far point
     def vec(base: Float, jitter: Float) = Seq.tabulate(8)(i =>

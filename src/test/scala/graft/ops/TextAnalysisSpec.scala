@@ -344,17 +344,20 @@ class TextAnalysisSpec extends SparkSpec {
       val corpus = corpus0.toDF("text")
       val reference = TextAnalysis.bpeTrain(corpus, merges = 8)
         .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
-      for (topK <- Seq("1", "3", "64")) {
+      for (topK <- Seq("1", "3", "64"); delta <- Seq("true", "false")) {
         spark.conf.set("graft.bpe.localVocabMax", "0")
         spark.conf.set("graft.bpe.batchTopK", topK)
+        spark.conf.set("graft.bpe.deltaCounts", delta)
         try {
           val got = TextAnalysis.bpeTrain(corpus, merges = 8)
             .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
           assert(got == reference,
-            s"batchTopK=$topK on $corpus0:\nref $reference\ngot $got")
+            s"batchTopK=$topK delta=$delta on $corpus0:\n" +
+              s"ref $reference\ngot $got")
         } finally {
           spark.conf.unset("graft.bpe.localVocabMax")
           spark.conf.unset("graft.bpe.batchTopK")
+          spark.conf.unset("graft.bpe.deltaCounts")
         }
       }
     }
