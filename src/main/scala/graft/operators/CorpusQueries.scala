@@ -411,6 +411,41 @@ object CorpusQueries {
        |SELECT doc_id, dl, CAST(-s AS DOUBLE) / dl / 1e6 AS avg_nll
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q258
+  // DSIR importance weights: score every document by how target-like its
+  // unigram mix is, target = the doc_id % 7 = 0 slice (a deterministic
+  // stand-in for an in-domain sample). The oracle replays the add-1
+  // smoothed vocabularies, the per-term quantized log-ratio, and the
+  // per-doc integer sums. V = |raw ∪ target vocab| = |raw vocab| here
+  // (target ⊆ raw), but both sides compute the union.
+  private def q258(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    TextAnalysis.importanceWeights(docs, docs.filter($"doc_id" % 7 === 0))
+      .select($"id".as("doc_id"), $"dl", $"score_x6")
+      .orderBy($"doc_id")
+  }
+  private val q258Sql =
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |rv AS (SELECT t, count(*) AS nr FROM toks GROUP BY t),
+       |tv AS (SELECT t, count(*) AS nt FROM toks WHERE doc_id % 7 = 0
+       |       GROUP BY t),
+       |vv AS (SELECT count(*) AS v FROM (
+       |       SELECT t FROM rv UNION SELECT t FROM tv)),
+       |tt AS (SELECT sum(nt) AS ttot FROM tv),
+       |rt AS (SELECT sum(nr) AS rtot FROM rv),
+       |lr AS (SELECT rv.t,
+       |    CAST(floor(ln((COALESCE(tv.nt, 0) + 1)
+       |        / CAST(tt.ttot + vv.v AS DOUBLE)) * 1e6) AS BIGINT)
+       |    - CAST(floor(ln((rv.nr + 1)
+       |        / CAST(rt.rtot + vv.v AS DOUBLE)) * 1e6) AS BIGINT) AS lr6
+       |  FROM rv LEFT JOIN tv ON rv.t = tv.t
+       |  CROSS JOIN tt CROSS JOIN rt CROSS JOIN vv)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+       |  CAST(sum(lr6) AS BIGINT) AS score_x6
+       |FROM toks JOIN lr USING (t)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q78
   // Cross-source overlap matrix: distinct 5-token lines shared per source
   // pair — mirror/plagiarism detection and a dataset-card diversity stat.
@@ -816,6 +851,7 @@ object CorpusQueries {
     QueryDef("q73_hybrid_retrieval", q73, Some(q73Sql)),
     QueryDef("q74_adaptive_quality", q74, Some(q74Sql)),
     QueryDef("q77_unigram_nll", q77, Some(q77Sql)),
+    QueryDef("q258_dsir_importance", q258, Some(q258Sql)),
     QueryDef("q78_source_overlap", q78, Some(q78Sql)),
     QueryDef("q80_weighted_sample", q80, Some(q80Sql)),
     QueryDef("q81_kmeans", q81, Some(q81Sql)),

@@ -590,6 +590,49 @@ object EntityQueries {
       |FROM deg LEFT JOIN tri ON deg.n = tri.node
       |WHERE deg.d >= 2 ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------- q257
+  // Modularity of the BRAND partition over the strong co-purchase graph
+  // (q138's edge set, labels = p_brand): "does co-purchase structure
+  // follow brands?" — the community-quality audit for any labeling
+  // (LPA output, domain tags). Per-label Q terms, integer-exact DECIMAL
+  // numerator + one double divide; the oracle replays the identical
+  // arithmetic.
+  private def q257(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+    val strong = Graph.orderedPairs(sets, "ps")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"src", $"dst")
+    val labels = Tables.part(s, d)
+      .select($"p_partkey".as("node"), $"p_brand".as("label"))
+    Graph.modularity(strong, labels).orderBy($"label")
+  }
+  private val q257Sql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+      |lbl AS (SELECT p_partkey AS node, p_brand AS label FROM part),
+      |intra AS (SELECT a.label, CAST(count(*) AS BIGINT) AS intra_edges
+      |      FROM p JOIN lbl a ON p.u = a.node JOIN lbl b ON p.v = b.node
+      |      WHERE a.label = b.label GROUP BY 1),
+      |deg AS (SELECT n, count(*) AS d FROM
+      |  (SELECT u AS n FROM p UNION ALL SELECT v AS n FROM p) GROUP BY 1),
+      |ds AS (SELECT lbl.label, CAST(count(*) AS BIGINT) AS n_nodes,
+      |      CAST(sum(d) AS BIGINT) AS degree_sum
+      |      FROM deg JOIN lbl ON deg.n = lbl.node GROUP BY 1)
+      |SELECT ds.label, n_nodes, degree_sum,
+      |  COALESCE(intra.intra_edges, 0) AS intra_edges,
+      |  CAST(floor(CAST(4 * m.m * COALESCE(intra.intra_edges, 0)
+      |      - degree_sum * degree_sum AS DOUBLE) * 1e9
+      |    / (4.0 * m.m * m.m)) AS BIGINT) AS q_term_x9
+      |FROM ds LEFT JOIN intra USING (label) CROSS JOIN m
+      |ORDER BY label""".stripMargin
+
   // ---------------------------------------------------------------- q158
   // k-core of the strong co-purchase graph (q138's edge set): the dense
   // "community core" after 8 bounded peel rounds — semantics ARE the
@@ -1134,6 +1177,7 @@ object EntityQueries {
     QueryDef("q208_logrank", q208, Some(q208Sql)),
     QueryDef("q138_triangles", q138, Some(q138Sql)),
     QueryDef("q255_clustering_coefficient", q255, Some(q255Sql)),
+    QueryDef("q257_modularity", q257, Some(q257Sql)),
     QueryDef("q158_kcore", q158, Some(q158Sql)),
     QueryDef("q242_sssp_weighted", q242, Some(q242Sql)),
     QueryDef("q243_personalized_pagerank", q243, Some(q243Sql)),

@@ -365,6 +365,53 @@ object Graph {
         expr("(2000000 * n_triangles) div (degree * (degree - 1))"))
   }
 
+  /** MODULARITY of a node labeling over the simple undirected graph
+    * (Newman–Girvan, public literature): Q = Σ_c [e_c/m − (d_c/2m)²]
+    * with m the edge count, e_c the intra-community edge count and d_c
+    * the community degree sum — the standard "did the labels actually
+    * form communities" audit for [[labelPropagation]] output or any
+    * domain/cluster assignment. Emitted PER COMMUNITY so the caller
+    * sees which labels carry the structure; the total Q is the sum of
+    * q_term_x9 (·1e-9).
+    *
+    * EXACTNESS: each term is (4m·e_c − d_c²)/(4m²); the numerator is
+    * exact DECIMAL(38,0) (safe past 10¹² edges where long products
+    * wrap), then ONE double multiply-divide chain + floor — both
+    * engines round the same IEEE way ([[degreeAssortativity]]'s
+    * discipline). Scale shape: one canonical-edge derivation feeds m,
+    * the degree aggregate, and the two label joins; everything else is
+    * a |labels|-bounded aggregate. Contract: nodes missing from
+    * `labels` keep their edges in m and in labeled neighbors' degrees
+    * but join into no community term (partial-coverage semantics,
+    * documented rather than hidden).
+    *
+    * @param labels (node, label) — one row per node
+    * @return (label, n_nodes, degree_sum, intra_edges, q_term_x9)
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = canonicalUndirected(edges)
+    val m = e.count() // control-plane scalar off the checkpoint
+    require(m > 0, "modularity needs at least one edge")
+    val lbl = labels.select(col("node"), col("label"))
+    val intra = e
+      .join(lbl.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
+      .join(lbl.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("intra_edges"))
+    val byLabel = degreesOf(e)
+      .join(lbl.withColumnRenamed("node", "n"), Seq("n"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("degree_sum"))
+    byLabel.join(intra, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"), col("degree_sum"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"))
+      .withColumn("q_term_x9",
+        floor((lit(m).cast("decimal(38,0)") * 4 * col("intra_edges") -
+          col("degree_sum").cast("decimal(38,0)") * col("degree_sum"))
+          .cast("double") * 1e9 / lit(4.0 * m.toDouble * m.toDouble))
+          .cast("long"))
+  }
+
   /** Multi-source BFS hop distance, bounded rounds: every node reachable
     * from a seed within `rounds` hops gets its exact hop distance; nodes
     * farther out (or unreachable) are absent. The workhorse behind

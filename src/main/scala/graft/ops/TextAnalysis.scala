@@ -51,6 +51,60 @@ object TextAnalysis {
         ((-col("s")).cast("double") / col("dl") / 1e6).as("avg_nll"))
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023 — public literature): score every raw
+    * document by Σ_tokens ln(p̂_target(t) / q̂_raw(t)) with add-1
+    * smoothed unigram estimates trained on a TARGET sample vs the raw
+    * corpus itself — the standard cheap "looks like the target domain"
+    * selector for pre-training mixes. High score = most target-like;
+    * downstream selection is a quota top-k on (score_x6 desc, id), which
+    * is deterministic by construction (the content-keyed sampling
+    * discipline — at a fixed seed, Gumbel-noise resampling adds nothing
+    * the rank doesn't).
+    *
+    * Scale shape: ONE tokenize+explode of the raw corpus feeds both the
+    * raw vocab and the scoring join ([[unigramNll]]'s checkpoint
+    * pattern); the target side aggregates to its own vocab (target ≪
+    * raw by contract). The per-term log-ratio table is vocab-sized and
+    * broadcast-hinted — drop the hint if your vocabulary is unbounded
+    * and let AQE decide. Smoothing: (n_t+1)/(total_t + V) on both sides
+    * with V = |raw ∪ target vocabulary| (an exact distinct count, one
+    * control-plane scalar). EXACTNESS: each ln is floor-quantized to
+    * 1e-6 separately, the ratio is an integer difference, per-doc sums
+    * are exact longs.
+    *
+    * @param raw    corpus to score (idCol, textCol)
+    * @param target in-domain sample (textCol)
+    * @return (id, dl, score_x6) — dl the token count
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def tok(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(split(Dedup.normalized(
+        coalesce(col(textCol), lit(""))), " ")).as("t"): _*)
+    val tokRows = tok(raw, col(idCol).as("id")).localCheckpoint()
+    val rawVocab = tokRows.groupBy(col("t")).agg(count(lit(1)).as("nr"))
+      .localCheckpoint()
+    val tgtVocab = tok(target).groupBy(col("t")).agg(count(lit(1)).as("nt"))
+      .localCheckpoint()
+    // three control-plane scalars off the checkpointed vocab frames
+    val vocabSize = rawVocab.select(col("t"))
+      .unionByName(tgtVocab.select(col("t"))).distinct().count()
+    val rawTotal = rawVocab.agg(sum(col("nr"))).first().getLong(0)
+    val tgtTotal = tgtVocab.agg(coalesce(sum(col("nt")), lit(0L)))
+      .first().getLong(0)
+    require(tgtTotal > 0, "importanceWeights needs a non-empty target")
+    val lr = rawVocab.join(tgtVocab, Seq("t"), "left")
+      .select(col("t"),
+        (floor(log((coalesce(col("nt"), lit(0L)) + 1L).cast("double") /
+            lit((tgtTotal + vocabSize).toDouble)) * 1e6) -
+          floor(log((col("nr") + 1L).cast("double") /
+            lit((rawTotal + vocabSize).toDouble)) * 1e6)).as("lr6"))
+    tokRows.join(broadcast(lr), Seq("t"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("dl"), sum(col("lr6")).as("score_x6"))
+  }
+
   /** Self-trained BIGRAM NLL: score each doc by -mean log P(t2|t1) with
     * conditional probabilities n(t1,t2)/n(t1,·) estimated from the corpus
     * itself — the next step up from [[unigramNll]] as a perplexity-filter

@@ -538,6 +538,39 @@ class GraphSpec extends SparkSpec {
     assert(got == Set((2L, 2L, 0L, 0L)))
   }
 
+  test("modularity: two bridged triangles under the true 2-community " +
+      "labeling — hand-computed terms; mislabeling scores lower") {
+    // K3 {1,2,3} + K3 {4,5,6} + bridge 3–4: m=7, d_A=d_B=7, e_A=e_B=3
+    // term = (4·7·3 − 49)/(4·49) = 35/196 → floor(1e9·35/196) = 178571428
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val good = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"),
+      (6L, "B")).toDF("node", "label")
+    val got = Graph.modularity(edges, good)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("A", 3L, 7L, 3L, 178571428L),
+      ("B", 3L, 7L, 3L, 178571428L)))
+    // everything in one community: Q = e/m − (2m/2m)² = 0 exactly
+    val onecls = good.select($"node",
+      org.apache.spark.sql.functions.lit("X").as("label"))
+    val one = Graph.modularity(edges, onecls)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(one.toSeq == Seq(("X", 6L, 14L, 7L, 0L)))
+    // the good split strictly beats the single community total
+    assert(got.toSeq.map(_._5).sum > one.map(_._5).sum)
+  }
+
+  test("modularity: unlabeled nodes keep their edges in m but join no " +
+      "community term (partial-coverage contract)") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val labels = Seq((1L, "A"), (2L, "A")).toDF("node", "label")
+    // m=2; community A: nodes {1,2}, d_A=1+2=3, e_A=1 (edge 2–3 has an
+    // unlabeled endpoint) → (4·2·1 − 9)/(4·4) = −1/16 → floor(−62500000.0)
+    val got = Graph.modularity(edges, labels)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("A", 2L, 3L, 1L, -62500000L)))
+  }
+
   test("labelPropagation: a node with no in-neighbors keeps its own label") {
     // 7 → 1 only: node 7 has no inbound edges, must keep label 7
     val df = Seq((7L, 1L)).toDF("src", "dst")

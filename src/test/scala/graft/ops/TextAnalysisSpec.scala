@@ -245,6 +245,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3).getLong(1) == 0L && out(3).isNullAt(4))
   }
 
+  test("importanceWeights: hand-computed add-1 smoothed log-ratios; " +
+      "target-like docs score above off-domain docs; empty target raises") {
+    // raw = {"a a a", "b b b"}, target = {"a a a"}: V=2,
+    // lr(a) = floor(1e6·ln(4/5)) − floor(1e6·ln(4/8)) = −223144+693148
+    // lr(b) = floor(1e6·ln(1/5)) − floor(1e6·ln(4/8)) = −1609438+693148
+    val raw = Seq((1L, "a a a"), (2L, "b b b")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .importanceWeights(raw, raw.filter($"doc_id" === 1L))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 3L * 470004L), (2L, 3L, 3L * -916290L)))
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.importanceWeights(raw, raw.filter($"doc_id" === 99L))
+        .collect()
+    }
+    assert(err.getMessage.contains("non-empty target"))
+  }
+
   test("bpeTrain: hand-computed merge sequence with frequency weighting, " +
       "deterministic tie-break, early stop when no pairs remain") {
     // words: aa x1, ab x2 → round 1 best (a,b) n=2; merging collapses ab
