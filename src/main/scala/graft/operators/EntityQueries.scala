@@ -1064,6 +1064,56 @@ object EntityQueries {
        |ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q259
+  // Louvain-style synchronous modularity moves (2 rounds) over the
+  // co-purchase graph (q244's edge set) — the modularity-greedy upgrade
+  // over plain label propagation. The oracle unrolls both rounds: per
+  // round a community-degree-sum CTE, a neighbor-label count CTE (with
+  // the own-community zero-count candidate union), the integer move
+  // score 2m·c − k·(tot − [cur]·k), and the (s DESC, lbl) argmax — the
+  // operator's min-over-(−s, label) struct aggregate.
+  private def q259(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+    val edges = Graph.undirectedEdges(sets, "ps")
+    Graph.modularityMoves(edges, rounds = 2).orderBy($"node")
+  }
+  private val q259Sql = {
+    val rounds = (1 to 2).map { i =>
+      val prev = s"l${i - 1}"
+      s"""t$i AS (SELECT p.lbl, CAST(SUM(d.k) AS BIGINT) AS tot
+         |  FROM $prev p JOIN degn d ON p.node = d.node GROUP BY p.lbl),
+         |c$i AS (SELECT e.dst AS node, p.lbl, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM e JOIN $prev p ON e.src = p.node GROUP BY 1, 2),
+         |a$i AS (SELECT node, lbl, CAST(SUM(c) AS BIGINT) AS c FROM (
+         |    SELECT node, lbl, c FROM c$i
+         |    UNION ALL SELECT node, lbl, 0 FROM $prev) GROUP BY node, lbl),
+         |s$i AS (SELECT a.node, a.lbl,
+         |    m2.m2 * a.c - d.k * (t.tot -
+         |      CASE WHEN a.lbl = p.lbl THEN d.k ELSE 0 END) AS s
+         |  FROM a$i a JOIN $prev p ON a.node = p.node
+         |  JOIN degn d ON a.node = d.node
+         |  JOIN t$i t ON a.lbl = t.lbl CROSS JOIN m2),
+         |l$i AS MATERIALIZED (SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (
+         |        PARTITION BY node ORDER BY s DESC, lbl) AS rn
+         |    FROM s$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pe AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |         AND a.l_partkey <> b.l_partkey),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM pe),
+       |degn AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM e GROUP BY src),
+       |m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |$rounds
+       |SELECT node, CAST(lbl AS BIGINT) AS label FROM l2
+       |ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q249
   // Affinity-weighted PageRank: rank splits across out-edges in
   // proportion to co-occurrence COUNT (q242's edge frame with the raw
@@ -1178,6 +1228,7 @@ object EntityQueries {
     QueryDef("q138_triangles", q138, Some(q138Sql)),
     QueryDef("q255_clustering_coefficient", q255, Some(q255Sql)),
     QueryDef("q257_modularity", q257, Some(q257Sql)),
+    QueryDef("q259_modularity_moves", q259, Some(q259Sql)),
     QueryDef("q158_kcore", q158, Some(q158Sql)),
     QueryDef("q242_sssp_weighted", q242, Some(q242Sql)),
     QueryDef("q243_personalized_pagerank", q243, Some(q243Sql)),

@@ -824,6 +824,75 @@ object Graph {
     lab
   }
 
+  /** Synchronous Louvain-style MODULARITY MOVES, fixed rounds — the
+    * modularity-greedy upgrade over [[labelPropagation]] (Blondel et al.
+    * 2008's local-move phase, synchronized the way distributed Louvain
+    * variants are in the public literature): every node starts in its
+    * own community; each round it moves to the candidate community C
+    * (a neighbor's community or its own) maximizing the modularity gain.
+    * Bounded-round semantics ([[labelPropagation]]'s contract): the
+    * result IS the state after `rounds` synchronous steps.
+    *
+    * EXACTNESS: the gain comparison multiplies out the 1/2m² terms —
+    * score(C) = 2m·k_{i,C} − k_i·(Σtot(C) − [C = cur]·k_i), computed in
+    * DECIMAL(38,0) (2m·c wraps int64 past ~10⁹ edges), argmax by
+    * (score desc, label asc) via the min-over-(−score, label) struct
+    * aggregate — one exchange, no per-node window, bit-identical across
+    * engines and layouts. Ties break to the SMALLEST community id (not
+    * "prefer staying") — a deterministic, documented choice.
+    *
+    * Scale shape: the [[pageRank]] adjacency-index cost model — the
+    * V-row index is built once; per round the slim (node, label) state
+    * makes one Σtot aggregate (community axis), one index probe with
+    * in-task explode (neighbor-label counts, map-side combinable), and
+    * one argmax exchange. State has three consumers per round, so each
+    * round checkpoints (the general-LPA barrier discipline).
+    *
+    * @param edges any direction/duplication — canonicalized internally;
+    *              degree = simple undirected degree
+    * @return (node, label) after `rounds` steps
+    */
+  def modularityMoves(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "modularityMoves needs at least one round")
+    val e = canonicalUndirected(edges)
+    val m = e.count() // control-plane scalar off the checkpoint
+    require(m > 0, "modularityMoves needs at least one edge")
+    val mir = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val adj = guardDegree(
+      mir.groupBy(col("u").as("src")).agg(collect_set(col("v")).as("ns")),
+      "src", "ns").localCheckpoint()
+    val deg = adj.select(col("src").as("node"),
+      size(col("ns")).cast("long").as("k"))
+    var lab = deg.select(col("node"), col("node").as("label"))
+    for (r <- 1 to rounds) {
+      val tot = lab.join(deg, Seq("node"))
+        .groupBy(col("label")).agg(sum(col("k")).as("tot"))
+      val cnt = adj.join(lab.withColumnRenamed("node", "src"), Seq("src"))
+        .select(explode(col("ns")).as("node"), col("label"))
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+      // the node's CURRENT community is always a candidate, even when no
+      // neighbor shares it (c = 0 ⇒ score is pure degree penalty)
+      val cand = cnt.unionByName(
+          lab.select(col("node"), col("label"), lit(0L).as("c")))
+        .groupBy(col("node"), col("label")).agg(sum(col("c")).as("c"))
+      val scored = cand
+        .join(lab.select(col("node"), col("label").as("__cur")), Seq("node"))
+        .join(deg, Seq("node"))
+        .join(tot, Seq("label"))
+        .select(col("node"), col("label"),
+          (lit(2L * m).cast("decimal(38,0)") * col("c") -
+            col("k").cast("decimal(38,0)") *
+              (col("tot") - when(col("label") === col("__cur"), col("k"))
+                .otherwise(lit(0L)))).as("s"))
+      lab = scored.groupBy(col("node"))
+        .agg(min(struct((-col("s")).as("ns"), col("label").as("l"))).as("b"))
+        .select(col("node"), col("b.l").as("label"))
+      // lab feeds tot + the probe + the cur join next round — barrier
+      if (r < rounds) lab = lab.localCheckpoint()
+    }
+    lab
+  }
+
   /** Degree assortativity — the Pearson correlation of (outdeg(src),
     * outdeg(dst)) over the directed edge list: do high-degree nodes
     * attach to other hubs (assortative, r > 0 — social graphs) or to

@@ -571,6 +571,26 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq == Seq(("A", 2L, 3L, 1L, -62500000L)))
   }
 
+  test("modularityMoves: bridged triangles, 2 rounds hand-traced — " +
+      "integer move scores, smallest-label ties, sync oscillation pinned") {
+    // K3 {1,2,3} + K3 {4,5,6} + bridge 3–4 (m=7, 2m=14). Round 1 (all in
+    // own community, Σtot(C)=k_C): each node moves to its best neighbor
+    // label — e.g. node 1: s(2)=14−2·2=10 beats s(3)=14−2·3=8 and
+    // stay=0. Round 2 hand-traced the same way; the 5↔6 swap is the
+    // documented synchronous-round oscillation (the LPA 2-cycle
+    // contract), pinned here exactly.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val r1 = Graph.modularityMoves(edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 6L,
+      6L -> 5L))
+    val r2 = Graph.modularityMoves(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 5L, 5L -> 5L,
+      6L -> 6L))
+  }
+
   test("labelPropagation: a node with no in-neighbors keeps its own label") {
     // 7 → 1 only: node 7 has no inbound edges, must keep label 7
     val df = Seq((7L, 1L)).toDF("src", "dst")
