@@ -22,6 +22,9 @@ object Explain {
         case "_pp_candidates" => (s, d) =>
           graft.ops.Dedup.prefixCandidates(
             graft.sources.Tables.documents(s, d), threshold = 0.5)
+        case "_mh_pairs" => (s, d) => // q60's pair-mining stage alone
+          graft.ops.Dedup.minhashDuplicatePairs(
+            graft.sources.Tables.documents(s, d), threshold = 0.5)
         case "_bpe1000" => (s, d) => // realistic-round-count trainer probe
           graft.ops.TextAnalysis.bpeTrain(
             graft.sources.Tables.documents(s, d), merges = 1000)

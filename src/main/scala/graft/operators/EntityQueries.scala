@@ -633,6 +633,36 @@ object EntityQueries {
       |FROM ds LEFT JOIN intra USING (label) CROSS JOIN m
       |ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q260
+  // Brand-contracted co-purchase graph: roll the strong part graph up to
+  // p_brand communities (q257's labeling) — Louvain's phase-2 step and
+  // the generic cluster-rollup. Canonical (label_a <= label_b) weighted
+  // pairs, self-loops = intra-brand edge counts.
+  private def q260(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+    val strong = Graph.orderedPairs(sets, "ps")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"src", $"dst")
+    val labels = Tables.part(s, d)
+      .select($"p_partkey".as("node"), $"p_brand".as("label"))
+    Graph.contractGraph(strong, labels).orderBy($"label_a", $"label_b")
+  }
+  private val q260Sql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |lbl AS (SELECT p_partkey AS node, p_brand AS label FROM part)
+      |SELECT least(a.label, b.label) AS label_a,
+      |  greatest(a.label, b.label) AS label_b,
+      |  CAST(COUNT(*) AS BIGINT) AS weight
+      |FROM p JOIN lbl a ON p.u = a.node JOIN lbl b ON p.v = b.node
+      |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin
+
   // ---------------------------------------------------------------- q158
   // k-core of the strong co-purchase graph (q138's edge set): the dense
   // "community core" after 8 bounded peel rounds — semantics ARE the
@@ -1229,6 +1259,7 @@ object EntityQueries {
     QueryDef("q255_clustering_coefficient", q255, Some(q255Sql)),
     QueryDef("q257_modularity", q257, Some(q257Sql)),
     QueryDef("q259_modularity_moves", q259, Some(q259Sql)),
+    QueryDef("q260_contract_graph", q260, Some(q260Sql)),
     QueryDef("q158_kcore", q158, Some(q158Sql)),
     QueryDef("q242_sssp_weighted", q242, Some(q242Sql)),
     QueryDef("q243_personalized_pagerank", q243, Some(q243Sql)),

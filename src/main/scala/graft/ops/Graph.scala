@@ -893,6 +893,43 @@ object Graph {
     lab
   }
 
+  /** Community-graph CONTRACTION — the second phase of the Louvain
+    * pipeline: communities become nodes, parallel edges aggregate into
+    * weights, intra-community edges become self-loops carrying the
+    * internal edge count. Composes with [[modularityMoves]] (move →
+    * contract → move on the coarse graph) exactly as Blondel et al.
+    * describe; also the generic "roll a graph up to its clusters" step
+    * for domain/provenance rollups.
+    *
+    * Scale shape: two label joins against the canonical edge frame
+    * (labels are a V-row frame — broadcast when small, shuffle join
+    * otherwise; AQE decides) and one (label_a, label_b)-keyed aggregate,
+    * map-side combinable. Output is canonical: label_a ≤ label_b, one
+    * row per unordered community pair, self-loops included. Contract:
+    * every edge endpoint must be labeled — an unlabeled endpoint fails
+    * loudly (inner join would silently drop the edge and under-count
+    * weights; the raise_error guard makes it a named error instead).
+    *
+    * @param labels (node, label) — must cover every edge endpoint
+    * @return (label_a, label_b, weight) with label_a ≤ label_b
+    */
+  def contractGraph(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = canonicalUndirected(edges)
+    val lbl = labels.select(col("node"), col("label"))
+    val guard = (l: org.apache.spark.sql.Column) => when(l.isNull,
+      raise_error(concat(lit("contractGraph: unlabeled edge endpoint "),
+        lit("(labels must cover every node in the edge set)")))).otherwise(l)
+    e.join(lbl.select(col("node").as("u"), col("label").as("lu")),
+        Seq("u"), "left")
+      .join(lbl.select(col("node").as("v"), col("label").as("lv")),
+        Seq("v"), "left")
+      .select(guard(col("lu")).as("lu"), guard(col("lv")).as("lv"))
+      .select(least(col("lu"), col("lv")).as("label_a"),
+        greatest(col("lu"), col("lv")).as("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** Degree assortativity — the Pearson correlation of (outdeg(src),
     * outdeg(dst)) over the directed edge list: do high-degree nodes
     * attach to other hubs (assortative, r > 0 — social graphs) or to

@@ -591,6 +591,22 @@ class GraphSpec extends SparkSpec {
       6L -> 6L))
   }
 
+  test("contractGraph: bridged triangles roll up to a 2-community graph " +
+      "with self-loop intra weights; unlabeled endpoint fails loudly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"),
+      (6L, "B")).toDF("node", "label")
+    val got = Graph.contractGraph(edges, labels)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("A", "A", 3L), ("A", "B", 1L), ("B", "B", 3L)))
+    val err = intercept[Exception] {
+      Graph.contractGraph(edges, labels.filter($"node" =!= 6L)).collect()
+    }
+    assert(err.getMessage.contains("unlabeled edge endpoint"),
+      err.getMessage)
+  }
+
   test("labelPropagation: a node with no in-neighbors keeps its own label") {
     // 7 → 1 only: node 7 has no inbound edges, must keep label 7
     val df = Seq((7L, 1L)).toDF("src", "dst")
