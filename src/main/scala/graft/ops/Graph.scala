@@ -392,7 +392,9 @@ object Graph {
     val e = canonicalUndirected(edges)
     val m = e.count() // control-plane scalar off the checkpoint
     require(m > 0, "modularity needs at least one edge")
-    val lbl = labels.select(col("node"), col("label"))
+    // three consumers (u-side join, v-side join, degree rollup): one V-row
+    // materialization beats re-deriving the label source thrice
+    val lbl = labels.select(col("node"), col("label")).localCheckpoint()
     val intra = e
       .join(lbl.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
       .join(lbl.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
@@ -915,7 +917,8 @@ object Graph {
     */
   def contractGraph(edges: DataFrame, labels: DataFrame): DataFrame = {
     val e = canonicalUndirected(edges)
-    val lbl = labels.select(col("node"), col("label"))
+    // two consumers (u- and v-side joins): one V-row materialization
+    val lbl = labels.select(col("node"), col("label")).localCheckpoint()
     val guard = (l: org.apache.spark.sql.Column) => when(l.isNull,
       raise_error(concat(lit("contractGraph: unlabeled edge endpoint "),
         lit("(labels must cover every node in the edge set)")))).otherwise(l)

@@ -55,6 +55,10 @@ class NoRecomputeSweepSpec extends SparkSpec {
     "q42_ngram_jaccard" -> Set("documents"), // pair self-join, both sides
     "q54_repetition" -> Set("documents"), // per-doc signal + corpus gram stats
     "q63_tfidf_terms" -> Set("documents"), // tf and df branches prune differently
+    // same rationale as q238/q239 (two independent retrieval pipelines ARE
+    // the measurement) but one scan fewer: sq8TopK checkpoints its corpus
+    // internally, so only the brute pass + the pushed probe slice read parquet
+    "q256_sq8_recall" -> Set("embeddings"),
     "q64_decontaminate" -> Set("documents"), // corpus + benchmark-gram build
     "q78_source_overlap" -> Set("documents"), // per-source set self-join
     "q83_asof_custom" -> Set("events"), // as-of self-join, two pushed slices
