@@ -867,19 +867,24 @@ object Graph {
       size(col("ns")).cast("long").as("k"))
     var lab = deg.select(col("node"), col("node").as("label"))
     for (r <- 1 to rounds) {
-      val tot = lab.join(deg, Seq("node"))
-        .groupBy(col("label")).agg(sum(col("k")).as("tot"))
+      // (node, cur, k) once per round: one V-row join instead of separate
+      // cur and deg joins against the E-row candidate frame below
+      val state = lab.select(col("node"), col("label").as("__cur"))
+        .join(deg, Seq("node")).localCheckpoint()
+      val tot = state.groupBy(col("__cur").as("label"))
+        .agg(sum(col("k")).as("tot"))
       val cnt = adj.join(lab.withColumnRenamed("node", "src"), Seq("src"))
         .select(explode(col("ns")).as("node"), col("label"))
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
       // the node's CURRENT community is always a candidate, even when no
-      // neighbor shares it (c = 0 ⇒ score is pure degree penalty)
+      // neighbor shares it. NO dedup aggregate: when cur is also a
+      // neighbor label, its zero-count row scores strictly below the true
+      // row of the SAME label (score is monotone in c), so the argmax is
+      // untouched — a full E-row re-aggregation bought nothing.
       val cand = cnt.unionByName(
-          lab.select(col("node"), col("label"), lit(0L).as("c")))
-        .groupBy(col("node"), col("label")).agg(sum(col("c")).as("c"))
+        state.select(col("node"), col("__cur").as("label"), lit(0L).as("c")))
       val scored = cand
-        .join(lab.select(col("node"), col("label").as("__cur")), Seq("node"))
-        .join(deg, Seq("node"))
+        .join(state, Seq("node"))
         .join(tot, Seq("label"))
         .select(col("node"), col("label"),
           (lit(2L * m).cast("decimal(38,0)") * col("c") -
@@ -889,7 +894,7 @@ object Graph {
       lab = scored.groupBy(col("node"))
         .agg(min(struct((-col("s")).as("ns"), col("label").as("l"))).as("b"))
         .select(col("node"), col("b.l").as("label"))
-      // lab feeds tot + the probe + the cur join next round — barrier
+      // lab feeds the probe + next round's state build — barrier
       if (r < rounds) lab = lab.localCheckpoint()
     }
     lab
