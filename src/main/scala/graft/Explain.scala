@@ -25,6 +25,10 @@ object Explain {
         case "_mh_pairs" => (s, d) => // q60's pair-mining stage alone
           graft.ops.Dedup.minhashDuplicatePairs(
             graft.sources.Tables.documents(s, d), threshold = 0.5)
+        case "_semdedup64" => (s, d) => // q67 with the nCentroids scale knob
+          graft.ops.Similarity.semanticDedup(
+            graft.sources.Tables.embeddings(s, d), nCentroids = 64,
+            threshold = 0.3)
         case "_bpe1000" => (s, d) => // realistic-round-count trainer probe
           graft.ops.TextAnalysis.bpeTrain(
             graft.sources.Tables.documents(s, d), merges = 1000)

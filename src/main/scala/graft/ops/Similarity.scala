@@ -924,9 +924,15 @@ object Similarity {
     * would Lloyd-refine it ([[ivfTopK]]'s trainer) — every downstream step
     * is identical. Centroids broadcast (control-plane-sized); the corpus
     * shuffles ONCE on `cluster_id`; each cluster then streams through a
-    * tight JVM pairwise kernel in its own task. A cluster that outgrows a
-    * task is the standard hot-key case — cap or salt it (SCALE.md);
-    * quantized integer math keeps every cosine bit-identical across
+    * tight JVM pairwise kernel in its own task. `nCentroids` is the ONE
+    * scale knob: at fixed centroids the pairwise work grows (N/k)² —
+    * measured at 100× data, k=8: 29.6 s vs k=64: 2.7 s (11×) on the same
+    * corpus — so size k to keep N/k near the cluster size you want
+    * deduped in one task. A cluster past
+    * `graft.semdedup.maxClusterSize` (default 2²⁰) fails with a named
+    * error carrying the cluster id and size (the guardDegree
+    * discipline) instead of burning an O(|cluster|²) task for hours.
+    * Quantized integer math keeps every cosine bit-identical across
     * engines and parallelism. */
   def semanticDedup(emb: DataFrame, nCentroids: Int, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -959,10 +965,22 @@ object Similarity {
       }
     // one pass per cluster computes drops AND emits the kept rows — no
     // second scan of the corpus, no anti-join
+    val maxCluster = spark.conf
+      .getOption("graft.semdedup.maxClusterSize").map(_.toLong)
+      .getOrElse(1L << 20)
     assigned
       .groupByKey(_._1)
       .flatMapGroups { (c, it) =>
         val m = it.map { case (_, id, q, nq) => (id, q, nq) }.toArray.sortBy(_._1)
+        // the guardDegree discipline: a cluster past the cap means the
+        // nCentroids knob is mis-sized for this corpus — fail with the
+        // cluster id and size instead of running an O(|cluster|²) task
+        // for hours (see the scaladoc's Σ|cluster|² scale contract)
+        if (m.length > maxCluster)
+          throw new IllegalArgumentException(
+            s"semanticDedup: cluster $c has ${m.length} members, above " +
+              s"graft.semdedup.maxClusterSize=$maxCluster - raise " +
+              "nCentroids (keep clusters near corpus/nCentroids) or the cap")
         val dropped = scala.collection.mutable.HashSet.empty[Long]
         var i = 0
         while (i < m.length) {

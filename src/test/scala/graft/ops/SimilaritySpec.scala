@@ -160,6 +160,22 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.8, s"mean recall@10 = $mean")
   }
 
+  test("semanticDedup: graft.semdedup.maxClusterSize fails with a named " +
+      "error carrying the cluster id instead of an O(n^2) task") {
+    spark.conf.set("graft.semdedup.maxClusterSize", "3")
+    try {
+      val err = intercept[Exception] {
+        Similarity.semanticDedup(emb, nCentroids = 1, threshold = 0.99)
+          .collect()
+      }
+      assert(err.getMessage.contains("maxClusterSize"), err.getMessage)
+      // under the cap: same corpus passes with enough centroids
+      spark.conf.set("graft.semdedup.maxClusterSize", "1000000")
+      assert(Similarity.semanticDedup(emb, nCentroids = 1, threshold = 0.99)
+        .count() > 0)
+    } finally spark.conf.unset("graft.semdedup.maxClusterSize")
+  }
+
   test("embeddingOutliers: planted far vector flagged, cluster members not") {
     // 20 near-identical vectors around two centroid seeds + one far point
     def vec(base: Float, jitter: Float) = Seq.tabulate(8)(i =>
