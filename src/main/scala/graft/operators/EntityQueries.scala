@@ -845,6 +845,48 @@ object EntityQueries {
        |ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q261
+  // Shortest-path counts from the promoted set (q183's graph and seeds):
+  // dist plus sigma = number of distinct shortest paths from the nearest
+  // promoted part(s) — the route-redundancy signal (sigma = 1 is a
+  // fragile single route; Brandes' forward pass). The oracle unrolls the
+  // same four frontier rounds, each new node aggregating SUM(sigma) over
+  // the previous frontier only.
+  private def q261(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+    val edges = Graph.undirectedEdges(sets, "ps")
+    val seeds = edges.select($"src".as("node"))
+      .distinct().filter($"node" % 97 === 0)
+    Graph.bfsPathCounts(edges, seeds, rounds = 4, symmetric = true)
+      .select($"node", $"dist", $"sigma".cast("long").as("sigma"))
+      .orderBy($"node")
+  }
+  private val q261Sql = {
+    val rounds = (1 to 4).map { i =>
+      val prev = s"pc${i - 1}"
+      s"""pc$i AS MATERIALIZED (
+         |  SELECT node, dist, sigma FROM $prev
+         |  UNION ALL
+         |  SELECT c.node, CAST($i AS BIGINT) AS dist, c.sg AS sigma FROM (
+         |    SELECT e.dst AS node, CAST(SUM(q.sigma) AS BIGINT) AS sg
+         |    FROM e JOIN $prev q ON e.src = q.node AND q.dist = ${i - 1}
+         |    GROUP BY e.dst) c
+         |  WHERE c.node NOT IN (SELECT node FROM $prev))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pe AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |         AND a.l_partkey <> b.l_partkey),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM pe),
+       |pc0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist,
+       |    CAST(1 AS BIGINT) AS sigma
+       |  FROM e WHERE src % 97 = 0),
+       |$rounds
+       |SELECT node, dist, sigma FROM pc4 ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q186
   // Audience-overlap matrix: Jaccard between the user audiences of every
   // event-type pair — "do purchasers also search?", the segmentation /
@@ -1267,6 +1309,7 @@ object EntityQueries {
     QueryDef("q141_trend_fit", q141, Some(q141Sql)),
     QueryDef("q142_corr_matrix", q142, Some(q142Sql)),
     QueryDef("q183_bfs_hops", q183, Some(q183Sql)),
+    QueryDef("q261_path_counts", q261, Some(q261Sql)),
     QueryDef("q186_audience_overlap", q186, Some(q186Sql)),
   )
 

@@ -513,6 +513,68 @@ object Graph {
   private def rem(sd: DataFrame, adj: DataFrame): DataFrame =
     sd.join(adj.select(col("src").as("node")), Seq("node"), "left_anti")
 
+  /** Multi-source BFS with SHORTEST-PATH COUNTS: every node within
+    * `rounds` hops gets its exact hop distance AND σ = the number of
+    * distinct shortest paths from the seed set — the integer-exact core
+    * of centrality/robustness analysis (σ = 1 means a single fragile
+    * route to the flagged set; large σ means redundancy) and the forward
+    * pass of Brandes' betweenness. Same bounded-round contract and
+    * frontier-over-adjacency-index shape as [[bfsHops]]; the only
+    * addition is a per-round SUM over the frontier's σ values (all
+    * shortest paths to a dist-r node arrive through dist-(r−1)
+    * neighbors, so σ is final the round a node first appears —
+    * contributions into already-reached nodes are non-shortest arrivals
+    * and the anti-join drops them).
+    *
+    * EXACTNESS: σ is integer sums only — DECIMAL(38,0), because path
+    * counts compound multiplicatively with depth (branching^rounds);
+    * past 10³⁸ the sum fails loudly under ANSI rather than wrapping.
+    * Multi-seed semantics: seeds sit at distance 0 with σ = 1; a node's
+    * σ totals shortest paths from ALL nearest seeds.
+    *
+    * @return (node, dist, sigma) for nodes reached within `rounds` hops
+    */
+  def bfsPathCounts(edges: DataFrame, seeds: DataFrame, rounds: Int = 4,
+      symmetric: Boolean = false): DataFrame = {
+    require(rounds >= 1, "bfsPathCounts needs at least one round")
+    val adj = guardDegree(edges.select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("ns")),
+      "src", "ns")
+      .localCheckpoint()
+    val sd0 = seeds.select(col("node")).distinct()
+    val sd = if (symmetric) sd0 else sd0.localCheckpoint()
+    val srcSeeds = sd.join(adj.select(col("src").as("node")),
+      Seq("node"), "left_semi")
+    val f0 = (if (symmetric || rem(sd, adj).isEmpty) srcSeeds
+      else srcSeeds.unionByName(
+        rem(sd, adj).join(adj.select(explode(col("ns")).as("node")).distinct(),
+          Seq("node"), "left_semi")))
+      .withColumn("dist", lit(0L))
+      .withColumn("sigma", lit(1L).cast("decimal(38,0)"))
+      .localCheckpoint()
+    val layers = scala.collection.mutable.ArrayBuffer(f0)
+    var frontier = f0.select(col("node"), col("sigma"))
+    var r = 1
+    var done = frontier.isEmpty // checkpointed: a control-plane probe
+    while (r <= rounds && !done) {
+      val reached = layers.map(_.select(col("node"))).reduce(_.unionByName(_))
+      val newly = adj
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(explode(col("ns")).as("node"), col("sigma"))
+        .groupBy(col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(reached, Seq("node"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
+        .localCheckpoint()
+      layers += newly
+      frontier = newly.select(col("node"), col("sigma"))
+      done = newly.isEmpty
+      r += 1
+    }
+    layers.map(df => df.select(col("node"), col("dist"), col("sigma")))
+      .reduce(_.unionByName(_))
+  }
+
   /** Personalized PageRank: the random surfer teleports to a SEED SET
     * instead of everywhere — scores measure proximity to the seeds, the
     * standard seed-expansion primitive for data curation ("rank the

@@ -607,6 +607,32 @@ class GraphSpec extends SparkSpec {
       err.getMessage)
   }
 
+  test("bfsPathCounts: diamond sigma doubles at the merge node; " +
+      "multi-seed sums over all nearest seeds; horizon bounds") {
+    // diamond 1-2, 1-3, 2-4, 3-4 (mirrored): from {1}, node 4 has two
+    // shortest paths (via 2 and via 3)
+    val half = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val from1 = Graph.bfsPathCounts(edges, Seq(1L).toDF("node"),
+        rounds = 4, symmetric = true)
+      .select($"node", $"dist", $"sigma".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(from1 == Set((1L, 0L, 1L), (2L, 1L, 1L), (3L, 1L, 1L),
+      (4L, 2L, 2L)))
+    // seeds {1, 4}: nodes 2 and 3 are one hop from BOTH seeds — sigma 2
+    val from14 = Graph.bfsPathCounts(edges, Seq(1L, 4L).toDF("node"),
+        rounds = 4, symmetric = true)
+      .select($"node", $"dist", $"sigma".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(from14 == Set((1L, 0L, 1L), (4L, 0L, 1L), (2L, 1L, 2L),
+      (3L, 1L, 2L)))
+    // horizon: rounds = 1 from {1} never reaches node 4
+    val bounded = Graph.bfsPathCounts(edges, Seq(1L).toDF("node"),
+        rounds = 1, symmetric = true)
+      .select($"node").as[Long].collect().toSet
+    assert(bounded == Set(1L, 2L, 3L))
+  }
+
   test("labelPropagation: a node with no in-neighbors keeps its own label") {
     // 7 → 1 only: node 7 has no inbound edges, must keep label 7
     val df = Seq((7L, 1L)).toDF("src", "dst")
