@@ -79,14 +79,39 @@ object TextAnalysis {
     */
   def importanceWeights(raw: DataFrame, target: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    def tok(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+ explode(split(Dedup.normalized(
-        coalesce(col(textCol), lit(""))), " ")).as("t"): _*)
-    val tokRows = tok(raw, col(idCol).as("id")).localCheckpoint()
-    val rawVocab = tokRows.groupBy(col("t")).agg(count(lit(1)).as("nr"))
+    val tokRows = tokenRows(raw, textCol, col(idCol).as("id"))
       .localCheckpoint()
-    val tgtVocab = tok(target).groupBy(col("t")).agg(count(lit(1)).as("nt"))
-      .localCheckpoint()
+    val lr = importanceRatiosFrom(
+      tokRows.groupBy(col("t")).agg(count(lit(1)).as("nr")),
+      target, textCol)
+    tokRows.join(broadcast(lr), Seq("t"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("dl"), sum(col("lr6")).as("score_x6"))
+  }
+
+  private def tokenRows(df: DataFrame, textCol: String,
+      cols: Column*): DataFrame =
+    df.select(cols :+ explode(split(Dedup.normalized(
+      coalesce(col(textCol), lit(""))), " ")).as("t"): _*)
+
+  /** The frozen (t, lr6) per-term log-ratio table of [[importanceWeights]]
+    * on its own — the artifact a STREAMING scorer broadcasts
+    * ([[graft.streaming.DocumentStreams.importanceScoreStream]]): train
+    * the ratios on a batch corpus snapshot, score the firehose
+    * statelessly, retrain + restart to roll a new table (the
+    * perceptron scoreStream discipline). */
+  def importanceRatios(raw: DataFrame, target: DataFrame,
+      textCol: String = "text"): DataFrame =
+    importanceRatiosFrom(
+      tokenRows(raw, textCol).groupBy(col("t"))
+        .agg(count(lit(1)).as("nr")),
+      target, textCol)
+
+  private def importanceRatiosFrom(rawVocab0: DataFrame, target: DataFrame,
+      textCol: String): DataFrame = {
+    val rawVocab = rawVocab0.localCheckpoint()
+    val tgtVocab = tokenRows(target, textCol).groupBy(col("t"))
+      .agg(count(lit(1)).as("nt")).localCheckpoint()
     // three control-plane scalars off the checkpointed vocab frames
     val vocabSize = rawVocab.select(col("t"))
       .unionByName(tgtVocab.select(col("t"))).distinct().count()
@@ -94,15 +119,30 @@ object TextAnalysis {
     val tgtTotal = tgtVocab.agg(coalesce(sum(col("nt")), lit(0L)))
       .first().getLong(0)
     require(tgtTotal > 0, "importanceWeights needs a non-empty target")
-    val lr = rawVocab.join(tgtVocab, Seq("t"), "left")
+    rawVocab.join(tgtVocab, Seq("t"), "left")
       .select(col("t"),
         (floor(log((coalesce(col("nt"), lit(0L)) + 1L).cast("double") /
             lit((tgtTotal + vocabSize).toDouble)) * 1e6) -
           floor(log((col("nr") + 1L).cast("double") /
             lit((rawTotal + vocabSize).toDouble)) * 1e6)).as("lr6"))
-    tokRows.join(broadcast(lr), Seq("t"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("dl"), sum(col("lr6")).as("score_x6"))
+  }
+
+  /** JVM replica of [[importanceWeights]]' per-doc scoring against a
+    * frozen ratio map: tokenization is [[Dedup.normalizedJvm]] + split
+    * (parity with the expression path pinned by the kernel-parity
+    * specs); tokens absent from the map drop from both dl and the sum,
+    * exactly like the batch inner join. */
+  private[graft] def importanceScoreJvm(text: String,
+      m: collection.Map[String, Long]): (Long, Long) = {
+    val toks = Dedup.normalizedJvm(
+      if (text == null) "" else text).split(" ", -1)
+    var s = 0L
+    var n = 0L
+    toks.foreach { t =>
+      val lr = m.get(t)
+      if (lr.isDefined) { s += lr.get; n += 1 }
+    }
+    (n, s)
   }
 
   /** Self-trained BIGRAM NLL: score each doc by -mean log P(t2|t1) with

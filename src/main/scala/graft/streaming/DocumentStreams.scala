@@ -95,6 +95,36 @@ object DocumentStreams {
       (margin > 0L).as("keep"))
   }
 
+  /** DSIR importance scoring of a document stream under a FROZEN ratio
+    * table ([[graft.ops.TextAnalysis.importanceRatios]] output, collected
+    * — vocab-sized by contract, the broadcast-model discipline of
+    * [[scoreStream]]): each arriving doc is scored statelessly by its
+    * quantized target-vs-raw log-ratio sum, bit-identical to the batch
+    * [[graft.ops.TextAnalysis.importanceWeights]] under any micro-batch
+    * slicing or replay (docs arrive whole; no cross-batch state).
+    * Retrain the ratios on a fresh corpus snapshot and restart the query
+    * to roll the model.
+    *
+    * @param ratios (term → lr6) — collect of `importanceRatios`
+    * @return (doc_id, dl, score_x6); dl counts in-vocabulary tokens,
+    *         exactly like the batch inner join
+    */
+  def importanceScoreStream(docs: DataFrame,
+      ratios: Map[String, Long]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ratios)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, text) =>
+          val (n, s) = graft.ops.TextAnalysis.importanceScoreJvm(text, m)
+          (id, n, s)
+        }
+      }.toDF("doc_id", "dl", "score_x6")
+  }
+
   /** Content-exact dedup on the fingerprint: first arrival wins, later
     * re-uploads/re-crawls of identical content drop. Unbounded state by
     * design — the dedup ledger must remember the whole corpus (one long

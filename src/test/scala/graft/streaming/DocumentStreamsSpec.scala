@@ -75,6 +75,33 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(streamed.count(_._3) == trained.getLong(6) + trained.getLong(7))
   }
 
+  test("DSIR importance-scoring stream under frozen ratios ≡ batch " +
+      "importanceWeights, across micro-batch boundaries") {
+    import org.apache.spark.sql.functions.col
+    // ratios trained batch-side: target = the 'en' docs
+    val ratios = graft.ops.TextAnalysis
+      .importanceRatios(docs.toDF(), docs.toDF().filter(col("lang") === "en"))
+      .as[(String, Long)].collect().toMap
+    val input = MemoryStream[Doc](spark)
+    val q = DocumentStreams.importanceScoreStream(input.toDF(), ratios)
+      .writeStream.format("memory").queryName("dsirscored")
+      .outputMode("append").start()
+    input.addData(docs.take(2): _*); q.processAllAvailable()
+    input.addData(docs.drop(2): _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dsirscored")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.ops.TextAnalysis
+      .importanceWeights(docs.toDF(), docs.toDF().filter(col("lang") === "en"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch, "frozen-ratio scoring must be slice-invariant")
+    assert(streamed.size == docs.size)
+    // target docs score above off-domain docs on this fixture
+    val byId = streamed.map(r => r._1 -> r._3).toMap
+    val en = docs.filter(_.lang == "en").map(d => byId(d.doc_id))
+    val rest = docs.filter(_.lang != "en").map(d => byId(d.doc_id))
+    assert(en.min > rest.max)
+  }
+
   test("streaming CMS across micro-batches ≡ batch sketch of the whole " +
       "corpus (mergeable exact counters, fixed-size state)") {
     val input = MemoryStream[Doc](spark)
