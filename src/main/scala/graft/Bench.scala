@@ -57,6 +57,12 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+      // getPersistentRDDs holds WEAK values: an RDD object GC'd between
+      // queries drops out of the map while its (checkpoint) blocks stay in
+      // the block store until the ContextCleaner's post-GC drain — the
+      // round-7 warm-pass>cold-pass artifact. Purge the blocks the block
+      // manager ACTUALLY holds, by rdd id, deterministically.
+      org.apache.spark.graft.BlockPurge.purgeRddBlocks(spark.sparkContext)
       // drain the weak-ref cleaner queue at a bounded cadence, always
       // OUTSIDE the timed section (a timer-based GC was measured landing
       // inside queries at 10x data — see the builder comment)
@@ -87,13 +93,51 @@ object Bench {
       canaryProbe(1600000000L)
       (System.nanoTime() - t0) / 1e9
     }
+    // --- checkpoint-heavy canary ------------------------------------------
+    // The CPU canary is provably BLIND to memory/disk drift (no I/O, no
+    // execution-memory demand — the round-7 SCALE.md blind spot): leftover
+    // blocks squeezing execution memory, or a dirty page cache, never move
+    // it. This probe exercises exactly that surface: localCheckpoint ~0.8 GB
+    // into the block store, then a wide hash aggregate over it (8M groups —
+    // real execution-memory demand that spills when squeezed), released
+    // through the same purge path as the suite. Emitted as ckpt_canary_s +
+    // ckpt_noise_factor beside the CPU pair; clean pin env-overridable via
+    // SPARK_GRAFT_CKPT_CANARY_CLEAN_S.
+    val ckptCleanS =
+      sys.env.getOrElse("SPARK_GRAFT_CKPT_CANARY_CLEAN_S", "3.4").toDouble
+    def ckptProbe(rows: Long): Unit = {
+      val df = spark.range(0L, rows, 1L, cpus.toInt)
+        .select((org.apache.spark.sql.functions.col("id") *
+          org.apache.spark.sql.functions.lit(0x9E3779B97F4A7C15L)).as("k"))
+        .localCheckpoint()
+      df.groupBy((org.apache.spark.sql.functions.col("k") %
+          org.apache.spark.sql.functions.lit(8388608L)).as("g"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("n"))).head()
+      org.apache.spark.graft.BlockPurge.purgeRddBlocks(spark.sparkContext)
+    }
+    def ckptCanary(): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      ckptProbe(100000000L)
+      (System.nanoTime() - t0) / 1e9
+    }
     canaryProbe(10000000L) // untimed: JIT/codegen warm the probe itself
+    ckptProbe(1000000L)    // untimed warm of the checkpoint probe
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
+    val ckptCanaries = scala.collection.mutable.ArrayBuffer[Double]()
     def noiseFactor: Double = {
       val s = canaries.sorted
       math.rint(s(s.size / 2) / canaryCleanS * 1000) / 1000
     }
+    def ckptNoiseFactor: Double = {
+      val s = ckptCanaries.sorted
+      math.rint(s(s.size / 2) / ckptCleanS * 1000) / 1000
+    }
     canaries += canary()
+    ckptCanaries += ckptCanary()
     // a failed query is reported as -1, never as a (fast-looking) timing
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
@@ -108,6 +152,7 @@ object Bench {
       }
     val cold = pass()
     canaries += canary()
+    ckptCanaries += ckptCanary()
     val warm = pass()
     def r3(v: Double) = math.rint(v * 1000) / 1000
     def total(xs: Seq[(String, Double)]) = r3(xs.map(_._2).filter(_ >= 0).sum)
@@ -119,7 +164,9 @@ object Bench {
       s""""cold_total":${total(cold)},"warm_total":${total(warm)},""" +
       s""""n_queries":${warm.size},"sf":"$sfDir",""" +
       s""""canary_s":${canaries.map(r3).mkString("[", ",", "]")},""" +
-      s""""noise_factor":$noiseFactor,"queries":$qs}""")
+      s""""noise_factor":$noiseFactor,""" +
+      s""""ckpt_canary_s":${ckptCanaries.map(r3).mkString("[", ",", "]")},""" +
+      s""""ckpt_noise_factor":$ckptNoiseFactor,"queries":$qs}""")
     // Isolated re-measure of the tail: in-suite numbers run up to 2x above
     // isolated on IDENTICAL plans (residual page-cache / code-cache /
     // block-manager state across 200+ queries in one JVM — the round-4
@@ -131,6 +178,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+      org.apache.spark.graft.BlockPurge.purgeRddBlocks(spark.sparkContext)
       System.gc()
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -140,6 +188,7 @@ object Bench {
     val isoJson = iso.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     canaries += canary()
+    ckptCanaries += ckptCanary()
     if (noiseFactor > 1.5)
       System.err.println(
         s"[bench] WARNING: canary noise_factor $noiseFactor > 1.5 " +
@@ -147,6 +196,13 @@ object Bench {
           s"$canaryCleanS s) — this box is contended or throttled; the " +
           "totals on this line are NOT comparable across rounds. Re-run " +
           "on an idle box before drawing per-query conclusions.")
+    if (ckptNoiseFactor > 1.5)
+      System.err.println(
+        s"[bench] WARNING: ckpt canary noise_factor $ckptNoiseFactor > 1.5 " +
+          s"(probes ${ckptCanaries.map(r3).mkString(", ")} s vs clean " +
+          s"$ckptCleanS s) — memory/disk drift (block-store pollution, " +
+          "dirty page cache, storage contention) that the CPU canary " +
+          "cannot see; totals are NOT comparable across rounds.")
     // The per-query line is ~8 KB at 230+ queries and the driver keeps only
     // the LAST 2000 chars of output — repeat the scalars on a short FINAL
     // line (plus the compact isolated tail, ~400 chars) so the totals
@@ -156,6 +212,8 @@ object Bench {
       s""""n_queries":${warm.size},"sf":"$sfDir",""" +
       s""""canary_s":${canaries.map(r3).mkString("[", ",", "]")},""" +
       s""""noise_factor":$noiseFactor,""" +
+      s""""ckpt_canary_s":${ckptCanaries.map(r3).mkString("[", ",", "]")},""" +
+      s""""ckpt_noise_factor":$ckptNoiseFactor,""" +
       s""""slowest_isolated":$isoJson}""")
     spark.stop()
   }

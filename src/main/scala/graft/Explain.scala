@@ -1,15 +1,21 @@
 package graft
 
 /** Dev tool: time a registered query twice (cold/warm) and print its
-  * formatted physical plan. `runMain graft.Explain <queryName> [sfDir]`. */
+  * formatted physical plan. `runMain graft.Explain <queryName> [sfDir]
+  * [key=value ...]` — trailing args become runtime session confs (e.g.
+  * `graft.dedup.shingleHash=rolling` for signature-family A/B runs). */
 object Explain {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val confs = args.drop(2).map { kv =>
+      val Array(k, v) = kv.split("=", 2); (k, v)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder("graft-explain", Some(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
       name match {
         // diagnostic sub-pipelines (not part of the driver contract)

@@ -59,11 +59,12 @@ case class GramHashes(child: Expression, gramLen: Int)
 }
 
 object GramHashes {
-  // odd ⇒ multiplication is a bijection mod 2^64 (golden-ratio constant)
-  private final val B: Long = 0x9E3779B97F4A7C15L
+  // odd ⇒ multiplication is a bijection mod 2^64 (golden-ratio constant);
+  // shared with Dedup's rolling token-shingle signature family
+  private[graft] final val B: Long = 0x9E3779B97F4A7C15L
 
   /** murmur3 fmix64 — bijective finalizer, well-distributed output. */
-  private def fmix64(h0: Long): Long = {
+  private[graft] def fmix64(h0: Long): Long = {
     var h = h0
     h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
     h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L

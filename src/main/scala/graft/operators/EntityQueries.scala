@@ -859,8 +859,11 @@ object EntityQueries {
     val edges = Graph.undirectedEdges(sets, "ps")
     val seeds = edges.select($"src".as("node"))
       .distinct().filter($"node" % 97 === 0)
+    // sigma stays DECIMAL(38,0): the operator's loud-overflow contract —
+    // a narrowing cast to long would silently null overflowing counts
+    // under a non-ANSI session (round-7 ADVICE)
     Graph.bfsPathCounts(edges, seeds, rounds = 4, symmetric = true)
-      .select($"node", $"dist", $"sigma".cast("long").as("sigma"))
+      .select($"node", $"dist", $"sigma")
       .orderBy($"node")
   }
   private val q261Sql = {
@@ -870,7 +873,7 @@ object EntityQueries {
          |  SELECT node, dist, sigma FROM $prev
          |  UNION ALL
          |  SELECT c.node, CAST($i AS BIGINT) AS dist, c.sg AS sigma FROM (
-         |    SELECT e.dst AS node, CAST(SUM(q.sigma) AS BIGINT) AS sg
+         |    SELECT e.dst AS node, CAST(SUM(q.sigma) AS DECIMAL(38,0)) AS sg
          |    FROM e JOIN $prev q ON e.src = q.node AND q.dist = ${i - 1}
          |    GROUP BY e.dst) c
          |  WHERE c.node NOT IN (SELECT node FROM $prev))""".stripMargin
@@ -881,7 +884,7 @@ object EntityQueries {
        |         AND a.l_partkey <> b.l_partkey),
        |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM pe),
        |pc0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist,
-       |    CAST(1 AS BIGINT) AS sigma
+       |    CAST(1 AS DECIMAL(38,0)) AS sigma
        |  FROM e WHERE src % 97 = 0),
        |$rounds
        |SELECT node, dist, sigma FROM pc4 ORDER BY node""".stripMargin

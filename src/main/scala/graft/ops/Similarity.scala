@@ -888,15 +888,28 @@ object Similarity {
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥ τ.
     * Brute-force O(N²/2) with the right side broadcast (bounded corpus by
     * contract — this is the correctness baseline; [[srpNearDupPairs]] is
-    * the scale path). Same mapPartitions kernel as [[bruteForceTopK]]. */
+    * the scale path). Same mapPartitions kernel as [[bruteForceTopK]].
+    *
+    * The corpus is collected + broadcast, so the bounded-corpus contract is
+    * enforced at runtime like [[collectProbes]]: `limit(cap+1)` + require
+    * (conf `graft.ann.maxCorpusCollect`, default 100 000) — a user pointing
+    * a real corpus here gets a named error routing to the scale path, not a
+    * driver OOM. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val cap = spark.conf.get("graft.ann.maxCorpusCollect", "100000").toInt
     val rows = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Seq[Float])].collect()
+      .limit(cap + 1).as[(Long, Seq[Float])].collect()
+    require(rows.length <= cap,
+      s"cosineNearDupPairs collects the WHOLE corpus (brute-force O(N²) " +
+        s"baseline) and this one exceeds graft.ann.maxCorpusCollect=$cap " +
+        "rows. Use srpNearDupPairs (bucketed SRP-LSH, the scale path) for " +
+        "real corpora, or raise the conf if this set is genuinely bounded.")
+    val prep = rows
       .map { case (id, v) => val q = quantizeJvm(v); (id, q, normJvm(q)) }
-    val bc = spark.sparkContext.broadcast(rows)
+    val bc = spark.sparkContext.broadcast(prep)
     corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>

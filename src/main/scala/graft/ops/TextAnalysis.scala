@@ -66,8 +66,11 @@ object TextAnalysis {
     * raw vocab and the scoring join ([[unigramNll]]'s checkpoint
     * pattern); the target side aggregates to its own vocab (target ≪
     * raw by contract). The per-term log-ratio table is vocab-sized and
-    * broadcast-hinted — drop the hint if your vocabulary is unbounded
-    * and let AQE decide. Smoothing: (n_t+1)/(total_t + V) on both sides
+    * broadcast-hinted BY DEFAULT; set spark.conf
+    * `graft.dsir.broadcastRatios=false` for an unbounded (web-scale)
+    * vocabulary — the hint is dropped and Catalyst/AQE picks the join
+    * from the table's size stats instead of OOMing the driver on a
+    * forced broadcast. Smoothing: (n_t+1)/(total_t + V) on both sides
     * with V = |raw ∪ target vocabulary| (an exact distinct count, one
     * control-plane scalar). EXACTNESS: each ln is floor-quantized to
     * 1e-6 separately, the ratio is an integer difference, per-doc sums
@@ -84,7 +87,11 @@ object TextAnalysis {
     val lr = importanceRatiosFrom(
       tokRows.groupBy(col("t")).agg(count(lit(1)).as("nr")),
       target, textCol)
-    tokRows.join(broadcast(lr), Seq("t"))
+    val hinted =
+      if (raw.sparkSession.conf.get("graft.dsir.broadcastRatios", "true").toBoolean)
+        broadcast(lr)
+      else lr
+    tokRows.join(hinted, Seq("t"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("dl"), sum(col("lr6")).as("score_x6"))
   }

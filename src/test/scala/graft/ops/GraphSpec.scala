@@ -571,6 +571,27 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq == Seq(("A", 2L, 3L, 1L, -62500000L)))
   }
 
+  test("modularity / contractGraph: duplicate label rows fail loudly " +
+      "with the node id — they would silently multiply intra_edges and " +
+      "contraction weights through the two edge joins") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val dup = Seq((1L, "A"), (2L, "A"), (2L, "B"), (3L, "B"))
+      .toDF("node", "label")
+    val e1 = intercept[Exception] { Graph.modularity(edges, dup).collect() }
+    assert(e1.getMessage.contains("duplicate label rows for node 2"),
+      e1.getMessage)
+    val e2 = intercept[Exception] {
+      Graph.contractGraph(edges, dup).collect()
+    }
+    assert(e2.getMessage.contains("duplicate label rows for node 2"),
+      e2.getMessage)
+    // exact duplicates of the SAME (node, label) row are duplicates too
+    val dup2 = Seq((1L, "A"), (2L, "A"), (2L, "A"), (3L, "B"))
+      .toDF("node", "label")
+    val e3 = intercept[Exception] { Graph.modularity(edges, dup2).collect() }
+    assert(e3.getMessage.contains("duplicate label rows"), e3.getMessage)
+  }
+
   test("modularityMoves: bridged triangles, 2 rounds hand-traced — " +
       "integer move scores, smallest-label ties, sync oscillation pinned") {
     // K3 {1,2,3} + K3 {4,5,6} + bridge 3–4 (m=7, 2m=14). Round 1 (all in
@@ -604,6 +625,76 @@ class GraphSpec extends SparkSpec {
       Graph.contractGraph(edges, labels.filter($"node" =!= 6L)).collect()
     }
     assert(err.getMessage.contains("unlabeled edge endpoint"),
+      err.getMessage)
+  }
+
+  test("betweennessDependencies: diamond, path, and multi-seed hand " +
+      "cases — 1e9-unit integer delta, exact truncation composition") {
+    // diamond 1-2, 1-3, 2-4, 3-4 (mirrored), seed {1}:
+    // sigma: 1,1,1,2; delta: d4=0, d2=d3=floor(1e9/2)=5e8,
+    // d1=2*floor(1*(1e9+5e8)/1)=3e9
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val dEdges = (diamond ++ diamond.map(_.swap)).toDF("src", "dst")
+    def run(edges: org.apache.spark.sql.DataFrame, seeds: Seq[Long],
+        rounds: Int) =
+      Graph.betweennessDependencies(edges,
+          seeds.toDF("node"), rounds, symmetric = true)
+        .select($"node", $"dist", $"sigma".cast("long"),
+          $"delta_x9".cast("long"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(run(dEdges, Seq(1L), 4) == Set(
+      (1L, 0L, 1L, 3000000000L), (2L, 1L, 1L, 500000000L),
+      (3L, 1L, 1L, 500000000L), (4L, 2L, 2L, 0L)))
+    // multi-seed {1,4}: sigma(2)=sigma(3)=2, deltas 1e9 on both seeds
+    assert(run(dEdges, Seq(1L, 4L), 4) == Set(
+      (1L, 0L, 1L, 1000000000L), (4L, 0L, 1L, 1000000000L),
+      (2L, 1L, 2L, 0L), (3L, 1L, 2L, 0L)))
+    // path 1-2-3-4-5, seed {1}: delta ranks interior cut vertices
+    // monotonically; horizon rounds=2 truncates the DAG and the deltas
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val pEdges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    assert(run(pEdges, Seq(1L), 4) == Set(
+      (1L, 0L, 1L, 4000000000L), (2L, 1L, 1L, 3000000000L),
+      (3L, 2L, 1L, 2000000000L), (4L, 3L, 1L, 1000000000L),
+      (5L, 4L, 1L, 0L)))
+    assert(run(pEdges, Seq(1L), 2) == Set(
+      (1L, 0L, 1L, 2000000000L), (2L, 1L, 1L, 1000000000L),
+      (3L, 2L, 1L, 0L)))
+  }
+
+  test("betweennessDependencies: layout invariance — repartitioned / " +
+      "shuffled edge input yields identical bits") {
+    val half = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (2L, 5L), (5L, 6L), (3L, 6L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    def bits(e: org.apache.spark.sql.DataFrame) =
+      Graph.betweennessDependencies(e, seeds, rounds = 4, symmetric = true)
+        .collect().map(_.toString).sorted.toSeq
+    assert(bits(edges) == bits(edges.repartition(7).orderBy($"dst")))
+  }
+
+  test("brandes_term: exact integer quotient; loud failure past " +
+      "DECIMAL(38,0) instead of a silent null") {
+    val d = Seq(("7", "1500000000", "3")).toDF("sv", "dw", "sw")
+      .select($"sv".cast("decimal(38,0)").as("sv"),
+        $"dw".cast("decimal(38,0)").as("dw"),
+        $"sw".cast("decimal(38,0)").as("sw"))
+    // 7*(1e9+1.5e9)/3 = 17500000000/3 = 5833333333 (truncated)
+    val got = d.select(graft.functions.BrandesTerm($"sv", $"dw", $"sw")
+      .cast("long")).head().getLong(0)
+    assert(got == 5833333333L)
+    import org.apache.spark.sql.functions.lit
+    val big = Seq(1).toDF("x").select(
+      (lit("9" * 38).cast("decimal(38,0)")).as("sv"),
+      lit(0L).cast("decimal(38,0)").as("dw"),
+      lit(1L).cast("decimal(38,0)").as("sw"))
+    val err = intercept[Exception] {
+      big.select(graft.functions.BrandesTerm($"sv", $"dw", $"sw")).collect()
+    }
+    assert(err.getMessage.contains("exceeds DECIMAL(38,0)") ||
+      err.getCause != null &&
+        err.getCause.getMessage.contains("exceeds DECIMAL(38,0)"),
       err.getMessage)
   }
 

@@ -30,6 +30,23 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("graft.ann.maxProbe")
   }
 
+  test("bounded-corpus contract guard: cosineNearDupPairs fails fast with " +
+      "the route-to-srpNearDupPairs message past graft.ann.maxCorpusCollect, " +
+      "never a driver OOM; raising the cap admits the same corpus") {
+    spark.conf.set("graft.ann.maxCorpusCollect", "7")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.cosineNearDupPairs(emb.limit(9), threshold = 0.5).count()
+      }
+      assert(e.getMessage.contains("graft.ann.maxCorpusCollect"))
+      assert(e.getMessage.contains("srpNearDupPairs"))
+      spark.conf.set("graft.ann.maxCorpusCollect", "20")
+      // count ≥ 0 = the pipeline executes; pair content is q50's oracle
+      assert(Similarity.cosineNearDupPairs(emb.limit(9), threshold = -1.0)
+        .count() == 9L * 8 / 2)
+    } finally spark.conf.unset("graft.ann.maxCorpusCollect")
+  }
+
   test("brute-force top-k: k rows per query, descending, no self-match") {
     val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5), k = 10)
       .as[(Long, Long, Double, Int)].collect()

@@ -260,6 +260,16 @@ class TextAnalysisSpec extends SparkSpec {
         .collect()
     }
     assert(err.getMessage.contains("non-empty target"))
+    // unbounded-vocab escape hatch: with graft.dsir.broadcastRatios=false
+    // the forced broadcast hint is dropped (AQE picks the join) and the
+    // scores are bit-identical
+    spark.conf.set("graft.dsir.broadcastRatios", "false")
+    try {
+      val unhinted = TextAnalysis
+        .importanceWeights(raw, raw.filter($"doc_id" === 1L))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(unhinted == got)
+    } finally spark.conf.unset("graft.dsir.broadcastRatios")
   }
 
   test("bpeTrain: hand-computed merge sequence with frequency weighting, " +
