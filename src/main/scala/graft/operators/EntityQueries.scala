@@ -890,6 +890,70 @@ object EntityQueries {
        |SELECT node, dist, sigma FROM pc4 ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q262
+  // Betweenness dependencies from the promoted set — Brandes' backward
+  // pass over q261's BFS DAG: delta_x9 ranks the cut vertices most
+  // shortest-path traffic from the promoted parts flows through (the
+  // graph-curation ask after PageRank). The oracle unrolls the forward
+  // rounds exactly like q261, then the backward rounds deepest-first with
+  // the same 1e9-unit truncated-integer term over 128-bit arithmetic.
+  private def q262(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+    val edges = Graph.undirectedEdges(sets, "ps")
+    val seeds = edges.select($"src".as("node"))
+      .distinct().filter($"node" % 97 === 0)
+    Graph.betweennessDependencies(edges, seeds, rounds = 4, symmetric = true)
+      .orderBy($"node")
+  }
+  private val q262Sql = {
+    val fwd = (1 to 4).map { i =>
+      val prev = s"pc${i - 1}"
+      s"""pc$i AS MATERIALIZED (
+         |  SELECT node, dist, sigma FROM $prev
+         |  UNION ALL
+         |  SELECT c.node, CAST($i AS BIGINT) AS dist, c.sg AS sigma FROM (
+         |    SELECT e.dst AS node, CAST(SUM(q.sigma) AS DECIMAL(38,0)) AS sg
+         |    FROM e JOIN $prev q ON e.src = q.node AND q.dist = ${i - 1}
+         |    GROUP BY e.dst) c
+         |  WHERE c.node NOT IN (SELECT node FROM $prev))""".stripMargin
+    }.mkString(",\n")
+    // dx defaults to 0 on every layer (bw4); each backward step fills in
+    // level dLev from its dist = dLev+1 successors — a level with no
+    // deeper successors keeps 0, which is exactly the engine's trimmed-
+    // horizon base case
+    val bwd = (3 to 0 by -1).map { dLev =>
+      s"""bw$dLev AS MATERIALIZED (
+         |  SELECT p.node, p.dist, p.sigma,
+         |    CASE WHEN p.dist = $dLev THEN COALESCE(t.dx, 0) ELSE p.dx
+         |    END AS dx
+         |  FROM bw${dLev + 1} p LEFT JOIN (
+         |    SELECT v.node,
+         |      SUM((CAST(v.sigma AS HUGEINT) * (1000000000 + w.dx))
+         |          // CAST(w.sigma AS HUGEINT)) AS dx
+         |    FROM (SELECT node, sigma FROM pc4 WHERE dist = $dLev) v
+         |    JOIN e ON e.src = v.node
+         |    JOIN bw${dLev + 1} w ON w.node = e.dst
+         |      AND w.dist = ${dLev + 1}
+         |    GROUP BY v.node) t ON t.node = p.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pe AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |         AND a.l_partkey <> b.l_partkey),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM pe),
+       |pc0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist,
+       |    CAST(1 AS DECIMAL(38,0)) AS sigma
+       |  FROM e WHERE src % 97 = 0),
+       |$fwd,
+       |bw4 AS (SELECT node, dist, sigma, CAST(0 AS HUGEINT) AS dx
+       |  FROM pc4),
+       |$bwd
+       |SELECT node, dist, sigma, CAST(dx AS DECIMAL(38,0)) AS delta_x9
+       |FROM bw0 ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q186
   // Audience-overlap matrix: Jaccard between the user audiences of every
   // event-type pair — "do purchasers also search?", the segmentation /
@@ -1313,6 +1377,7 @@ object EntityQueries {
     QueryDef("q142_corr_matrix", q142, Some(q142Sql)),
     QueryDef("q183_bfs_hops", q183, Some(q183Sql)),
     QueryDef("q261_path_counts", q261, Some(q261Sql)),
+    QueryDef("q262_betweenness", q262, Some(q262Sql)),
     QueryDef("q186_audience_overlap", q186, Some(q186Sql)),
   )
 
