@@ -890,6 +890,109 @@ object EntityQueries {
        |SELECT node, dist, sigma FROM pc4 ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q263
+  // Composed two-level Louvain over the co-purchase graph: weighted
+  // monotone moves (2 rounds) → modularity gate vs singletons →
+  // contraction → weighted moves on the coarse graph → gate vs level 1.
+  // The oracle unrolls BOTH levels: q259's move CTEs with the monotone
+  // `lbl <= cur` filter and weighted masses, the q257 floor-quantized
+  // Q terms as the gates, and a three-way gated UNION picking the same
+  // mapping the driver loop picks.
+  private def q263(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+    val edges = Graph.undirectedEdges(sets, "ps")
+    Graph.louvain(edges, levels = 2, rounds = 2).orderBy($"node")
+  }
+  private val q263Sql = {
+    // weighted monotone move rounds over a mirrored weighted frame
+    // `<mir>` (node, nbr, w) with degree table `<deg>` (node, k) and
+    // total weight scalar `<mm>` (m); states lv_0 .. lv_R
+    def moveRounds(tag: String, mir: String, deg: String, mm: String,
+        rounds: Int): String =
+      (1 to rounds).map { i =>
+        val prev = s"${tag}_${i - 1}"
+        s"""${tag}_t$i AS (SELECT p.lbl, CAST(SUM(d.k) AS BIGINT) AS tot
+           |  FROM $prev p JOIN $deg d ON p.node = d.node GROUP BY p.lbl),
+           |${tag}_c$i AS (SELECT e.nbr AS node, p.lbl,
+           |    CAST(SUM(e.w) AS BIGINT) AS c
+           |  FROM $mir e JOIN $prev p ON e.node = p.node GROUP BY 1, 2),
+           |${tag}_a$i AS (SELECT node, lbl, CAST(SUM(c) AS BIGINT) AS c
+           |  FROM (SELECT node, lbl, c FROM ${tag}_c$i
+           |    UNION ALL SELECT node, lbl, 0 FROM $prev)
+           |  GROUP BY node, lbl),
+           |${tag}_s$i AS (SELECT a.node, a.lbl,
+           |    2 * $mm.m * a.c - d.k * (t.tot -
+           |      CASE WHEN a.lbl = p.lbl THEN d.k ELSE 0 END) AS s
+           |  FROM ${tag}_a$i a JOIN $prev p ON a.node = p.node
+           |  JOIN $deg d ON a.node = d.node
+           |  JOIN ${tag}_t$i t ON a.lbl = t.lbl CROSS JOIN $mm
+           |  WHERE a.lbl <= p.lbl),
+           |${tag}_$i AS MATERIALIZED (SELECT node, lbl FROM (
+           |    SELECT node, lbl, row_number() OVER (
+           |        PARTITION BY node ORDER BY s DESC, lbl) AS rn
+           |    FROM ${tag}_s$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+    // floor-quantized modularity total of a (node,lbl) mapping over the
+    // ORIGINAL canonical edge frame p / degree table degn / scalar mq
+    def qTotal(name: String, lblRel: String): String =
+      s"""${name}_i AS (SELECT a.lbl, CAST(COUNT(*) AS BIGINT) AS ec
+         |  FROM p JOIN $lblRel a ON p.u = a.node
+         |  JOIN $lblRel b ON p.v = b.node
+         |  WHERE a.lbl = b.lbl GROUP BY 1),
+         |${name}_d AS (SELECT l.lbl, CAST(SUM(d.k) AS BIGINT) AS ds
+         |  FROM degn d JOIN $lblRel l ON d.node = l.node GROUP BY 1),
+         |$name AS (SELECT CAST(SUM(CAST(floor(
+         |      CAST(4 * mq.m * COALESCE(i.ec, 0) - d.ds * d.ds AS DOUBLE)
+         |      * 1e9 / (4.0 * mq.m * mq.m)) AS BIGINT)) AS BIGINT) AS q
+         |  FROM ${name}_d d LEFT JOIN ${name}_i i USING (lbl)
+         |  CROSS JOIN mq)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pe AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |         AND a.l_partkey <> b.l_partkey),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM pe),
+       |p AS MATERIALIZED (SELECT src AS u, dst AS v FROM e WHERE src < dst),
+       |mq AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p),
+       |degn AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM e GROUP BY src),
+       |mir1 AS (SELECT src AS node, dst AS nbr, CAST(1 AS BIGINT) AS w
+       |  FROM e),
+       |lv1_0 AS (SELECT node, node AS lbl FROM degn),
+       |${moveRounds("lv1", "mir1", "degn", "mq", 2)},
+       |q0 AS (SELECT CAST(SUM(CAST(floor(
+       |      CAST(-(k * k) AS DOUBLE) * 1e9 / (4.0 * mq.m * mq.m))
+       |      AS BIGINT)) AS BIGINT) AS q FROM degn CROSS JOIN mq),
+       |${qTotal("q1", "lv1_2")},
+       |cg AS MATERIALIZED (
+       |  SELECT LEAST(a.lbl, b.lbl) AS u, GREATEST(a.lbl, b.lbl) AS v,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM p JOIN lv1_2 a ON p.u = a.node JOIN lv1_2 b ON p.v = b.node
+       |  GROUP BY 1, 2),
+       |m2 AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM cg),
+       |mir2 AS (SELECT u AS node, v AS nbr, w FROM cg WHERE u <> v
+       |  UNION ALL SELECT v, u, w FROM cg WHERE u <> v),
+       |deg2 AS (SELECT node, CAST(SUM(k) AS BIGINT) AS k FROM (
+       |    SELECT node, SUM(w) AS k FROM mir2 GROUP BY node
+       |    UNION ALL SELECT u, 2 * w FROM cg WHERE u = v) GROUP BY node),
+       |lv2_0 AS (SELECT node, node AS lbl FROM deg2),
+       |${moveRounds("lv2", "mir2", "deg2", "m2", 2)},
+       |comp2 AS (SELECT a.node, b.lbl FROM lv1_2 a
+       |  JOIN lv2_2 b ON a.lbl = b.node),
+       |${qTotal("q2", "comp2")}
+       |SELECT node, CAST(lbl AS BIGINT) AS label FROM (
+       |  SELECT node, node AS lbl FROM degn
+       |  WHERE (SELECT q0.q >= q1.q FROM q0, q1)
+       |  UNION ALL
+       |  SELECT node, lbl FROM lv1_2
+       |  WHERE (SELECT q1.q > q0.q AND q2.q <= q1.q FROM q0, q1, q2)
+       |  UNION ALL
+       |  SELECT node, lbl FROM comp2
+       |  WHERE (SELECT q1.q > q0.q AND q2.q > q1.q FROM q0, q1, q2))
+       |ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q262
   // Betweenness dependencies from the promoted set — Brandes' backward
   // pass over q261's BFS DAG: delta_x9 ranks the cut vertices most
@@ -1378,6 +1481,7 @@ object EntityQueries {
     QueryDef("q183_bfs_hops", q183, Some(q183Sql)),
     QueryDef("q261_path_counts", q261, Some(q261Sql)),
     QueryDef("q262_betweenness", q262, Some(q262Sql)),
+    QueryDef("q263_louvain", q263, Some(q263Sql)),
     QueryDef("q186_audience_overlap", q186, Some(q186Sql)),
   )
 

@@ -698,6 +698,69 @@ class GraphSpec extends SparkSpec {
       err.getMessage)
   }
 
+  test("louvain: two-level planted-community fixture recovers both " +
+      "levels; the modularity gate stops a third level") {
+    // four K4 cliques; 5 bridges A–B and C–D (above the merge threshold
+    // w_ij > d_i·d_j/2m), ONE bridge B–C (below it); bridges avoid each
+    // clique's minimum node (the monotone-move absorber)
+    def clique(ns: Seq[Long]) = for (x <- ns; y <- ns if x < y) yield (x, y)
+    val half = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) ++
+      clique(Seq(9L, 10L, 11L, 12L)) ++ clique(Seq(13L, 14L, 15L, 16L)) ++
+      Seq((2L, 6L), (3L, 7L), (4L, 8L), (2L, 8L), (3L, 8L),
+        (10L, 14L), (11L, 15L), (12L, 16L), (10L, 16L), (11L, 16L),
+        (6L, 10L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    def communities(levels: Int): Map[Long, Seq[Long]] =
+      Graph.louvain(edges, levels = levels, rounds = 2)
+        .as[(Long, Long)].collect().groupBy(_._2)
+        .map { case (l, m) => l -> m.map(_._1).toSeq.sorted }
+    // level 1: the four cliques
+    assert(communities(1) == Map(
+      1L -> Seq(1L, 2L, 3L, 4L), 5L -> Seq(5L, 6L, 7L, 8L),
+      9L -> Seq(9L, 10L, 11L, 12L), 13L -> Seq(13L, 14L, 15L, 16L)))
+    // level 2: the two planted super-communities
+    val two = Map(1L -> (1L to 8L).toSeq, 9L -> (9L to 16L).toSeq)
+    assert(communities(2) == two)
+    // level 3: the weak B–C bridge is below the merge threshold — the
+    // modularity gate refuses the level and keeps level 2
+    assert(communities(3) == two)
+  }
+
+  test("modularityMovesWeighted: coarse-pair absorb WITHOUT the " +
+      "synchronous swap (monotone rule); weighted gain refuses a " +
+      "modularity-negative merge") {
+    // self-loops 1 each, bridge weight 3: merge gain positive -> node 2
+    // joins 1 in one round and STAYS (no oscillation at round 2)
+    val strong = Seq((1L, 1L, 1L), (1L, 2L, 3L), (2L, 2L, 1L))
+      .toDF("u", "v", "w")
+    assert(Graph.modularityMovesWeighted(strong, rounds = 1)
+      .as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 1L))
+    assert(Graph.modularityMovesWeighted(strong, rounds = 2)
+      .as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 1L))
+    // self-loops 3 each, bridge 3: w12/m = 1/3 < k1k2/2m² = 1/2 — the
+    // weighted gain is negative, both communities stay
+    val weak = Seq((1L, 1L, 3L), (1L, 2L, 3L), (2L, 2L, 3L))
+      .toDF("u", "v", "w")
+    assert(Graph.modularityMovesWeighted(weak, rounds = 2)
+      .as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("contractGraphWeighted: weights SUM through the rollup; intra " +
+      "mass lands on self-loops; duplicate labels fail loudly") {
+    val w = Seq((1L, 2L, 5L), (2L, 3L, 7L), (3L, 4L, 1L), (4L, 4L, 9L))
+      .toDF("u", "v", "w")
+    val lbl = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("node", "label")
+    val got = Graph.contractGraphWeighted(w, lbl)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 10L, 5L), (10L, 20L, 7L), (20L, 20L, 10L)))
+    val err = intercept[Exception] {
+      Graph.contractGraphWeighted(w,
+        lbl.unionByName(Seq((1L, 30L)).toDF("node", "label"))).collect()
+    }
+    assert(err.getMessage.contains("duplicate label rows"), err.getMessage)
+  }
+
   test("bfsPathCounts: diamond sigma doubles at the merge node; " +
       "multi-seed sums over all nearest seeds; horizon bounds") {
     // diamond 1-2, 1-3, 2-4, 3-4 (mirrored): from {1}, node 4 has two
