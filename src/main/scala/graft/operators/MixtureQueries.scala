@@ -332,8 +332,9 @@ object MixtureQueries {
         q241Merges.toDF("round", "lhs", "rhs"))
       .orderBy($"doc_id")
   }
-  private val q241Sql = {
-    def round(k: Int, l: String, r: String): String = {
+  // one gaps-and-islands BPE apply round over the st{k-1} symbol state —
+  // shared by the q241 (counts) and q264 (token ids) oracles
+  private def bpeApplyRound(k: Int, l: String, r: String): String = {
       val prev = s"st${k - 1}"
       s"""mk$k AS (
          |  SELECT w, i, sym,
@@ -361,9 +362,11 @@ object MixtureQueries {
          |        FROM keep$k)
          |  WHERE pkp = 0
          |  GROUP BY w)""".stripMargin
-    }
+  }
+
+  private val q241Sql = {
     val rounds = q241Merges
-      .map { case (k, l, r) => round(k.toInt, l, r) }.mkString(",\n")
+      .map { case (k, l, r) => bpeApplyRound(k.toInt, l, r) }.mkString(",\n")
     s"""WITH w0 AS MATERIALIZED (
        |  SELECT doc_id, u.w
        |  FROM documents, LATERAL unnest($toksSql) AS u(w)
@@ -377,6 +380,52 @@ object MixtureQueries {
        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
        |FROM w0 JOIN seg USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q264
+  // BPE TOKENIZE-TO-IDS under q241's pinned merge table: per-document
+  // token-ID sequences under the deterministic vocabulary contract
+  // (binary-sorted distinct base codepoints = ids 0..B−1, merge products
+  // = B+round−1). The oracle reuses q241's six apply rounds, derives the
+  // identical vocabulary in SQL, and reassembles per-doc id lists in
+  // word order — list equality is the gate.
+  private def q264(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.TextAnalysis.bpeTokenIds(Tables.documents(s, d),
+        q241Merges.toDF("round", "lhs", "rhs"))
+      .orderBy($"doc_id")
+  }
+  private val q264Sql = {
+    val rounds = q241Merges
+      .map { case (k, l, r) => bpeApplyRound(k.toInt, l, r) }.mkString(",\n")
+    val mergeVals = q241Merges
+      .map { case (k, l, r) => s"('$l$r', ${k - 1})" }.mkString(", ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT doc_id, t.i AS pos, toks[t.i] AS w
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents),
+       |    LATERAL unnest(range(1, len(toks) + 1)) t(i)
+       |  WHERE toks[t.i] <> ''),
+       |st0 AS MATERIALIZED (
+       |  SELECT w, regexp_extract_all(w, '.') AS syms
+       |  FROM (SELECT DISTINCT w FROM w0)),
+       |$rounds,
+       |base AS (SELECT sym, ROW_NUMBER() OVER (ORDER BY sym) - 1 AS vid
+       |  FROM (SELECT DISTINCT t.sym
+       |        FROM st0, LATERAL unnest(syms) t(sym))),
+       |bn AS (SELECT COUNT(*) AS b FROM base),
+       |vocab AS (SELECT sym, vid FROM base
+       |  UNION ALL
+       |  SELECT sym, MIN(bn.b + r) AS vid
+       |  FROM (VALUES $mergeVals) m(sym, r) CROSS JOIN bn GROUP BY sym),
+       |wids AS (SELECT st6.w,
+       |    list(v.vid ORDER BY t.i) AS wids
+       |  FROM st6, LATERAL unnest(range(1, len(syms) + 1)) t(i)
+       |  JOIN vocab v ON v.sym = st6.syms[t.i]
+       |  GROUP BY st6.w),
+       |docids AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
+       |  FROM w0 JOIN wids USING (w) GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens, ids
+       |FROM docids ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q114
@@ -572,6 +621,7 @@ object MixtureQueries {
     QueryDef("q113_bpe_pairs", q113, Some(q113Sql)),
     QueryDef("q235_bpe_train", q235, Some(q235Sql)),
     QueryDef("q241_bpe_segment", q241, Some(q241Sql)),
+    QueryDef("q264_bpe_token_ids", q264, Some(q264Sql)),
     QueryDef("q114_group_ksample", q114, Some(q114Sql)),
     QueryDef("q115_quality_quota", q115, Some(q115Sql)),
     QueryDef("q116_accent_fold", q116, Some(q116Sql)),

@@ -178,4 +178,35 @@ class SinksSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("tokenShardedParquet carries TOKEN-ID SEQUENCES: bpeTokenIds " +
+      "output round-trips through an id-bearing shard write intact") {
+    val docs = Seq((1L, "tan tab"), (2L, "rat tine tan"), (3L, "in in"),
+      (4L, "a"), (5L, "bat ban tab"))
+      .toDF("doc_id", "text")
+    val merges = Seq((1L, "t", "a"), (2L, "a", "n"), (3L, "r", "t"),
+      (4L, "i", "n"), (5L, "in", "e"), (6L, "ta", "b"))
+      .toDF("round", "lhs", "rhs")
+    val toks = graft.ops.TextAnalysis.bpeTokenIds(docs, merges)
+    val before = toks.select($"doc_id", $"n_tokens", $"ids")
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val dir = Files.createTempDirectory("idshards").toFile.getAbsolutePath
+    Sinks.tokenShardedParquet(toks, dir, "n_tokens", Seq("doc_id"),
+      shardTokens = 5L)
+    val back = spark.read.parquet(dir)
+    // every shard row still carries its id sequence, byte-identical
+    val after = back.select($"doc_id", $"n_tokens", $"ids")
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(after == before)
+    // shard token sums respect the budget (overshoot ≤ one doc)
+    val sums = back.select($"shard".cast("long"), $"n_tokens")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2).sum }
+    val maxDoc = before.map(_._2).max
+    sums.foreach { case (s, tot) =>
+      assert(tot <= 5L + maxDoc - 1, s"shard $s holds $tot tokens") }
+    // the sequences themselves are the real payload: ids concatenate in
+    // document order to the corpus token stream a loader would read
+    assert(before.map(_._3.length.toLong) == before.map(_._2))
+  }
 }

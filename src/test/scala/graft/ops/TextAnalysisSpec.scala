@@ -272,6 +272,59 @@ class TextAnalysisSpec extends SparkSpec {
     } finally spark.conf.unset("graft.dsir.broadcastRatios")
   }
 
+  test("bpeTokenIds: id sequences ≡ independent in-test replay under the " +
+      "pinned vocab contract; re-fused strings keep their FIRST id; " +
+      "non-BMP codepoints are single base symbols") {
+    // corpus with a supplementary char (U+1D49C) and a re-fusion: merge 5
+    // re-creates 'ta' (already id'd by merge 1) — first id must win
+    val docs = Seq((1L, "tan tab 𝒜a"), (2L, "rat tan"),
+      (3L, null.asInstanceOf[String]), (4L, ""))
+      .toDF("doc_id", "text")
+    val merges = Seq((1L, "t", "a"), (2L, "ta", "n"), (3L, "r", "a"),
+      (4L, "ta", "b"), (5L, "t", "a"))
+      .toDF("round", "lhs", "rhs")
+    val got = TextAnalysis.bpeTokenIds(docs, merges)
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    // independent replay: base syms = sorted distinct codepoints of the
+    // corpus words; merge ids = B + round - 1, first fusion wins
+    val words = Seq("tan", "tab", "𝒜a", "rat")
+    val base = words.flatMap(w => w.codePoints().toArray.toSeq)
+      .map(cp => new String(Character.toChars(cp))).distinct
+      .sortBy(s => s.getBytes("UTF-8").map(_ & 0xff).toSeq
+        .map(i => f"$i%03d").mkString)
+    val mergeSeq = Seq(("t", "a"), ("ta", "n"), ("r", "a"), ("ta", "b"),
+      ("t", "a"))
+    val vid = scala.collection.mutable.LinkedHashMap[String, Long]()
+    base.zipWithIndex.foreach { case (s, i) => vid(s) = i.toLong }
+    mergeSeq.zipWithIndex.foreach { case ((l, r), i) =>
+      if (!vid.contains(l + r)) vid(l + r) = base.length.toLong + i }
+    def seg(w: String): Seq[Long] = {
+      var syms = w.codePoints().toArray.toSeq
+        .map(cp => new String(Character.toChars(cp)))
+      mergeSeq.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms.map(vid)
+    }
+    val expected = Seq(
+      (1L, "tan tab 𝒜a"), (2L, "rat tan")).map { case (id, t) =>
+      val ids = t.split(" ").toSeq.flatMap(seg)
+      (id, ids.length.toLong, ids)
+    }
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the re-fused 'ta' really did keep id B+0 (merge 1), and the
+    // supplementary char is one symbol, not two surrogates
+    assert(vid("ta") == base.length.toLong)
+    assert(base.contains("𝒜"))
+  }
+
   test("bpeTrain: hand-computed merge sequence with frequency weighting, " +
       "deterministic tie-break, early stop when no pairs remain") {
     // words: aa x1, ab x2 → round 1 best (a,b) n=2; merging collapses ab
