@@ -100,18 +100,21 @@ object Bench {
     // it. This probe exercises exactly that surface: localCheckpoint ~0.8 GB
     // into the block store, then a wide hash aggregate over it (8M groups —
     // real execution-memory demand that spills when squeezed), released
-    // through the same purge path as the suite. Emitted as ckpt_canary_s +
-    // ckpt_noise_factor beside the CPU pair; clean pin env-overridable via
-    // SPARK_GRAFT_CKPT_CANARY_CLEAN_S.
+    // through the same purge path as the suite. Sized to ~0.4 GB storage
+    // + ~1.5 GB aggregate exec memory: comfortable on the default 8 GiB
+    // bench heap, squeezed visibly by leftover-block pollution. Emitted
+    // as ckpt_canary_s + ckpt_noise_factor beside the CPU pair; clean pin
+    // env-overridable via SPARK_GRAFT_CKPT_CANARY_CLEAN_S.
     val ckptCleanS =
-      sys.env.getOrElse("SPARK_GRAFT_CKPT_CANARY_CLEAN_S", "3.4").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_CKPT_CANARY_CLEAN_S", "6.0").toDouble
     def ckptProbe(rows: Long): Unit = {
       val df = spark.range(0L, rows, 1L, cpus.toInt)
-        .select((org.apache.spark.sql.functions.col("id") *
-          org.apache.spark.sql.functions.lit(0x9E3779B97F4A7C15L)).as("k"))
+        .select(org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("id")).as("k"))
         .localCheckpoint()
-      df.groupBy((org.apache.spark.sql.functions.col("k") %
-          org.apache.spark.sql.functions.lit(8388608L)).as("g"))
+      df.groupBy((org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("k"),
+          org.apache.spark.sql.functions.lit(1048576L))).as("g"))
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"))
         .agg(org.apache.spark.sql.functions.max(
@@ -121,11 +124,14 @@ object Bench {
     def ckptCanary(): Double = {
       System.gc()
       val t0 = System.nanoTime()
-      ckptProbe(100000000L)
+      ckptProbe(50000000L)
       (System.nanoTime() - t0) / 1e9
     }
     canaryProbe(10000000L) // untimed: JIT/codegen warm the probe itself
-    ckptProbe(1000000L)    // untimed warm of the checkpoint probe
+    // untimed FULL-SIZE warm: the first checkpoint probe pays one-off
+    // page/buffer allocation (measured 10.4 vs 6.0 s steady) — the timed
+    // probes must compare steady state to steady state
+    ckptProbe(50000000L)
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
     val ckptCanaries = scala.collection.mutable.ArrayBuffer[Double]()
     def noiseFactor: Double = {

@@ -408,6 +408,14 @@ object Graph {
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val e = canonicalUndirected(edges)
     val m = e.count() // control-plane scalar off the checkpoint
+    modularityFromCanonical(e, m, labels)
+  }
+
+  /** [[modularity]] body on an ALREADY-canonical checkpointed edge frame
+    * with its edge count — [[louvain]] evaluates the gate once per level
+    * and must not re-run the canonical distinct each time. */
+  private def modularityFromCanonical(e: DataFrame, m: Long,
+      labels: DataFrame): DataFrame = {
     require(m > 0, "modularity needs at least one edge")
     // three consumers (u-side join, v-side join, degree rollup): one V-row
     // materialization beats re-deriving the label source thrice
@@ -1222,16 +1230,23 @@ object Graph {
       : DataFrame = {
     require(levels >= 1, "louvain needs at least one level")
     val base = canonicalUndirected(edges)
-    val srcDst = base.select(col("u").as("src"), col("v").as("dst"))
+    val m0 = base.count() // one canonical frame + count, shared by every gate
+    require(m0 > 0, "louvain needs at least one edge")
     def q(labels: DataFrame): Long =
-      modularity(srcDst, labels)
+      modularityFromCanonical(base, m0, labels)
         .agg(coalesce(sum(col("q_term_x9")), lit(0L))).first().getLong(0)
     var cur = base.select(col("u"), col("v"), lit(1L).as("w"))
-    // level 0: singletons (identity labeling over the graph's node set)
+    // level 0: singletons. Identity labels make every intra count 0 and
+    // every community degree the node degree, so Q0 is one degree
+    // aggregate — no label joins (value-identical to q(identity))
     var mapping = base.select(explode(array(col("u"), col("v"))).as("node"))
       .distinct().select(col("node"), col("node").as("label"))
       .localCheckpoint()
-    var bestQ = q(mapping)
+    var bestQ = degreesOf(base)
+      .select(floor(((col("d").cast("decimal(38,0)") * col("d") * -1)
+        .cast("double") * 1e9) / lit(4.0 * m0.toDouble * m0.toDouble))
+        .cast("long").as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L))).first().getLong(0)
     var level = 1
     var improving = true
     while (level <= levels && improving) {
