@@ -446,6 +446,50 @@ object CorpusQueries {
        |FROM toks JOIN lr USING (t)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q270
+  // Multinomial naive Bayes label audit: train on (source → text), score
+  // every document, report the confusion matrix with the winning
+  // quantized log-posterior summed per cell. The oracle replays the
+  // whole model — priors, add-1 smoothed (vocab × class) likelihoods,
+  // per-doc integer score sums, and the argmax with its smallest-label
+  // tie-break (ORDER BY score DESC, cand ASC ≡ the min-struct).
+  private def q270(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.naiveBayesPredict(Tables.documents(s, d), "source")
+      .groupBy($"actual", $"predicted")
+      .agg(count(lit(1)).as("n"), sum($"score_x6").as("s6_sum"))
+      .orderBy($"actual", $"predicted")
+  }
+  private val q270Sql =
+    s"""WITH toks AS (SELECT doc_id, source, unnest($toksSql) AS t FROM documents),
+       |tc AS (SELECT t, source AS cls, CAST(COUNT(*) AS BIGINT) AS n_tc
+       |       FROM toks GROUP BY 1, 2),
+       |cls AS (SELECT source AS cls, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |        FROM documents GROUP BY 1),
+       |nn AS (SELECT SUM(n_docs) AS n FROM cls),
+       |vv AS (SELECT COUNT(DISTINCT t) AS v FROM tc),
+       |tot AS (SELECT cls, SUM(n_tc) AS tot_c FROM tc GROUP BY 1),
+       |vocab AS (SELECT DISTINCT t FROM tc),
+       |model AS (SELECT vocab.t, tot.cls,
+       |    CAST(floor(ln((COALESCE(tc.n_tc, 0) + 1)
+       |      / CAST(tot.tot_c + vv.v AS DOUBLE)) * 1e6) AS BIGINT) AS w6
+       |  FROM vocab CROSS JOIN tot CROSS JOIN vv
+       |  LEFT JOIN tc ON tc.t = vocab.t AND tc.cls = tot.cls),
+       |prior AS (SELECT cls.cls,
+       |    CAST(floor(ln(cls.n_docs / CAST(nn.n AS DOUBLE)) * 1e6) AS BIGINT)
+       |      AS p6 FROM cls CROSS JOIN nn),
+       |sc AS (SELECT toks.doc_id, toks.source AS actual, model.cls AS cand,
+       |         SUM(model.w6) AS s6
+       |       FROM toks JOIN model ON toks.t = model.t GROUP BY 1, 2, 3),
+       |best AS (SELECT doc_id, actual, cand AS predicted,
+       |           CAST(s6 + p6 AS BIGINT) AS score,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id
+       |             ORDER BY s6 + p6 DESC, cand ASC) AS rn
+       |         FROM sc JOIN prior ON sc.cand = prior.cls)
+       |SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(score) AS BIGINT) AS s6_sum
+       |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- q78
   // Cross-source overlap matrix: distinct 5-token lines shared per source
   // pair — mirror/plagiarism detection and a dataset-card diversity stat.
@@ -861,5 +905,6 @@ object CorpusQueries {
     QueryDef("q97_fuzzy_key_join", q97, Some(q97Sql)),
     QueryDef("q221_vocab_jaccard", q221, Some(q221Sql)),
     QueryDef("q230_span_corruption", q230, Some(q230Sql)),
+    QueryDef("q270_naive_bayes", q270, Some(q270Sql)),
   )
 }

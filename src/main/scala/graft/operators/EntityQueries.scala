@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Graph, RecordLinkage, Regression, Sampling}
+import graft.ops.{Graph, Mining, RecordLinkage, Regression, Sampling}
 
 /** Entity-level operations (round 3 widening): per-key rate limiting,
   * golden-record survivorship, co-purchase PageRank, and edit-distance
@@ -589,6 +589,81 @@ object EntityQueries {
       |    AS cc_x6
       |FROM deg LEFT JOIN tri ON deg.n = tri.node
       |WHERE deg.d >= 2 ORDER BY node""".stripMargin
+
+  // ---------------------------------------------------------------- q268
+  // Pairwise association rules over order baskets — support, confidence
+  // and lift for every part pair co-purchased in ≥3 orders: the classic
+  // market-basket readout ("customers who bought A also bought B") on
+  // the same baskets the co-purchase graph family mines. Counts exact,
+  // ratios floor-quantized 1e6 via DECIMAL(38,0) products; the oracle
+  // replays the identical HUGEINT arithmetic.
+  private def q268(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Mining.pairRules(
+      Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey"),
+      "l_orderkey", "l_partkey", minPairSupport = 3L)
+      .orderBy($"item_a", $"item_b")
+  }
+  private val q268Sql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+      |it AS (SELECT l_partkey AS item, COUNT(*) AS n_item FROM li GROUP BY 1),
+      |pr AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+      |         CAST(COUNT(*) AS BIGINT) AS n_ab
+      |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |         AND a.l_partkey < b.l_partkey
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT item_a, item_b, n_ab,
+      |  ia.n_item AS n_a, ib.n_item AS n_b, nb.n AS n_baskets,
+      |  CAST((1000000::HUGEINT * n_ab) // ia.n_item AS BIGINT) AS conf_ab_e6,
+      |  CAST((1000000::HUGEINT * n_ab) // ib.n_item AS BIGINT) AS conf_ba_e6,
+      |  CAST((1000000::HUGEINT * n_ab * nb.n)
+      |    // (ia.n_item::HUGEINT * ib.n_item) AS BIGINT) AS lift_e6
+      |FROM pr JOIN it ia ON pr.item_a = ia.item
+      |JOIN it ib ON pr.item_b = ib.item CROSS JOIN nb
+      |ORDER BY item_a, item_b""".stripMargin
+
+  // ---------------------------------------------------------------- q269
+  // Coreness (k-core number) of every part in the strong co-purchase
+  // graph via 3 H-index iteration rounds (Lü et al. 2016) — the full
+  // core decomposition where q158 peels one fixed k. The oracle unrolls
+  // each round: desc-rank neighbor values per node, H = count of
+  // positions with value ≥ position.
+  private def q269(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+    val strong = Graph.orderedPairs(sets, "ps")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"src", $"dst")
+    Graph.coreness(strong, rounds = 3).orderBy($"node")
+  }
+  private val q269Sql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS MATERIALIZED (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+      |c0 AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM e GROUP BY 1),
+      |r1 AS (SELECT e.u AS node, c0.c AS cn,
+      |         ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY c0.c DESC) AS rn
+      |       FROM e JOIN c0 ON e.v = c0.node),
+      |c1 AS (SELECT node, CAST(COUNT(*) FILTER (cn >= rn) AS BIGINT) AS c
+      |       FROM r1 GROUP BY 1),
+      |r2 AS (SELECT e.u AS node, c1.c AS cn,
+      |         ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY c1.c DESC) AS rn
+      |       FROM e JOIN c1 ON e.v = c1.node),
+      |c2 AS (SELECT node, CAST(COUNT(*) FILTER (cn >= rn) AS BIGINT) AS c
+      |       FROM r2 GROUP BY 1),
+      |r3 AS (SELECT e.u AS node, c2.c AS cn,
+      |         ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY c2.c DESC) AS rn
+      |       FROM e JOIN c2 ON e.v = c2.node),
+      |c3 AS (SELECT node, CAST(COUNT(*) FILTER (cn >= rn) AS BIGINT) AS c
+      |       FROM r3 GROUP BY 1)
+      |SELECT node, c AS coreness FROM c3 ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------- q257
   // Modularity of the BRAND partition over the strong co-purchase graph
@@ -1469,6 +1544,8 @@ object EntityQueries {
     QueryDef("q208_logrank", q208, Some(q208Sql)),
     QueryDef("q138_triangles", q138, Some(q138Sql)),
     QueryDef("q255_clustering_coefficient", q255, Some(q255Sql)),
+    QueryDef("q268_pair_rules", q268, Some(q268Sql)),
+    QueryDef("q269_coreness", q269, Some(q269Sql)),
     QueryDef("q257_modularity", q257, Some(q257Sql)),
     QueryDef("q259_modularity_moves", q259, Some(q259Sql)),
     QueryDef("q260_contract_graph", q260, Some(q260Sql)),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Dedup, Multimodal, Regression, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, RecordLinkage, Regression, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators under the correctness gate (north-star
   * EXT): dedup family, similarity search, text analysis, multimodal
@@ -1099,6 +1099,82 @@ object LlmQueries {
       |    AS BIGINT) AS pixel_sum
       |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q271
+  // Perceptual image dedup end to end: synthesize a deterministic
+  // gradient PNG per document (17 shared templates + a per-doc
+  // perturbation column — every pixel a pure integer function of
+  // doc_id), REAL-decode and dHash it, collapse exact fingerprint
+  // clones, and mine near-duplicate pairs among the DISTINCT
+  // fingerprints with the exact-recall Hamming pigeonhole join. The
+  // distinct-fingerprint frame is template-structure-bound (the
+  // perturbation can land on ≤9 sample-grid columns per template), NOT
+  // corpus-bound — so the pair mine's cost is invariant in corpus size
+  // while the clone counts it reports scale with it. The oracle replays
+  // the raster → 9×8 floor-map downsample → 64 difference bits as
+  // hi/lo 32-bit integers, then brute-forces pair distances with
+  // bit_count(xor(...)), recall-1.0-checking the pigeonhole blocking.
+  private def q271(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, d)
+      .select($"doc_id".cast("long").as("doc_id"))
+    val png = ids.as[Long].mapPartitions { it =>
+      it.map { id =>
+        val t = (id % 17).toInt
+        val w = 40 + t % 7
+        val h = 24 + t % 5
+        (id, Multimodal.gradientPng(w, h, t * 11, (id % w).toInt))
+      }
+    }.toDF("doc_id", "media")
+    val dh = Multimodal.dhashImages(png, "doc_id", "media")
+      .filter($"decoded")
+    val groups = dh.groupBy($"dbits")
+      .agg(min($"doc_id").as("rep"), count(lit(1)).as("n_docs"))
+      .localCheckpoint() // pair mine + both n_docs lookups read it
+    RecordLinkage.hammingKeyJoin(
+        groups.select($"rep".as("id"), $"dbits".as("key")),
+        "id", "key", keyLen = 64, maxDist = 16)
+      .join(groups.select($"rep".as("id_a"), $"n_docs".as("n_docs_a")), "id_a")
+      .join(groups.select($"rep".as("id_b"), $"n_docs".as("n_docs_b")), "id_b")
+      .select($"id_a", $"id_b", $"dist".cast("long").as("dist"),
+        $"n_docs_a", $"n_docs_b")
+      .orderBy($"id_a", $"id_b")
+  }
+  private val q271Sql =
+    """WITH g AS (SELECT doc_id, CAST(doc_id % 17 AS BIGINT) AS t,
+      |         CAST(40 + (doc_id % 17) % 7 AS BIGINT) AS w,
+      |         CAST(24 + (doc_id % 17) % 5 AS BIGINT) AS h
+      |       FROM documents),
+      |bits AS (SELECT doc_id, y, x,
+      |    CASE WHEN
+      |      (((x + 1) * w // 9) * 7 + (y * h // 8) * 13 + t * 11
+      |        + CASE WHEN ((x + 1) * w // 9) = doc_id % w THEN 7 ELSE 0 END)
+      |        % 241
+      |      >
+      |      ((x * w // 9) * 7 + (y * h // 8) * 13 + t * 11
+      |        + CASE WHEN (x * w // 9) = doc_id % w THEN 7 ELSE 0 END)
+      |        % 241
+      |    THEN 1 ELSE 0 END AS b
+      |  FROM g, LATERAL unnest(range(8)) AS ys(y),
+      |    LATERAL unnest(range(8)) AS xs(x)),
+      |hashes AS (SELECT doc_id,
+      |    SUM(CASE WHEN y * 8 + x < 32
+      |        THEN b * (1::BIGINT << CAST(31 - y * 8 - x AS INTEGER))
+      |        ELSE 0 END) AS hi,
+      |    SUM(CASE WHEN y * 8 + x >= 32
+      |        THEN b * (1::BIGINT << CAST(63 - y * 8 - x AS INTEGER))
+      |        ELSE 0 END) AS lo
+      |  FROM bits GROUP BY doc_id),
+      |grp AS (SELECT hi, lo, MIN(doc_id) AS rep,
+      |         CAST(COUNT(*) AS BIGINT) AS n_docs
+      |       FROM hashes GROUP BY hi, lo)
+      |SELECT a.rep AS id_a, b.rep AS id_b,
+      |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+      |    AS BIGINT) AS dist,
+      |  a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+      |FROM grp a JOIN grp b ON a.rep < b.rep
+      |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 16
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------- q240
   // WAV decode round-trip — the second REAL media modality (the q234
   // pattern): synthesize a deterministic PCM16 WAV per sampled doc
@@ -1298,6 +1374,7 @@ object LlmQueries {
     QueryDef("q234_imageio_roundtrip", q234, Some(q234Sql)),
     QueryDef("q240_wav_roundtrip", q240, Some(q240Sql)),
     QueryDef("q246_image_resize", q246, Some(q246Sql)),
+    QueryDef("q271_image_dhash", q271, Some(q271Sql)),
     QueryDef("q247_audio_energy", q247, Some(q247Sql)),
     QueryDef("q40_dedup_exact", q40, Some(q40Sql)),
     QueryDef("q41_minhash_pairs", q41, Some(q41Sql)),

@@ -1363,4 +1363,51 @@ object Graph {
     alive.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
+
+  /** Coreness (k-core number) of every node via the H-INDEX ITERATION
+    * (Lü, Chen, Ren, Zhang, Yan & Zhou 2016): c₀(v) = deg(v), then each
+    * round c(v) ← H({c(u) : u ∈ N(v)}) — the largest h such that at
+    * least h neighbors currently hold value ≥ h. The sequence is
+    * monotone non-increasing per node and converges to the exact core
+    * number, so a BOUNDED round count yields a per-node UPPER bound that
+    * is exact wherever the iteration has settled (the pageRank/bfsHops
+    * bounded-round contract; deep nested-core chains need more rounds).
+    * Unlike [[kCore]] (fixed k, global peeling) this produces the whole
+    * decomposition in one pass family — the standard "how deep in the
+    * graph's cohesive core is this node" curation signal.
+    *
+    * Scale shape: the adjacency index builds once ([[guardDegree]]
+    * contract); each round equi-joins the slim (node, c) state against
+    * the index, explodes in-task, and computes the H-index RELATIONALLY —
+    * desc-sort the collected neighbor values, posexplode, count positions
+    * with value ≥ position — keeping every stage whole-stage codegen
+    * (the orderedPairs HOF lesson: an aggregate()/zip_with() form splits
+    * the span). Per round: E in-task rows, two V-row exchanges.
+    *
+    * @param edges (src, dst) rows, any direction/duplication
+    * @return (node, coreness) — exact once converged, else upper bound
+    */
+  def coreness(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
+    val e = canonicalUndirected(edges)
+    val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val adj = guardDegree(
+      und.groupBy(col("u").as("node")).agg(collect_list(col("v")).as("ns")),
+      "node", "ns").localCheckpoint()
+    var state = adj.select(col("node"), size(col("ns")).cast("long").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      state = adj.select(col("node"), explode(col("ns")).as("nb"))
+        .join(state.select(col("node").as("nb"), col("c").as("cn")), "nb")
+        .groupBy(col("node"))
+        .agg(sort_array(collect_list(col("cn")), asc = false).as("cs"))
+        // H-index: with cs desc-sorted, the indicator [cs[i] ≥ i+1] is
+        // monotone non-increasing along the array, so H = Σ_i [cs[i] ≥ i+1]
+        .select(col("node"), posexplode(col("cs")).as(Seq("__i", "cv")))
+        .filter(col("cv") >= col("__i") + 1L)
+        .groupBy(col("node")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+    }
+    state.withColumnRenamed("c", "coreness")
+  }
 }

@@ -181,6 +181,106 @@ object Multimodal {
         "decoded")
   }
 
+  /** 64-bit difference hash (dHash) of an image — the standard cheap
+    * PERCEPTUAL fingerprint for near-duplicate image detection (Krawetz's
+    * public aHash/dHash family): decode, nearest-neighbor downsample the
+    * gray raster to 9×8 on the [[imageResize]] floor map (srcX = x·W div
+    * 9, srcY = y·H div 8 — pure integer, bit-identical on every JVM),
+    * then bit(y·8+x) = 1 iff gray(x+1,y) > gray(x,y). Gray = r+g+b (no
+    * division — monotone in luminance, exact). Crops/re-encodes/minor
+    * edits move few bits, so near-duplicate images sit within a small
+    * Hamming radius — the image-side analogue of SimHash on text.
+    * Returns (hash, bits) where `bits` is the 64-char '0'/'1' string
+    * whose POSITIONAL Hamming distance equals the bit distance —
+    * directly joinable by [[graft.ops.RecordLinkage.hammingKeyJoin]]'s
+    * exact-recall pigeonhole blocking. None when ImageIO can't read the
+    * payload (the native-codec seam). */
+  def imageDHash(bytes: Array[Byte]): Option[(Long, String)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val srcW = img.getWidth; val srcH = img.getHeight
+        val g = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < 8) {
+          val sy = (y.toLong * srcH / 8).toInt
+          var x = 0
+          while (x < 9) {
+            val rgb = img.getRGB((x.toLong * srcW / 9).toInt, sy)
+            g(y)(x) = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        val sb = new java.lang.StringBuilder(64)
+        y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val bit = g(y)(x + 1) > g(y)(x)
+            hash = (hash << 1) | (if (bit) 1L else 0L)
+            sb.append(if (bit) '1' else '0')
+            x += 1
+          }
+          y += 1
+        }
+        Some((hash, sb.toString))
+      }
+    } catch { case _: Exception => None }
+
+  /** Partition-batched [[imageDHash]] — the [[decodeDimensions]] seam
+    * for the perceptual-fingerprint stage. Emits (id, dhash, dbits,
+    * decoded); unreadable payloads keep NULL hash columns with
+    * `decoded` = false (the error-channel contract). Feed `dbits` to
+    * [[graft.ops.RecordLinkage.hammingKeyJoin]] (keyLen 64) for the
+    * near-duplicate pair mine: exact-duplicate hashes collapse through
+    * its clone-group pre-stage, so a corpus of k-way re-encoded copies
+    * costs candidate work on DISTINCT fingerprints only. */
+  def dhashImages(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(longIdOrRaise(idCol), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          imageDHash(bytes) match {
+            case Some((h, b)) => (id, Some(h), Some(b), true)
+            case None => (id, None: Option[Long], None: Option[String], false)
+          }
+        }
+      }
+      .toDF(idCol, "dhash", "dbits", "decoded")
+  }
+
+  /** Deterministic gradient-pattern PNG synthesis — the test/demo
+    * payload for PERCEPTUAL-hash gates: pixel (x, y) holds the gray
+    * value ((x·7 + y·13 + salt) + (x = perturbX ? 7 : 0)) mod 241 in
+    * all three channels, so the full raster — and therefore every
+    * downsample/compare any SQL engine replays — is a pure integer
+    * function of (w, h, salt, perturbX). Same-salt images share their
+    * gradient (near-identical dHash, differing only where the
+    * perturbation column lands on the 9×8 sample grid); different
+    * salts decorrelate at the mod-wraparound positions. */
+  def gradientPng(w: Int, h: Int, salt: Int, perturbX: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (x * 7 + y * 13 + salt + (if (x == perturbX) 7 else 0)) % 241
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic solid-color PNG synthesis (JDK ImageIO encoder) —
     * the test/demo payload generator for the decode round-trip: PNG is
     * lossless, so dims and the pixel sum of the decoded raster are pure

@@ -114,6 +114,76 @@ object TextAnalysis {
         .agg(count(lit(1)).as("nr")),
       target, textCol)
 
+  /** Multinomial naive Bayes, self-trained and self-scored — the
+    * classic multi-CLASS text classifier (the step up from
+    * [[graft.ops.Regression.perceptronTrain]]'s binary margin): class
+    * priors ln(n_c/N) plus add-1 smoothed per-term likelihoods
+    * ln((n_tc+1)/(tot_c+V)) summed over document tokens, predicted =
+    * argmax. Training and scoring share one corpus here (the
+    * label-audit shape: "does the text support the label column?"),
+    * but the model table stands alone for a train-here/score-there
+    * split.
+    *
+    * EXACTNESS: every ln is floor-quantized to 1e-6 units separately
+    * (the [[importanceWeights]] pattern), scores are exact integer
+    * sums, argmax ties break to the SMALLEST class label via the
+    * min-struct aggregate — bit-identical across engines and
+    * partitionings.
+    *
+    * Scale shape: ONE tokenize+explode pass feeds the (t, class)
+    * count table and the scoring join; the model is (vocab × k) rows
+    * — broadcast-hinted by default, `graft.nb.broadcastModel=false`
+    * drops the hint for unbounded vocabularies (the
+    * `graft.dsir.broadcastRatios` discipline); the per-document score
+    * frame is k rows per document, k the (small) class count.
+    *
+    * @return (id, actual, predicted, score_x6) — one row per document,
+    *         score_x6 the winning class's quantized log-posterior
+    */
+  def naiveBayesPredict(docs: DataFrame, classCol: String,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tokRows = tokenRows(docs, textCol,
+      col(idCol).as("id"), col(classCol).as("cls"))
+      .localCheckpoint()
+    val tc = tokRows.groupBy(col("t"), col("cls"))
+      .agg(count(lit(1)).as("n_tc")).localCheckpoint()
+    val classes = docs.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("n_docs")).localCheckpoint()
+    val classTotals = tc.groupBy(col("cls")).agg(sum(col("n_tc")).as("tot_c"))
+    // control-plane scalars: vocabulary size and corpus size
+    val vocabSize = tc.select(col("t")).distinct().count()
+    val nDocs = classes.agg(sum(col("n_docs"))).first().getLong(0)
+    require(nDocs > 0, "naiveBayesPredict needs a non-empty corpus")
+    val prior = classes.join(classTotals, "cls")
+      .select(col("cls"), col("tot_c"),
+        floor(log(col("n_docs").cast("double") / lit(nDocs.toDouble)) * 1e6)
+          .as("prior6"))
+      .localCheckpoint() // k rows
+    // (vocab × k) model: smoothed likelihood of every term under every class
+    val model = tc.select(col("t")).distinct()
+      .crossJoin(broadcast(prior.select(col("cls"), col("tot_c"))))
+      .join(tc, Seq("t", "cls"), "left")
+      .select(col("t"), col("cls"),
+        floor(log((coalesce(col("n_tc"), lit(0L)) + 1L).cast("double") /
+          (col("tot_c") + lit(vocabSize)).cast("double")) * 1e6).as("w6"))
+    val hinted =
+      if (docs.sparkSession.conf.get("graft.nb.broadcastModel", "true").toBoolean)
+        broadcast(model)
+      else model
+    tokRows.join(hinted.withColumnRenamed("cls", "cand"), Seq("t"))
+      .groupBy(col("id"), col("cls"), col("cand"))
+      .agg(sum(col("w6")).as("s6"))
+      .join(broadcast(prior.select(col("cls").as("cand"), col("prior6"))),
+        "cand")
+      .groupBy(col("id"), col("cls"))
+      // argmax score, ties to the smallest class label: min over the
+      // (−score, label) struct — one map-side-combinable aggregate
+      .agg(min(struct((-(col("s6") + col("prior6"))).as("ns"),
+        col("cand").as("c"))).as("best"))
+      .select(col("id"), col("cls").as("actual"),
+        col("best.c").as("predicted"), (-col("best.ns")).as("score_x6"))
+  }
+
   private def importanceRatiosFrom(rawVocab0: DataFrame, target: DataFrame,
       textCol: String): DataFrame = {
     val rawVocab = rawVocab0.localCheckpoint()

@@ -794,4 +794,62 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(7L -> 7L, 1L -> 7L))
   }
+
+  /** Exact coreness by classic peeling — the spec's oracle. */
+  private def localCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    var adj = und.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val core = scala.collection.mutable.Map[Long, Long]()
+    var k = 1L
+    while (adj.nonEmpty) {
+      var changed = true
+      while (changed) {
+        val peel = adj.filter(_._2.size < k).keys.toSet
+        changed = peel.nonEmpty
+        peel.foreach { n => core(n) = k - 1 }
+        adj = adj.collect {
+          case (n, ns) if !peel(n) => n -> (ns -- peel)
+        }
+      }
+      k += 1
+    }
+    core.toMap
+  }
+
+  test("coreness ≡ exact peeling once converged: K4 + pendant chain, " +
+    "two bridged triangles") {
+    // K4 (coreness 3 each) with a chain 4-10-11 hanging off (coreness 1)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val g1 = k4 ++ Seq((4L, 10L), (10L, 11L))
+    val got1 = Graph.coreness(g1.toDF("src", "dst"), rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got1 == localCoreness(g1))
+    assert(got1(1L) == 3L && got1(10L) == 1L && got1(11L) == 1L)
+    // two triangles joined by a bridge: every node coreness 2 except none —
+    // bridge endpoints are still in their triangle's 2-core
+    val g2 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+    val got2 = Graph.coreness(g2.toDF("src", "dst"), rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == localCoreness(g2))
+    assert(got2.values.forall(_ == 2L))
+  }
+
+  test("coreness: bounded rounds upper-bound the exact core number and " +
+    "are layout-invariant") {
+    // long path: exact coreness is 1 everywhere but the h-index iteration
+    // needs ~path-length rounds to settle in the middle — bounded rounds
+    // must sit AT or ABOVE the exact value, never below
+    val path = (1L to 12L).map(i => (i, i + 1))
+    val exact = localCoreness(path)
+    val bounded = Graph.coreness(path.toDF("src", "dst"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(bounded.keySet == exact.keySet)
+    exact.foreach { case (n, c) => assert(bounded(n) >= c) }
+    val a = Graph.coreness(path.toDF("src", "dst").repartition(7), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(a == bounded, "coreness must not depend on partition layout")
+  }
 }

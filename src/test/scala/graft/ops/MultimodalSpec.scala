@@ -181,4 +181,60 @@ class MultimodalSpec extends SparkSpec {
     val e = run(Seq((9L, extreme)).toDF("id", "media"))
     assert(e == Seq((9L, 0L, 2L, 32768L * 32768 + 32767L * 32767)))
   }
+
+  /** Independent dHash replica straight from gradientPng's PIXEL FORMULA
+    * (never touches ImageIO): v(x,y) = (7x+13y+salt+[x=px]·7) mod 241,
+    * NN sample at (x·w div 9, y·h div 8), bit = right > left, MSB-first. */
+  private def localDHash(w: Int, h: Int, salt: Int, px: Int): (Long, String) = {
+    def v(x: Int, y: Int) =
+      (x * 7 + y * 13 + salt + (if (x == px) 7 else 0)) % 241
+    var hash = 0L
+    val sb = new StringBuilder
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val bit = v((x + 1) * w / 9, y * h / 8) > v(x * w / 9, y * h / 8)
+      hash = (hash << 1) | (if (bit) 1L else 0L)
+      sb.append(if (bit) '1' else '0')
+    }
+    (hash, sb.toString)
+  }
+
+  test("imageDHash: decode→9×8 NN→difference bits matches the pixel-" +
+    "formula replica; solid image hashes to zero; junk is flagged") {
+    for ((w, h, salt, px) <- Seq((40, 24, 0, 3), (43, 27, 55, 20),
+      (9, 8, 11, 0), (100, 50, 187, 99))) {
+      val got = Multimodal.imageDHash(Multimodal.gradientPng(w, h, salt, px))
+      assert(got.contains(localDHash(w, h, salt, px)),
+        s"($w,$h,$salt,$px): got $got")
+    }
+    // no gradient → no bit ever set
+    assert(Multimodal.imageDHash(Multimodal.solidPng(32, 32, 0x123456))
+      .exists(r => r._1 == 0L && r._2 == "0" * 64))
+    assert(Multimodal.imageDHash("not a png".getBytes).isEmpty)
+    val df = Seq((1L, Multimodal.gradientPng(40, 24, 0, 3)),
+      (2L, "junk".getBytes)).toDF("id", "media")
+    val seam = Multimodal.dhashImages(df, "id", "media")
+      .as[(Long, Option[Long], Option[String], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (eh, eb) = localDHash(40, 24, 0, 3)
+    assert(seam(1L) == ((Some(eh), Some(eb), true)))
+    assert(seam(2L) == ((None, None, false)))
+  }
+
+  test("dhash near-dup mine: same-template perturbed images sit within a " +
+    "small Hamming radius, different templates do not") {
+    // one template, three perturbation columns + one alien template
+    val imgs = Seq(
+      (1L, Multimodal.gradientPng(40, 24, 0, 3)),
+      (2L, Multimodal.gradientPng(40, 24, 0, 9)),
+      (3L, Multimodal.gradientPng(40, 24, 0, 3)), // exact clone of 1
+      (4L, Multimodal.gradientPng(43, 27, 155, 5))).toDF("id", "media")
+    val dh = Multimodal.dhashImages(imgs, "id", "media")
+    val pairs = RecordLinkage.hammingKeyJoin(
+        dh.select($"id", $"dbits".as("key")), "id", "key", 64, 16)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 3L)) == 0, "identical payloads: distance 0")
+    assert(pairs.contains((1L, 2L)), "same template within radius")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "alien template outside radius")
+  }
 }

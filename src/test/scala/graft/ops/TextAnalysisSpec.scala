@@ -567,4 +567,37 @@ class TextAnalysisSpec extends SparkSpec {
       .select($"n_points", $"slope".isNull).as[(Long, Boolean)].collect().head
     assert(f == ((1L, true)))
   }
+
+  test("naiveBayesPredict ≡ independent local replica (priors, add-1 " +
+    "smoothing, quantized-ln scores); unhinted model join is bit-parity") {
+    // expected values computed by an independent Python replica of the
+    // documented arithmetic (V=4, N=5, priors x:-916291 y:-510826)
+    val docs = Seq((0L, "x", "aa aa ab"), (1L, "x", "aa ab"),
+      (2L, "y", "bb bb ba"), (3L, "y", "bb ba"), (4L, "y", "aa bb"))
+      .toDF("doc_id", "src", "text")
+    val want = Set(
+      (0L, "x", "x", -3636766L), (1L, "x", "x", -2825835L),
+      (2L, "y", "y", -3387025L), (3L, "y", "y", -2598567L),
+      (4L, "y", "y", -3004033L))
+    val got = TextAnalysis.naiveBayesPredict(docs, "src")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got == want, s"got $got")
+    spark.conf.set("graft.nb.broadcastModel", "false")
+    try {
+      val unhinted = TextAnalysis.naiveBayesPredict(docs.repartition(7), "src")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(unhinted == want, "dropping the broadcast hint must not " +
+        "change a single bit")
+    } finally spark.conf.unset("graft.nb.broadcastModel")
+  }
+
+  test("naiveBayesPredict: exact score tie breaks to the smallest class " +
+    "label") {
+    // two perfectly symmetric classes: every doc scores identically under
+    // both, so predicted must be the lexicographically smaller label
+    val docs = Seq((0L, "m", "w w"), (1L, "z", "w w")).toDF("doc_id", "c", "text")
+    val got = TextAnalysis.naiveBayesPredict(docs, "c")
+      .select($"predicted").as[String].collect().toSet
+    assert(got == Set("m"))
+  }
 }
