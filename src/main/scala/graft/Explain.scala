@@ -31,6 +31,10 @@ object Explain {
         case "_mh_pairs" => (s, d) => // q60's pair-mining stage alone
           graft.ops.Dedup.minhashDuplicatePairs(
             graft.sources.Tables.documents(s, d), threshold = 0.5)
+        case "_mh_bands" => (s, d) => // signature kernel alone (no banding
+          // exchange, no verification) — isolates the shingle-hash family
+          graft.ops.Dedup.minhashBandRows(
+            graft.sources.Tables.documents(s, d))
         case "_semdedup64" => (s, d) => // q67 with the nCentroids scale knob
           graft.ops.Similarity.semanticDedup(
             graft.sources.Tables.embeddings(s, d), nCentroids = 64,
@@ -40,10 +44,17 @@ object Explain {
             graft.sources.Tables.documents(s, d), merges = 1000)
         case other => SparkEntry.queries(other)
       }
-    val t0 = System.nanoTime; fn(spark, sfDir).count()
-    println(f"[explain] $name cold: ${(System.nanoTime - t0) / 1e9}%.2fs")
+    val t0 = System.nanoTime; val n = fn(spark, sfDir).count()
+    println(f"[explain] $name cold: ${(System.nanoTime - t0) / 1e9}%.2fs ($n rows)")
     val t1 = System.nanoTime; fn(spark, sfDir).count()
     println(f"[explain] $name warm: ${(System.nanoTime - t1) / 1e9}%.2fs")
+    // extra warm reps (SPARK_GRAFT_EXPLAIN_REPS) for variance-aware A/Bs
+    sys.env.get("SPARK_GRAFT_EXPLAIN_REPS").map(_.toInt).foreach { reps =>
+      for (r <- 1 to reps) {
+        val t = System.nanoTime; fn(spark, sfDir).count()
+        println(f"[explain] $name rep$r: ${(System.nanoTime - t) / 1e9}%.2fs")
+      }
+    }
     fn(spark, sfDir).explain("formatted")
     spark.stop()
   }

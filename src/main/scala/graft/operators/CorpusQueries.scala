@@ -305,6 +305,36 @@ object CorpusQueries {
        |SELECT doc_id, CAST(score_x9 AS DOUBLE) / 1e9 AS score
        |FROM agg ORDER BY score_x9 DESC, doc_id LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------- q272
+  // Exact phrase search ("table hash" as consecutive tokens): the
+  // positional-index query, computed as anchor votes — token at pos p
+  // matching phrase term i votes for anchor p−i; an anchor with all
+  // |phrase| distinct offsets is a match. One shuffle, phrase-token
+  // filter before the exchange. The oracle replays positions with
+  // unnest WITH ORDINALITY and the same distinct-offset accept test.
+  private def q272(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Retrieval.phraseMatch(Tables.documents(s, d),
+        Seq("table", "hash"))
+      .select($"id".as("doc_id"), $"n_matches",
+        $"first_pos".cast("long").as("first_pos"))
+      .orderBy($"doc_id")
+  }
+  private val q272Sql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS p, t[u.i] AS tok
+       |        FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS u(i)),
+       |votes AS (
+       |  SELECT doc_id, p - o.i AS anchor, o.i
+       |  FROM pos JOIN (VALUES (0, 'table'), (1, 'hash')) AS o(i, pt)
+       |    ON tok = o.pt
+       |  WHERE p - o.i >= 0),
+       |hits AS (SELECT doc_id, anchor FROM votes
+       |         GROUP BY doc_id, anchor HAVING COUNT(DISTINCT i) = 2)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       |  CAST(MIN(anchor) AS BIGINT) AS first_pos
+       |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q73
   // Hybrid retrieval: BM25 shortlists 50 lexical candidates, cosine to a
   // query embedding (vec 0) reranks to the final 10 — the standard
@@ -906,5 +936,6 @@ object CorpusQueries {
     QueryDef("q221_vocab_jaccard", q221, Some(q221Sql)),
     QueryDef("q230_span_corruption", q230, Some(q230Sql)),
     QueryDef("q270_naive_bayes", q270, Some(q270Sql)),
+    QueryDef("q272_phrase_search", q272, Some(q272Sql)),
   )
 }

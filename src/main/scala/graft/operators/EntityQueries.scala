@@ -665,6 +665,61 @@ object EntityQueries {
       |       FROM r3 GROUP BY 1)
       |SELECT node, c AS coreness FROM c3 ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------- q273
+  // 3-truss of the strong co-purchase graph (2 peel rounds): every
+  // surviving edge must sit in ≥1 triangle of the surviving subgraph —
+  // the edge-level cohesion cut (q158's k-core passes hub-and-spoke
+  // stars; a truss demands closed triangles). On this fixture the peel
+  // converges inside the 2 rounds (every triangle's edges qualify), so
+  // the bounded-round output IS the exact 3-truss; the 4-truss is empty
+  // here and the cascade case is pinned in GraphSpec instead. The
+  // oracle unrolls both peel rounds (triangle enumeration per round
+  // over the surviving edge set) plus the final-support readout.
+  private def q273(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+    val strong = Graph.orderedPairs(sets, "ps")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"src", $"dst")
+    Graph.kTruss(strong, k = 3, rounds = 2).orderBy($"u", $"v")
+  }
+  private val q273Sql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |t0 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |       FROM p0 e1 JOIN p0 e2 ON e1.v = e2.u
+      |       JOIN p0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |s0 AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS s FROM (
+      |       SELECT a AS u, b AS v FROM t0
+      |       UNION ALL SELECT a, c FROM t0
+      |       UNION ALL SELECT b, c FROM t0) GROUP BY 1, 2),
+      |p1 AS MATERIALIZED (SELECT p0.u, p0.v FROM p0
+      |      JOIN s0 ON s0.u = p0.u AND s0.v = p0.v WHERE s0.s >= 1),
+      |t1 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |       FROM p1 e1 JOIN p1 e2 ON e1.v = e2.u
+      |       JOIN p1 e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |s1 AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS s FROM (
+      |       SELECT a AS u, b AS v FROM t1
+      |       UNION ALL SELECT a, c FROM t1
+      |       UNION ALL SELECT b, c FROM t1) GROUP BY 1, 2),
+      |p2 AS MATERIALIZED (SELECT p1.u, p1.v FROM p1
+      |      JOIN s1 ON s1.u = p1.u AND s1.v = p1.v WHERE s1.s >= 1),
+      |t2 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |       FROM p2 e1 JOIN p2 e2 ON e1.v = e2.u
+      |       JOIN p2 e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |s2 AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS s FROM (
+      |       SELECT a AS u, b AS v FROM t2
+      |       UNION ALL SELECT a, c FROM t2
+      |       UNION ALL SELECT b, c FROM t2) GROUP BY 1, 2)
+      |SELECT p2.u, p2.v, COALESCE(s2.s, 0) AS support
+      |FROM p2 LEFT JOIN s2 ON s2.u = p2.u AND s2.v = p2.v
+      |ORDER BY p2.u, p2.v""".stripMargin
+
   // ---------------------------------------------------------------- q257
   // Modularity of the BRAND partition over the strong co-purchase graph
   // (q138's edge set, labels = p_brand): "does co-purchase structure
@@ -1546,6 +1601,7 @@ object EntityQueries {
     QueryDef("q255_clustering_coefficient", q255, Some(q255Sql)),
     QueryDef("q268_pair_rules", q268, Some(q268Sql)),
     QueryDef("q269_coreness", q269, Some(q269Sql)),
+    QueryDef("q273_ktruss", q273, Some(q273Sql)),
     QueryDef("q257_modularity", q257, Some(q257Sql)),
     QueryDef("q259_modularity_moves", q259, Some(q259Sql)),
     QueryDef("q260_contract_graph", q260, Some(q260Sql)),

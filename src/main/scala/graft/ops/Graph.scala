@@ -1387,6 +1387,73 @@ object Graph {
     * @param edges (src, dst) rows, any direction/duplication
     * @return (node, coreness) — exact once converged, else upper bound
     */
+  /** k-truss of the simple undirected graph — the subgraph where every
+    * surviving edge sits in ≥ k−2 triangles OF THE SUBGRAPH (Cohen 2008):
+    * the edge-level cohesion cut one notch stronger than [[kCore]]
+    * (every k-truss edge set is inside the (k−1)-core, but a hub-and-
+    * spoke passes a degree cut while having no triangles at all).
+    * Bounded synchronous peeling, the [[kCore]] contract: each round
+    * recomputes per-edge triangle support on the surviving subgraph and
+    * drops edges below k−2; a fixed round count yields a SUPERSET of the
+    * true k-truss that is exact once a round drops nothing (support
+    * cascades — removing one edge can starve another — which is why the
+    * peel iterates rather than filtering once).
+    *
+    * Scale shape per round: one degree aggregate + the degree-ORIENTED
+    * wedge close of [[triangleCounts]] (each triangle generated exactly
+    * once, wedge fan-out capped near √|E| by orientation), triangles
+    * exploded to their three canonical edges into one map-side-
+    * combinable support count, one semi-join back. Everything is
+    * E-row-bounded; no per-node state at all.
+    *
+    * @return (u, v, support) for surviving edges, support measured on
+    *         the FINAL surviving subgraph
+    */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 3 && rounds >= 1, "k-truss needs k >= 3 and rounds >= 1")
+    val minSup = (k - 2).toLong
+    var e = canonicalUndirected(edges)
+    def supportOf(ed: DataFrame): DataFrame = {
+      val tris = trianglesOf(ed)
+      tris.select(explode(array(
+          struct(least(col("a"), col("b")).as("u"),
+            greatest(col("a"), col("b")).as("v")),
+          struct(least(col("a"), col("c")).as("u"),
+            greatest(col("a"), col("c")).as("v")),
+          struct(col("b").as("u"), col("c").as("v")))).as("ed"))
+        .select(col("ed.u").as("u"), col("ed.v").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    }
+    for (_ <- 1 to rounds) {
+      e = e.join(supportOf(e).filter(col("support") >= minSup)
+          .select(col("u"), col("v")), Seq("u", "v"), "left_semi")
+        .localCheckpoint()
+    }
+    e.join(supportOf(e), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** Each triangle of a canonical edge frame exactly once, as (a, b, c)
+    * with b < c (the [[triangleCounts]] degree-oriented enumeration). */
+  private def trianglesOf(e: DataFrame): DataFrame = {
+    val deg = degreesOf(e)
+    val dir = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("lo"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("hi"))
+    dir.as("x").join(dir.as("y"),
+        col("x.lo") === col("y.lo") && col("x.hi") < col("y.hi"))
+      .select(col("x.lo").as("a"), col("x.hi").as("b"), col("y.hi").as("c"))
+      .join(e, col("b") === col("u") && col("c") === col("v"), "left_semi")
+  }
+
   def coreness(edges: DataFrame, rounds: Int = 4): DataFrame = {
     require(rounds >= 1, "rounds must be positive")
     val e = canonicalUndirected(edges)

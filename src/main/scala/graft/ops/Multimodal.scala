@@ -256,21 +256,24 @@ object Multimodal {
 
   /** Deterministic gradient-pattern PNG synthesis — the test/demo
     * payload for PERCEPTUAL-hash gates: pixel (x, y) holds the gray
-    * value ((x·7 + y·13 + salt) + (x = perturbX ? 7 : 0)) mod 241 in
+    * value ((x·7 + y·13 + salt) + (x = perturbX ? bump : 0)) mod 241 in
     * all three channels, so the full raster — and therefore every
     * downsample/compare any SQL engine replays — is a pure integer
-    * function of (w, h, salt, perturbX). Same-salt images share their
-    * gradient (near-identical dHash, differing only where the
-    * perturbation column lands on the 9×8 sample grid); different
-    * salts decorrelate at the mod-wraparound positions. */
-  def gradientPng(w: Int, h: Int, salt: Int, perturbX: Int): Array[Byte] = {
+    * function of (w, h, salt, perturbX, bump). Same-salt images share
+    * their gradient; the default bump (7) is SMALLER than the ~28-gray
+    * inter-sample step, so it rarely flips a difference bit (the
+    * exact-clone regime q271 exercises), while a bump above the step
+    * (e.g. 100) flips the bits around a sampled perturbation column —
+    * a genuine near-duplicate for Hamming-radius tests. */
+  def gradientPng(w: Int, h: Int, salt: Int, perturbX: Int,
+      bump: Int = 7): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = (x * 7 + y * 13 + salt + (if (x == perturbX) 7 else 0)) % 241
+        val v = (x * 7 + y * 13 + salt + (if (x == perturbX) bump else 0)) % 241
         img.setRGB(x, y, (v << 16) | (v << 8) | v)
         x += 1
       }

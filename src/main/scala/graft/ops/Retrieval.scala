@@ -95,6 +95,50 @@ object Retrieval {
     * @return (term, df, postings) — postings a comma-joined sorted id
     *         string (cross-engine-stable rendering), NULL above maxDf
     */
+  /** Exact PHRASE search — all documents containing `phrase`'s tokens
+    * CONSECUTIVELY, with match counts and the first match position: the
+    * positional-index query the flat [[invertedIndex]] can't answer
+    * (posting intersection finds docs with all terms ANYWHERE; phrases
+    * need adjacency).
+    *
+    * One-shuffle shape, no self-join chain: each token row matching
+    * phrase term i at position p becomes an (id, p − i, i) vote — an
+    * anchor-position candidate — and a phrase STARTS at anchor a iff all
+    * |phrase| distinct offsets voted for a, i.e. one grouped
+    * count-distinct per (id, anchor). A k-term phrase is k − 1
+    * equi-joins in the textbook positional-index form; here it is one
+    * map-side-filterable explode (only phrase tokens survive — the
+    * filter sits before the exchange, so the shuffle carries matches,
+    * not the corpus) plus one aggregate, for any k. Repeated phrase
+    * terms are exactly why the vote is (i, p) — a single token row
+    * legitimately votes for several offsets of a self-repeating phrase
+    * ("buffalo buffalo"), and DISTINCT i per anchor is the correct
+    * accept test.
+    *
+    * @return (id, n_matches, first_pos) for docs with ≥1 phrase match;
+    *         positions are 0-based token offsets
+    */
+  def phraseMatch(docs: DataFrame, phrase: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phraseMatch needs a non-empty phrase")
+    val k = phrase.length
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(Dedup.normalized(coalesce(col(textCol), lit(""))),
+        " ")).as(Seq("pos", "t")))
+    // (offset i → term) votes; a token equal to several phrase terms
+    // votes once per matching offset
+    val offsets = docs.sparkSession.createDataFrame(
+      phrase.zipWithIndex.map { case (t, i) => (i, t) }).toDF("i", "pt")
+    val votes = toks.join(broadcast(offsets), col("t") === col("pt"))
+      .select(col("id"), (col("pos") - col("i")).as("anchor"), col("i"))
+      .filter(col("anchor") >= 0)
+    votes.groupBy(col("id"), col("anchor"))
+      .agg(countDistinct(col("i")).as("nf"))
+      .filter(col("nf") === k.toLong)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
+  }
+
   def invertedIndex(docs: DataFrame, minDf: Long = 1L, maxDf: Long = Long.MaxValue,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // distinct terms per doc in-row (array_distinct) — the (id, term)

@@ -255,6 +255,92 @@ object DocumentStreams {
         ()
       }
 
+  /** Process one micro-batch of IMAGE payloads against the perceptual-
+    * fingerprint store — the multimodal face of [[ingestBatchNearDedup]]:
+    * dHash each decodable payload ([[graft.ops.Multimodal.dhashImages]]),
+    * suppress within-batch clones/near-dups, then drop anything within
+    * `maxDist` Hamming bits of a PRIOR batch's surviving fingerprint.
+    * Matching runs on DISTINCT fingerprints through the same pigeonhole
+    * segment blocking as [[graft.ops.RecordLinkage.hammingKeyJoin]]
+    * (maxDist+1 segments, ≥1 must agree exactly — recall 1.0 by
+    * construction), so the store join moves fingerprint rows, never
+    * media bytes. Undecodable payloads pass through untouched (the
+    * error-channel contract: a perceptual gate must not silently drop
+    * what it cannot see; filter on `decoded` downstream).
+    *
+    * Store layout: `stateDir/dhashes/batch_<id>` — (dbits, bid), one
+    * 64-char string per SURVIVING distinct fingerprint; replay-idempotent
+    * by the bid-filter + batch-keyed-overwrite discipline shared with the
+    * text ingest. */
+  def ingestBatchImageDedup(batch: DataFrame, stateDir: String,
+      outDir: String, batchId: Long, maxDist: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val dh = graft.ops.Multimodal.dhashImages(batch, "doc_id", "media")
+      .localCheckpoint() // decode ONCE; survivors + store derive from it
+    val undecodable = batch.join(
+      dh.filter(!col("decoded")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // within-batch: first-arrival (min id) wins its exact-clone group;
+    // near-dup pairs among batch-distinct fingerprints then suppress the
+    // larger rep id transitively via the shared pair convention
+    val groups = dh.filter(col("decoded"))
+      .groupBy(col("dbits"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("ids"))
+      .localCheckpoint()
+    val nearPairs = graft.ops.RecordLinkage.hammingKeyJoin(
+      groups.select(col("rep").as("id"), col("dbits").as("key")),
+      "id", "key", keyLen = 64, maxDist = maxDist)
+    val keptReps = groups.select(col("rep").as("id"), col("dbits"))
+      .join(nearPairs.select(col("id_b").as("id")).distinct(),
+        Seq("id"), "left_anti")
+    // vs PRIOR batches: segment blocking between new reps and the store
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val storeReady =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/dhashes"))
+    val survivors0 =
+      if (!storeReady) keptReps
+      else {
+        val prior = spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$stateDir/dhashes")
+          .filter(col("bid") < batchId)
+          .select(col("dbits").as("old_bits")).distinct()
+        val nSeg = maxDist + 1
+        val segLen = (64 + nSeg - 1) / nSeg
+        def segs(df: DataFrame, keyCol: String): DataFrame =
+          df.select(col(keyCol),
+            posexplode(transform(sequence(lit(0), lit(nSeg - 1)),
+              s => substring(col(keyCol), (s * segLen + 1).cast("int"),
+                lit(segLen)))).as(Seq("seg_idx", "seg_val")))
+        val hit = segs(keptReps.select(col("dbits")), "dbits")
+          .join(segs(prior, "old_bits"), Seq("seg_idx", "seg_val"))
+          .filter(graft.ops.RecordLinkage.hamming(
+            col("dbits"), col("old_bits"), 64) <= maxDist)
+          .select(col("dbits")).distinct()
+        keptReps.join(hit, Seq("dbits"), "left_anti")
+      }
+    val survivors = survivors0.localCheckpoint() // store write + output read it
+    val out = batch
+      .join(survivors.select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .unionByName(undecodable)
+    out.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+    survivors.select(col("dbits")).withColumn("bid", lit(batchId))
+      .write.mode("overwrite").parquet(s"$stateDir/dhashes/batch_$batchId")
+    out
+  }
+
+  /** The streaming wrapper: continuous image ingest with cross-batch
+    * perceptual near-duplicate suppression. */
+  def imageDedupIngest(stream: DataFrame, stateDir: String, outDir: String,
+      checkpoint: String, maxDist: Int = 4):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchImageDedup(batch, stateDir, outDir, batchId, maxDist)
+        ()
+      }
+
   // ---- incremental CONNECTED COMPONENTS maintenance ------------------
   // The [[ingestBatchNearDedup]] architecture keeps the corpus deduped;
   // this face keeps CLUSTER MEMBERSHIP current instead — every ingested

@@ -795,6 +795,34 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(7L -> 7L, 1L -> 7L))
   }
 
+  test("kTruss: K4 is its own 4-truss, pendant edges drop, and peel " +
+    "CASCADES (bounded rounds are a superset)") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = Graph.kTruss((k4 ++ Seq((4L, 9L))).toDF("src", "dst"), k = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == k4.map { case (u, v) => (u, v, 2L) }.toSet,
+      s"K4 edges all in 2 triangles; pendant gone — got $got")
+    // two triangles sharing edge (2,3): the shared edge has support 2 and
+    // survives round 1, but its triangles die WITH the dropped outer
+    // edges — only a second round sees that (the single-pass-filter bug)
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val oneRound = Graph.kTruss(twoTri, k = 4, rounds = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(oneRound == Set((2L, 3L, 0L)),
+      s"bounded superset: shared edge still present after 1 round — $oneRound")
+    assert(Graph.kTruss(twoTri, k = 4, rounds = 2).count() == 0L,
+      "round 2 peels the starved shared edge")
+    // 3-truss = every edge in ≥1 triangle: both triangles survive intact
+    val t3 = Graph.kTruss(twoTri, k = 3, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t3 == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (2L, 4L, 1L), (3L, 4L, 1L)))
+    val rep = Graph.kTruss(twoTri.repartition(7), k = 3, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rep == t3, "kTruss must not depend on partition layout")
+  }
+
   /** Exact coreness by classic peeling — the spec's oracle. */
   private def localCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val und = edges.filter(e => e._1 != e._2)

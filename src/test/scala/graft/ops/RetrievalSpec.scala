@@ -54,4 +54,33 @@ class RetrievalSpec extends SparkSpec {
       ("beta", 2L, Some("2,3")),
       ("common", 4L, None)))
   }
+
+  test("phraseMatch: consecutive-only, overlapping repeats, repeated-term " +
+    "phrases, normalization, and layout invariance") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),          // 1 match at 1
+      (2L, "quick the quick brown"),        // 1 match at 1
+      (3L, "quick brown is not quick Brown here quick  brown"),
+      // ↑ matches at 0 (case via normalize), 4, 7 (double space collapses)
+      (4L, "brown quick"),                  // reversed: no match
+      (5L, "quick fox brown"),              // not consecutive: no match
+      (6L, "")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Retrieval.phraseMatch(d, Seq("quick", "brown"))
+        .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    val got = run(docs)
+    assert(got == Seq((1L, 1L, 1), (2L, 1L, 2), (3L, 3L, 0)), s"got $got")
+    assert(got == run(docs.repartition(5)))
+    // self-repeating phrase: "buffalo buffalo" in "buffalo buffalo buffalo"
+    // overlaps at anchors 0 and 1 — the (offset, position) vote handles a
+    // token voting for BOTH offsets
+    val rep = Retrieval.phraseMatch(
+      Seq((9L, "buffalo buffalo buffalo")).toDF("doc_id", "text"),
+      Seq("buffalo", "buffalo")).as[(Long, Long, Int)].collect().toSeq
+    assert(rep == Seq((9L, 2L, 0)))
+    // 3-term phrase needs all three offsets at one anchor
+    val tri = Retrieval.phraseMatch(docs, Seq("the", "quick", "brown"))
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(tri == Seq((1L, 1L, 0), (2L, 1L, 1)))
+  }
 }

@@ -160,6 +160,45 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("incremental IMAGE dedup: clones and near-dups suppressed within " +
+    "and across batches, undecodable passes through, replay idempotent") {
+    import graft.ops.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("imgdedup").toString
+    val A = Multimodal.gradientPng(40, 24, 0, 3)
+    // perturbation column 4 sits ON the 9×8 sample grid for w=40, and the
+    // 100-gray bump exceeds the ~28-gray inter-sample gradient step, so the
+    // two difference bits around x-sample 1 flip across rows: a genuine
+    // 1–16-bit perceptual near-duplicate (the default +7 bump deliberately
+    // does NOT flip comparisons — that's q271's exact-clone regime)
+    val Anear = Multimodal.gradientPng(40, 24, 0, 4, bump = 100)
+    val B = Multimodal.gradientPng(43, 27, 155, 5)
+    val C = Multimodal.gradientPng(45, 29, 99, 11)
+    val dist = (x: Array[Byte], y: Array[Byte]) => {
+      val bx = Multimodal.imageDHash(x).get._2
+      val by = Multimodal.imageDHash(y).get._2
+      bx.zip(by).count { case (a, b) => a != b }
+    }
+    assert(dist(A, Anear) > 0 && dist(A, Anear) <= 16, s"fixture: ${dist(A, Anear)}")
+    assert(dist(A, B) > 16 && dist(A, C) > 16 && dist(B, C) > 16)
+    val b0 = Seq((1L, A), (2L, A), (3L, B)).toDF("doc_id", "media")
+    val s0 = DocumentStreams.ingestBatchImageDedup(b0, s"$dir/state",
+      s"$dir/out", 0L, maxDist = 16).select("doc_id").as[Long].collect().toSet
+    assert(s0 == Set(1L, 3L), "exact clone 2 suppressed, first arrival wins")
+    val b1 = Seq((4L, A), (5L, Anear), (6L, "junk".getBytes), (7L, C))
+      .toDF("doc_id", "media")
+    val s1 = DocumentStreams.ingestBatchImageDedup(b1, s"$dir/state",
+      s"$dir/out", 1L, maxDist = 16).select("doc_id").as[Long].collect().toSet
+    assert(s1 == Set(6L, 7L),
+      "cross-batch exact (4) and near (5) suppressed; junk (6) passes; fresh (7) kept")
+    val replay = DocumentStreams.ingestBatchImageDedup(b1, s"$dir/state",
+      s"$dir/out", 1L, maxDist = 16).select("doc_id").as[Long].collect().toSet
+    assert(replay == s1, "own batch-1 store rows must not self-match")
+    // store holds fingerprints only — never media bytes
+    val store = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/state/dhashes")
+    assert(store.columns.toSet == Set("dbits", "bid"))
+  }
+
   test("near-dedup recovers from a half-written first-batch store (bands only)") {
     val dir = java.nio.file.Files.createTempDirectory("neardedup3").toString
     val b0 = Seq(Doc(1, "alpha beta gamma delta epsilon zeta eta theta", "a", "a", 0)).toDF()
