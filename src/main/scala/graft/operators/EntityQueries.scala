@@ -720,6 +720,58 @@ object EntityQueries {
       |FROM p2 LEFT JOIN s2 ON s2.u = p2.u AND s2.v = p2.v
       |ORDER BY p2.u, p2.v""".stripMargin
 
+  // ---------------------------------------------------------------- q274
+  // Luby maximal independent set over the strong co-purchase graph,
+  // 3 deterministic rounds: md5 priorities (sign-flipped to the
+  // unsigned order md5_number_lower natively sorts in), strict-min
+  // winners, winner+neighborhood removal. The oracle unrolls all three
+  // rounds; every selection is a pure function of the edge set.
+  private def q274(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+    val strong = Graph.orderedPairs(sets, "ps")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"src", $"dst")
+    Graph.maximalIndependentSet(strong, rounds = 3).orderBy($"node")
+  }
+  private val q274Sql = {
+    def round(i: Int, edges: String, rem: String): String =
+      s"""m$i AS (SELECT u AS node, v AS nbr FROM $edges
+         |        UNION ALL SELECT v, u FROM $edges),
+         |nm$i AS (SELECT m$i.node, MIN(pb.p) AS np
+         |         FROM m$i JOIN pri pb ON m$i.nbr = pb.node GROUP BY 1),
+         |w$i AS (SELECT r.node FROM $rem r LEFT JOIN nm$i ON r.node = nm$i.node
+         |        WHERE nm$i.np IS NULL OR
+         |          (SELECT p FROM pri WHERE pri.node = r.node) < nm$i.np),
+         |rem$i AS (SELECT node FROM $rem
+         |          WHERE node NOT IN (SELECT node FROM w$i)
+         |            AND node NOT IN (SELECT m$i.node FROM m$i
+         |                             JOIN w$i ON m$i.nbr = w$i.node)),
+         |e$i AS (SELECT u, v FROM $edges
+         |        WHERE u IN (SELECT node FROM rem$i)
+         |          AND v IN (SELECT node FROM rem$i))""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |        AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |      SELECT u AS node FROM p0 UNION ALL SELECT v FROM p0)),
+       |pri AS MATERIALIZED (SELECT node,
+       |      CAST(CAST(md5_number_lower(CONCAT('mis:', CAST(node AS VARCHAR)))
+       |        AS HUGEINT) - 9223372036854775808 AS BIGINT) AS p FROM nodes),
+       |${round(1, "p0", "pri")},
+       |${round(2, "e1", "rem1")},
+       |${round(3, "e2", "rem2")}
+       |SELECT node, mis_round FROM (
+       |  SELECT node, 1 AS mis_round FROM w1
+       |  UNION ALL SELECT node, 2 FROM w2
+       |  UNION ALL SELECT node, 3 FROM w3)
+       |ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q257
   // Modularity of the BRAND partition over the strong co-purchase graph
   // (q138's edge set, labels = p_brand): "does co-purchase structure
@@ -1602,6 +1654,7 @@ object EntityQueries {
     QueryDef("q268_pair_rules", q268, Some(q268Sql)),
     QueryDef("q269_coreness", q269, Some(q269Sql)),
     QueryDef("q273_ktruss", q273, Some(q273Sql)),
+    QueryDef("q274_luby_mis", q274, Some(q274Sql)),
     QueryDef("q257_modularity", q257, Some(q257Sql)),
     QueryDef("q259_modularity_moves", q259, Some(q259Sql)),
     QueryDef("q260_contract_graph", q260, Some(q260Sql)),

@@ -477,6 +477,49 @@ object StatsQueries {
       |  COUNT(*) < 5 AS at_risk, COUNT(DISTINCT sb) < 3 AS low_diversity
       |FROM b GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q275
+  // t-closeness over q151's release classes: EMD between each class's
+  // account-balance-band distribution and the global one — the ordered-
+  // attribute disclosure l-diversity misses. Exact-integer EMD: the
+  // cumulative term stays a DECIMAL(38,0) numerator, one integral
+  // division at the end; the oracle replays identical HUGEINT
+  // arithmetic on the same (class × bucket) grid.
+  private def q275(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Privacy.tCloseness(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"),
+        expr("(CAST(floor(c_acctbal) AS BIGINT) + 1000) div 1000"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+  private val q275Sql =
+    """WITH b AS (SELECT c_nationkey, c_mktsegment,
+      |        (CAST(floor(c_acctbal) AS BIGINT) + 1000) // 1000 AS sb
+      |      FROM customer),
+      |cb AS (SELECT c_nationkey, c_mktsegment, sb,
+      |         CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3),
+      |gb AS (SELECT sb, CAST(SUM(c) AS BIGINT) AS g FROM cb GROUP BY 1),
+      |st AS (SELECT CAST(SUM(g) AS BIGINT) AS nt,
+      |         CAST(COUNT(*) AS BIGINT) AS m FROM gb),
+      |cl AS (SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS n
+      |       FROM cb GROUP BY 1, 2),
+      |grid AS (SELECT cl.c_nationkey, cl.c_mktsegment, cl.n, gb.sb, gb.g,
+      |           COALESCE(cb.c, 0) AS c
+      |         FROM cl CROSS JOIN gb
+      |         LEFT JOIN cb ON cb.c_nationkey = cl.c_nationkey
+      |           AND cb.c_mktsegment = cl.c_mktsegment AND cb.sb = gb.sb),
+      |cum AS (SELECT c_nationkey, c_mktsegment, n,
+      |          SUM(c::HUGEINT * st.nt - g::HUGEINT * n)
+      |            OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY sb
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS cum
+      |        FROM grid CROSS JOIN st)
+      |SELECT c_nationkey, c_mktsegment, n,
+      |  CAST((1000000::HUGEINT * SUM(abs(cum)))
+      |    // (n::HUGEINT * st.nt * (st.m - 1)) AS BIGINT) AS t_x6
+      |FROM cum CROSS JOIN st
+      |GROUP BY c_nationkey, c_mktsegment, n, st.nt, st.m
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- q152
   // Windowed skip-gram co-occurrence (the word2vec statistic): ordered
   // token pairs within ±3 positions weighted 1000000 div distance —
@@ -1787,6 +1830,7 @@ object StatsQueries {
     QueryDef("q168_zipf_fit", q168, Some(q168Sql)),
     QueryDef("q169_encoding_advisor", q169, Some(q169Sql)),
     QueryDef("q151_k_anonymity", q151, Some(q151Sql)),
+    QueryDef("q275_t_closeness", q275, Some(q275Sql)),
     QueryDef("q152_skipgram_cooc", q152, Some(q152Sql)),
     QueryDef("q153_mad_outliers", q153, Some(q153Sql)),
     QueryDef("q170_classifier_auc", q170, Some(q170Sql)),

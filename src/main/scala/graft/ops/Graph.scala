@@ -1434,6 +1434,71 @@ object Graph {
         coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** Maximal independent set via Luby's algorithm (Luby 1986) with
+    * DETERMINISTIC md5 priorities — the distributed symmetry-breaking
+    * primitive behind conflict-free scheduling, landmark/seed selection,
+    * and greedy graph coloring's first color class. Each round, a node
+    * still in play joins the MIS iff its priority is STRICTLY below
+    * every remaining neighbor's; winners and their neighborhoods leave
+    * the game. Priorities are `md5_low64("mis:" ++ node)` sign-flipped
+    * to the unsigned order (cross-engine reproducible — the
+    * [[graft.functions.Md5Low64]] parity contract), so the whole run is
+    * a pure function of the edge set: no RNG, replay-identical.
+    * Strict-only comparisons make hash ties (≈2⁻⁶⁴ per adjacent pair)
+    * block a locality rather than pick an engine-dependent winner.
+    * Bounded rounds select an independent PREFIX that is maximal once a
+    * round empties the remainder (Luby needs O(log n) rounds w.h.p.);
+    * `n_remaining` in the companion audit is the honest check.
+    *
+    * Scale shape per round: one V-row priority join onto the remaining
+    * adjacency explode + one min-aggregate + two anti-joins — all
+    * E-row-bounded, map-side combinable; the remaining-edge frame
+    * checkpoints per round exactly like [[kCore]]'s peel.
+    *
+    * @param edges (src, dst) rows, any direction/duplication
+    * @return (node, mis_round) for every selected node — a node whose
+    *         whole remaining neighborhood has left the game wins its
+    *         round unconditionally (null neighbor-min)
+    */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
+    val e0 = canonicalUndirected(edges)
+    val pri = e0.select(explode(array(col("u"), col("v"))).as("node"))
+      .distinct()
+      .select(col("node"),
+        graft.functions.Md5Low64(concat(lit("mis:"), col("node").cast("string")))
+          .bitwiseXOR(lit(Long.MinValue)).as("p"))
+      .localCheckpoint()
+    var remaining = pri
+    var alive = e0
+    var mis: DataFrame = null
+    for (r <- 1 to rounds) {
+      val mir = alive.unionByName(
+        alive.select(col("v").as("u"), col("u").as("v")))
+      val nbrMin = mir
+        .join(remaining.select(col("node").as("v"), col("p").as("pv")), Seq("v"))
+        .groupBy(col("u").as("node")).agg(min(col("pv")).as("np"))
+      val winners = remaining.join(nbrMin, Seq("node"), "left")
+        .filter(col("np").isNull || col("p") < col("np"))
+        .select(col("node"), lit(r).as("mis_round"))
+        .localCheckpoint()
+      mis = if (mis == null) winners else mis.unionByName(winners)
+      val removed = winners.select(col("node"))
+        .unionByName(mir.join(
+          winners.select(col("node").as("u")), Seq("u"), "left_semi")
+          .select(col("v").as("node")))
+        .distinct()
+      remaining = remaining.join(removed, Seq("node"), "left_anti")
+        .localCheckpoint()
+      alive = alive
+        .join(remaining.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(remaining.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    mis
+  }
+
   /** Each triangle of a canonical edge frame exactly once, as (a, b, c)
     * with b < c (the [[triangleCounts]] degree-oriented enumeration). */
   private def trianglesOf(e: DataFrame): DataFrame = {

@@ -823,6 +823,54 @@ class GraphSpec extends SparkSpec {
     assert(rep == t3, "kTruss must not depend on partition layout")
   }
 
+  /** Local Luby replica under the same sign-flipped md5 priorities. */
+  private def localMis(edges: Seq[(Long, Long)], rounds: Int): Set[(Long, Int)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val pri = (und.map(_._1) ++ und.map(_._2)).distinct
+      .map(n => n -> (Dedup.md5Low64(s"mis:$n") ^ Long.MinValue)).toMap
+    var alive = und
+    var remaining = pri.keySet
+    val out = scala.collection.mutable.Set[(Long, Int)]()
+    for (r <- 1 to rounds) {
+      val nbr = alive.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .map { case (n, xs) => n -> xs.map(x => pri(x._2)).min }
+      val winners = remaining.filter(n =>
+        !nbr.contains(n) || pri(n) < nbr(n))
+      winners.foreach(n => out += ((n, r)))
+      val removed = winners ++ alive.flatMap(e => Seq(e, e.swap))
+        .filter(e => winners(e._1)).map(_._2)
+      remaining = remaining -- removed
+      alive = alive.filter(e => remaining(e._1) && remaining(e._2))
+    }
+    out.toSet
+  }
+
+  test("maximalIndependentSet ≡ local Luby replica; independence and " +
+    "maximality hold; layout-invariant") {
+    // two cliques bridged + a path tail — forces multi-round progress
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k3 = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val edges = k4 ++ k3 ++ Seq((4L, 10L), (12L, 20L), (20L, 21L), (21L, 22L))
+    val df = edges.toDF("src", "dst")
+    val got = Graph.maximalIndependentSet(df, rounds = 4)
+      .as[(Long, Int)].collect().toSet
+    assert(got == localMis(edges, 4), s"got $got")
+    // independence: no selected pair is adjacent
+    val sel = got.map(_._1)
+    val adj = edges.flatMap(e => Seq(e, e.swap)).toSet
+    assert(!edges.exists(e => sel(e._1) && sel(e._2)), "independence violated")
+    // maximality: every unselected node has a selected neighbor
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    (nodes -- sel).foreach { n =>
+      assert(adj.exists { case (a, b) => a == n && sel(b) },
+        s"node $n has no selected neighbor — not maximal")
+    }
+    val rep = Graph.maximalIndependentSet(df.repartition(7), rounds = 4)
+      .as[(Long, Int)].collect().toSet
+    assert(rep == got, "MIS must not depend on partition layout")
+  }
+
   /** Exact coreness by classic peeling — the spec's oracle. */
   private def localCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val und = edges.filter(e => e._1 != e._2)

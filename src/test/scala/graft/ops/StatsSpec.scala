@@ -262,6 +262,37 @@ class StatsSpec extends SparkSpec {
       && !got(1).getBoolean(4) && got(1).getBoolean(5))
   }
 
+  test("tCloseness: hand-computed ordered EMD, zero-count grid buckets, " +
+    "global-matching class at 0, single-bucket axis, null raise") {
+    // global = uniform over buckets {1,2}; each class fully concentrated
+    // → EMD 0.5 exactly (t_x6 500000)
+    val conc = Seq(("x", 1), ("x", 1), ("y", 2), ("y", 2)).toDF("q", "sb")
+    val got = Privacy.tCloseness(conc, Seq("q"), col("sb"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("x", 2L, 500000L), ("y", 2L, 500000L)), s"got $got")
+    // a class that mirrors the global distribution sits at exactly 0
+    val mirror = Seq(("x", 1), ("x", 2), ("y", 1), ("y", 2)).toDF("q", "sb")
+    assert(Privacy.tCloseness(mirror, Seq("q"), col("sb"))
+      .as[(String, Long, Long)].collect().toSet ==
+      Set(("x", 2L, 0L), ("y", 2L, 0L)))
+    // 3-bucket axis where class p never saw bucket 2: the grid must move
+    // mass THROUGH the zero-count bucket — Σ|cum| = 4 → 1e6·4/(2·4·2)
+    val gap = Seq(("p", 1), ("p", 3), ("r", 2), ("r", 2)).toDF("q", "sb")
+    assert(Privacy.tCloseness(gap, Seq("q"), col("sb"))
+      .as[(String, Long, Long)].collect().toSet ==
+      Set(("p", 2L, 250000L), ("r", 2L, 250000L)))
+    // single-bucket axis: EMD degenerate, defined as 0
+    val one = Seq(("x", 7), ("y", 7)).toDF("q", "sb")
+    assert(Privacy.tCloseness(one, Seq("q"), col("sb"))
+      .as[(String, Long, Long)].collect().toSet ==
+      Set(("x", 1L, 0L), ("y", 1L, 0L)))
+    val bad = Seq(("x", Option.empty[Int])).toDF("q", "sb")
+    val e = intercept[Exception] {
+      Privacy.tCloseness(bad, Seq("q"), col("sb")).collect()
+    }
+    assert(e.getMessage.contains("tCloseness"))
+  }
+
   test("madOutliers: hand-computed median/MAD; integer decision; short groups") {
     // group g: values 10,12,14,16,100 → med=14 (rank 3), devs 4,2,0,2,86
     //   sorted devs 0,2,2,4,86 → mad=2 (rank 3)
