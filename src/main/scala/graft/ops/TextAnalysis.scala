@@ -131,9 +131,17 @@ object TextAnalysis {
     * partitionings.
     *
     * Scale shape: ONE tokenize+explode pass feeds the (t, class)
-    * count table and the scoring join; the model is (vocab × k) rows
-    * — broadcast-hinted by default, `graft.nb.broadcastModel=false`
-    * drops the hint for unbounded vocabularies (the
+    * count table and the scoring join; the model is SPARSE — one row
+    * per OBSERVED (term, class) pair plus k per-class defaults for
+    * unseen terms (algebraically identical: an unseen pair's smoothed
+    * weight ln(1/(tot_c+V)) is a constant per class, so
+    * score = Σ_observed w6 + (dl − matched)·default6). A dense
+    * (vocab × k) grid measured an OOM at the 100× fixture (875k
+    * variant tokens × 16 classes as one broadcast); the sparse table
+    * is |observed pairs| ≈ vocab-sized when class vocabularies barely
+    * overlap. Broadcast-hinted by default,
+    * `graft.nb.broadcastModel=false` drops the hint for vocabularies
+    * where even the sparse table outgrows the driver (the
     * `graft.dsir.broadcastRatios` discipline); the per-document score
     * frame is k rows per document, k the (small) class count.
     *
@@ -142,12 +150,19 @@ object TextAnalysis {
     */
   def naiveBayesPredict(docs: DataFrame, classCol: String,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tokRows = tokenRows(docs, textCol,
+    // NULL labels would train a phantom class whose argmax tie-break
+    // order is engine-dependent — fail loudly instead (the perceptron
+    // label-contract discipline)
+    val labeled = docs.withColumn(classCol,
+      when(col(classCol).isNotNull, col(classCol)).otherwise(raise_error(
+        lit(s"naiveBayesPredict: NULL class label in '$classCol' — " +
+          "filter or impute labels upstream"))))
+    val tokRows = tokenRows(labeled, textCol,
       col(idCol).as("id"), col(classCol).as("cls"))
       .localCheckpoint()
     val tc = tokRows.groupBy(col("t"), col("cls"))
       .agg(count(lit(1)).as("n_tc")).localCheckpoint()
-    val classes = docs.groupBy(col(classCol).as("cls"))
+    val classes = labeled.groupBy(col(classCol).as("cls"))
       .agg(count(lit(1)).as("n_docs")).localCheckpoint()
     val classTotals = tc.groupBy(col("cls")).agg(sum(col("n_tc")).as("tot_c"))
     // control-plane scalars: vocabulary size and corpus size
@@ -157,29 +172,41 @@ object TextAnalysis {
     val prior = classes.join(classTotals, "cls")
       .select(col("cls"), col("tot_c"),
         floor(log(col("n_docs").cast("double") / lit(nDocs.toDouble)) * 1e6)
-          .as("prior6"))
+          .as("prior6"),
+        // per-class weight of a term UNSEEN in the class: ln(1/(tot_c+V))
+        floor(log(lit(1.0) /
+          (col("tot_c") + lit(vocabSize)).cast("double")) * 1e6)
+          .as("default6"))
       .localCheckpoint() // k rows
-    // (vocab × k) model: smoothed likelihood of every term under every class
-    val model = tc.select(col("t")).distinct()
-      .crossJoin(broadcast(prior.select(col("cls"), col("tot_c"))))
-      .join(tc, Seq("t", "cls"), "left")
-      .select(col("t"), col("cls"),
-        floor(log((coalesce(col("n_tc"), lit(0L)) + 1L).cast("double") /
-          (col("tot_c") + lit(vocabSize)).cast("double")) * 1e6).as("w6"))
+    // SPARSE model: smoothed weight minus the class default, for OBSERVED
+    // (term, class) pairs only — unseen pairs contribute default6 via the
+    // (dl − matched) closing term below
+    val model = tc.join(broadcast(prior.select(col("cls"), col("tot_c"),
+        col("default6"))), Seq("cls"))
+      .select(col("t"), col("cls").as("cand"),
+        (floor(log((col("n_tc") + 1L).cast("double") /
+          (col("tot_c") + lit(vocabSize)).cast("double")) * 1e6) -
+          col("default6")).as("w6d"))
     val hinted =
       if (docs.sparkSession.conf.get("graft.nb.broadcastModel", "true").toBoolean)
         broadcast(model)
       else model
-    tokRows.join(hinted.withColumnRenamed("cls", "cand"), Seq("t"))
+    val dl = tokRows.groupBy(col("id"), col("cls"))
+      .agg(count(lit(1)).as("dl")).localCheckpoint()
+    // observed contributions: Σ (w6 − default6) over matched instances
+    val obs = tokRows.join(hinted, Seq("t"))
       .groupBy(col("id"), col("cls"), col("cand"))
-      .agg(sum(col("w6")).as("s6"))
-      .join(broadcast(prior.select(col("cls").as("cand"), col("prior6"))),
-        "cand")
+      .agg(sum(col("w6d")).as("s6d"))
+    dl.crossJoin(broadcast(prior.select(col("cls").as("cand"),
+        col("prior6"), col("default6"))))
+      .join(obs, Seq("id", "cls", "cand"), "left")
+      .select(col("id"), col("cls"), col("cand"),
+        (coalesce(col("s6d"), lit(0L)) + col("dl") * col("default6") +
+          col("prior6")).as("score"))
       .groupBy(col("id"), col("cls"))
       // argmax score, ties to the smallest class label: min over the
       // (−score, label) struct — one map-side-combinable aggregate
-      .agg(min(struct((-(col("s6") + col("prior6"))).as("ns"),
-        col("cand").as("c"))).as("best"))
+      .agg(min(struct((-col("score")).as("ns"), col("cand").as("c"))).as("best"))
       .select(col("id"), col("cls").as("actual"),
         col("best.c").as("predicted"), (-col("best.ns")).as("score_x6"))
   }

@@ -591,6 +591,15 @@ class TextAnalysisSpec extends SparkSpec {
     } finally spark.conf.unset("graft.nb.broadcastModel")
   }
 
+  test("naiveBayesPredict: NULL class label fails loudly") {
+    val docs = Seq((0L, Option("x"), "aa"), (1L, Option.empty[String], "bb"))
+      .toDF("doc_id", "src", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.naiveBayesPredict(docs, "src").collect()
+    }
+    assert(e.getMessage.contains("naiveBayesPredict"))
+  }
+
   test("naiveBayesPredict: exact score tie breaks to the smallest class " +
     "label") {
     // two perfectly symmetric classes: every doc scores identically under
