@@ -818,10 +818,19 @@ object Relational3 {
   // k²-generate feeding distinct/a<b filters (q124/q138/q183).
   private def q196(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // slim (bid, item); feeds N, margins, and pairs. DISK_ONLY, not
+    // localCheckpoint: this frame is CORPUS-sized (60M rows ≈ 4.6 GB at
+    // 100×), and a MEMORY_AND_DISK pin claims the protected storage
+    // half of the unified pool right before the suite's biggest
+    // object-hash aggregate (collect_set over 4.5M baskets) — measured
+    // AGGREGATE_OUT_OF_MEMORY at 100× on the 8 GiB bench heap, isolated.
+    // Disk-backed blocks cost one serialized write/read and leave the
+    // whole execution pool to the aggregate; lineage stays intact so
+    // nothing is unrecomputable.
     val li = Tables.lineitem(s, d)
       .select($"l_orderkey".as("bid"), $"l_partkey".as("item"))
       .distinct()
-      .localCheckpoint() // slim (bid, item); feeds N, margins, and pairs
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nb = li.agg(countDistinct($"bid").as("nbk"))
     val margins = li.groupBy($"item").agg(count(lit(1)).as("supp"))
       .localCheckpoint() // slim item frame; feeds the prune + both metric joins
