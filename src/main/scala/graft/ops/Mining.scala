@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   * in floor-quantized 1e6 units via DECIMAL(38,0) products (1e6·n_ab·N
   * overflows int64 at warehouse scale), so results are bit-identical
   * across engines and partitionings.
+  *
+  * Relation to q196 (`operators/Relational3.scala`): q196 is the RANKED
+  * readout — directed ante→cons rules, double-typed metrics, top-40 by
+  * lift. This operator is the EXACT full rule table — unordered
+  * canonical pairs, both confidence directions, integer-quantized
+  * metrics, no cut — the form a downstream job (recommender candidate
+  * generation, co-occurrence pruning) consumes whole; it also carries
+  * the basket-size guard q196's per-query shape doesn't need.
   */
 object Mining {
 

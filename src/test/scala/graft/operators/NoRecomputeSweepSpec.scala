@@ -40,7 +40,14 @@ class NoRecomputeSweepSpec extends SparkSpec {
     // the corpus to merge them would perturb exactly what the audit
     // measures (the ANN pass's narrower read is the point of PQ).
     "q238_ivf_recall" -> Set("embeddings"),
-    "q239_pq_recall" -> Set("embeddings")
+    "q239_pq_recall" -> Set("embeddings"),
+    // q196's corpus-sized basket frame is a LAZY DISK_ONLY persist (a
+    // memory pin OOM'd the 100× collect_set; an eager checkpoint costs
+    // a separate materialization job — 52.7 vs 27.5 s warm at 100×).
+    // The counter sees the parquet location printed under every
+    // InMemoryTableScan use site, but the runtime scan happens ONCE,
+    // at cache materialization inside the first consumer's pass.
+    "q196_assoc_rules" -> Set("lineitem")
   )
 
   /** (query, table) pairs allowed exactly TWO scans, each with the
