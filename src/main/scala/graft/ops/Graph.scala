@@ -1114,11 +1114,22 @@ object Graph {
     * [[contractGraphWeighted]] emits. Scale shape identical to
     * [[modularityMoves]]: V-row adjacency index with in-task explode,
     * one Σtot + one argmax exchange per round. */
+  /** @param m0 caller-known Σw (one E-scan saved). [[louvain]] passes the
+    *   level-0 edge count at EVERY level: contraction conserves total
+    *   edge mass (each original edge lands in exactly one coarse pair or
+    *   self-loop), so Σw is level-invariant.
+    * @param materialized caller-asserted "wedges is already materialized
+    *   or derives from a checkpointed frame by cheap projection" — skips
+    *   the defensive localCheckpoint (an E-row write) that protects the
+    *   multi-consumer fan-out when the input is a raw derivation. */
   private[ops] def modularityMovesWeighted(wedges: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int, m0: Option[Long] = None,
+      materialized: Boolean = false): DataFrame = {
     require(rounds >= 1, "modularityMovesWeighted needs at least one round")
-    val e = wedges.select(col("u"), col("v"), col("w")).localCheckpoint()
-    val m = e.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
+    val e0 = wedges.select(col("u"), col("v"), col("w"))
+    val e = if (materialized) e0 else e0.localCheckpoint()
+    val m = m0.getOrElse(
+      e.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0))
     require(m > 0, "modularityMovesWeighted needs positive total weight")
     val nonSelf = e.filter(col("u") =!= col("v"))
     val mir = nonSelf.unionByName(
@@ -1250,7 +1261,11 @@ object Graph {
     var level = 1
     var improving = true
     while (level <= levels && improving) {
-      val lab = modularityMovesWeighted(cur, rounds)
+      // Σw is m0 at every level (contraction conserves edge mass); level
+      // 1's frame is a cheap projection of the checkpointed base, later
+      // levels' contraction outputs still need the defensive pin
+      val lab = modularityMovesWeighted(cur, rounds, Some(m0),
+        materialized = level == 1)
       val composite = mapping.withColumnRenamed("label", "__mid")
         .join(lab.select(col("node").as("__mid"), col("label")), Seq("__mid"))
         .select(col("node"), col("label"))
