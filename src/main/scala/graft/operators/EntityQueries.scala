@@ -1041,12 +1041,27 @@ object EntityQueries {
     val edges = Graph.undirectedEdges(sets, "ps")
     val seeds = edges.select($"src".as("node"))
       .distinct().filter($"node" % 97 === 0)
-    // sigma stays DECIMAL(38,0): the operator's loud-overflow contract —
-    // a narrowing cast to long would silently null overflowing counts
-    // under a non-ANSI session (round-7 ADVICE)
+    // the operator keeps sigma DECIMAL(38,0) internally (loud-overflow
+    // contract, round-7 ADVICE); the QUERY presents it as BIGINT behind
+    // an in-plan raise_error — never a silent narrowing null — because
+    // the gate's hash layer compares int64, not decimal
     Graph.bfsPathCounts(edges, seeds, rounds = 4, symmetric = true)
-      .select($"node", $"dist", $"sigma")
+      .select($"node", $"dist", bigintLoud($"sigma", "q261 sigma").as("sigma"))
       .orderBy($"node")
+  }
+
+  /** DECIMAL(38,0) → BIGINT presentation with a LOUD in-plan overflow
+    * assertion: values past 2⁶³−1 raise_error instead of the silent
+    * null a non-ANSI narrowing cast would produce. Queries use this at
+    * the output seam so integer-exact operator internals (path counts,
+    * Brandes deltas) present as driver-hashable int64. */
+  private def bigintLoud(c: Column, label: String): Column = {
+    val maxLong = lit(new java.math.BigDecimal(Long.MaxValue))
+      .cast("decimal(38,0)")
+    when(c > maxLong,
+      raise_error(concat(lit(s"$label overflows BIGINT: "),
+        c.cast("string"))).cast("bigint"))
+      .otherwise(c.cast("bigint"))
   }
   private val q261Sql = {
     val rounds = (1 to 4).map { i =>
@@ -1069,7 +1084,8 @@ object EntityQueries {
        |    CAST(1 AS DECIMAL(38,0)) AS sigma
        |  FROM e WHERE src % 97 = 0),
        |$rounds
-       |SELECT node, dist, sigma FROM pc4 ORDER BY node""".stripMargin
+       |SELECT node, dist, CAST(sigma AS BIGINT) AS sigma
+       |FROM pc4 ORDER BY node""".stripMargin
   }
 
   // ---------------------------------------------------------------- q263
@@ -1189,7 +1205,12 @@ object EntityQueries {
     val edges = Graph.undirectedEdges(sets, "ps")
     val seeds = edges.select($"src".as("node"))
       .distinct().filter($"node" % 97 === 0)
+    // decimal internals, BIGINT presentation (q261's discipline). The
+    // 1e9-unit delta is exact in int64 while total dependency < ~9.2e9
+    // paths-through-a-node (2⁶³/1e9); past that the guard raises loudly.
     Graph.betweennessDependencies(edges, seeds, rounds = 4, symmetric = true)
+      .select($"node", $"dist", bigintLoud($"sigma", "q262 sigma").as("sigma"),
+        bigintLoud($"delta_x9", "q262 delta_x9").as("delta_x9"))
       .orderBy($"node")
   }
   private val q262Sql = {
@@ -1235,7 +1256,8 @@ object EntityQueries {
        |bw4 AS (SELECT node, dist, sigma, CAST(0 AS HUGEINT) AS dx
        |  FROM pc4),
        |$bwd
-       |SELECT node, dist, sigma, CAST(dx AS DECIMAL(38,0)) AS delta_x9
+       |SELECT node, dist, CAST(sigma AS BIGINT) AS sigma,
+       |  CAST(dx AS BIGINT) AS delta_x9
        |FROM bw0 ORDER BY node""".stripMargin
   }
 

@@ -391,9 +391,16 @@ object MixtureQueries {
   // word order — list equality is the gate.
   private def q264(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // the operator returns (doc_id, n_tokens, ids array<bigint>); the
+    // GATE presents the sequence as scalar (doc_id, pos, token_id) rows
+    // — the driver's hash layer can't sort array cells — while the
+    // array-returning face stays the sink/serving path (SinksSpec
+    // round-trips id-bearing shards)
     graft.ops.TextAnalysis.bpeTokenIds(Tables.documents(s, d),
         q241Merges.toDF("round", "lhs", "rhs"))
-      .orderBy($"doc_id")
+      .select($"doc_id", posexplode($"ids").as(Seq("pos", "token_id")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"token_id")
+      .orderBy($"doc_id", $"pos")
   }
   private val q264Sql = {
     val rounds = q241Merges
@@ -424,8 +431,10 @@ object MixtureQueries {
        |  GROUP BY st6.w),
        |docids AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
        |  FROM w0 JOIN wids USING (w) GROUP BY doc_id)
-       |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens, ids
-       |FROM docids ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos,
+       |  CAST(ids[t.i] AS BIGINT) AS token_id
+       |FROM docids, LATERAL unnest(range(1, len(ids) + 1)) t(i)
+       |ORDER BY doc_id, pos""".stripMargin
   }
 
   // ---------------------------------------------------------------- q114

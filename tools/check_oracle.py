@@ -56,6 +56,26 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: dtype drift (driver pandas hash would differ): "
                   + ", ".join(f"{c} spark={a} oracle={b}" for c, a, b in tbad))
             n_fail += 1; continue
+        # Driver parity, part 2 (round-8 lesson: q261/q262/q264). The
+        # driver hashes through pandas, which (a) renders DuckDB DECIMAL
+        # as float64 while Spark parquet decimal stays Decimal objects —
+        # hash mismatch even when values are identical — and (b) crashes
+        # sort_values on array/struct/map cells (unhashable numpy.ndarray).
+        # Any such column on EITHER side is a gate defect here, even if
+        # the local cell-by-cell compare would pass.
+        def unhashable(t):
+            t = str(t).upper()
+            if "DECIMAL" in t: return "decimal (pandas renders float64 one side only)"
+            if "HUGEINT" in t: return "hugeint (pandas renders float64)"
+            if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+                return "nested (pandas sort_values crashes)"
+            return None
+        ubad = [(side, d[0], why) for side, desc in (("spark", gdesc), ("oracle", edesc))
+                for d in desc for why in [unhashable(d[1])] if why]
+        if ubad:
+            print(f"FAIL {name}: driver-unhashable dtype: "
+                  + ", ".join(f"{side}:{c} is {why}" for side, c, why in ubad))
+            n_fail += 1; continue
         g, gc = canon(got, gcols)
         e, ec = canon(exp, ecols)
         if gc != ec:
