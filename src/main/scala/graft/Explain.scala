@@ -48,8 +48,15 @@ object Explain {
     println(f"[explain] $name cold: ${(System.nanoTime - t0) / 1e9}%.2fs ($n rows)")
     val t1 = System.nanoTime; fn(spark, sfDir).count()
     println(f"[explain] $name warm: ${(System.nanoTime - t1) / 1e9}%.2fs")
-    // extra warm reps (SPARK_GRAFT_EXPLAIN_REPS) for variance-aware A/Bs
-    sys.env.get("SPARK_GRAFT_EXPLAIN_REPS").map(_.toInt).foreach { reps =>
+    // extra warm reps (SPARK_GRAFT_EXPLAIN_REPS) for variance-aware A/Bs;
+    // malformed/non-positive values warn instead of crashing the harness
+    val repsEnv = sys.env.get("SPARK_GRAFT_EXPLAIN_REPS")
+    val repsOpt = repsEnv.flatMap(v => scala.util.Try(v.toInt).toOption)
+      .filter(_ > 0)
+    if (repsEnv.isDefined && repsOpt.isEmpty)
+      System.err.println(s"[explain] ignoring invalid " +
+        s"SPARK_GRAFT_EXPLAIN_REPS='${repsEnv.get}' (want a positive int)")
+    repsOpt.foreach { reps =>
       for (r <- 1 to reps) {
         val t = System.nanoTime; fn(spark, sfDir).count()
         println(f"[explain] $name rep$r: ${(System.nanoTime - t) / 1e9}%.2fs")

@@ -62,11 +62,19 @@ object Privacy {
   def tCloseness(df: DataFrame, quasiCols: Seq[String],
       sensitiveBucket: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df
+    val base0 = df
       .select(quasiCols.map(col) :+ sensitiveBucket.cast("long").as("__b"): _*)
       .withColumn("__b", when(col("__b").isNotNull, col("__b"))
         .otherwise(raise_error(lit(
           "tCloseness: sensitive bucket must be non-null integral"))))
+    // NULL quasi values would form a groupBy class that the non-null-safe
+    // grid join can never match back to its own counts (c = 0 in every
+    // bucket → a silently near-maximal t); fail loudly like __b instead
+    val base = quasiCols.foldLeft(base0) { (b, q) =>
+      b.withColumn(q, when(col(q).isNotNull, col(q)).otherwise(
+        raise_error(lit(s"tCloseness: NULL quasi value in '$q' — " +
+          "coalesce a sentinel upstream"))))
+    }
     val cb = base.groupBy(quasiCols.map(col) :+ col("__b"): _*)
       .agg(count(lit(1)).as("cnt")).localCheckpoint()
     val gb = cb.groupBy(col("__b")).agg(sum(col("cnt")).as("g"))

@@ -305,13 +305,12 @@ object DocumentStreams {
           .parquet(s"$stateDir/dhashes")
           .filter(col("bid") < batchId)
           .select(col("dbits").as("old_bits")).distinct()
-        val nSeg = maxDist + 1
-        val segLen = (64 + nSeg - 1) / nSeg
+        // the SAME pigeonhole blocking hammingKeyJoin uses — shared so a
+        // segmentation change can't silently diverge the two sites and
+        // lose the cross-batch recall-1.0 guarantee
         def segs(df: DataFrame, keyCol: String): DataFrame =
-          df.select(col(keyCol),
-            posexplode(transform(sequence(lit(0), lit(nSeg - 1)),
-              s => substring(col(keyCol), (s * segLen + 1).cast("int"),
-                lit(segLen)))).as(Seq("seg_idx", "seg_val")))
+          graft.ops.RecordLinkage.pigeonholeSegments(df, keyCol,
+            keyLen = 64, maxDist = maxDist)
         val hit = segs(keptReps.select(col("dbits")), "dbits")
           .join(segs(prior, "old_bits"), Seq("seg_idx", "seg_val"))
           .filter(graft.ops.RecordLinkage.hamming(

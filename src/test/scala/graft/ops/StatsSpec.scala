@@ -291,6 +291,13 @@ class StatsSpec extends SparkSpec {
       Privacy.tCloseness(bad, Seq("q"), col("sb")).collect()
     }
     assert(e.getMessage.contains("tCloseness"))
+    // NULL quasi value: would be a class the grid join can never match
+    // (c = 0 everywhere → silently near-maximal t) — must raise loudly
+    val badQ = Seq((Option.empty[String], 1), (Some("x"), 2)).toDF("q", "sb")
+    val eq = intercept[Exception] {
+      Privacy.tCloseness(badQ, Seq("q"), col("sb")).collect()
+    }
+    assert(eq.getMessage.contains("NULL quasi"))
   }
 
   test("madOutliers: hand-computed median/MAD; integer decision; short groups") {
