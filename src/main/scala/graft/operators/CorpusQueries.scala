@@ -144,6 +144,35 @@ object CorpusQueries {
        |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = asg.id)
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q276
+  // SemDedup under the CORPUS-SCALED centroid default: k = ceil(sqrt(N))
+  // — assignment O(N·k) and within-cluster prune O(N²/k) both land at
+  // N^1.5, vs the N²/k blow-up a fixed k degrades to (q67 pins fixed k=8
+  // for the knob's own oracle; this pins the auto-sizing rule, which an
+  // external engine replays as ceil(sqrt(count(*)))). Same assignment
+  // and greedy-drop contract as q67 otherwise.
+  private def q276(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Similarity.semanticDedupAuto(Tables.embeddings(s, d), threshold = 0.3)
+      .select($"id".as("vec_id"), $"cluster_id")
+      .orderBy($"vec_id")
+  }
+  private val q276Sql =
+    s"""WITH v AS (SELECT vec_id AS id, $quantSql AS qv FROM embeddings),
+       |k AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k FROM v),
+       |c AS (SELECT id AS cid, qv AS cv FROM v WHERE id < (SELECT k FROM k)),
+       |asg AS (SELECT id, cid AS cluster_id, qv FROM (
+       |    SELECT v.id, c.cid, v.qv,
+       |      ROW_NUMBER() OVER (PARTITION BY v.id
+       |        ORDER BY ${cosSql("v.qv", "c.cv")} DESC, c.cid) AS rn
+       |    FROM v, c) WHERE rn = 1),
+       |dropped AS (SELECT DISTINCT b.id
+       |  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.id < b.id
+       |  WHERE ${cosSql("a.qv", "b.qv")} >= 0.3)
+       |SELECT id AS vec_id, cluster_id FROM asg
+       |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = asg.id)
+       |ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q68
   // The FLAGSHIP corpus pipeline, end to end in one plan: exact dedup →
   // verified near-dup drop → eval-set decontamination → quality gate →
@@ -917,6 +946,7 @@ object CorpusQueries {
     QueryDef("q65_pack_sequences", q65, Some(q65Sql)),
     QueryDef("q66_token_quota", q66, Some(q66Sql)),
     QueryDef("q67_semantic_dedup", q67, Some(q67Sql)),
+    QueryDef("q276_semantic_dedup_auto", q276, Some(q276Sql)),
     QueryDef("q68_corpus_pipeline", q68, Some(q68Sql)),
     QueryDef("q69_corpus_stats", q69, Some(q69Sql)),
     QueryDef("q70_line_dedup", q70, Some(q70Sql)),

@@ -1009,6 +1009,32 @@ object Similarity {
       }.toDF("id", "cluster_id")
   }
 
+  /** [[semanticDedup]] with the CORPUS-SCALED centroid count — the
+    * operator default when the caller doesn't pin k. k = ⌈√N ·
+    * `graft.semdedup.centroidsPerSqrtN`⌉ (default 1.0), clamped to
+    * [1, 2²⁰]. √N balances the two cost terms: assignment is O(N·k·dim)
+    * and the within-cluster pairwise prune is O((N²/k)·dim), so k = √N
+    * makes BOTH N^1.5 — total work grows ~31.6× for 100× data instead of
+    * the ~10 000× a fixed k degrades to (the round-8 sweep's worst
+    * growth, 87.8× wall-clock at 100×, was exactly fixed-k q67; the k
+    * knob was measured 11× cheaper at 8× more centroids on the same
+    * corpus). The count is one control-plane job over the scan; the
+    * resolved k is replayable by an external engine as
+    * ceil(sqrt(count(*)) · multiplier). Callers with a known target
+    * cluster size should still size k = N/targetSize explicitly. */
+  def semanticDedupAuto(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val mult = spark.conf
+      .get("graft.semdedup.centroidsPerSqrtN", "1.0").toDouble
+    require(mult > 0, s"graft.semdedup.centroidsPerSqrtN must be > 0: $mult")
+    val n = emb.count()
+    require(n > 0, "semanticDedupAuto: empty corpus")
+    val k = math.min(1L << 20,
+      math.max(1L, math.ceil(math.sqrt(n.toDouble) * mult).toLong)).toInt
+    semanticDedup(emb, k, threshold, idCol, vecCol)
+  }
+
   /** Embedding-space outlier detection: assign every vector to its
     * max-cosine seed centroid (identical assignment contract to
     * [[semanticDedup]] — deterministic, externally replayable), then flag

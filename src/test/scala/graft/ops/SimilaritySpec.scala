@@ -193,6 +193,25 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("graft.semdedup.maxClusterSize")
   }
 
+  test("semanticDedupAuto: resolves k = ceil(sqrt(N) * multiplier) and is " +
+      "identical to the explicit-k call") {
+    val n = emb.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val auto = Similarity.semanticDedupAuto(emb, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = Similarity.semanticDedup(emb, k, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed, s"auto-k ($k) result diverged from explicit k")
+    // the multiplier knob moves k (coarser clustering = fewer centroids)
+    spark.conf.set("graft.semdedup.centroidsPerSqrtN", "0.25")
+    try {
+      val coarse = Similarity.semanticDedupAuto(emb, threshold = 0.3)
+        .select(col("cluster_id")).distinct().count()
+      val fine = auto.map(_._2).size
+      assert(coarse <= fine, s"coarse=$coarse fine=$fine")
+    } finally spark.conf.unset("graft.semdedup.centroidsPerSqrtN")
+  }
+
   test("embeddingOutliers: planted far vector flagged, cluster members not") {
     // 20 near-identical vectors around two centroid seeds + one far point
     def vec(base: Float, jitter: Float) = Seq.tabulate(8)(i =>
