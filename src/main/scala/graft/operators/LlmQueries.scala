@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Dedup, Multimodal, RecordLinkage, Regression, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{AnnIndex, Dedup, Multimodal, RecordLinkage, Regression, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators under the correctness gate (north-star
   * EXT): dedup family, similarity search, text analysis, multimodal
@@ -514,6 +514,40 @@ object LlmQueries {
     annRecallHits(s, emb, Similarity.pqTopK(emb,
       emb.filter($"vec_id" < 10), k = 10, m = 8, ksub = 16,
       trainIters = 0, rerank = 40, seedHash = "md5"))
+  }
+
+  // ------------------------------------------------------------ q277/q278
+  // PERSISTED-INDEX parity (the serving shape: index once, probe many).
+  // Build the IVF/PQ artifact to parquet, then answer from the LOADED
+  // index at exactly q238's/q239's settings — probe-of-loaded is
+  // bit-identical to the fresh one-shot operator (AnnIndexSpec pins full
+  // result equality; these gate recall THROUGH the store round-trip
+  // against the SAME oracle replay as q238/q239, so a single lost or
+  // re-quantized posting row flips the hash). The store dir is keyed on
+  // the data dir and overwritten per call — re-runs are idempotent.
+  private def annIndexDir(d: String, kind: String): String = {
+    // String.hashCode is spec-pinned — the same data dir always maps to
+    // the same store dir, so re-runs overwrite their own artifact
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft_annidx_$tag/$kind"
+  }
+  private def q277(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val dir = annIndexDir(d, "ivf")
+    AnnIndex.ivfBuild(emb, dir, nlist = 16, refineIters = 0,
+      seedHash = "md5")
+    annRecallHits(s, emb, AnnIndex.ivfProbe(s, dir,
+      emb.filter($"vec_id" < 10), k = 10, nprobe = 4))
+  }
+  private def q278(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val dir = annIndexDir(d, "pq")
+    AnnIndex.pqBuild(emb, dir, m = 8, ksub = 16, trainIters = 0,
+      seedHash = "md5")
+    annRecallHits(s, emb, AnnIndex.pqProbe(s, dir, emb,
+      emb.filter($"vec_id" < 10), k = 10, rerank = 40))
   }
   // shared oracle scaffolding: quantized corpus/queries + the 16
   // md5-ordered seed rows (cid = 0-based hash-order rank) + exact norms;
@@ -1396,6 +1430,10 @@ object LlmQueries {
     QueryDef("q56_pq_topk", q56, Some(q43Sql)),
     QueryDef("q238_ivf_recall", q238, Some(q238Sql)),
     QueryDef("q239_pq_recall", q239, Some(q239Sql)),
+    // persisted-index faces: same settings, same oracle replays — the
+    // store round-trip must not move a single recall hit
+    QueryDef("q277_ivf_index_persist", q277, Some(q238Sql)),
+    QueryDef("q278_pq_index_persist", q278, Some(q239Sql)),
     QueryDef("q253_ivf_recall_clustered", q253, Some(q253Sql)),
     QueryDef("q254_pq_recall_trained", q254, Some(q254Sql)),
     QueryDef("q265_pq_recall_trained3", q265, Some(q265Sql)),

@@ -136,18 +136,18 @@ object Similarity {
     out
   }
 
-  private def dotJvm(a: Array[Long], b: Array[Long]): Long = {
+  private[ops] def dotJvm(a: Array[Long], b: Array[Long]): Long = {
     var s = 0L; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
   }
 
-  private def normJvm(a: Array[Long]): Long = dotJvm(a, a)
+  private[ops] def normJvm(a: Array[Long]): Long = dotJvm(a, a)
 
   /** cosine with a zero-norm guard: an all-zero vector (failed embed /
     * padding) has undefined cosine; 0.0 ranks it last instead of NaN —
     * which Spark sorts as the LARGEST double, i.e. rank 1 under desc. */
-  private def cosJvm(dot: Long, na: Long, nb: Long): Double =
+  private[ops] def cosJvm(dot: Long, na: Long, nb: Long): Double =
     // sqrt(na)*sqrt(nb): na*nb overflows Long for high-dim vectors (→ negative
     // → sqrt NaN → ranks first under desc); each factor alone is exact
     if (na == 0L || nb == 0L) 0.0
@@ -462,7 +462,7 @@ object Similarity {
         s"seedHash must be 'xx' or 'md5', got '$other'")
     }
 
-  private def sampleCentroids(corpus: DataFrame, nlist: Int,
+  private[ops] def sampleCentroids(corpus: DataFrame, nlist: Int,
       idCol: String, vecCol: String, seedHash: String = "xx")
       : Array[(Long, Array[Long], Long)] = {
     val spark = corpus.sparkSession
@@ -477,7 +477,7 @@ object Similarity {
       .map { case ((_, v), i) => val q = quantizeJvm(v); (i.toLong, q, normJvm(q)) }
   }
 
-  private def nearestCentroids(v: Array[Long], nv: Long,
+  private[ops] def nearestCentroids(v: Array[Long], nv: Long,
       cents: Array[(Long, Array[Long], Long)], n: Int): Array[Long] =
     cents.map { case (cid, cv, cn) =>
       (cid, cosJvm(dotJvm(v, cv), nv, cn)) }
@@ -492,7 +492,7 @@ object Similarity {
     * their previous centroid. The refit quantizer tightens lists on
     * clustered embedding clouds, which is what lets nprobe/nlist shrink —
     * the pruning ratio IS the speedup at scale. */
-  private def lloydRefine(corpus: DataFrame,
+  private[ops] def lloydRefine(corpus: DataFrame,
       cents: Array[(Long, Array[Long], Long)], iters: Int,
       idCol: String, vecCol: String): Array[(Long, Array[Long], Long)] = {
     val spark = corpus.sparkSession
@@ -696,7 +696,7 @@ object Similarity {
 
   /** Nearest sub-centroid by L2 in quantized space (components ≤ ~2^12 →
     * squared diffs stay far below long overflow); ties → lowest index. */
-  private def nearestSub(q: Array[Long], off: Int, book: Array[Array[Long]]): Int = {
+  private[ops] def nearestSub(q: Array[Long], off: Int, book: Array[Array[Long]]): Int = {
     var best = 0; var bestD = Long.MaxValue
     var c = 0
     while (c < book.length) {
