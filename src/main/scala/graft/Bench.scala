@@ -156,9 +156,29 @@ object Bench {
         release()
         name -> (if (ok) t else -1.0)
       }
-    val cold = pass()
+    var cold = pass()
     canaries += canary()
     ckptCanaries += ckptCanary()
+    // --- self-certification (round-8: the driver artifact's cold total was
+    // 50% drift and only the stderr warning said so). If either canary
+    // fires after the cold pass, the cold numbers are already suspect —
+    // re-run the cold pass ONCE (bounded; an idle box converges, a
+    // genuinely contended one fails the final `valid` flag instead of
+    // shipping a silently incomparable total). The first attempt's total
+    // is kept in the JSON as the retry trail.
+    var coldRetries = 0
+    var coldAttempt1 = -1.0
+    if (noiseFactor > 1.5 || ckptNoiseFactor > 1.5) {
+      System.err.println(
+        s"[bench] canaries fired after the cold pass (cpu $noiseFactor, " +
+          s"ckpt $ckptNoiseFactor) — re-running the cold pass once; " +
+          "attempt-1 total kept as cold_total_attempt1")
+      coldAttempt1 = math.rint(cold.map(_._2).filter(_ >= 0).sum * 1000) / 1000
+      coldRetries = 1
+      cold = pass()
+      canaries += canary()
+      ckptCanaries += ckptCanary()
+    }
     val warm = pass()
     def r3(v: Double) = math.rint(v * 1000) / 1000
     def total(xs: Seq[(String, Double)]) = r3(xs.map(_._2).filter(_ >= 0).sum)
@@ -166,9 +186,17 @@ object Bench {
       val v = if (w < 0 || c < 0) -1.0 else r3(w)
       "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
+    // `valid` self-certifies the artifact: true iff no canary (cpu or
+    // ckpt, medians over the whole run) sits above 1.5× its clean pin.
+    // A consumer comparing totals across rounds should gate on it.
+    def validFlag: Boolean = noiseFactor <= 1.5 && ckptNoiseFactor <= 1.5
+    def retryTrail: String =
+      s""""cold_retries":$coldRetries""" +
+        (if (coldRetries > 0) s""","cold_total_attempt1":$coldAttempt1""" else "")
     println(s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
       s""""cold_total":${total(cold)},"warm_total":${total(warm)},""" +
       s""""n_queries":${warm.size},"sf":"$sfDir",""" +
+      s""""valid":$validFlag,$retryTrail,""" +
       s""""canary_s":${canaries.map(r3).mkString("[", ",", "]")},""" +
       s""""noise_factor":$noiseFactor,""" +
       s""""ckpt_canary_s":${ckptCanaries.map(r3).mkString("[", ",", "]")},""" +
@@ -216,6 +244,7 @@ object Bench {
     println(s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
       s""""cold_total":${total(cold)},"warm_total":${total(warm)},""" +
       s""""n_queries":${warm.size},"sf":"$sfDir",""" +
+      s""""valid":$validFlag,$retryTrail,""" +
       s""""canary_s":${canaries.map(r3).mkString("[", ",", "]")},""" +
       s""""noise_factor":$noiseFactor,""" +
       s""""ckpt_canary_s":${ckptCanaries.map(r3).mkString("[", ",", "]")},""" +
