@@ -1261,6 +1261,78 @@ object EntityQueries {
        |FROM bw0 ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q279
+  // SAMPLED-SOURCE betweenness over the co-purchase graph — the
+  // production form of q262 (Brandes/Pich pivots): exact Brandes from
+  // the 8 md5-smallest nodes, per-source dependencies kept independent,
+  // (n/k)-scaled integer estimator. The oracle replays the identical
+  // sample (md5_number_lower order), the per-source forward/backward
+  // unrolls, the endpoint exclusion, and the n/k scaling in HUGEINT.
+  private def q279(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+    val edges = Graph.undirectedEdges(sets, "ps")
+    Graph.betweennessSampled(edges, k = 8, rounds = 4, symmetric = true)
+      .select($"node",
+        bigintLoud($"delta_sum_x9", "q279 delta_sum_x9").as("delta_sum_x9"),
+        bigintLoud($"bet_est_x9", "q279 bet_est_x9").as("bet_est_x9"))
+      .orderBy($"node")
+  }
+  private val q279Sql = {
+    val fwd = (1 to 4).map { i =>
+      val prev = s"pc${i - 1}"
+      s"""pc$i AS MATERIALIZED (
+         |  SELECT s, node, dist, sigma FROM $prev
+         |  UNION ALL
+         |  SELECT c.s, c.node, CAST($i AS BIGINT) AS dist, c.sg AS sigma
+         |  FROM (
+         |    SELECT q.s, e.dst AS node,
+         |      CAST(SUM(q.sigma) AS DECIMAL(38,0)) AS sg
+         |    FROM e JOIN $prev q ON e.src = q.node AND q.dist = ${i - 1}
+         |    GROUP BY q.s, e.dst) c
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev p
+         |                    WHERE p.s = c.s AND p.node = c.node))""".stripMargin
+    }.mkString(",\n")
+    val bwd = (3 to 0 by -1).map { dLev =>
+      s"""bw$dLev AS MATERIALIZED (
+         |  SELECT p.s, p.node, p.dist, p.sigma,
+         |    CASE WHEN p.dist = $dLev THEN COALESCE(t.dx, 0) ELSE p.dx
+         |    END AS dx
+         |  FROM bw${dLev + 1} p LEFT JOIN (
+         |    SELECT v.s, v.node,
+         |      SUM((CAST(v.sigma AS HUGEINT) * (1000000000 + w.dx))
+         |          // CAST(w.sigma AS HUGEINT)) AS dx
+         |    FROM (SELECT s, node, sigma FROM pc4 WHERE dist = $dLev) v
+         |    JOIN e ON e.src = v.node
+         |    JOIN bw${dLev + 1} w ON w.s = v.s AND w.node = e.dst
+         |      AND w.dist = ${dLev + 1}
+         |    GROUP BY v.s, v.node) t ON t.s = p.s AND t.node = p.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pe AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |         AND a.l_partkey <> b.l_partkey),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM pe),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM nodes),
+       |ss AS (SELECT node AS s FROM nodes
+       |       ORDER BY md5_number_lower(CAST(node AS VARCHAR)), node
+       |       LIMIT 8),
+       |pc0 AS (SELECT s, s AS node, CAST(0 AS BIGINT) AS dist,
+       |    CAST(1 AS DECIMAL(38,0)) AS sigma FROM ss),
+       |$fwd,
+       |bw4 AS (SELECT s, node, dist, sigma, CAST(0 AS HUGEINT) AS dx
+       |  FROM pc4),
+       |$bwd,
+       |agg AS (SELECT node, CAST(SUM(dx) AS HUGEINT) AS ds
+       |        FROM bw0 WHERE node <> s GROUP BY node)
+       |SELECT node, CAST(ds AS BIGINT) AS delta_sum_x9,
+       |  CAST((ds * (SELECT n FROM nn)) // 8 AS BIGINT) AS bet_est_x9
+       |FROM agg ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q186
   // Audience-overlap matrix: Jaccard between the user audiences of every
   // event-type pair — "do purchasers also search?", the segmentation /
@@ -1689,6 +1761,7 @@ object EntityQueries {
     QueryDef("q183_bfs_hops", q183, Some(q183Sql)),
     QueryDef("q261_path_counts", q261, Some(q261Sql)),
     QueryDef("q262_betweenness", q262, Some(q262Sql)),
+    QueryDef("q279_betweenness_sampled", q279, Some(q279Sql)),
     QueryDef("q263_louvain", q263, Some(q263Sql)),
     QueryDef("q186_audience_overlap", q186, Some(q186Sql)),
   )

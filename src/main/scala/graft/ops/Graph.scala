@@ -674,6 +674,120 @@ object Graph {
       col("delta_x9"))).reduce(_.unionByName(_))
   }
 
+  /** SAMPLED-SOURCE betweenness — the form a 100 TB graph actually runs
+    * (Brandes/Pich 2007 pivot estimation): exact Brandes from `k`
+    * deterministic sample sources (the k nodes with the smallest
+    * unsigned md5 of their id — content-keyed, so an external engine
+    * replays the identical sample), each source's dependency kept
+    * INDEPENDENT (unlike [[betweennessDependencies]], whose multi-source
+    * BFS merges the seed set into one DAG), then
+    *
+    *   bet_est(v) = (n / k) · Σ_{s ∈ S} δ_s(v),   v ∉ S endpoints excluded
+    *
+    * in truncated-integer 1e9 units: est_x9 = (Σ δ_s(v)_x9 · n) div k —
+    * bit-identical everywhere, exact betweenness×1e9 when k = n.
+    *
+    * Scale shape: all k sources run SIMULTANEOUSLY as one batched BFS —
+    * state rows are (s, node, dist, sigma), so the per-layer cost is the
+    * SAME bounded probe-explode-aggregate as the single BFS with k× the
+    * state rows, not k sequential passes (2·rounds joins total, not
+    * 2·rounds·k). The estimator is how betweenness stays subquadratic:
+    * exact Brandes is O(V·E); k ≪ V sampled sources cost O(k·E)-ish work
+    * for an unbiased estimate, and accuracy buys more samples, not a
+    * bigger join.
+    *
+    * @param edges (src, dst); pass both directions for undirected
+    * @param k     number of sampled sources (clamped to |V|)
+    * @param rounds BFS horizon per source ([[bfsPathCounts]] contract)
+    * @return (node, delta_sum_x9, bet_est_x9) for nodes reached from any
+    *         sampled source (as non-endpoint), DECIMAL(38,0) units
+    */
+  def betweennessSampled(edges: DataFrame, k: Int, rounds: Int = 4,
+      symmetric: Boolean = false): DataFrame = {
+    require(k >= 1, "betweennessSampled needs at least one source")
+    require(rounds >= 1, "betweennessSampled needs at least one round")
+    val adj = guardDegree(edges.select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("ns")),
+      "src", "ns")
+      .localCheckpoint()
+    val nodes = (if (symmetric) adj.select(col("src").as("node"))
+      else adj.select(col("src").as("node"))
+        .unionByName(adj.select(explode(col("ns")).as("node"))))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    // deterministic sample: k smallest unsigned-md5 node ids (the ANN
+    // seed discipline — replayable as ORDER BY md5_number_lower LIMIT k)
+    val srcs = nodes
+      .withColumn("__m", graft.functions.Md5Low64(col("node").cast("string"))
+        .bitwiseXOR(lit(Long.MinValue)))
+      .orderBy(col("__m"), col("node"))
+      .limit(k)
+      .select(col("node").as("s"))
+      .localCheckpoint()
+    // batched per-source forward pass: layers keyed (s, node)
+    val f0 = srcs.select(col("s"), col("s").as("node"))
+      .withColumn("dist", lit(0L))
+      .withColumn("sigma", lit(1L).cast("decimal(38,0)"))
+      .localCheckpoint()
+    val layers = scala.collection.mutable.ArrayBuffer(f0)
+    var frontier = f0.select(col("s"), col("node"), col("sigma"))
+    var r = 1
+    var done = frontier.isEmpty
+    while (r <= rounds && !done) {
+      val reached = layers.map(_.select(col("s"), col("node")))
+        .reduce(_.unionByName(_))
+      val newly = adj
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("s"), explode(col("ns")).as("node"), col("sigma"))
+        .groupBy(col("s"), col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(reached, Seq("s", "node"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
+        .localCheckpoint()
+      layers += newly
+      frontier = newly.select(col("s"), col("node"), col("sigma"))
+      done = newly.isEmpty
+      r += 1
+    }
+    val ls0 = layers.toSeq
+    val ls = if (done && ls0.size > 1) ls0.init else ls0
+    // batched backward pass: δ per (s, node), deepest layer first
+    val zero = lit(0L).cast("decimal(38,0)")
+    var states = List(ls.last.withColumn("delta_x9", zero)
+      .localCheckpoint())
+    for (d <- ls.size - 2 to 0 by -1) {
+      val next = states.head.select(col("s"), col("node").as("w"),
+        col("sigma").as("__sw"), col("delta_x9").as("__dw"))
+      val terms = adj
+        .join(ls(d).select(col("s"), col("node").as("src"),
+          col("sigma").as("__sv")), Seq("src"))
+        .select(col("s"), col("src").as("node"), col("__sv"),
+          explode(col("ns")).as("w"))
+        .join(next, Seq("s", "w")) // same-source successors only
+        .select(col("s"), col("node"),
+          graft.functions.BrandesTerm(col("__sv"), col("__dw"), col("__sw"))
+            .as("__t"))
+        .groupBy(col("s"), col("node"))
+        .agg(sum(col("__t")).as("__dsum"))
+      states = ls(d)
+        .join(terms, Seq("s", "node"), "left")
+        .select(col("s"), col("node"), col("dist"), col("sigma"),
+          coalesce(col("__dsum").cast("decimal(38,0)"), zero).as("delta_x9"))
+        .localCheckpoint() :: states
+    }
+    val all = states.map(_.select(col("s"), col("node"), col("delta_x9")))
+      .reduce(_.unionByName(_))
+    all.filter(col("node") =!= col("s")) // endpoints excluded (Brandes)
+      .groupBy(col("node"))
+      .agg(sum(col("delta_x9")).as("delta_sum_x9"))
+      // integer (n/k) estimator: `div` is integral division (Spark returns
+      // LONG for it — quotients past 2⁶³ are out of the presentation
+      // contract anyway; queries re-cast and guard at the output seam)
+      .withColumn("bet_est_x9",
+        expr(s"CAST((delta_sum_x9 * CAST($n AS DECIMAL(38,0))) " +
+          s"div ${k.toLong}L AS DECIMAL(38,0))"))
+  }
+
   /** Personalized PageRank: the random surfer teleports to a SEED SET
     * instead of everywhere — scores measure proximity to the seeds, the
     * standard seed-expansion primitive for data curation ("rank the

@@ -662,6 +662,38 @@ class GraphSpec extends SparkSpec {
       (3L, 2L, 1L, 0L)))
   }
 
+  test("betweennessSampled: k = n reproduces exact betweenness (hand " +
+      "cases); (n/k) estimator scaling; endpoints excluded") {
+    def run(edges: org.apache.spark.sql.DataFrame, k: Int) =
+      Graph.betweennessSampled(edges, k, rounds = 4, symmetric = true)
+        .select($"node", $"delta_sum_x9".cast("long"),
+          $"bet_est_x9".cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    // path 1-2-3: only node 2 lies interior; per directed-source-sum
+    // convention its betweenness is 2 (sources 1 and 3) → 2e9 in x9 units
+    val path = Seq((1L, 2L), (2L, 3L))
+    val pEdges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    assert(run(pEdges, 3) == Set(
+      (1L, 0L, 0L), (2L, 2000000000L, 2000000000L), (3L, 0L, 0L)))
+    // diamond 1-2,1-3,2-4,3-4 is vertex-transitive: every node is
+    // interior to exactly one opposite pair (2/3 split the 1↔4 paths,
+    // 1/4 split the 2↔3 paths), each carrying 2·⌊1e9/2⌋ = 1e9
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val dEdges = (diamond ++ diamond.map(_.swap)).toDF("src", "dst")
+    assert(run(dEdges, 4) == Set(
+      (1L, 1000000000L, 1000000000L), (2L, 1000000000L, 1000000000L),
+      (3L, 1000000000L, 1000000000L), (4L, 1000000000L, 1000000000L)))
+    // k = 1 on the path graph: whatever single source the md5 order
+    // picks, est = delta_sum · n / k = 3 · delta_sum exactly
+    val one = run(pEdges, 1)
+    assert(one.nonEmpty)
+    one.foreach { case (_, ds, est) => assert(est == ds * 3) }
+    // sampling fewer sources only shrinks per-node sums (subset of terms)
+    val two = run(pEdges, 2).map { case (nd, ds, _) => nd -> ds }.toMap
+    val all = run(pEdges, 3).map { case (nd, ds, _) => nd -> ds }.toMap
+    two.foreach { case (nd, ds) => assert(ds <= all(nd)) }
+  }
+
   test("betweennessDependencies: layout invariance — repartitioned / " +
       "shuffled edge input yields identical bits") {
     val half = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
