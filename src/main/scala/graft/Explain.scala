@@ -42,6 +42,30 @@ object Explain {
         case "_bpe1000" => (s, d) => // realistic-round-count trainer probe
           graft.ops.TextAnalysis.bpeTrain(
             graft.sources.Tables.documents(s, d), merges = 1000)
+        case "_lv_edges" => (s, d) => // q263's co-purchase edge frame alone
+          graft.ops.Graph.undirectedEdges(
+            graft.sources.Tables.lineitem(s, d)
+              .groupBy(org.apache.spark.sql.functions.col("l_orderkey"))
+              .agg(org.apache.spark.sql.functions.collect_set(
+                org.apache.spark.sql.functions.col("l_partkey")).as("ps")),
+            "ps")
+        case "_lv_l1" => (s, d) => // q263 truncated to level 1 (edge cost
+          // + level-1 moves + one Q gate + composite): the level-2
+          // marginal cost is q263 minus this
+          graft.ops.Graph.louvain(graft.ops.Graph.undirectedEdges(
+            graft.sources.Tables.lineitem(s, d)
+              .groupBy(org.apache.spark.sql.functions.col("l_orderkey"))
+              .agg(org.apache.spark.sql.functions.collect_set(
+                org.apache.spark.sql.functions.col("l_partkey")).as("ps")),
+            "ps"), levels = 1, rounds = 2)
+        case "_lv_mv1" => (s, d) => // level-1 weighted move rounds alone
+          // (public unweighted face = the same per-round exchange chain)
+          graft.ops.Graph.modularityMoves(graft.ops.Graph.undirectedEdges(
+            graft.sources.Tables.lineitem(s, d)
+              .groupBy(org.apache.spark.sql.functions.col("l_orderkey"))
+              .agg(org.apache.spark.sql.functions.collect_set(
+                org.apache.spark.sql.functions.col("l_partkey")).as("ps")),
+            "ps"), rounds = 2)
         case other => SparkEntry.queries(other)
       }
     val t0 = System.nanoTime; val n = fn(spark, sfDir).count()

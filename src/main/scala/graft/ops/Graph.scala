@@ -1357,17 +1357,17 @@ object Graph {
     val base = canonicalUndirected(edges)
     val m0 = base.count() // one canonical frame + count, shared by every gate
     require(m0 > 0, "louvain needs at least one edge")
-    def q(labels: DataFrame): Long =
-      modularityFromCanonical(base, m0, labels)
-        .agg(coalesce(sum(col("q_term_x9")), lit(0L))).first().getLong(0)
     var cur = base.select(col("u"), col("v"), lit(1L).as("w"))
     // level 0: singletons. Identity labels make every intra count 0 and
     // every community degree the node degree, so Q0 is one degree
-    // aggregate — no label joins (value-identical to q(identity))
-    var mapping = base.select(explode(array(col("u"), col("v"))).as("node"))
-      .distinct().select(col("node"), col("node").as("label"))
-      .localCheckpoint()
-    var bestQ = degreesOf(base)
+    // aggregate — no label joins (value-identical to q(identity)). The
+    // degree table doubles as the node universe for the identity
+    // mapping: ONE E-row pass feeds both, instead of a separate
+    // explode-distinct exchange (canonical edges ⇒ every node has d ≥ 1)
+    val deg0 = degreesOf(base).localCheckpoint()
+    var mapping = deg0
+      .select(col("n").as("node"), col("n").as("label"))
+    var bestQ = deg0
       .select(floor(((col("d").cast("decimal(38,0)") * col("d") * -1)
         .cast("double") * 1e9) / lit(4.0 * m0.toDouble * m0.toDouble))
         .cast("long").as("t"))
@@ -1380,19 +1380,52 @@ object Graph {
       // levels' contraction outputs still need the defensive pin
       val lab = modularityMovesWeighted(cur, rounds, Some(m0),
         materialized = level == 1)
-      val composite = mapping.withColumnRenamed("label", "__mid")
-        .join(lab.select(col("node").as("__mid"), col("label")), Seq("__mid"))
-        .select(col("node"), col("label"))
-        .localCheckpoint()
-      val qc = q(composite)
+      // contraction doubles as the Q audit (the round-9 cut: the audit
+      // used to re-join composite labels over the ORIGINAL E rows at
+      // every level — ~2 full-E passes per accepted level at sf0.1).
+      // Contraction conserves both masses q_term_x9 is built from —
+      // intra(c) = the (c,c) self-loop weight, degree_sum(c) = 2·self +
+      // mirrored cross mass — so the per-community floor-quantized terms
+      // computed off the coarse graph are BIT-IDENTICAL to the original-
+      // graph audit, and past level 1 the audited frame is community-
+      // sized, not E-sized.
+      val cg = contractGraphWeighted(cur, lab).localCheckpoint()
+      val qc = qFromCoarse(cg, m0)
       if (qc > bestQ) {
         bestQ = qc
-        mapping = composite
-        if (level < levels) cur = contractGraphWeighted(cur, lab)
+        mapping = mapping.withColumnRenamed("label", "__mid")
+          .join(lab.select(col("node").as("__mid"), col("label")),
+            Seq("__mid"))
+          .select(col("node"), col("label"))
+          .localCheckpoint()
+        cur = cg
       } else improving = false
       level += 1
     }
     mapping
+  }
+
+  /** Σ q_term_x9 of a labeling, read off its CONTRACTED graph: intra
+    * mass is the self-loop weight, community degree mass is 2·self +
+    * mirrored cross weight — exactly [[modularityFromCanonical]]'s
+    * integers (contraction conserves both), through the same
+    * floor-quantized term, without touching the original E rows. */
+  private def qFromCoarse(cg: DataFrame, m: Long): Long = {
+    val self = cg.filter(col("u") === col("v"))
+      .select(col("u").as("label"), col("w").as("iw"))
+    val nbr = cg.filter(col("u") =!= col("v"))
+    val mirW = nbr.select(col("u").as("label"), col("w"))
+      .unionByName(nbr.select(col("v").as("label"), col("w")))
+      .groupBy(col("label")).agg(sum(col("w")).as("nw"))
+    mirW.join(self, Seq("label"), "full")
+      .select(coalesce(col("iw"), lit(0L)).as("intra"),
+        (coalesce(col("nw"), lit(0L)) +
+          coalesce(col("iw"), lit(0L)) * 2).as("degsum"))
+      .select(floor((lit(m).cast("decimal(38,0)") * 4 * col("intra") -
+          col("degsum").cast("decimal(38,0)") * col("degsum"))
+          .cast("double") * 1e9 / lit(4.0 * m.toDouble * m.toDouble))
+          .cast("long").as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L))).first().getLong(0)
   }
 
   /** Degree assortativity — the Pearson correlation of (outdeg(src),
