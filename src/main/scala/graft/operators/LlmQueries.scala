@@ -549,6 +549,24 @@ object LlmQueries {
     annRecallHits(s, emb, AnnIndex.pqProbe(s, dir, emb,
       emb.filter($"vec_id" < 10), k = 10, rerank = 40))
   }
+  // ---------------------------------------------------------------- q280
+  // INCREMENTAL-ADD gate for the persisted IVF index: build on the even
+  // half, ivfAdd the odd half (frozen quantizer, batch-keyed store),
+  // probe at nprobe = nlist — the exact regime (every posting scores),
+  // where the result must be bit-identical to brute force over the
+  // UNION (q43's oracle). One lost, duplicated, or re-quantized posting
+  // row across the two batches flips the hash.
+  private def q280(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val dir = annIndexDir(d, "ivf_inc")
+    AnnIndex.ivfBuild(emb.filter($"vec_id" % 2 === 0), dir, nlist = 16,
+      seedHash = "md5")
+    AnnIndex.ivfAdd(emb.filter($"vec_id" % 2 === 1), dir, batchId = 1L)
+    AnnIndex.ivfProbe(s, dir, emb.filter($"vec_id" < 10), k = 10,
+      nprobe = 16)
+      .orderBy($"qid", $"rn")
+  }
   // shared oracle scaffolding: quantized corpus/queries + the 16
   // md5-ordered seed rows (cid = 0-based hash-order rank) + exact norms;
   // parameterized over the corpus CTE so the planted-cluster audits
@@ -1434,6 +1452,8 @@ object LlmQueries {
     // store round-trip must not move a single recall hit
     QueryDef("q277_ivf_index_persist", q277, Some(q238Sql)),
     QueryDef("q278_pq_index_persist", q278, Some(q239Sql)),
+    // incremental add at full probe ≡ brute force over the union
+    QueryDef("q280_ivf_index_add", q280, Some(q43Sql)),
     QueryDef("q253_ivf_recall_clustered", q253, Some(q253Sql)),
     QueryDef("q254_pq_recall_trained", q254, Some(q254Sql)),
     QueryDef("q265_pq_recall_trained3", q265, Some(q265Sql)),

@@ -340,6 +340,49 @@ object DocumentStreams {
         ()
       }
 
+  // ---- streaming ANN-index maintenance --------------------------------
+
+  /** One micro-batch of embeddings into the persisted IVF index
+    * ([[graft.ops.AnnIndex]]): the FIRST batch trains the coarse
+    * quantizer and builds the index; every later batch encodes against
+    * the FROZEN centroids (`ivfAdd`'s train-once contract). Replay
+    * safety is inherited from the store layout — a replayed batch id
+    * rewrites exactly its own `batch=` partitions (deterministic
+    * encode + dynamic partition overwrite), and a replayed FIRST batch
+    * retrains byte-identical centroids from the same rows — so
+    * foreachBatch's at-least-once delivery yields an exactly-once
+    * index. Probes ([[graft.ops.AnnIndex.ivfProbe]]) work between
+    * batches: the serving shape — index continuously, query any time. */
+  def ingestBatchIvf(batch: DataFrame, indexDir: String, batchId: Long,
+      nlist: Int = 16, seedHash: String = "xx",
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val built =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/centroids"))
+    if (!built || batchId == 0L)
+      graft.ops.AnnIndex.ivfBuild(batch, indexDir, nlist = nlist,
+        idCol = idCol, vecCol = vecCol, seedHash = seedHash)
+    else
+      graft.ops.AnnIndex.ivfAdd(batch, indexDir, batchId,
+        idCol = idCol, vecCol = vecCol)
+  }
+
+  /** The streaming wrapper: continuous embedding ingest into a
+    * probe-ready persisted IVF index. */
+  def ivfIngest(stream: DataFrame, indexDir: String, checkpoint: String,
+      nlist: Int = 16, seedHash: String = "xx",
+      idCol: String = "vec_id", vecCol: String = "embedding"):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchIvf(batch, indexDir, batchId, nlist, seedHash,
+          idCol, vecCol)
+        ()
+      }
+
   // ---- incremental CONNECTED COMPONENTS maintenance ------------------
   // The [[ingestBatchNearDedup]] architecture keeps the corpus deduped;
   // this face keeps CLUSTER MEMBERSHIP current instead — every ingested

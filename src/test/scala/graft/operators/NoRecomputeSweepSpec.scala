@@ -41,6 +41,14 @@ class NoRecomputeSweepSpec extends SparkSpec {
     // measures (the ANN pass's narrower read is the point of PQ).
     "q238_ivf_recall" -> Set("embeddings"),
     "q239_pq_recall" -> Set("embeddings"),
+    // the persisted-index twins of q238/q239: the brute-force reference
+    // pass and the pinned probe slice still read the corpus (the audit),
+    // while the approximate pass reads the PARQUET INDEX instead — and
+    // q278's exact rerank re-reads the semi-join-pruned candidate
+    // vectors BY DESIGN (storing vectors in the index would defeat the
+    // PQ compression; the narrow codes scan is the point).
+    "q277_ivf_index_persist" -> Set("embeddings"),
+    "q278_pq_index_persist" -> Set("embeddings"),
     // q196's corpus-sized basket frame is a LAZY DISK_ONLY persist (a
     // memory pin OOM'd the 100× collect_set; an eager checkpoint costs
     // a separate materialization job — 52.7 vs 27.5 s warm at 100×).

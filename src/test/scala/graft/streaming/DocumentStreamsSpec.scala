@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 /** Top-level so Spark's product encoder needs no outer instance. */
 case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
@@ -197,6 +198,38 @@ class DocumentStreamsSpec extends SparkSpec {
     val store = spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$dir/state/dhashes")
     assert(store.columns.toSet == Set("dbits", "bid"))
+  }
+
+  test("streaming IVF ingest: first batch builds, later batches add under " +
+      "the frozen quantizer; probe ≡ brute force over everything ingested; " +
+      "batch replay idempotent") {
+    import graft.ops.{AnnIndex, Similarity}
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("ivfingest").toString
+    val emb = Tables.embeddings(spark, sfDir).cache()
+    val probes = emb.filter(col("vec_id") < 10)
+    val b0 = emb.filter(col("vec_id") % 3 === 0)
+    val b1 = emb.filter(col("vec_id") % 3 === 1)
+    val b2 = emb.filter(col("vec_id") % 3 === 2)
+    DocumentStreams.ingestBatchIvf(b0, dir, 0L, seedHash = "md5")
+    DocumentStreams.ingestBatchIvf(b1, dir, 1L, seedHash = "md5")
+    // probes work BETWEEN batches (the serving shape): full-probe over
+    // two batches ≡ brute force over their union
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("eid"), col("cos"), col("rn"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(AnnIndex.ivfProbe(spark, dir, probes, k = 10, nprobe = 16))
+      == rows(Similarity.bruteForceTopK(b0.unionByName(b1), probes, k = 10)))
+    DocumentStreams.ingestBatchIvf(b2, dir, 2L, seedHash = "md5")
+    val full = rows(AnnIndex.ivfProbe(spark, dir, probes, k = 10,
+      nprobe = 16))
+    assert(full == rows(Similarity.bruteForceTopK(emb, probes, k = 10)))
+    // at-least-once delivery: replaying a middle batch (and the BUILD
+    // batch) must leave the index bit-identical
+    DocumentStreams.ingestBatchIvf(b1, dir, 1L, seedHash = "md5")
+    DocumentStreams.ingestBatchIvf(b0, dir, 0L, seedHash = "md5")
+    assert(rows(AnnIndex.ivfProbe(spark, dir, probes, k = 10,
+      nprobe = 16)) == full)
   }
 
   test("near-dedup recovers from a half-written first-batch store (bands only)") {
