@@ -70,7 +70,11 @@ object AnnIndex {
   /** Encode NEW rows against the frozen centroids and write them as
     * `postings/batch_<batchId>`: mode-overwrite per batch directory, so a
     * replayed batch id is idempotent (the DocumentStreams store
-    * discipline). Existing postings are never touched. */
+    * discipline). Existing postings are never touched. Ids must be
+    * UNIQUE across batches (the corpus-id contract everywhere in this
+    * engine): a re-ingested id under a NEW batch id duplicates its
+    * posting and both copies score — dedupe upstream or replay under
+    * the original batch id. */
   def ivfAdd(rows: DataFrame, dir: String, batchId: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     require(batchId > 0L, "ivfAdd batch ids start at 1 (build wrote batch_0)")
@@ -189,9 +193,13 @@ object AnnIndex {
   /** ADC probe over the stored codes with exact rerank against `corpus`
     * (the rerank re-reads only semi-join-pruned candidate VECTORS — the
     * index itself never stores them, that would defeat the compression).
-    * Bit-identical to [[Similarity.pqTopK]] at the same build settings:
-    * same ADC tables, same per-partition top-r heap total order, same
-    * exact-rerank window. */
+    * `corpus` must therefore cover EVERY indexed id (build + all adds):
+    * a candidate id missing from it drops out of the rerank join and
+    * the query silently returns fewer than k rows — pass the union
+    * table the index was built from. Bit-identical to
+    * [[Similarity.pqTopK]] at the same build settings: same ADC tables,
+    * same per-partition top-r heap total order, same exact-rerank
+    * window. */
   def pqProbe(spark: SparkSession, dir: String, corpus: DataFrame,
       queries: DataFrame, k: Int, rerank: Int = 0,
       excludeSelf: Boolean = true, idCol: String = "vec_id",
