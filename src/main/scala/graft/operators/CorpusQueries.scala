@@ -144,6 +144,34 @@ object CorpusQueries {
        |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = asg.id)
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q281
+  // SEMANTIC decontamination: flag corpus vectors whose cosine to any
+  // benchmark vector (the vec_id % 97 eval slice — q64's convention)
+  // reaches 0.2 — paraphrased eval leakage that shares no exact grams.
+  // Benchmark broadcast, corpus streamed once (q64's discipline); the
+  // oracle replays the quantized cosines, the lowest-bench-id argmax,
+  // and the threshold.
+  private def q281(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    Similarity.semanticDecontaminate(
+        emb.filter($"vec_id" % 97 =!= 0),
+        emb.filter($"vec_id" % 97 === 0), threshold = 0.2)
+      .orderBy($"id")
+  }
+  private val q281Sql =
+    s"""WITH b AS (SELECT vec_id AS bid, $quantSql AS bv FROM embeddings
+       |  WHERE vec_id % 97 = 0),
+       |c AS (SELECT vec_id AS id, $quantSql AS ev FROM embeddings
+       |  WHERE vec_id % 97 <> 0),
+       |sc AS (SELECT c.id, b.bid, ${cosSql("c.ev", "b.bv")} AS cos
+       |  FROM c, b),
+       |top AS (SELECT id, bid AS bench_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, bid) AS rn
+       |  FROM sc)
+       |SELECT id, bench_id, cos FROM top
+       |WHERE rn = 1 AND cos >= 0.2 ORDER BY id""".stripMargin
+
   // ---------------------------------------------------------------- q276
   // SemDedup under the CORPUS-SCALED centroid default: k = ceil(sqrt(N))
   // — assignment O(N·k) and within-cluster prune O(N²/k) both land at
@@ -947,6 +975,7 @@ object CorpusQueries {
     QueryDef("q66_token_quota", q66, Some(q66Sql)),
     QueryDef("q67_semantic_dedup", q67, Some(q67Sql)),
     QueryDef("q276_semantic_dedup_auto", q276, Some(q276Sql)),
+    QueryDef("q281_semantic_decontaminate", q281, Some(q281Sql)),
     QueryDef("q68_corpus_pipeline", q68, Some(q68Sql)),
     QueryDef("q69_corpus_stats", q69, Some(q69Sql)),
     QueryDef("q70_line_dedup", q70, Some(q70Sql)),

@@ -157,6 +157,51 @@ object Similarity {
     * side is collected + broadcast (it is the small probe set by contract);
     * the corpus streams partition-parallel, quantized once per row.
     */
+  /** SEMANTIC eval-set decontamination — the embedding complement of
+    * [[Dedup.contaminationHits]]' n-gram form: flag every corpus vector
+    * whose cosine to ANY benchmark vector reaches `threshold`
+    * (paraphrased or re-tokenized eval leakage that shares no exact
+    * grams). Same scale discipline as the gram decontaminator: the
+    * BENCHMARK side is the bounded one (collected under the
+    * `graft.ann.maxProbe` cap and broadcast); the corpus streams through
+    * one zero-shuffle kernel pass and is NEVER shuffled or collected.
+    * Exact integer cosines (quantized milli-units), deterministic
+    * arg-max tie-break to the LOWEST benchmark id — every emitted row is
+    * SQL-replayable.
+    *
+    * @return (id, bench_id, cos) for flagged corpus rows only: the
+    *         nearest benchmark vector at cosine ≥ threshold */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bRows = collectProbes(bench, idCol, vecCol)
+      .map { case (id, v) => val q = quantizeJvm(v); (id, q, normJvm(q)) }
+      .sortBy(_._1) // scan order = id order ⇒ strict > keeps the lowest
+    val bc = spark.sparkContext.broadcast(bRows)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val bs = bc.value
+        it.flatMap { case (id, v) =>
+          val e = quantizeJvm(v)
+          val en = normJvm(e)
+          var best = -2.0
+          var bestB = Long.MinValue
+          var i = 0
+          while (i < bs.length) {
+            val (bid, bv, bn) = bs(i)
+            val cos = cosJvm(dotJvm(e, bv), en, bn)
+            if (cos > best) { best = cos; bestB = bid }
+            i += 1
+          }
+          if (bs.nonEmpty && best >= threshold) Iterator.single((id, bestB, best))
+          else Iterator.empty
+        }
+      }.toDF("id", "bench_id", "cos")
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       excludeSelf: Boolean = true): DataFrame = {

@@ -75,6 +75,8 @@ class NoRecomputeSweepSpec extends SparkSpec {
     // internally, so only the brute pass + the pushed probe slice read parquet
     "q256_sq8_recall" -> Set("embeddings"),
     "q64_decontaminate" -> Set("documents"), // corpus + benchmark-gram build
+    // (q281 needs no entry: its benchmark slice collects at construction
+    // time, so the returned plan scans embeddings exactly once)
     "q78_source_overlap" -> Set("documents"), // per-source set self-join
     "q83_asof_custom" -> Set("events"), // as-of self-join, two pushed slices
     "q84_corpus_diff" -> Set("documents"), // old/new halves, disjoint filters

@@ -212,6 +212,33 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("graft.semdedup.centroidsPerSqrtN")
   }
 
+  test("semanticDecontaminate: planted copy flagged with its bench id, " +
+      "unrelated rows clean, ties to the lowest bench id, empty bench " +
+      "flags nothing; layout-invariant") {
+    val v1 = Seq.tabulate(8)(i => (i + 1).toFloat)
+    val v2 = Seq.tabulate(8)(i => (if (i % 2 == 0) 1f else -1f) * (9 - i))
+    val bench = Seq((100L, v1), (101L, v1), (102L, v2))
+      .toDF("vec_id", "embedding") // 100 and 101 identical: tie case
+    val corpus = Seq(
+      (1L, v1), // exact copy of bench 100/101 → cos 1, lowest id wins
+      (2L, v1.map(-_)), // anti-parallel → cos -1, never flagged
+      (3L, Seq.tabulate(8)(i => if (i == 0) 1f else 0f))) // ~orthogonal-ish
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(corpus, bench,
+        threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.map(t => (t._1, t._2)) == Set((1L, 100L)), s"got $got")
+    assert(got.head._3 > 0.999)
+    // layout invariance: repartitioned corpus yields identical bits
+    val rep = Similarity.semanticDecontaminate(corpus.repartition(5),
+        bench, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rep == got)
+    // empty bench: nothing flagged (and no crash)
+    assert(Similarity.semanticDecontaminate(corpus,
+      bench.filter($"vec_id" < 0), threshold = -2.0).count() == 0)
+  }
+
   test("embeddingOutliers: planted far vector flagged, cluster members not") {
     // 20 near-identical vectors around two centroid seeds + one far point
     def vec(base: Float, jitter: Float) = Seq.tabulate(8)(i =>
