@@ -71,6 +71,63 @@ object EvalQueries {
        |      AS rn, doc_id, lex_rank, vec_rank, rrf_x12 FROM f)
        |WHERE rn <= 20 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- q283
+  // MMR diversification: the BM25 top-20 shortlist greedily re-ranked so
+  // each of 8 picks balances relevance against redundancy with what is
+  // already picked (λ = 0.7) — the context-assembly diversifier on top
+  // of the retrieval stack (q189 fuses systems; this de-duplicates one
+  // system's winners). Scoring is exact longs (λ in milli-units, the
+  // q43-gated integer-quantized cosine floored to 1e-9), so the greedy
+  // argmax replays exactly; the oracle unrolls all 8 rounds, each
+  // re-deriving per-candidate max-sim-to-selected and taking the same
+  // (score desc, id) argmax. Candidates without an embedding row drop on
+  // both engines (inner join).
+  private def q283(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cand = Retrieval.bm25TopK(Tables.documents(s, d), termsLit, k = 20)
+      // exact reconstruction of the long score: |score·1e9 − score_x9| ≪ 0.5
+      .select($"id", round($"score" * 1e9).cast("long").as("rel_x9"))
+    Ranking.mmrDiversify(cand, Tables.embeddings(s, d), k = 8, lambdaMilli = 700)
+      .select($"rn", $"id".as("doc_id"), $"rel_x9", $"max_sim_x9", $"mmr_x")
+      .orderBy($"rn")
+  }
+  private val q283Sql: String = {
+    // every reused CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+    // the unrolled greedy rounds reference p1..p_{i-1} multiple times each —
+    // inlining would re-expand the whole upstream chain EXPONENTIALLY
+    // (observed as thousands of parquet opens before materialization)
+    val head =
+      s"""WITH $bm25CtesSql,
+         |cand0 AS MATERIALIZED (SELECT doc_id AS id, score_x9 AS rel FROM agg
+         |  ORDER BY score_x9 DESC, doc_id LIMIT 20),
+         |v AS MATERIALIZED (SELECT e.vec_id AS id, $quantSql AS qv
+         |  FROM embeddings e JOIN cand0 c ON e.vec_id = c.id),
+         |cand AS MATERIALIZED (SELECT c.id, c.rel FROM cand0 c JOIN v ON v.id = c.id),
+         |sims AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
+         |    CAST(floor(CAST(list_sum(list_transform(range(1, len(a.qv)+1),
+         |        i -> a.qv[i]*b.qv[i])) AS DOUBLE)
+         |      / (sqrt(CAST(list_sum(list_transform(a.qv, x->x*x)) AS DOUBLE))
+         |         * sqrt(CAST(list_sum(list_transform(b.qv, x->x*x)) AS DOUBLE)))
+         |      * 1e9) AS BIGINT) AS s9
+         |  FROM v a JOIN v b ON a.id <> b.id),
+         |p1 AS MATERIALIZED (SELECT id, rel, CAST(0 AS BIGINT) AS ms, 700*rel AS mx
+         |  FROM cand ORDER BY 700*rel DESC, id LIMIT 1)""".stripMargin
+    val rounds = (2 to 8).map { i =>
+      val sel = (1 until i).map(j => s"SELECT id FROM p$j").mkString(" UNION ALL ")
+      s"""m$i AS MATERIALIZED (SELECT c.id, c.rel, MAX(s.s9) AS ms
+         |  FROM cand c JOIN sims s ON s.ia = c.id
+         |  WHERE s.ib IN ($sel) AND c.id NOT IN ($sel)
+         |  GROUP BY c.id, c.rel),
+         |p$i AS MATERIALIZED (SELECT id, rel, ms, 700*rel - 300*ms AS mx FROM m$i
+         |  ORDER BY 700*rel - 300*ms DESC, id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val tail = (1 to 8).map { i =>
+      s"SELECT CAST($i AS INTEGER) AS rn, id AS doc_id, rel AS rel_x9, " +
+        s"ms AS max_sim_x9, mx AS mmr_x FROM p$i"
+    }.mkString("\nUNION ALL ")
+    s"$head,\n$rounds\n$tail\nORDER BY rn"
+  }
+
   // ---------------------------------------------------------------- q190
   // Graded NDCG@10 curve + MRR for the BM25 ranking: relevance grade =
   // number of distinct query terms present in the doc (0–3, derivable by
@@ -402,6 +459,7 @@ object EvalQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q189_rrf_fusion", q189, Some(q189Sql)),
+    QueryDef("q283_mmr_diversify", q283, Some(q283Sql)),
     QueryDef("q190_ndcg_curve", q190, Some(q190Sql)),
     QueryDef("q211_map_eval", q211, Some(q211Sql)),
     QueryDef("q193_forecast_backtest", q193, Some(q193Sql)),

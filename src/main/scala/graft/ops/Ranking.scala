@@ -144,4 +144,89 @@ object Ranking {
         when(col("__denom") > 0L, expr("__psum div __denom")).otherwise(0L))
       .drop("__denom", "__psum")
   }
+
+  /** Maximal-marginal-relevance (Carbonell/Goldstein) diversified top-k:
+    * greedily re-rank a retrieval shortlist so each pick balances
+    * relevance against redundancy with what is already picked —
+    * `argmax λ·rel − (1−λ)·max_{s∈selected} cos(c, s)` — the standard
+    * diversifier for RAG context assembly and eval-set construction
+    * (q283), where near-duplicate top hits waste the context budget.
+    *
+    * Exact integer scoring: λ is a milli-unit weight, cosines use the
+    * engine-wide integer-quantized kernel ([[Similarity.quantizeJvm]],
+    * the q43-gated cross-engine contract) floored to 1e-9 units, and the
+    * argmax compares `λm·rel − (1000−λm)·sim_x9` — longs on both engines
+    * (the positive scale factor 1000 never changes an argmax). Ties
+    * break by id ascending; the first pick maximizes λm·rel (empty
+    * selected set contributes max-sim 0, the standard convention).
+    *
+    * Scale posture: MMR is quadratic in its candidate count BY NATURE —
+    * it is a control-plane RERANK of an already-shortlisted candidate
+    * set (bm25TopK / ANN top-k do the corpus-scale work), never a corpus
+    * operator. The candidate frame is therefore collected behind a loud
+    * `maxCandidates` cap (the [[Similarity.collectProbes]] discipline:
+    * `limit(cap+1)`, no extra counting pass) and the greedy loop runs
+    * in-driver over ≤ cap rows; candidates without a vector row are
+    * dropped by the inner join on BOTH engines.
+    *
+    * @param candidates (idCol, relCol) shortlist; relCol an exact LONG
+    *                   relevance (e.g. BM25 `round(score·1e9)`)
+    * @param vectors    (vecIdCol, vecCol) embedding side, inner-joined
+    * @param lambdaMilli λ in [0, 1000] milli-units (700 = λ 0.7)
+    * @return (rn, id, rel_x9, max_sim_x9, mmr_x) — rn 1-based pick
+    *         order; mmr_x the exact long argmax score of that pick
+    */
+  def mmrDiversify(candidates: DataFrame, vectors: DataFrame, k: Int,
+      lambdaMilli: Int = 700, maxCandidates: Int = 4096,
+      idCol: String = "id", relCol: String = "rel_x9",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"mmrDiversify k must be >= 1, got $k")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000,
+      s"mmrDiversify lambdaMilli must be in [0, 1000], got $lambdaMilli")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .select(col(idCol).cast("long").as("id"), col(relCol).cast("long").as("rel"))
+      .join(vectors.select(col(vecIdCol).cast("long").as("id"), col(vecCol).as("v")), "id")
+      .limit(maxCandidates + 1)
+      .as[(Long, Long, Seq[Float])].collect()
+    require(rows.length <= maxCandidates,
+      s"mmrDiversify: candidate set exceeds maxCandidates=$maxCandidates rows — " +
+        "MMR is a control-plane rerank of a shortlist; run bm25TopK / an ANN " +
+        "top-k first, or raise maxCandidates if the shortlist is genuinely this large.")
+    val cs = rows.map { case (id, rel, v) =>
+      val q = Similarity.quantizeJvm(v)
+      (id, rel, q, Similarity.normJvm(q))
+    }.sortBy(_._1)
+    val lam = lambdaMilli.toLong
+    val mu = 1000L - lam
+    val remaining = scala.collection.mutable.LinkedHashMap(cs.map(c => c._1 -> c): _*)
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Array[Long], Long)]
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
+    var rn = 1
+    while (rn <= k && remaining.nonEmpty) {
+      var bestId = 0L; var bestRel = 0L; var bestMs = 0L
+      var bestScore = Long.MinValue; var found = false
+      remaining.valuesIterator.foreach { case (id, rel, v, n) =>
+        var ms = 0L
+        if (sel.nonEmpty) {
+          ms = Long.MinValue
+          sel.foreach { case (sv, sn) =>
+            val s9 = math.floor(
+              Similarity.cosJvm(Similarity.dotJvm(v, sv), n, sn) * 1e9).toLong
+            if (s9 > ms) ms = s9
+          }
+        }
+        val score = lam * rel - mu * ms
+        if (!found || score > bestScore || (score == bestScore && id < bestId)) {
+          found = true; bestScore = score; bestId = id; bestRel = rel; bestMs = ms
+        }
+      }
+      picked += ((rn, bestId, bestRel, bestMs, bestScore))
+      val c = remaining.remove(bestId).get
+      sel += ((c._3, c._4))
+      rn += 1
+    }
+    picked.toSeq.toDF("rn", "id", "rel_x9", "max_sim_x9", "mmr_x")
+  }
 }

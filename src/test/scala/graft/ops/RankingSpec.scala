@@ -99,4 +99,64 @@ class RankingSpec extends SparkSpec {
       .collect()
     assert(z.forall(r => r.getLong(5) == 0L && r.getLong(6) == 0L))
   }
+
+  private def mmrRows(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Int, Long, Long, Long, Long)].collect().toSeq
+
+  test("mmrDiversify: a redundant near-duplicate is demoted below a less " +
+      "relevant but novel candidate; exact hand-computed scores") {
+    val cand = Seq((1L, 100L), (2L, 90L), (3L, 50L)).toDF("id", "rel_x9")
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), // docs 1 and 2 are identical directions
+      (2L, Seq(1f, 0f)),
+      (3L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val out = mmrRows(Ranking.mmrDiversify(cand, vecs, k = 3, lambdaMilli = 500))
+    // pick 1: argmax 500·rel → doc 1 (score 50000, ms 0)
+    // pick 2: doc 2 has cos 1.0 to doc 1 (ms 1e9 → score 45000 − 5e11);
+    //         doc 3 is orthogonal (ms 0 → 25000) → doc 3 wins
+    // pick 3: doc 2 last, with its full redundancy penalty
+    assert(out == Seq(
+      (1, 1L, 100L, 0L, 50000L),
+      (2, 3L, 50L, 0L, 25000L),
+      (3, 2L, 90L, 1000000000L, 45000L - 500L * 1000000000L)))
+  }
+
+  test("mmrDiversify: λ = 1000 is pure relevance order with id tie-break; " +
+      "k cuts; candidates without a vector row drop") {
+    val cand = Seq((5L, 70L), (2L, 70L), (9L, 80L), (7L, 60L)).toDF("id", "rel_x9")
+    val vecs = Seq((5L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (9L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding") // doc 7 has no vector → dropped
+    val out = mmrRows(Ranking.mmrDiversify(cand, vecs, k = 3, lambdaMilli = 1000))
+    assert(out.map(_._2) == Seq(9L, 2L, 5L)) // rel desc, then id asc at 70=70
+    // scores are 1000·rel exactly: μ = 0 ⇒ the penalty term vanishes
+    assert(out.map(_._5) == Seq(80000L, 70000L, 70000L))
+  }
+
+  test("mmrDiversify: anti-parallel vectors give a NEGATIVE max-sim that " +
+      "boosts rather than penalizes; empty-selected max-sim is 0, not -1") {
+    val cand = Seq((1L, 10L), (2L, 10L)).toDF("id", "rel_x9")
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = mmrRows(Ranking.mmrDiversify(cand, vecs, k = 2, lambdaMilli = 500))
+    // pick 1: tie at 500·10 → id 1; pick 2: cos(2,1) = −1 → ms = −1e9,
+    // score = 5000 + 500·1e9 (novelty bonus, the standard MMR behavior)
+    assert(out == Seq(
+      (1, 1L, 10L, 0L, 5000L),
+      (2, 2L, 10L, -1000000000L, 5000L + 500L * 1000000000L)))
+  }
+
+  test("mmrDiversify: the maxCandidates cap is loud, k beyond the pool " +
+      "stops early, and bad λ is rejected") {
+    val cand = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "rel_x9")
+    val vecs = Seq((1L, Seq(1f)), (2L, Seq(1f)), (3L, Seq(1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ranking.mmrDiversify(cand, vecs, k = 2, maxCandidates = 2)
+    }
+    assert(e.getMessage.contains("maxCandidates"))
+    assert(mmrRows(Ranking.mmrDiversify(cand, vecs, k = 10)).size == 3)
+    intercept[IllegalArgumentException] {
+      Ranking.mmrDiversify(cand, vecs, k = 2, lambdaMilli = 1001)
+    }
+  }
 }
