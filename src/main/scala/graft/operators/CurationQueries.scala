@@ -367,6 +367,103 @@ object CurationQueries {
       |    AS BIGINT) AS missed_occurrences
       |FROM pg""".stripMargin
 
+  // ---------------------------------------------------------------- q284
+  // ROTATED sampled-shard suffix-array dedup (the round-9 verdict's #4):
+  // q236's kernel under TWO independent shardings (unsalted md5 and
+  // md5('rot1:' || id)), span sets unioned and merged as maximal
+  // intervals. A duplicate pair missed by one sharding co-shards in the
+  // other with independent probability 1/8, so the q237-measured blind
+  // spot decays as (1 - 1/shards)^rotations for 2x kernel cost. The
+  // oracle recomputes the union at POSITION grain — covered(p) iff the
+  // 30-gram at p recurs within p's shard under EITHER rotation — and
+  // re-runs the island merge; the interval-level merge on the Spark side
+  // is provably identical (span end = last covered position + 30, so
+  // interval adjacency IS the gap <= 30 rule).
+  private def q284(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.suffixArraySpansRotated(
+        Tables.documents(s, d).filter($"doc_id" % 4 === 0),
+        gramLen = 30, shards = 8, rotations = 2)
+      .orderBy($"doc_id", $"span_start")
+  }
+  private val q284Sql =
+    """WITH sh AS MATERIALIZED (SELECT doc_id,
+      |    regexp_replace(text, '[\x{E000}-\x{EFFF}]', chr(65533), 'g') AS text,
+      |    md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS sh0,
+      |    md5_number_lower('rot1:' || CAST(doc_id AS VARCHAR)) % 8 AS sh1
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |g AS MATERIALIZED (SELECT doc_id, sh0, sh1, i AS pos,
+      |      substr(text, i+1, 30) AS gram
+      |      FROM sh, LATERAL unnest(range(length(text) - 30 + 1)) AS u(i)
+      |      WHERE length(text) >= 30),
+      |dup0 AS (SELECT sh0, gram FROM g GROUP BY sh0, gram
+      |        HAVING COUNT(*) >= 2),
+      |dup1 AS (SELECT sh1, gram FROM g GROUP BY sh1, gram
+      |        HAVING COUNT(*) >= 2),
+      |p AS (SELECT DISTINCT doc_id, pos FROM (
+      |      SELECT doc_id, pos FROM g JOIN dup0 USING (sh0, gram)
+      |      UNION ALL
+      |      SELECT doc_id, pos FROM g JOIN dup1 USING (sh1, gram))),
+      |s AS (SELECT doc_id, pos,
+      |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |          <= 30 THEN 0 ELSE 1 END AS brk FROM p),
+      |i AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id
+      |        ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl FROM s)
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |  CAST(MAX(pos) + 30 AS BIGINT) AS span_end,
+      |  CAST(MAX(pos) + 30 - MIN(pos) AS BIGINT) AS span_len
+      |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------- q285
+  // Miss audit for the ROTATED sharding: a duplicate gram survives as a
+  // blind spot only if EVERY rotation scatters all its occurrences into
+  // distinct shards. One row per cumulative rotations-used (1 = q237's
+  // single-sharding miss, 2 = after the rot1 union), so the measured
+  // decay reads directly against the (1 - 1/shards)^R prediction.
+  private def q285(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.crossShardGramMissRotated(
+      Tables.documents(s, d).filter($"doc_id" % 4 === 0),
+      gramLen = 30, shards = 8, rotations = 2)
+  }
+  private val q285Sql =
+    """WITH sh AS MATERIALIZED (SELECT doc_id,
+      |    regexp_replace(text, '[\x{E000}-\x{EFFF}]', chr(65533), 'g') AS text,
+      |    md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS sh0,
+      |    md5_number_lower('rot1:' || CAST(doc_id AS VARCHAR)) % 8 AS sh1
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |g AS (SELECT sh0, sh1, substr(text, i+1, 30) AS gram
+      |      FROM sh, LATERAL unnest(range(length(text) - 30 + 1)) AS u(i)
+      |      WHERE length(text) >= 30),
+      |ps AS MATERIALIZED (SELECT gram, sh0, sh1, COUNT(*) AS n FROM g
+      |      GROUP BY gram, sh0, sh1),
+      |m0 AS (SELECT gram, MAX(cnt) AS mx0, SUM(cnt) AS total FROM (
+      |        SELECT gram, sh0, SUM(n) AS cnt FROM ps GROUP BY gram, sh0)
+      |      GROUP BY gram),
+      |m1 AS (SELECT gram, MAX(cnt) AS mx1 FROM (
+      |        SELECT gram, sh1, SUM(n) AS cnt FROM ps GROUP BY gram, sh1)
+      |      GROUP BY gram),
+      |j AS MATERIALIZED (SELECT m0.gram, total, mx0, mx1
+      |      FROM m0 JOIN m1 USING (gram) WHERE total >= 2)
+      |SELECT CAST(1 AS INTEGER) AS rotations_used,
+      |  CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+      |  CAST(COALESCE(SUM(total), 0) AS BIGINT) AS dup_occurrences,
+      |  CAST(COALESCE(SUM(CASE WHEN mx0 < 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS n_missed_grams,
+      |  CAST(COALESCE(SUM(CASE WHEN mx0 < 2 THEN total ELSE 0 END), 0)
+      |    AS BIGINT) AS missed_occurrences
+      |FROM j
+      |UNION ALL
+      |SELECT CAST(2 AS INTEGER),
+      |  CAST(COUNT(*) AS BIGINT),
+      |  CAST(COALESCE(SUM(total), 0) AS BIGINT),
+      |  CAST(COALESCE(SUM(CASE WHEN GREATEST(mx0, mx1) < 2 THEN 1 ELSE 0 END),
+      |    0) AS BIGINT),
+      |  CAST(COALESCE(SUM(CASE WHEN GREATEST(mx0, mx1) < 2 THEN total
+      |    ELSE 0 END), 0) AS BIGINT)
+      |FROM j
+      |ORDER BY rotations_used""".stripMargin
+
   // ---------------------------------------------------------------- q191
   // Greedy k-center coreset selection (diversity sampling for eval /
   // annotation subsets): 6 farthest-point rounds over the exact long
@@ -521,6 +618,8 @@ object CurationQueries {
     QueryDef("q139_duplicate_spans", q139, Some(q139Sql)),
     QueryDef("q236_suffix_spans", q236, Some(q236Sql)),
     QueryDef("q237_shard_miss_audit", q237, Some(q237Sql)),
+    QueryDef("q284_sa_rotated", q284, Some(q284Sql)),
+    QueryDef("q285_rotated_miss_audit", q285, Some(q285Sql)),
     QueryDef("q191_kcenter_coreset", q191, Some(q191Sql)),
     QueryDef("q192_jl_distortion", q192, Some(q192Sql)),
     QueryDef("q195_pca_power", q195, Some(q195Sql)),

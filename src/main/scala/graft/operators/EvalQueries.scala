@@ -98,17 +98,20 @@ object EvalQueries {
     // (observed as thousands of parquet opens before materialization)
     val head =
       s"""WITH $bm25CtesSql,
-         |cand0 AS MATERIALIZED (SELECT doc_id AS id, score_x9 AS rel FROM agg
+         |cand0 AS MATERIALIZED (SELECT doc_id AS id,
+         |  CAST(score_x9 AS BIGINT) AS rel FROM agg
          |  ORDER BY score_x9 DESC, doc_id LIMIT 20),
          |v AS MATERIALIZED (SELECT e.vec_id AS id, $quantSql AS qv
          |  FROM embeddings e JOIN cand0 c ON e.vec_id = c.id),
          |cand AS MATERIALIZED (SELECT c.id, c.rel FROM cand0 c JOIN v ON v.id = c.id),
          |sims AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
-         |    CAST(floor(CAST(list_sum(list_transform(range(1, len(a.qv)+1),
+         |    CASE WHEN list_sum(list_transform(a.qv, x->x*x)) = 0
+         |           OR list_sum(list_transform(b.qv, x->x*x)) = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(floor(CAST(list_sum(list_transform(range(1, len(a.qv)+1),
          |        i -> a.qv[i]*b.qv[i])) AS DOUBLE)
          |      / (sqrt(CAST(list_sum(list_transform(a.qv, x->x*x)) AS DOUBLE))
          |         * sqrt(CAST(list_sum(list_transform(b.qv, x->x*x)) AS DOUBLE)))
-         |      * 1e9) AS BIGINT) AS s9
+         |      * 1e9) AS BIGINT) END AS s9
          |  FROM v a JOIN v b ON a.id <> b.id),
          |p1 AS MATERIALIZED (SELECT id, rel, CAST(0 AS BIGINT) AS ms, 700*rel AS mx
          |  FROM cand ORDER BY 700*rel DESC, id LIMIT 1)""".stripMargin
@@ -122,8 +125,9 @@ object EvalQueries {
          |  ORDER BY 700*rel - 300*ms DESC, id LIMIT 1)""".stripMargin
     }.mkString(",\n")
     val tail = (1 to 8).map { i =>
-      s"SELECT CAST($i AS INTEGER) AS rn, id AS doc_id, rel AS rel_x9, " +
-        s"ms AS max_sim_x9, mx AS mmr_x FROM p$i"
+      s"SELECT CAST($i AS INTEGER) AS rn, id AS doc_id, " +
+        s"CAST(rel AS BIGINT) AS rel_x9, CAST(ms AS BIGINT) AS max_sim_x9, " +
+        s"CAST(mx AS BIGINT) AS mmr_x FROM p$i"
     }.mkString("\nUNION ALL ")
     s"$head,\n$rounds\n$tail\nORDER BY rn"
   }

@@ -51,20 +51,46 @@ object AnnIndex {
 
   /** Train the coarse quantizer on `corpus` (seeded sample + optional
     * Lloyd refinement — [[Similarity.ivfTopK]]'s trainer) and write the
-    * index: frozen centroids + the corpus encoded as `postings/batch_0`. */
+    * index: frozen centroids + the corpus encoded as
+    * `postings/batch_<buildBatchId>`. If the retrained centroids DIFFER
+    * from centroids already stored at `dir`, every existing posting was
+    * encoded under a superseded quantizer (silently wrong list
+    * assignments at nprobe < nlist) — the postings store is purged
+    * before writing. A byte-identical retrain (an at-least-once REPLAY
+    * of the build batch: same rows, same deterministic trainer) keeps
+    * later batches' postings untouched, so replays stay idempotent.
+    * `buildBatchId` lets a streaming caller whose first delivered batch
+    * id is N > 0 (index dir wiped, checkpoint retained) keep the build
+    * batch replay-idempotent too: the replay routes to [[ivfAdd]](N),
+    * which dynamic-overwrites the same `batch=N` partitions with
+    * identical frozen-quantizer encodes. */
   def ivfBuild(corpus: DataFrame, dir: String, nlist: Int = 16,
       refineIters: Int = 0, idCol: String = "vec_id",
-      vecCol: String = "embedding", seedHash: String = "xx"): Unit = {
+      vecCol: String = "embedding", seedHash: String = "xx",
+      buildBatchId: Long = 0L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = lloydRefine(corpus,
       sampleCentroids(corpus, nlist, idCol, vecCol, seedHash), refineIters,
       idCol, vecCol)
+    val centPath = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sameQuantizer = fs.exists(centPath) &&
+      scala.util.Try(loadCentroids(spark, dir)).toOption.exists { old =>
+        old.length == cents.length && old.zip(cents).forall {
+          case ((ac, av, an), (bc, bv, bn)) =>
+            ac == bc && an == bn && java.util.Arrays.equals(av, bv)
+        }
+      }
     cents.toSeq.map { case (cid, v, n) => (cid, v.toSeq, n) }
       .toDF("cid", "cvec", "cnorm")
       .coalesce(1) // control-plane-sized (nlist rows)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    writePostings(corpus, cents, dir, batchId = 0L, idCol, vecCol)
+    if (!sameQuantizer) {
+      val post = new org.apache.hadoop.fs.Path(s"$dir/postings")
+      if (fs.exists(post)) fs.delete(post, true) // stale-quantizer purge
+    }
+    writePostings(corpus, cents, dir, buildBatchId, idCol, vecCol)
   }
 
   /** Encode NEW rows against the frozen centroids and write them as
@@ -77,7 +103,8 @@ object AnnIndex {
     * the original batch id. */
   def ivfAdd(rows: DataFrame, dir: String, batchId: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    require(batchId > 0L, "ivfAdd batch ids start at 1 (build wrote batch_0)")
+    require(batchId > 0L,
+      "ivfAdd batch ids start at 1 (batch 0 is reserved for the build)")
     writePostings(rows, loadCentroids(rows.sparkSession, dir), dir, batchId,
       idCol, vecCol)
   }
@@ -322,8 +349,15 @@ object AnnIndex {
     require(rows.nonEmpty, s"no codebooks at $dir/books — build first")
     val m = rows.map(_._1).max + 1
     val ksub = rows.map(_._2).max + 1
+    require(rows.length == m * ksub,
+      s"ragged codebook store at $dir/books: ${rows.length} rows for " +
+        s"$m subspaces x $ksub codes — a missing (s,c) slot would " +
+        "silently absorb every vector into a zero-distance empty " +
+        "centroid; rebuild the index")
     val books = Array.ofDim[Array[Long]](m, ksub)
     rows.foreach { case (s, c, v) => books(s)(c) = v.toArray }
-    books.map(_.map(b => if (b == null) Array.empty[Long] else b))
+    require(books.forall(_.forall(_ != null)),
+      s"duplicate/missing (s,c) codebook rows at $dir/books — rebuild")
+    books
   }
 }

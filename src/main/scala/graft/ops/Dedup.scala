@@ -1403,7 +1403,16 @@ object Dedup {
     * @return (doc_id, span_start, span_end, span_len), gram-grid maximal
     */
   def suffixArraySpans(docs: DataFrame, gramLen: Int = 30, shards: Int = 4,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    suffixArraySpansSalted(docs, gramLen, shards, textCol, idCol, salt = "")
+
+  /** [[suffixArraySpans]] under a SALTED sharding — the rotation
+    * primitive: `md5(salt || id) % shards` is an independent hash
+    * partition for each distinct salt, so running the same kernel under
+    * R salts gives R independent chances for a duplicate pair to
+    * co-shard. Salt "" is exactly [[suffixArraySpans]]. */
+  private def suffixArraySpansSalted(docs: DataFrame, gramLen: Int,
+      shards: Int, textCol: String, idCol: String, salt: String): DataFrame = {
     require(gramLen >= 2, "need gramLen >= 2")
     require(shards >= 1 && Integer.bitCount(shards) == 1,
       "shards must be a power of two (oracle-replicable md5 sharding)")
@@ -1426,8 +1435,9 @@ object Dedup {
         // shard by the CANONICAL long id (not the raw column rendering):
         // a long-castable-but-non-canonical id ("07", 7.0) must land in
         // the same shard as id 7 — the shard the oracle's
-        // md5(CAST(id AS VARCHAR)) computes
-        pmod(graft.functions.Md5Low64(idL.cast("string")),
+        // md5(salt || CAST(id AS VARCHAR)) computes
+        pmod(graft.functions.Md5Low64(
+            concat(lit(salt), idL.cast("string"))),
           lit(shards.toLong)).as("shard"))
       .as[(Long, String, Long)]
       .groupByKey(_._3)
@@ -1489,6 +1499,126 @@ object Dedup {
         .as("n_missed_grams"),
       coalesce(sum(when(col("mx") < 2, col("total")).otherwise(lit(0L))),
         lit(0L)).as("missed_occurrences"))
+  }
+
+  /** Salt for rotation `r` of the rotated-sharding family: rotation 0 is
+    * the UNSALTED base sharding (so rotations = 1 is bit-identical to
+    * [[suffixArraySpans]]), later rotations are independent salted
+    * repartitions. Shared by operator, audit, and oracle SQL. */
+  def rotationSalt(r: Int): String = if (r == 0) "" else s"rot$r:"
+
+  /** ROTATED sampled-shard suffix-array dedup — the recall repair for
+    * [[suffixArraySpans]]' cross-shard blind spot that
+    * [[crossShardGramMiss]] measures (91% of cross-shard duplicate-gram
+    * mass invisible at 4 shards on the unclustered sf0.1 fixture).
+    * Runs the SAME kernel under `rotations` independent shardings
+    * (`md5(salt_r || id) % shards`), then unions the per-rotation span
+    * sets: a duplicate pair missed by one sharding co-shards in another
+    * with independent probability 1/shards, so miss mass decays as
+    * (1 − 1/shards)^rotations for cost rotations×. The union is emitted
+    * as MERGED maximal intervals — provably identical to re-running the
+    * gram-grid island merge over the unioned covered-position set,
+    * because every span's end is exactly (last covered gram position +
+    * gramLen), so interval adjacency (start ≤ running max end) IS the
+    * position-gap ≤ gramLen rule.
+    *
+    * Scale shape: rotations independent single-shuffle kernel passes
+    * (embarrassingly parallel across rotations) plus one |spans|-sized
+    * window merge — span rows are 4 longs/doc-region, never
+    * position-grained, so the merge is control-plane-thin relative to
+    * the corpus.
+    *
+    * @return (doc_id, span_start, span_end, span_len), merged maximal
+    */
+  def suffixArraySpansRotated(docs: DataFrame, gramLen: Int = 30,
+      shards: Int = 4, rotations: Int = 2, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(rotations >= 1, "need rotations >= 1")
+    val all = (0 until rotations)
+      .map(r => suffixArraySpansSalted(docs, gramLen, shards, textCol,
+        idCol, rotationSalt(r)))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("span_start"), col("span_end"))
+    val prevMax = max(col("span_end"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    all
+      .withColumn("__brk",
+        when(col("span_start") <= coalesce(prevMax, lit(Long.MinValue)),
+          lit(0L)).otherwise(lit(1L)))
+      .withColumn("__isl", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("span_start")).as("span_start"),
+        max(col("span_end")).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+  }
+
+  /** [[crossShardGramMiss]] generalized to the ROTATED sharding: a
+    * duplicate gram is missed only if in EVERY rotation its occurrences
+    * all land in different shards — the blind spot that survives the
+    * union. One row per rotations-count 1..`rotations` (cumulative over
+    * the same salt sequence as [[suffixArraySpansRotated]]), so the
+    * measured miss-mass decay is read directly against the
+    * (1 − 1/shards)^R prediction. Columns per row: rotations_used,
+    * n_dup_grams, dup_occurrences, n_missed_grams, missed_occurrences. */
+  def crossShardGramMissRotated(docs: DataFrame, gramLen: Int = 30,
+      shards: Int = 4, rotations: Int = 2, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(gramLen >= 2, "need gramLen >= 2")
+    require(rotations >= 1, "need rotations >= 1")
+    require(shards >= 1 && Integer.bitCount(shards) == 1,
+      "shards must be a power of two (oracle-replicable md5 sharding)")
+    val L = gramLen
+    val base = docs
+      .select(col(idCol).cast("string").as("__id"),
+        regexp_replace(coalesce(col(textCol), lit("")),
+          lit("[\\uE000-\\uEFFF]"), lit("\uFFFD")).as("__t"))
+      .filter(length(col("__t")) >= L)
+    val shardCols = (0 until rotations).map(r =>
+      pmod(graft.functions.Md5Low64(
+          concat(lit(rotationSalt(r)), col("__id"))),
+        lit(shards.toLong)).as(s"sh$r"))
+    val g = base
+      .select((col("__t") +: shardCols): _*)
+      .select((explode(sequence(lit(0), length(col("__t")) - L)).as("pos")
+        +: col("__t") +: (0 until rotations).map(r => col(s"sh$r"))): _*)
+      .select((expr(s"substring(__t, pos + 1, $L)").as("gram")
+        +: (0 until rotations).map(r => col(s"sh$r"))): _*)
+    // per (gram, rotation-shard) counts in ONE aggregate pass per
+    // rotation level: co-sharded-somewhere_r = max over shards of count
+    val perShard = g.groupBy((col("gram") +: (0 until rotations)
+        .map(r => col(s"sh$r"))): _*)
+      .agg(count(lit(1)).as("n"))
+    // n is the count of the EXACT (sh0..sh_{R-1}) combination; the
+    // per-rotation shard count is the sum over the other rotations'
+    // shard axes — aggregate per rotation from the combination counts
+    // (combination rows ≪ position rows, so R passes here are cheap)
+    val perRot = (0 until rotations).map { r =>
+      perShard.groupBy(col("gram"), col(s"sh$r"))
+        .agg(sum(col("n")).as("cnt"))
+        .groupBy(col("gram"))
+        .agg(max(col("cnt")).as(s"mx"), sum(col("cnt")).as("total"))
+        .select(col("gram"), col("total"), col("mx").as(s"mx$r"))
+    }
+    val joined = perRot.reduce((a, b) =>
+      a.join(b.drop("total"), Seq("gram")))
+      .filter(col("total") >= 2)
+    (1 to rotations).map { used =>
+      val best = (0 until used).map(r => col(s"mx$r"))
+        .reduce((a, b) => greatest(a, b))
+      joined.agg(
+        count(lit(1)).as("n_dup_grams"),
+        coalesce(sum(col("total")), lit(0L)).as("dup_occurrences"),
+        coalesce(sum(when(best < 2, 1L).otherwise(0L)), lit(0L))
+          .as("n_missed_grams"),
+        coalesce(sum(when(best < 2, col("total")).otherwise(lit(0L))),
+          lit(0L)).as("missed_occurrences"))
+        .select(lit(used).as("rotations_used"), col("n_dup_grams"),
+          col("dup_occurrences"), col("n_missed_grams"),
+          col("missed_occurrences"))
+    }.reduce(_.unionByName(_)).orderBy(col("rotations_used"))
   }
 
   def duplicateSpans(docs: DataFrame, gramLen: Int = 30, minDocs: Int = 2,

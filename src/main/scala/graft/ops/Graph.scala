@@ -780,12 +780,16 @@ object Graph {
     all.filter(col("node") =!= col("s")) // endpoints excluded (Brandes)
       .groupBy(col("node"))
       .agg(sum(col("delta_x9")).as("delta_sum_x9"))
-      // integer (n/k) estimator: `div` is integral division (Spark returns
-      // LONG for it — quotients past 2⁶³ are out of the presentation
-      // contract anyway; queries re-cast and guard at the output seam)
+      // integer (n/kEff) estimator: `div` is integral division (Spark
+      // returns LONG for it — quotients past 2⁶³ are out of the
+      // presentation contract anyway; queries re-cast and guard at the
+      // output seam). kEff = min(k, n) is the number of sources ACTUALLY
+      // sampled (limit(k) over n nodes) — dividing by the requested k
+      // when k > n would deflate the estimate and break the
+      // exact-when-every-node-sampled property.
       .withColumn("bet_est_x9",
         expr(s"CAST((delta_sum_x9 * CAST($n AS DECIMAL(38,0))) " +
-          s"div ${k.toLong}L AS DECIMAL(38,0))"))
+          s"div ${math.min(k.toLong, n)}L AS DECIMAL(38,0))"))
   }
 
   /** Personalized PageRank: the random surfer teleports to a SEED SET

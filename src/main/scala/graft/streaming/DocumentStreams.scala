@@ -361,9 +361,20 @@ object DocumentStreams {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val built =
       fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/centroids"))
+    // Build writes postings under the REAL batch id, so if the first
+    // delivered id is N > 0 (index dir wiped, checkpoint retained / sink
+    // attached mid-stream) a replay of batch N routes to ivfAdd(N) and
+    // dynamic-overwrites the same batch=N partitions — not a duplicate
+    // batch_0 copy. A batchId==0 redelivery over an existing index
+    // retrains; ivfBuild then purges the postings store IFF the
+    // retrained centroids differ from the stored ones (a genuine rebuild
+    // — new checkpoint over an old indexDir with new data — invalidates
+    // every posting encoded under the superseded quantizer), while a
+    // byte-identical replay retrain leaves later batches untouched.
     if (!built || batchId == 0L)
       graft.ops.AnnIndex.ivfBuild(batch, indexDir, nlist = nlist,
-        idCol = idCol, vecCol = vecCol, seedHash = seedHash)
+        idCol = idCol, vecCol = vecCol, seedHash = seedHash,
+        buildBatchId = batchId)
     else
       graft.ops.AnnIndex.ivfAdd(batch, indexDir, batchId,
         idCol = idCol, vecCol = vecCol)

@@ -497,4 +497,106 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.suffixArraySpans(docs, gramLen = 12, shards = 4).count() == 0L)
     assert(Dedup.suffixArraySpans(docs, gramLen = 12, shards = 1).count() == 2L)
   }
+
+  private def shardOf(i: Long, salt: String, shards: Long): Long =
+    spark.range(i, i + 1)
+      .select(pmod(graft.functions.Md5Low64(
+        concat(lit(salt), $"id".cast("string"))), lit(shards)))
+      .as[Long].collect().head
+
+  test("suffixArraySpansRotated: rotations=1 is bit-identical to the base " +
+      "operator (rotation 0 is the unsalted sharding)") {
+    val para = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"intro one $para outro alpha"),
+      (2L, s"other lead-in words here $para plus some more tail"),
+      (3L, "entirely unique content with no repeats whatsoever"))
+      .toDF("doc_id", "text")
+    val base = Dedup.suffixArraySpans(docs, gramLen = 10, shards = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val rot1 = Dedup.suffixArraySpansRotated(docs, gramLen = 10, shards = 2,
+      rotations = 1).as[(Long, Long, Long, Long)].collect().toSet
+    assert(rot1 == base, s"rot1=$rot1 base=$base")
+  }
+
+  test("suffixArraySpansRotated: a pair split by the base sharding but " +
+      "co-sharded under the rot1 salt is recovered by rotations=2") {
+    // deterministic id search: base sharding separates them, rot1
+    // sharding co-locates them (independent hashes, so such pairs exist
+    // in any modest id range)
+    val pair = (for {
+      a <- 0L until 64L; b <- (a + 1) until 64L
+      if shardOf(a, "", 4) != shardOf(b, "", 4)
+      if shardOf(a, Dedup.rotationSalt(1), 4) ==
+        shardOf(b, Dedup.rotationSalt(1), 4)
+    } yield (a, b)).headOption
+    assert(pair.nonEmpty, "no base-split rot1-co-sharded pair in 0..63")
+    val (idA, idB) = pair.get
+    val shared = "this exact duplicated sentence appears in both documents"
+    val docs = Seq((idA, s"aaa $shared"), (idB, s"bbb bbb $shared"))
+      .toDF("doc_id", "text")
+    assert(Dedup.suffixArraySpansRotated(docs, gramLen = 12, shards = 4,
+      rotations = 1).count() == 0L)
+    val got = Dedup.suffixArraySpansRotated(docs, gramLen = 12, shards = 4,
+      rotations = 2).as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.map(_._1) == Set(idA, idB), s"got $got")
+  }
+
+  test("suffixArraySpansRotated: cross-rotation spans merge as maximal " +
+      "intervals — covered set is the union, spans per doc disjoint") {
+    // one doc sharing its HEAD with doc a (co-sharded base) and its TAIL
+    // with doc b (co-sharded only under rot1) — rotated output must be
+    // the merged union of the two per-rotation spans
+    val ids = (0L until 256L).map(i =>
+      (i, shardOf(i, "", 4), shardOf(i, Dedup.rotationSalt(1), 4)))
+    val center = ids.head
+    val a = ids.find(t => t._2 == center._2 && t._1 != center._1).get
+    val b = ids.find(t => t._3 == center._3 && t._2 != center._2
+      && t._1 != center._1 && t._1 != a._1).get
+    val head = "shared head sentence with plenty of characters"
+    val tail = "completely different trailing fragment for doc b linkage"
+    val docs = Seq(
+      (center._1, s"$head MIDDLE-UNIQUE-FILLER $tail"),
+      (a._1, s"prefix-a $head suffix-a"),
+      (b._1, s"prefix-b $tail suffix-b")).toDF("doc_id", "text")
+    val r1 = Dedup.suffixArraySpansRotated(docs, gramLen = 12, shards = 4,
+      rotations = 1).filter($"doc_id" === center._1).count()
+    val r2 = Dedup.suffixArraySpansRotated(docs, gramLen = 12, shards = 4,
+      rotations = 2).filter($"doc_id" === center._1)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    // rotation 1 sees only the head span; rotation 2 adds the tail span
+    assert(r1 == 1L, s"base rotation saw $r1 spans")
+    assert(r2.size == 2, s"got $r2")
+    // disjoint, sorted, non-adjacent (the unique middle separates them)
+    assert(r2(0)._3 < r2(1)._2, s"got $r2")
+  }
+
+  test("crossShardGramMissRotated: rotations_used=1 row equals the single-" +
+      "sharding audit; miss mass is monotone non-increasing in rotations") {
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("kilo", "lima", "mike", "november", "oscar", "papa")
+    val planted = "rotated audit planted duplicate block"
+    val docs = (0 until 60).map { i =>
+      val words = Seq.fill(10 + rng.nextInt(6))(vocab(rng.nextInt(vocab.size)))
+      val t = if (i % 2 == 0)
+        (words.take(3) :+ planted).++(words.drop(3)).mkString(" ")
+      else words.mkString(" ")
+      (i.toLong, t)
+    }.toDF("doc_id", "text").localCheckpoint()
+    val single = Dedup.crossShardGramMiss(docs, gramLen = 12, shards = 8)
+      .as[(Long, Long, Long, Long)].collect().head
+    val rot = Dedup.crossShardGramMissRotated(docs, gramLen = 12,
+      shards = 8, rotations = 3)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(rot.size == 3)
+    val r1 = rot.head
+    assert((r1._2, r1._3, r1._4, r1._5) == single,
+      s"rot1=$r1 single=$single")
+    // each extra rotation can only recover miss mass, never add it
+    assert(rot.sliding(2).forall(p => p(1)._4 <= p(0)._4
+      && p(1)._5 <= p(0)._5), s"got $rot")
+    // dup totals are rotation-independent
+    assert(rot.map(r => (r._2, r._3)).distinct.size == 1, s"got $rot")
+  }
 }

@@ -232,6 +232,60 @@ class DocumentStreamsSpec extends SparkSpec {
       nprobe = 16)) == full)
   }
 
+  test("streaming IVF ingest: first delivered batch id N > 0 (index dir " +
+      "wiped, checkpoint retained) builds under batch=N and its replay is " +
+      "idempotent — no duplicate batch_0 copy") {
+    import graft.ops.{AnnIndex, Similarity}
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("ivfingestN").toString
+    val emb = Tables.embeddings(spark, sfDir).cache()
+    val probes = emb.filter(col("vec_id") < 10)
+    val b3 = emb.filter(col("vec_id") % 3 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("eid"), col("cos"), col("rn"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+    DocumentStreams.ingestBatchIvf(b3, dir, 3L, seedHash = "md5")
+    val first = rows(AnnIndex.ivfProbe(spark, dir, probes, k = 10,
+      nprobe = 16))
+    assert(first == rows(Similarity.bruteForceTopK(b3, probes, k = 10)))
+    // at-least-once replay of the BUILD batch: routes to ivfAdd(3),
+    // which rewrites exactly the batch=3 partitions — same postings,
+    // and crucially not a second copy that would double-score
+    DocumentStreams.ingestBatchIvf(b3, dir, 3L, seedHash = "md5")
+    assert(rows(AnnIndex.ivfProbe(spark, dir, probes, k = 10,
+      nprobe = 16)) == first)
+    val batches = spark.read.parquet(s"$dir/postings")
+      .select(col("batch")).distinct().as[Long].collect().toSet
+    assert(batches == Set(3L), s"got batch dirs $batches")
+  }
+
+  test("streaming IVF ingest: a GENUINE rebuild (batch 0 with different " +
+      "data over an existing index) purges postings encoded under the " +
+      "superseded quantizer") {
+    import graft.ops.{AnnIndex, Similarity}
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("ivfrebuild").toString
+    val emb = Tables.embeddings(spark, sfDir).cache()
+    val probes = emb.filter(col("vec_id") < 10)
+    val oldCorpus = emb.filter(col("vec_id") % 3 === 0)
+    val oldAdd = emb.filter(col("vec_id") % 3 === 1)
+    DocumentStreams.ingestBatchIvf(oldCorpus, dir, 0L, seedHash = "md5")
+    DocumentStreams.ingestBatchIvf(oldAdd, dir, 1L, seedHash = "md5")
+    // new checkpoint over the old indexDir, different first-batch data:
+    // centroids retrain differently, so batch>=1 postings are stale
+    val newCorpus = emb.filter(col("vec_id") % 3 === 2)
+    DocumentStreams.ingestBatchIvf(newCorpus, dir, 0L, seedHash = "md5")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("eid"), col("cos"), col("rn"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(AnnIndex.ivfProbe(spark, dir, probes, k = 10, nprobe = 16))
+      == rows(Similarity.bruteForceTopK(newCorpus, probes, k = 10)),
+      "stale old-quantizer postings must not survive the rebuild")
+    val batches = spark.read.parquet(s"$dir/postings")
+      .select(col("batch")).distinct().as[Long].collect().toSet
+    assert(batches == Set(0L), s"got batch dirs $batches")
+  }
+
   test("near-dedup recovers from a half-written first-batch store (bands only)") {
     val dir = java.nio.file.Files.createTempDirectory("neardedup3").toString
     val b0 = Seq(Doc(1, "alpha beta gamma delta epsilon zeta eta theta", "a", "a", 0)).toDF()

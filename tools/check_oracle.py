@@ -9,18 +9,131 @@ by name and rows by value, and compare cell-by-cell EXACTLY (floats included:
 the engine contract is bit-identical floats via decimal/integer arithmetic,
 so any difference is a real defect). Float mismatches are labeled near-miss
 when within 1e-9 relative, to distinguish ulp drift from logic errors.
+
+Dtype gates (round-9 lesson: q283, after round-8's q261/q262/q264):
+ 1. DESCRIBE-based logical-type probe on BOTH sides. The DBAPI cursor
+    description degrades UNION ALL-shaped outputs to the generic NUMBER
+    (exactly how q283's HUGEINT slipped past round 9's description-based
+    probe), but `DESCRIBE <sql>` reports the true types for every shape.
+ 2. Pandas-path simulation of the driver's actual hash route: the Spark
+    side read via pyarrow/pandas, the oracle side via duckdb's .df(),
+    then the per-column pandas dtype CLASSES compared. This is the layer
+    where HUGEINT becomes float64 against Spark's int64 — simulating it
+    directly means any future duckdb/pandas rendering quirk fails here
+    even if the DESCRIBE probe has a blind spot of its own.
 """
 import json, sys, glob, math
 import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
 
 def canon(rows, cols):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(r[i] for i in idx) for r in rows]
     return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t)), [cols[i] for i in idx]
 
+def tclass(t):
+    """Coarse class of a DuckDB logical type (from DESCRIBE)."""
+    t = str(t).upper()
+    if "HUGEINT" in t: return "hugeint"
+    if "DECIMAL" in t: return "decimal"
+    if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+        return "nested"
+    if any(k in t for k in ("TINYINT","SMALLINT","INTEGER","BIGINT")): return "int"
+    if any(k in t for k in ("FLOAT","DOUBLE","REAL")): return "float"
+    if "BOOL" in t: return "bool"
+    if any(k in t for k in ("TIMESTAMP","DATE","TIME")): return "time"
+    return "other"
+
+def pclass(dt):
+    """Coarse class of a pandas dtype (the driver's hash substrate)."""
+    s = str(dt)
+    if s.startswith(("int", "uint", "Int", "UInt")): return "int"
+    if s.startswith(("float", "Float")): return "float"
+    if s.startswith(("bool", "boolean")): return "bool"
+    if s.startswith(("datetime", "timedelta")): return "time"
+    return "object"
+
+def describe_types(con, sql):
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
+def check_one(con, name, files, sql):
+    """Returns (ok: bool, message: str)."""
+    spark_sql = f"SELECT * FROM read_parquet({files!r})"
+    try:
+        gtypes = describe_types(con, spark_sql)
+        etypes = describe_types(con, sql)
+    except Exception as e:
+        return False, f"DESCRIBE failed: {e}"
+    # Gate 1a: driver-unhashable logical types on EITHER side. The driver
+    # hashes through pandas, which (a) renders DuckDB HUGEINT/DECIMAL as
+    # float64 while Spark-side int64/Decimal stays — hash mismatch even
+    # when values are identical — and (b) crashes sort_values on
+    # array/struct/map cells (unhashable numpy.ndarray).
+    why = {"hugeint": "pandas renders float64 (Spark side stays int64)",
+           "decimal": "pandas renders float64 one side only",
+           "nested": "pandas sort_values crashes on unhashable cells"}
+    ubad = [(side, c, why[tclass(t)])
+            for side, types in (("spark", gtypes), ("oracle", etypes))
+            for c, t in types.items() if tclass(t) in why]
+    if ubad:
+        return False, ("driver-unhashable dtype: "
+                       + ", ".join(f"{side}:{c} is {w}" for side, c, w in ubad))
+    # Gate 1b: type-class drift between the sides (int vs float etc).
+    tbad = [(c, tclass(gtypes[c]), tclass(etypes[c]))
+            for c in etypes if c in gtypes and tclass(gtypes[c]) != tclass(etypes[c])]
+    if tbad:
+        return False, ("dtype drift (driver pandas hash would differ): "
+                       + ", ".join(f"{c} spark={a} oracle={b}" for c, a, b in tbad))
+    # Gate 2: simulate the driver's pandas hash path dtype-for-dtype —
+    # both sides through duckdb's .df() rendering (the round-9 board
+    # evidence pins this as the driver's substrate: DATE columns pass the
+    # driver, which rules out a pyarrow-read spark side where date32
+    # becomes object against duckdb's datetime64). With identical
+    # renderers, any dtype divergence left is a genuine logical-type
+    # difference — HUGEINT→float64 against parquet int64 (q283's class)
+    # shows up here even if the DESCRIBE probe grows a blind spot.
+    try:
+        gdf = con.execute(spark_sql).df()
+        edf = con.execute(sql).df()
+    except Exception as e:
+        return False, f"pandas-path load failed: {e}"
+    if sorted(gdf.columns) != sorted(edf.columns):
+        return False, f"cols spark={sorted(gdf.columns)} oracle={sorted(edf.columns)}"
+    pbad = [(c, str(gdf[c].dtype), str(edf[c].dtype))
+            for c in sorted(edf.columns)
+            if pclass(gdf[c].dtype) != pclass(edf[c].dtype)]
+    if pbad:
+        return False, ("pandas dtype drift (driver hash substrate): "
+                       + ", ".join(f"{c} spark={a} oracle={b}" for c, a, b in pbad))
+    # Gate 3: exact cell-by-cell value compare (via DBAPI fetch, which
+    # normalizes hugeint-free scalars losslessly).
+    cur = con.execute(spark_sql)
+    gcols = [d[0] for d in cur.description]; got = cur.fetchall()
+    cur = con.execute(sql)
+    ecols = [d[0] for d in cur.description]; exp = cur.fetchall()
+    g, gc = canon(got, gcols)
+    e, ec = canon(exp, ecols)
+    if gc != ec:
+        return False, f"cols spark={gc} oracle={ec}"
+    if len(g) != len(e):
+        return False, f"rows spark={len(g)} oracle={len(e)}"
+    for i, (rg, re_) in enumerate(zip(g, e)):
+        for j, (a, b) in enumerate(zip(rg, re_)):
+            if a == b: continue
+            if isinstance(a, float) and isinstance(b, float):
+                if (math.isnan(a) and math.isnan(b)) or a == b: continue
+                near = abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1.0)
+                lbl = "float-NEAR-MISS (ulp drift)" if near else "float-mismatch"
+                return False, f"row {i} col {ec[j]}: spark={a!r} oracle={b!r} ({lbl})"
+            return False, f"row {i} col {ec[j]}: spark={a!r} oracle={b!r} (mismatch)"
+    return True, f"{len(g)} rows"
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
-    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
@@ -29,75 +142,13 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            cur = con.execute(f"SELECT * FROM read_parquet({files!r})")
-            gdesc = list(cur.description); got = cur.fetchall()
-            gcols = [d[0] for d in gdesc]
-            cur = con.execute(oracle[name])
-            edesc = list(cur.description); exp = cur.fetchall()
-            ecols = [d[0] for d in edesc]
+            ok, msg = check_one(con, name, files, oracle[name])
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
-        # Driver parity: its compare goes through pandas, where DuckDB
-        # HUGEINT (SUM/list_sum over BIGINT) becomes float64 and no longer
-        # string-matches Spark's int64. fetchall() hides that (hugeint->int),
-        # so flag type-class drift from the cursor descriptions directly.
-        def tclass(t):
-            t = str(t).upper()
-            if "HUGEINT" in t: return "hugeint"
-            if any(k in t for k in ("TINYINT","SMALLINT","INTEGER","BIGINT")): return "int"
-            if any(k in t for k in ("FLOAT","DOUBLE","DECIMAL")): return "float"
-            return "other"
-        gtypes = {d[0]: tclass(d[1]) for d in gdesc}
-        etypes = {d[0]: tclass(d[1]) for d in edesc}
-        tbad = [(c, gtypes.get(c), etypes.get(c)) for c in etypes
-                if etypes[c] == "hugeint" or (c in gtypes and gtypes[c] != etypes[c]
-                   and {"int", "float"} == {gtypes[c], etypes[c]})]
-        if tbad:
-            print(f"FAIL {name}: dtype drift (driver pandas hash would differ): "
-                  + ", ".join(f"{c} spark={a} oracle={b}" for c, a, b in tbad))
-            n_fail += 1; continue
-        # Driver parity, part 2 (round-8 lesson: q261/q262/q264). The
-        # driver hashes through pandas, which (a) renders DuckDB DECIMAL
-        # as float64 while Spark parquet decimal stays Decimal objects —
-        # hash mismatch even when values are identical — and (b) crashes
-        # sort_values on array/struct/map cells (unhashable numpy.ndarray).
-        # Any such column on EITHER side is a gate defect here, even if
-        # the local cell-by-cell compare would pass.
-        def unhashable(t):
-            t = str(t).upper()
-            if "DECIMAL" in t: return "decimal (pandas renders float64 one side only)"
-            if "HUGEINT" in t: return "hugeint (pandas renders float64)"
-            if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST", "UNION")):
-                return "nested (pandas sort_values crashes)"
-            return None
-        ubad = [(side, d[0], why) for side, desc in (("spark", gdesc), ("oracle", edesc))
-                for d in desc for why in [unhashable(d[1])] if why]
-        if ubad:
-            print(f"FAIL {name}: driver-unhashable dtype: "
-                  + ", ".join(f"{side}:{c} is {why}" for side, c, why in ubad))
-            n_fail += 1; continue
-        g, gc = canon(got, gcols)
-        e, ec = canon(exp, ecols)
-        if gc != ec:
-            print(f"FAIL {name}: cols spark={gc} oracle={ec}"); n_fail += 1; continue
-        if len(g) != len(e):
-            print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)}"); n_fail += 1; continue
-        bad = None
-        for i, (rg, re_) in enumerate(zip(g, e)):
-            for j, (a, b) in enumerate(zip(rg, re_)):
-                if a == b: continue
-                if isinstance(a, float) and isinstance(b, float):
-                    if (math.isnan(a) and math.isnan(b)) or a == b: continue
-                    near = abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1.0)
-                    bad = (i, ec[j], a, b,
-                           "float-NEAR-MISS (ulp drift)" if near else "float-mismatch"); break
-                bad = (i, ec[j], a, b, "mismatch"); break
-            if bad: break
-        if bad:
-            print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r} ({bad[4]})")
-            n_fail += 1
+            ok, msg = False, f"checker error: {e}"
+        if ok:
+            print(f"PASS {name} ({msg})"); n_pass += 1
         else:
-            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+            print(f"FAIL {name}: {msg}"); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
