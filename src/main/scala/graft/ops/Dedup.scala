@@ -1587,10 +1587,19 @@ object Dedup {
       .select((expr(s"substring(__t, pos + 1, $L)").as("gram")
         +: (0 until rotations).map(r => col(s"sh$r"))): _*)
     // per (gram, rotation-shard) counts in ONE aggregate pass per
-    // rotation level: co-sharded-somewhere_r = max over shards of count
+    // rotation level: co-sharded-somewhere_r = max over shards of count.
+    // MATERIALIZED (the oracle's `ps AS MATERIALIZED`): R per-rotation
+    // rollups + the cumulative union branches all read this frame — left
+    // lazy, each consumer re-ran the position-grained explode over the
+    // whole corpus (4 parquet scans at rotations = 2). DISK_ONLY, not the
+    // default memory pin: the frame is gram-grained, i.e. corpus-sized
+    // (the q196 rule — corpus-sized reuse frames must not claim the
+    // storage half of the unified pool).
     val perShard = g.groupBy((col("gram") +: (0 until rotations)
         .map(r => col(s"sh$r"))): _*)
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // n is the count of the EXACT (sh0..sh_{R-1}) combination; the
     // per-rotation shard count is the sum over the other rotations'
     // shard axes — aggregate per rotation from the combination counts
@@ -1602,9 +1611,14 @@ object Dedup {
         .agg(max(col("cnt")).as(s"mx"), sum(col("cnt")).as("total"))
         .select(col("gram"), col("total"), col("mx").as(s"mx$r"))
     }
+    // MATERIALIZED (the oracle's `j AS MATERIALIZED`): one row per
+    // corpus-wide duplicate gram — the slim frame each cumulative
+    // rotations-used branch aggregates; left lazy, every union branch
+    // re-derived the R rollups + join chain from perShard.
     val joined = perRot.reduce((a, b) =>
       a.join(b.drop("total"), Seq("gram")))
       .filter(col("total") >= 2)
+      .localCheckpoint()
     (1 to rotations).map { used =>
       val best = (0 until used).map(r => col(s"mx$r"))
         .reduce((a, b) => greatest(a, b))

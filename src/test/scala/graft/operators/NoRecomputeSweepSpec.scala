@@ -110,7 +110,14 @@ class NoRecomputeSweepSpec extends SparkSpec {
     "q212_ngram_novelty" -> Set("documents"), // gram df build + scoring pass
     // vocab build + occurrence join-back: the corpus-sized word frame is
     // cheaper to re-derive (codegen explode) than to materialize (q200)
-    "q241_bpe_segment" -> Set("documents"))
+    "q241_bpe_segment" -> Set("documents"),
+    // rotated suffix-array dedup: each rotation is an independent kernel
+    // pass whose groupByKey moves the full text under a DIFFERENT shard
+    // key — the only shareable frame is the corpus text itself, and
+    // re-reading the 2-column pruned parquet slice per rotation is
+    // strictly cheaper than materializing the corpus to block storage
+    // (the same scan-vs-materialize call as q241's word frame)
+    "q284_sa_rotated" -> Set("documents"))
 
   test("every registered query scans each parquet table at most once, " +
       "unless its two-pass shape is allowlisted with a reason") {
