@@ -537,7 +537,7 @@ object EntityQueries {
       .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
       .filter($"w" >= 2)
       .select($"src", $"dst")
-    Graph.triangleCounts(strong).orderBy($"node")
+    Graph.triangleCounts(strong, canonical = true).orderBy($"node")
   }
   private val q138Sql =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -568,7 +568,7 @@ object EntityQueries {
       .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
       .filter($"w" >= 2)
       .select($"src", $"dst")
-    Graph.clusteringCoefficient(strong).orderBy($"node")
+    Graph.clusteringCoefficient(strong, canonical = true).orderBy($"node")
   }
   private val q255Sql =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -637,7 +637,7 @@ object EntityQueries {
       .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
       .filter($"w" >= 2)
       .select($"src", $"dst")
-    Graph.coreness(strong, rounds = 3).orderBy($"node")
+    Graph.coreness(strong, rounds = 3, canonical = true).orderBy($"node")
   }
   private val q269Sql =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -683,7 +683,8 @@ object EntityQueries {
       .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
       .filter($"w" >= 2)
       .select($"src", $"dst")
-    Graph.kTruss(strong, k = 3, rounds = 2).orderBy($"u", $"v")
+    Graph.kTruss(strong, k = 3, rounds = 2, canonical = true)
+      .orderBy($"u", $"v")
   }
   private val q273Sql =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -734,7 +735,8 @@ object EntityQueries {
       .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
       .filter($"w" >= 2)
       .select($"src", $"dst")
-    Graph.maximalIndependentSet(strong, rounds = 3).orderBy($"node")
+    Graph.maximalIndependentSet(strong, rounds = 3, canonical = true)
+      .orderBy($"node")
   }
   private val q274Sql = {
     def round(i: Int, edges: String, rem: String): String =
@@ -789,7 +791,7 @@ object EntityQueries {
       .select($"src", $"dst")
     val labels = Tables.part(s, d)
       .select($"p_partkey".as("node"), $"p_brand".as("label"))
-    Graph.modularity(strong, labels).orderBy($"label")
+    Graph.modularity(strong, labels, canonical = true).orderBy($"label")
   }
   private val q257Sql =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -830,7 +832,8 @@ object EntityQueries {
       .select($"src", $"dst")
     val labels = Tables.part(s, d)
       .select($"p_partkey".as("node"), $"p_brand".as("label"))
-    Graph.contractGraph(strong, labels).orderBy($"label_a", $"label_b")
+    Graph.contractGraph(strong, labels, canonical = true)
+      .orderBy($"label_a", $"label_b")
   }
   private val q260Sql =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -862,7 +865,7 @@ object EntityQueries {
       .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
       .filter($"w" >= 2)
       .select($"src", $"dst")
-    Graph.kCore(strong, k = 3, rounds = 8).orderBy($"node")
+    Graph.kCore(strong, k = 3, rounds = 8, canonical = true).orderBy($"node")
   }
   private val q158Sql = {
     val rounds = 8
@@ -1100,8 +1103,10 @@ object EntityQueries {
     import s.implicits._
     val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
       .agg(collect_set($"l_partkey").as("ps"))
-    val edges = Graph.undirectedEdges(sets, "ps")
-    Graph.louvain(edges, levels = 2, rounds = 2).orderBy($"node")
+    // canonical half directly — the q259 round-10 cut
+    val und = Graph.orderedPairs(sets, "ps").distinct()
+    Graph.louvain(und, levels = 2, rounds = 2, canonical = true)
+      .orderBy($"node")
   }
   private val q263Sql = {
     // weighted monotone move rounds over a mirrored weighted frame
@@ -1594,8 +1599,13 @@ object EntityQueries {
     import s.implicits._
     val sets = Tables.lineitem(s, d).groupBy($"l_orderkey")
       .agg(collect_set($"l_partkey").as("ps"))
-    val edges = Graph.undirectedEdges(sets, "ps")
-    Graph.modularityMoves(edges, rounds = 2).orderBy($"node")
+    // canonical half directly (round-10): the operator mirrors
+    // internally, so handing it the mirrored undirectedEdges frame made
+    // it re-run a full E-row distinct over rows that were canonical one
+    // projection earlier
+    val und = Graph.orderedPairs(sets, "ps").distinct()
+    Graph.modularityMoves(und, rounds = 2, canonical = true)
+      .orderBy($"node")
   }
   private val q259Sql = {
     val rounds = (1 to 2).map { i =>

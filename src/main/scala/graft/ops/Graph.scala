@@ -106,11 +106,14 @@ object Graph {
     // dropped EXPLICITLY (a null is not a node): collect_set would skip
     // null dst anyway but silently keep a null-src group — declare the
     // contract instead of inheriting aggregate null semantics.
+    // lazy index + node checkpoints (round-10 job-floor cut): the
+    // control-plane count below is the first consumer and materializes
+    // them inside its own job
     val adj = guardDegree(edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .groupBy(col("src")).agg(collect_set(col("dst")).as("ns")),
       "src", "ns")
-      .localCheckpoint()
+      .localCheckpoint(false)
     // symmetric: dst values ⊆ src keys, so the adjacency keys are the
     // node set — a projection of the materialized index (checkpointing
     // a copy would only add a job); general: dst-only sinks exist and
@@ -118,7 +121,7 @@ object Graph {
     val nodes = if (symmetric) adj.select(col("src").as("node"))
       else adj.select(col("src").as("node"))
         .unionByName(adj.select(explode(col("ns")).as("node")))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(false)
     val n = nodes.count() // control-plane scalar (drives two literals)
     val base = 150000000000L / n // floor(0.15 · 1e12 / N)
     // mass-conserving mode: dangling nodes (no out-edges) are exactly the
@@ -195,16 +198,19 @@ object Graph {
     // materialized V-row out-index via an in-task explode — no raw E-row
     // checkpoint needed
     // null endpoints dropped explicitly — the [[pageRank]] contract
+    // LAZY checkpoints (round-10 job-floor cut): the in-index build
+    // materializes the out-index, the first round's probe materializes
+    // the in-index — no separate materialization jobs up front.
     val outAdj = guardDegree(edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .groupBy(col("src")).agg(collect_set(col("dst")).as("dsts")),
       "src", "dsts")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val inAdj = guardDegree(
       outAdj.select(col("src"), explode(col("dsts")).as("dst"))
         .groupBy(col("dst"))
         .agg(collect_set(col("src")).as("srcs")),
-      "dst", "srcs").localCheckpoint()
+      "dst", "srcs").localCheckpoint(false)
     var auth = inAdj.select(col("dst").as("node"))
       .withColumn("a", lit(1000L))
     // always assigned on the first iteration (rounds >= 1): hubs are
@@ -218,7 +224,7 @@ object Graph {
       hub = hraw.crossJoin(broadcast(hmax))
         .select(col("src").as("node"),
           floor(col("hr") * 1000 / col("hm")).cast("long").as("h"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: araw's probe materializes it
       val araw = outAdj.join(hub.withColumnRenamed("node", "src"), "src")
         .select(explode(col("dsts")).as("dst"), col("h"))
         .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
@@ -230,8 +236,9 @@ object Graph {
       // subtree) would be re-derived once per broadcast — without the
       // barrier lineage doubles per round. The LAST auth has exactly one
       // consumer (the output union): checkpointing it would materialize a
-      // V-row frame nobody reads twice.
-      if (r < rounds) auth = auth.localCheckpoint()
+      // V-row frame nobody reads twice. Lazy: the next round's probe
+      // materializes it (round-10 job-floor cut).
+      if (r < rounds) auth = auth.localCheckpoint(false)
     }
     hub.select(lit("hub").as("kind"), col("node"), col("h").as("score"))
       .unionByName(auth.select(lit("authority").as("kind"), col("node"),
@@ -277,7 +284,9 @@ object Graph {
     * @return (src, dst) distinct, both directions of every in-group pair
     */
   def undirectedEdges(sets: DataFrame, setCol: String): DataFrame = {
-    val und = orderedPairs(sets, setCol).distinct().localCheckpoint()
+    // lazy: the first consumer (typically the adjacency build's
+    // exchange) materializes the distinct frame — no separate job
+    val und = orderedPairs(sets, setCol).distinct().localCheckpoint(false)
     und.unionByName(und.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -295,8 +304,9 @@ object Graph {
     *              to canonical undirected form internally
     * @return (node, n_triangles), one row per node in ≥1 triangle
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = canonicalUndirected(edges)
+  def triangleCounts(edges: DataFrame, canonical: Boolean = false)
+      : DataFrame = {
+    val e = canonicalFrame(edges, canonical)
     val deg = degreesOf(e)
     triangleCountsOn(e, deg)
   }
@@ -308,7 +318,23 @@ object Graph {
     edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      // lazy (round-10): every caller either counts it first (modularity,
+      // louvain — the count materializes it) or chains all consumers into
+      // one output job (block locks materialize it exactly once there)
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(false)
+
+  /** [[canonicalUndirected]] with a caller assertion (the `symmetric`/
+    * `uniqueEdges` discipline): `canonical = true` asserts the input is
+    * ALREADY src < dst, one row per pair, self-loop-free — e.g. an
+    * [[orderedPairs]] per-pair aggregate — so the least/greatest
+    * normalization and the full E-row distinct exchange are skipped and
+    * only the multi-consumer checkpoint remains. Results are identical
+    * on genuinely canonical input; assert it only by construction. */
+  private def canonicalFrame(edges: DataFrame, canonical: Boolean): DataFrame =
+    if (canonical)
+      edges.select(col("src").as("u"), col("dst").as("v"))
+        .localCheckpoint(false)
+    else canonicalUndirected(edges)
 
   /** (n, d) undirected degree table of a canonical edge frame. */
   private def degreesOf(e: DataFrame): DataFrame =
@@ -353,9 +379,10 @@ object Graph {
     * @return (node, degree, n_triangles, cc_x6) for every node with
     *         degree ≥ 2; triangle-free nodes appear with 0
     */
-  def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val e = canonicalUndirected(edges)
-    val deg = degreesOf(e).localCheckpoint()
+  def clusteringCoefficient(edges: DataFrame, canonical: Boolean = false)
+      : DataFrame = {
+    val e = canonicalFrame(edges, canonical)
+    val deg = degreesOf(e).localCheckpoint(false)
     val tri = triangleCountsOn(e, deg)
     deg.filter(col("d") >= 2)
       .join(tri, col("n") === col("node"), "left")
@@ -405,8 +432,9 @@ object Graph {
           lit(" (labels must have exactly one row per node)"))))
           .otherwise(col("__l")).as("label"))
 
-  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val e = canonicalUndirected(edges)
+  def modularity(edges: DataFrame, labels: DataFrame,
+      canonical: Boolean = false): DataFrame = {
+    val e = canonicalFrame(edges, canonical)
     val m = e.count() // control-plane scalar off the checkpoint
     modularityFromCanonical(e, m, labels)
   }
@@ -419,7 +447,7 @@ object Graph {
     require(m > 0, "modularity needs at least one edge")
     // three consumers (u-side join, v-side join, degree rollup): one V-row
     // materialization beats re-deriving the label source thrice
-    val lbl = uniqueLabels(labels, "modularity").localCheckpoint()
+    val lbl = uniqueLabels(labels, "modularity").localCheckpoint(false)
     val intra = e
       .join(lbl.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
       .join(lbl.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
@@ -491,7 +519,7 @@ object Graph {
     val adj = guardDegree(edges.select(col("src"), col("dst"))
       .groupBy(col("src")).agg(collect_set(col("dst")).as("ns")),
       "src", "ns")
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: f0's count materializes it
     // seeds outside the graph carry no edges and (as before) no row.
     // Validating a seed against the src keys is one slim semi-join; only
     // seeds that are NOT src keys (sink nodes — none at all in symmetric
@@ -513,21 +541,24 @@ object Graph {
         rem(sd, adj).join(adj.select(explode(col("ns")).as("node")).distinct(),
           Seq("node"), "left_semi")))
       .withColumn("dist", lit(0L))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val layers = scala.collection.mutable.ArrayBuffer(f0)
     var frontier = f0.select(col("node"))
     var r = 1
-    var done = frontier.isEmpty // checkpointed: a control-plane probe
+    // LAZY checkpoint + count (round-10 job-floor cut): the count job is
+    // both the materialization AND the emptiness probe — one job per
+    // layer where eager-checkpoint-then-isEmpty paid two.
+    var done = f0.count() == 0L
     while (r <= rounds && !done) {
       val reached = layers.map(_.select(col("node"))).reduce(_.unionByName(_))
       val newly = adj.join(frontier.withColumnRenamed("node", "src"), "src")
         .select(explode(col("ns")).as("node")).distinct()
         .join(reached, Seq("node"), "left_anti")
         .withColumn("dist", lit(r.toLong))
-        .localCheckpoint()
+        .localCheckpoint(false)
       layers += newly
       frontier = newly.select(col("node"))
-      done = newly.isEmpty
+      done = newly.count() == 0L
       r += 1
     }
     layers.map(df => df.select(col("node"), col("dist")))
@@ -575,7 +606,7 @@ object Graph {
     val adj = guardDegree(edges.select(col("src"), col("dst"))
       .groupBy(col("src")).agg(collect_set(col("dst")).as("ns")),
       "src", "ns")
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: f0's count materializes it
     val sd0 = seeds.select(col("node")).distinct()
     val sd = if (symmetric) sd0 else sd0.localCheckpoint()
     val srcSeeds = sd.join(adj.select(col("src").as("node")),
@@ -586,11 +617,13 @@ object Graph {
           Seq("node"), "left_semi")))
       .withColumn("dist", lit(0L))
       .withColumn("sigma", lit(1L).cast("decimal(38,0)"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val layers = scala.collection.mutable.ArrayBuffer(f0)
     var frontier = f0.select(col("node"), col("sigma"))
     var r = 1
-    var done = frontier.isEmpty // checkpointed: a control-plane probe
+    // lazy checkpoint + count: materialization and emptiness probe share
+    // one job per layer (the bfsHops round-10 cut)
+    var done = f0.count() == 0L
     while (r <= rounds && !done) {
       val reached = layers.map(_.select(col("node"))).reduce(_.unionByName(_))
       val newly = adj
@@ -600,10 +633,10 @@ object Graph {
         .agg(sum(col("sigma")).as("sigma"))
         .join(reached, Seq("node"), "left_anti")
         .withColumn("dist", lit(r.toLong))
-        .localCheckpoint()
+        .localCheckpoint(false)
       layers += newly
       frontier = newly.select(col("node"), col("sigma"))
-      done = newly.isEmpty
+      done = newly.count() == 0L
       r += 1
     }
     // `done` ⇒ the LAST layer is empty; drop it so the backward pass
@@ -648,8 +681,13 @@ object Graph {
       rounds: Int = 4, symmetric: Boolean = false): DataFrame = {
     val (adj, layers) = sigmaLayers(edges, seeds, rounds, symmetric)
     val zero = lit(0L).cast("decimal(38,0)")
+    // LAZY backward states (round-10 job-floor cut): each state is read
+    // by the next-shallower round's successor join and by the final
+    // union — both land in the single job the output action runs, so the
+    // whole backward pass collapses from one eager job per layer into
+    // one job, with each marked frame persisted at first compute.
     var states = List(layers.last.withColumn("delta_x9", zero)
-      .localCheckpoint())
+      .localCheckpoint(false))
     for (d <- layers.size - 2 to 0 by -1) {
       val next = states.head.select(col("node").as("w"),
         col("sigma").as("__sw"), col("delta_x9").as("__dw"))
@@ -668,7 +706,7 @@ object Graph {
         .join(terms, Seq("node"), "left")
         .select(col("node"), col("dist"), col("sigma"),
           coalesce(col("__dsum").cast("decimal(38,0)"), zero).as("delta_x9"))
-        .localCheckpoint() :: states
+        .localCheckpoint(false) :: states
     }
     states.map(_.select(col("node"), col("dist"), col("sigma"),
       col("delta_x9"))).reduce(_.unionByName(_))
@@ -709,30 +747,33 @@ object Graph {
     val adj = guardDegree(edges.select(col("src"), col("dst"))
       .groupBy(col("src")).agg(collect_set(col("dst")).as("ns")),
       "src", "ns")
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the node count materializes it
     val nodes = (if (symmetric) adj.select(col("src").as("node"))
       else adj.select(col("src").as("node"))
         .unionByName(adj.select(explode(col("ns")).as("node"))))
-      .distinct().localCheckpoint()
+      // lazy: the count below is the first consumer and materializes it
+      .distinct().localCheckpoint(false)
     val n = nodes.count()
     // deterministic sample: k smallest unsigned-md5 node ids (the ANN
-    // seed discipline — replayable as ORDER BY md5_number_lower LIMIT k)
+    // seed discipline — replayable as ORDER BY md5_number_lower LIMIT k).
+    // NOT checkpointed: f0 is its only consumer and is materialized
+    // itself, so the TakeOrdered runs exactly once either way.
     val srcs = nodes
       .withColumn("__m", graft.functions.Md5Low64(col("node").cast("string"))
         .bitwiseXOR(lit(Long.MinValue)))
       .orderBy(col("__m"), col("node"))
       .limit(k)
       .select(col("node").as("s"))
-      .localCheckpoint()
-    // batched per-source forward pass: layers keyed (s, node)
+    // batched per-source forward pass: layers keyed (s, node).
+    // lazy checkpoint + count per layer — the bfsHops round-10 cut.
     val f0 = srcs.select(col("s"), col("s").as("node"))
       .withColumn("dist", lit(0L))
       .withColumn("sigma", lit(1L).cast("decimal(38,0)"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val layers = scala.collection.mutable.ArrayBuffer(f0)
     var frontier = f0.select(col("s"), col("node"), col("sigma"))
     var r = 1
-    var done = frontier.isEmpty
+    var done = f0.count() == 0L
     while (r <= rounds && !done) {
       val reached = layers.map(_.select(col("s"), col("node")))
         .reduce(_.unionByName(_))
@@ -743,18 +784,20 @@ object Graph {
         .agg(sum(col("sigma")).as("sigma"))
         .join(reached, Seq("s", "node"), "left_anti")
         .withColumn("dist", lit(r.toLong))
-        .localCheckpoint()
+        .localCheckpoint(false)
       layers += newly
       frontier = newly.select(col("s"), col("node"), col("sigma"))
-      done = newly.isEmpty
+      done = newly.count() == 0L
       r += 1
     }
     val ls0 = layers.toSeq
     val ls = if (done && ls0.size > 1) ls0.init else ls0
-    // batched backward pass: δ per (s, node), deepest layer first
+    // batched backward pass: δ per (s, node), deepest layer first —
+    // lazy states, the [[betweennessDependencies]] round-10 cut (the
+    // whole backward chain runs as one job under the output action)
     val zero = lit(0L).cast("decimal(38,0)")
     var states = List(ls.last.withColumn("delta_x9", zero)
-      .localCheckpoint())
+      .localCheckpoint(false))
     for (d <- ls.size - 2 to 0 by -1) {
       val next = states.head.select(col("s"), col("node").as("w"),
         col("sigma").as("__sw"), col("delta_x9").as("__dw"))
@@ -773,7 +816,7 @@ object Graph {
         .join(terms, Seq("s", "node"), "left")
         .select(col("s"), col("node"), col("dist"), col("sigma"),
           coalesce(col("__dsum").cast("decimal(38,0)"), zero).as("delta_x9"))
-        .localCheckpoint() :: states
+        .localCheckpoint(false) :: states
     }
     val all = states.map(_.select(col("s"), col("node"), col("delta_x9")))
       .reduce(_.unionByName(_))
@@ -829,17 +872,18 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .groupBy(col("src")).agg(collect_set(col("dst")).as("ns")),
       "src", "ns")
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the seed count materializes it
     val nodes = if (symmetric) adj.select(col("src").as("node"))
       else adj.select(col("src").as("node"))
         .unionByName(adj.select(explode(col("ns")).as("node")))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(false)
     val sd = seeds.select(col("node")).distinct()
       .join(nodes, Seq("node"), "left_semi")
     // (node, sb) — per-node teleport base, the only state beyond pageRank's;
-    // checkpointed once, consumed every round. |S| is a control-plane scalar.
+    // checkpointed once (lazily — the nSeeds count is the first consumer
+    // and materializes it), consumed every round. |S| is control-plane.
     val flagged = nodes.join(sd.withColumn("__s", lit(1)), Seq("node"), "left")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nSeeds = flagged.filter(col("__s").isNotNull).count()
     require(nSeeds >= 1, "personalizedPageRank: no seed is present in the graph")
     // lazy projections of the one checkpoint — materializing copies
@@ -910,12 +954,12 @@ object Graph {
       .agg(collect_list(struct(col("dst"), col("w"))).as("ns"),
         sum(col("w")).as("sw")),
       "src", "ns")
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the node count materializes it
     val nodes = if (symmetric) adj.select(col("src").as("node"))
       else adj.select(col("src").as("node"))
         .unionByName(adj.select(explode(col("ns")).as("e"))
           .select(col("e.dst").as("node")))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(false)
     val n = nodes.count()
     val base = 150000000000L / n
     var pr = nodes.withColumn("pr", lit(1000000000000L / n))
@@ -1007,7 +1051,9 @@ object Graph {
       .select(col("src"), concat(col("ns"),
         array(struct(col("src").as("dst"), lit(0L).as("w")))).as("ns")),
       "src", "ns")
-      .localCheckpoint()
+      // lazy: the rounds chain into one job whose first probe
+      // materializes the index (round-10 job-floor cut)
+      .localCheckpoint(false)
     val sd0 = seeds.select(col("node")).distinct()
     val sd = if (symmetric) sd0 else sd0.localCheckpoint()
     val srcSeeds = sd.join(adj.select(col("src").as("node")),
@@ -1077,11 +1123,11 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .groupBy(col("src")).agg(collect_set(col("dst")).as("ns")),
       "src", "ns")
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the first probe materializes it
     val nodes = if (symmetric) adj.select(col("src").as("node"))
       else adj.select(col("src").as("node"))
         .unionByName(adj.select(explode(col("ns")).as("node")))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(false)
     var lab = nodes.select(col("node"), col("node").as("label"))
     for (r <- 1 to rounds) {
       val cnt = adj.join(lab.withColumnRenamed("node", "src"), "src")
@@ -1100,7 +1146,9 @@ object Graph {
       // exactly one consumer per round, so the whole loop chains lazily
       // into one job (the pageRank/ssspWeighted shape; measured sf0.1
       // q244: 5.5 → 2.6 s isolated dropping the per-round barrier).
-      if (!symmetric && r < rounds) lab = lab.localCheckpoint()
+      // Lazy barrier: both consumers sit in the next round's plan, so the
+      // first stage that needs it materializes it (block-locked once).
+      if (!symmetric && r < rounds) lab = lab.localCheckpoint(false)
     }
     lab
   }
@@ -1133,23 +1181,29 @@ object Graph {
     *              degree = simple undirected degree
     * @return (node, label) after `rounds` steps
     */
-  def modularityMoves(edges: DataFrame, rounds: Int = 2): DataFrame = {
+  def modularityMoves(edges: DataFrame, rounds: Int = 2,
+      canonical: Boolean = false): DataFrame = {
     require(rounds >= 1, "modularityMoves needs at least one round")
-    val e = canonicalUndirected(edges)
+    val e = canonicalFrame(edges, canonical)
     val m = e.count() // control-plane scalar off the checkpoint
     require(m > 0, "modularityMoves needs at least one edge")
     val mir = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
     val adj = guardDegree(
       mir.groupBy(col("u").as("src")).agg(collect_set(col("v")).as("ns")),
-      "src", "ns").localCheckpoint()
+      "src", "ns").localCheckpoint(false) // lazy: first probe materializes
     val deg = adj.select(col("src").as("node"),
       size(col("ns")).cast("long").as("k"))
     var lab = deg.select(col("node"), col("node").as("label"))
     for (r <- 1 to rounds) {
       // (node, cur, k) once per round: one V-row join instead of separate
-      // cur and deg joins against the E-row candidate frame below
+      // cur and deg joins against the E-row candidate frame below. NOT
+      // checkpointed (the round-10 job-floor cut): both parents are
+      // materialized (lab checkpointed per round, deg a projection of the
+      // checkpointed index), so each of the three consumers re-derives a
+      // slim V-row join inside its own stage instead of paying an eager
+      // materialization job + block-store copy per round.
       val state = lab.select(col("node"), col("label").as("__cur"))
-        .join(deg, Seq("node")).localCheckpoint()
+        .join(deg, Seq("node"))
       val tot = state.groupBy(col("__cur").as("label"))
         .agg(sum(col("k")).as("tot"))
       val cnt = adj.join(lab.withColumnRenamed("node", "src"), Seq("src"))
@@ -1173,8 +1227,10 @@ object Graph {
       lab = scored.groupBy(col("node"))
         .agg(min(struct((-col("s")).as("ns"), col("label").as("l"))).as("b"))
         .select(col("node"), col("b.l").as("label"))
-      // lab feeds the probe + next round's state build — barrier
-      if (r < rounds) lab = lab.localCheckpoint()
+      // lab feeds the probe + next round's state build — lazy barrier
+      // (all consumers sit in the next round's plan; block locks
+      // materialize it once)
+      if (r < rounds) lab = lab.localCheckpoint(false)
     }
     lab
   }
@@ -1199,10 +1255,11 @@ object Graph {
     * @param labels (node, label) — must cover every edge endpoint
     * @return (label_a, label_b, weight) with label_a ≤ label_b
     */
-  def contractGraph(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val e = canonicalUndirected(edges)
+  def contractGraph(edges: DataFrame, labels: DataFrame,
+      canonical: Boolean = false): DataFrame = {
+    val e = canonicalFrame(edges, canonical)
     // two consumers (u- and v-side joins): one V-row materialization
-    val lbl = uniqueLabels(labels, "contractGraph").localCheckpoint()
+    val lbl = uniqueLabels(labels, "contractGraph").localCheckpoint(false)
     val guard = (l: org.apache.spark.sql.Column) => when(l.isNull,
       raise_error(concat(lit("contractGraph: unlabeled edge endpoint "),
         lit("(labels must cover every node in the edge set)")))).otherwise(l)
@@ -1256,7 +1313,7 @@ object Graph {
       mir.groupBy(col("u").as("src"))
         .agg(collect_list(struct(col("v").as("dst"), col("w").as("w")))
           .as("ns")),
-      "src", "ns").localCheckpoint()
+      "src", "ns").localCheckpoint(false) // lazy: first probe materializes
     val selfW = e.filter(col("u") === col("v"))
       .select(col("u").as("node"), (col("w") * 2).as("sw"))
     val nbrW = mir.groupBy(col("u").as("node")).agg(sum(col("w")).as("nw"))
@@ -1265,11 +1322,13 @@ object Graph {
       .select(col("node"),
         (coalesce(col("nw"), lit(0L)) + coalesce(col("sw"), lit(0L)))
           .as("k"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the first round's tot materializes
     var lab = deg.select(col("node"), col("node").as("label"))
     for (r <- 1 to rounds) {
+      // un-checkpointed V-row state join — the [[modularityMoves]]
+      // round-10 job-floor cut (both parents materialized)
       val state = lab.select(col("node"), col("label").as("__cur"))
-        .join(deg, Seq("node")).localCheckpoint()
+        .join(deg, Seq("node"))
       val tot = state.groupBy(col("__cur").as("label"))
         .agg(sum(col("k")).as("tot"))
       val cnt = adj.join(lab.withColumnRenamed("node", "src"), Seq("src"))
@@ -1300,7 +1359,7 @@ object Graph {
       lab = scored.groupBy(col("node"))
         .agg(min(struct((-col("s")).as("ns"), col("label").as("l"))).as("b"))
         .select(col("node"), col("b.l").as("label"))
-      if (r < rounds) lab = lab.localCheckpoint()
+      if (r < rounds) lab = lab.localCheckpoint(false) // lazy barrier
     }
     lab
   }
@@ -1311,7 +1370,7 @@ object Graph {
     * exact coarse graph the next Louvain level moves on. */
   private[ops] def contractGraphWeighted(wedges: DataFrame,
       labels: DataFrame): DataFrame = {
-    val lbl = uniqueLabels(labels, "contractGraph").localCheckpoint()
+    val lbl = uniqueLabels(labels, "contractGraph").localCheckpoint(false)
     val guard = (l: org.apache.spark.sql.Column) => when(l.isNull,
       raise_error(concat(lit("contractGraph: unlabeled edge endpoint "),
         lit("(labels must cover every node in the edge set)")))).otherwise(l)
@@ -1355,10 +1414,10 @@ object Graph {
     * @return (node, label) — every original node mapped to its final
     *         accepted community
     */
-  def louvain(edges: DataFrame, levels: Int = 2, rounds: Int = 2)
-      : DataFrame = {
+  def louvain(edges: DataFrame, levels: Int = 2, rounds: Int = 2,
+      canonical: Boolean = false): DataFrame = {
     require(levels >= 1, "louvain needs at least one level")
-    val base = canonicalUndirected(edges)
+    val base = canonicalFrame(edges, canonical)
     val m0 = base.count() // one canonical frame + count, shared by every gate
     require(m0 > 0, "louvain needs at least one edge")
     var cur = base.select(col("u"), col("v"), lit(1L).as("w"))
@@ -1368,7 +1427,10 @@ object Graph {
     // degree table doubles as the node universe for the identity
     // mapping: ONE E-row pass feeds both, instead of a separate
     // explode-distinct exchange (canonical edges ⇒ every node has d ≥ 1)
-    val deg0 = degreesOf(base).localCheckpoint()
+    // LAZY checkpoint (round-10 job-floor cut): bestQ's first() is the
+    // first consumer and materializes it in its own job anyway; eager
+    // would pay a separate materialization job first.
+    val deg0 = degreesOf(base).localCheckpoint(false)
     var mapping = deg0
       .select(col("n").as("node"), col("n").as("label"))
     var bestQ = deg0
@@ -1380,10 +1442,12 @@ object Graph {
     var improving = true
     while (level <= levels && improving) {
       // Σw is m0 at every level (contraction conserves edge mass); level
-      // 1's frame is a cheap projection of the checkpointed base, later
-      // levels' contraction outputs still need the defensive pin
+      // 1's frame is a cheap projection of the checkpointed base, and
+      // every later level's frame IS the checkpointed coarse graph (cg
+      // below) — materialized at every level, so the operator's
+      // defensive E-row pin never fires here
       val lab = modularityMovesWeighted(cur, rounds, Some(m0),
-        materialized = level == 1)
+        materialized = true)
       // contraction doubles as the Q audit (the round-9 cut: the audit
       // used to re-join composite labels over the ORIGINAL E rows at
       // every level — ~2 full-E passes per accepted level at sf0.1).
@@ -1393,15 +1457,22 @@ object Graph {
       // computed off the coarse graph are BIT-IDENTICAL to the original-
       // graph audit, and past level 1 the audited frame is community-
       // sized, not E-sized.
-      val cg = contractGraphWeighted(cur, lab).localCheckpoint()
+      // LAZY checkpoint: qFromCoarse's 1-row first() is the first
+      // consumer and materializes the coarse graph inside its own job
+      // (local-mode block locks dedup the two subtree reads); the
+      // accepted-level reuse (`cur`) then reads the persisted blocks —
+      // one job per level where eager paid two.
+      val cg = contractGraphWeighted(cur, lab).localCheckpoint(false)
       val qc = qFromCoarse(cg, m0)
       if (qc > bestQ) {
         bestQ = qc
+        // single consumer per level (the next level's composite join or
+        // the final output) — lazy: materialized by whoever reads it
         mapping = mapping.withColumnRenamed("label", "__mid")
           .join(lab.select(col("node").as("__mid"), col("label")),
             Seq("__mid"))
           .select(col("node"), col("label"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         cur = cg
       } else improving = false
       level += 1
@@ -1468,7 +1539,9 @@ object Graph {
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint() // degree aggregation + the pair join both read it
+      // degree aggregation + the pair join both read it; lazy — the
+      // degree exchange materializes it inside the single stats job
+      .localCheckpoint(false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val d19 = "decimal(19,0)"
     val d38 = "decimal(38,0)"
@@ -1511,12 +1584,10 @@ object Graph {
     * @param edges (src, dst) rows, any direction/duplication
     * @return (node, degree) for nodes surviving `rounds` peels, degree
     *         counted within the surviving subgraph */
-  def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 8,
+      canonical: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be positive")
-    var alive = edges
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var alive = canonicalFrame(edges, canonical)
     for (_ <- 1 to rounds) {
       val keep = alive.select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -1524,7 +1595,10 @@ object Graph {
       alive = alive
         .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
-        .localCheckpoint()
+        // lazy barrier: the three consumers (next round's degree pass +
+        // two semi-joins) all sit in one downstream plan — block locks
+        // materialize each round once, with no per-round job
+        .localCheckpoint(false)
     }
     alive.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -1575,10 +1649,11 @@ object Graph {
     * @return (u, v, support) for surviving edges, support measured on
     *         the FINAL surviving subgraph
     */
-  def kTruss(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 3,
+      canonical: Boolean = false): DataFrame = {
     require(k >= 3 && rounds >= 1, "k-truss needs k >= 3 and rounds >= 1")
     val minSup = (k - 2).toLong
-    var e = canonicalUndirected(edges)
+    var e = canonicalFrame(edges, canonical)
     def supportOf(ed: DataFrame): DataFrame = {
       val tris = trianglesOf(ed)
       tris.select(explode(array(
@@ -1593,7 +1668,7 @@ object Graph {
     for (_ <- 1 to rounds) {
       e = e.join(supportOf(e).filter(col("support") >= minSup)
           .select(col("u"), col("v")), Seq("u", "v"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy barrier (the kCore discipline)
     }
     e.join(supportOf(e), Seq("u", "v"), "left")
       .select(col("u"), col("v"),
@@ -1626,15 +1701,16 @@ object Graph {
     *         whole remaining neighborhood has left the game wins its
     *         round unconditionally (null neighbor-min)
     */
-  def maximalIndependentSet(edges: DataFrame, rounds: Int = 3): DataFrame = {
+  def maximalIndependentSet(edges: DataFrame, rounds: Int = 3,
+      canonical: Boolean = false): DataFrame = {
     require(rounds >= 1, "rounds must be positive")
-    val e0 = canonicalUndirected(edges)
+    val e0 = canonicalFrame(edges, canonical)
     val pri = e0.select(explode(array(col("u"), col("v"))).as("node"))
       .distinct()
       .select(col("node"),
         graft.functions.Md5Low64(concat(lit("mis:"), col("node").cast("string")))
           .bitwiseXOR(lit(Long.MinValue)).as("p"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: round 1's probe materializes it
     var remaining = pri
     var alive = e0
     var mis: DataFrame = null
@@ -1647,7 +1723,7 @@ object Graph {
       val winners = remaining.join(nbrMin, Seq("node"), "left")
         .filter(col("np").isNull || col("p") < col("np"))
         .select(col("node"), lit(r).as("mis_round"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy barrier (the kCore discipline)
       mis = if (mis == null) winners else mis.unionByName(winners)
       val removed = winners.select(col("node"))
         .unionByName(mir.join(
@@ -1655,12 +1731,12 @@ object Graph {
           .select(col("v").as("node")))
         .distinct()
       remaining = remaining.join(removed, Seq("node"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
       alive = alive
         .join(remaining.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(remaining.select(col("node").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     mis
   }
@@ -1685,15 +1761,15 @@ object Graph {
       .join(e, col("b") === col("u") && col("c") === col("v"), "left_semi")
   }
 
-  def coreness(edges: DataFrame, rounds: Int = 4): DataFrame = {
+  def coreness(edges: DataFrame, rounds: Int = 4,
+      canonical: Boolean = false): DataFrame = {
     require(rounds >= 1, "rounds must be positive")
-    val e = canonicalUndirected(edges)
+    val e = canonicalFrame(edges, canonical)
     val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
     val adj = guardDegree(
       und.groupBy(col("u").as("node")).agg(collect_list(col("v")).as("ns")),
-      "node", "ns").localCheckpoint()
+      "node", "ns").localCheckpoint(false)
     var state = adj.select(col("node"), size(col("ns")).cast("long").as("c"))
-      .localCheckpoint()
     for (_ <- 1 to rounds) {
       state = adj.select(col("node"), explode(col("ns")).as("nb"))
         .join(state.select(col("node").as("nb"), col("c").as("cn")), "nb")
@@ -1704,7 +1780,7 @@ object Graph {
         .select(col("node"), posexplode(col("cs")).as(Seq("__i", "cv")))
         .filter(col("cv") >= col("__i") + 1L)
         .groupBy(col("node")).agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy barrier: one consumer per round
     }
     state.withColumnRenamed("c", "coreness")
   }
