@@ -191,8 +191,10 @@ object TextAnalysis {
       if (docs.sparkSession.conf.get("graft.nb.broadcastModel", "true").toBoolean)
         broadcast(model)
       else model
+    // single consumer (the crossJoin below) — a checkpoint here paid a
+    // materialization job + doc-row copy that nothing read twice (r10)
     val dl = tokRows.groupBy(col("id"), col("cls"))
-      .agg(count(lit(1)).as("dl")).localCheckpoint()
+      .agg(count(lit(1)).as("dl"))
     // observed contributions: Σ (w6 − default6) over matched instances
     val obs = tokRows.join(hinted, Seq("t"))
       .groupBy(col("id"), col("cls"), col("cand"))
