@@ -240,8 +240,16 @@ object Bench {
     // The per-query line is ~8 KB at 230+ queries and the driver keeps only
     // the LAST 2000 chars of output — repeat the scalars on a short FINAL
     // line (plus the compact isolated tail, ~400 chars) so the totals
-    // always land inside the tail window.
-    println(s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
+    // always land inside the tail window. Round-11 addition (the round-10
+    // verdict's artifact fix): after the scalars, as many of the HEAVIEST
+    // per-query warm timings as fit a fixed budget that keeps the whole
+    // line inside the window (rounds 1-3 proved a full-map line there
+    // breaks the parse) — this is what makes the driver's per-query
+    // round-over-round diff and the low/high-core scaling ratios
+    // computable for every query that carries meaningful time; the
+    // sub-budget tail sits at the ~0.3 s per-query floor and is covered
+    // by the full map on the first line above.
+    val scalarPart = s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
       s""""cold_total":${total(cold)},"warm_total":${total(warm)},""" +
       s""""n_queries":${warm.size},"sf":"$sfDir",""" +
       s""""valid":$validFlag,$retryTrail,""" +
@@ -249,7 +257,19 @@ object Bench {
       s""""noise_factor":$noiseFactor,""" +
       s""""ckpt_canary_s":${ckptCanaries.map(r3).mkString("[", ",", "]")},""" +
       s""""ckpt_noise_factor":$ckptNoiseFactor,""" +
-      s""""slowest_isolated":$isoJson}""")
+      s""""slowest_isolated":$isoJson"""
+    val lineBudget = 1800 // < the 2000-char window, with slack for a
+                          // trailing harness line after the JSON
+    val topEntries = scala.collection.mutable.ArrayBuffer[String]()
+    var fits = true
+    for ((k, v) <- warm.filter(_._2 >= 0).sortBy(-_._2) if fits) {
+      val e = "\"" + k + "\":" + r3(v)
+      val projected = scalarPart.length + 40 +
+        topEntries.map(_.length + 1).sum + e.length
+      if (projected <= lineBudget) topEntries += e else fits = false
+    }
+    println(scalarPart + s""","queries_emitted":${topEntries.size},""" +
+      s""""queries":${topEntries.mkString("{", ",", "}")}}""")
     spark.stop()
   }
 }

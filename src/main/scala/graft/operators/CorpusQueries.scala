@@ -222,12 +222,25 @@ object CorpusQueries {
     val exactKeep = Dedup.exact(corpus)
       .select($"keep_id".as("doc_id")).localCheckpoint()
     val exact = corpus.join(exactKeep, Seq("doc_id"), "left_semi")
-    // exact is content-distinct by construction → the direct LSH path
-    // (the wrapper's clone-group pass would re-hash text to find nothing)
-    val nearDrop = Dedup.minhashPairsOnDistinct(exact, threshold = 0.5)
+    // FUSED shingle pass (round-11): the per-doc distinct gram sets
+    // materialize ONCE (DISK_ONLY — corpus-sized arrays must not claim
+    // the storage half of the unified pool, the q196/q285 rule) and feed
+    // LSH banding, exact pair verification, AND decontamination. Before,
+    // each of those stages re-ran the tokenize+shingle-hash kernel over
+    // its own text scan — 3 heavy text passes → 1, with bit-identical
+    // signatures (min over a distinct set = min over the multiset) and
+    // the exact-Jaccard verification reading the very sets it used to
+    // rebuild. exact is content-distinct by construction → the direct
+    // LSH path (the wrapper's clone-group pass would re-hash text to
+    // find nothing).
+    val shAll = Dedup.hashedShingleSets(exact)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val nearDrop = Dedup.minhashPairsFromSets(shAll, threshold = 0.5)
       .select($"id_b".as("doc_id")).distinct().localCheckpoint()
     val near = exact.join(nearDrop, Seq("doc_id"), "left_anti")
-    val contamIds = Dedup.contaminationHits(near, bench)
+    val nearSh = shAll.join(nearDrop.select($"doc_id".as("id")),
+      Seq("id"), "left_anti")
+    val contamIds = Dedup.contaminationHitsFromSets(nearSh, bench)
       .select($"id".as("doc_id")).localCheckpoint()
     val clean = near.join(contamIds, Seq("doc_id"), "left_anti")
     val train = clean

@@ -1044,10 +1044,11 @@ object EntityQueries {
     val edges = Graph.undirectedEdges(sets, "ps")
     val seeds = edges.select($"src".as("node"))
       .distinct().filter($"node" % 97 === 0)
-    // the operator keeps sigma DECIMAL(38,0) internally (loud-overflow
-    // contract, round-7 ADVICE); the QUERY presents it as BIGINT behind
-    // an in-plan raise_error — never a silent narrowing null — because
-    // the gate's hash layer compares int64, not decimal
+    // the operator keeps sigma in guarded BIGINT accumulators (round-11;
+    // loud-overflow contract preserved by the in-operator 2^62 guard +
+    // ANSI long sums); the QUERY presents it behind the same in-plan
+    // raise_error seam — never a silent narrowing null — because the
+    // gate's hash layer compares int64
     Graph.bfsPathCounts(edges, seeds, rounds = 4, symmetric = true)
       .select($"node", $"dist", bigintLoud($"sigma", "q261 sigma").as("sigma"))
       .orderBy($"node")
@@ -1210,8 +1211,9 @@ object EntityQueries {
     val edges = Graph.undirectedEdges(sets, "ps")
     val seeds = edges.select($"src".as("node"))
       .distinct().filter($"node" % 97 === 0)
-    // decimal internals, BIGINT presentation (q261's discipline). The
-    // 1e9-unit delta is exact in int64 while total dependency < ~9.2e9
+    // long internals (round-11: primitive hash-agg buffers, in-operator
+    // 2^62 guards), BIGINT presentation (q261's discipline). The 1e9-unit
+    // delta is exact in int64 while total dependency < ~9.2e9
     // paths-through-a-node (2⁶³/1e9); past that the guard raises loudly.
     Graph.betweennessDependencies(edges, seeds, rounds = 4, symmetric = true)
       .select($"node", $"dist", bigintLoud($"sigma", "q262 sigma").as("sigma"),

@@ -325,6 +325,59 @@ object Dedup {
     }
   }
 
+  /** [[minhashBandRows]] computed from PRE-BUILT distinct shingle sets
+    * ([[hashedShingleSets]] output) instead of raw text: the min of each
+    * hash lane over a doc's distinct set equals the min over its full
+    * multiset (min is duplicate-blind), so the (band, bh) bits are
+    * IDENTICAL to the text path's — with zero tokenize/shingle-hash work
+    * here. The q68 fusion seam (round-11): one materialized gram frame
+    * feeds LSH banding, exact verification, and decontamination, where
+    * each stage used to re-run the shingle kernel over its own text
+    * scan. */
+  def minhashBandRowsFromSets(shs: DataFrame, k: Int = 64,
+      bands: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField,
+      StructType}
+    val r = k / bands
+    require(bands * r == k, "bands must divide k")
+    val in = shs.select(col("id"), col("sh"))
+    val idField = in.schema.fields.head.copy(name = "id")
+    val schema = StructType(idField +:
+      Seq(StructField("band", IntegerType, false),
+        StructField("bh", LongType, false)))
+    in.mapPartitions { it =>
+      it.flatMap { row =>
+        if (row.isNullAt(0) || row.isNullAt(1)) Iterator.empty
+        else {
+          val id = row.get(0)
+          val sh = row.getSeq[Long](1)
+          val mins = Array.fill(k)(Long.MaxValue)
+          sh.foreach { h1 =>
+            val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashInt(1, h1)
+            mins(0) = math.min(mins(0), h1)
+            var i = 1
+            while (i < k) {
+              val lane = h1 ^ ((h2 << i) | (h2 >>> (64 - i)))
+              if (lane < mins(i)) mins(i) = lane
+              i += 1
+            }
+          }
+          (0 until bands).iterator.map { b =>
+            var bh = 42L
+            var j = 0
+            while (j < r) {
+              bh = org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashLong(mins(b * r + j), bh)
+              j += 1
+            }
+            org.apache.spark.sql.Row(id, b, bh)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** (id, sim) 64-bit SimHash per doc, zero-shuffle (same bits as
     * [[simhashSignatures]] for the default `tokenHash = "xx64"`;
     * `"md5"` = DuckDB-reproducible [[md5Low64]] token hashes). */
@@ -501,6 +554,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** [[minhashPairsOnDistinct]] over PRE-BUILT (and caller-materialized)
+    * distinct shingle sets: banding, the bucket exchange, candidate
+    * expansion, and exact verification all read the SAME gram frame —
+    * the pipeline runs zero text passes. Bits identical to the text
+    * path: [[minhashBandRowsFromSets]] proves the signatures, and the
+    * verification Jaccard is computed on the very sets the text path
+    * would have rebuilt. */
+  def minhashPairsFromSets(shs: DataFrame, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    val exploded = minhashBandRowsFromSets(shs, k, bands)
+    val buckets = exploded
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val candidates = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      // slim pairs, three consumers (both candidate-id union sides + the
+      // verification join) — same materialization rule as the text path
+      .localCheckpoint()
+    val candidateIds = candidates.select(col("id_a").as("cid"))
+      .union(candidates.select(col("id_b")))
+      .distinct()
+    // candidate-pruned slice of the gram frame: the broadcast semi-join
+    // keeps the corpus-sized arrays out of any exchange, and the slim
+    // result is read by both verification sides
+    val shsC = shs.join(candidateIds, col("id") === col("cid"), "left_semi")
+      .withColumnRenamed("id", "sid")
+      .localCheckpoint()
+    candidates
+      .join(shsC.withColumnRenamed("sid", "id_a")
+        .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(shsC.withColumnRenamed("sid", "id_b")
+        .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Cross-corpus near-duplicate pairs: docs in `a` whose normalized text
     * is near-duplicate (exact-verified Jaccard ≥ threshold) of a doc in
     * `b` — the corpus-vs-corpus face of [[minhashDuplicatePairs]], used
@@ -563,6 +657,23 @@ object Dedup {
     val benchGrams = hashedShingleSets(benchmark, textCol, idCol)
       .select(explode(col("sh")).as("g")).distinct()
     hashedShingleSets(corpus, textCol, idCol)
+      .select(col("id"), explode(col("sh")).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** [[contaminationHits]] over a PRE-BUILT corpus gram frame
+    * ([[hashedShingleSets]] output — the q68 fusion seam): the corpus
+    * side explodes the materialized sets instead of re-running the
+    * shingle kernel over a text scan; the (tiny, fixed) benchmark side
+    * still builds its grams from text. Identical hits: the text path's
+    * corpus grams ARE these sets. */
+  def contaminationHitsFromSets(corpusSh: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val benchGrams = hashedShingleSets(benchmark, textCol, idCol)
+      .select(explode(col("sh")).as("g")).distinct()
+    corpusSh
       .select(col("id"), explode(col("sh")).as("g"))
       .join(broadcast(benchGrams), "g")
       .groupBy(col("id"))

@@ -329,12 +329,37 @@ object Graph {
     * [[orderedPairs]] per-pair aggregate — so the least/greatest
     * normalization and the full E-row distinct exchange are skipped and
     * only the multi-consumer checkpoint remains. Results are identical
-    * on genuinely canonical input; assert it only by construction. */
+    * on genuinely canonical input; assert it only by construction.
+    *
+    * SEAL (round-11, the verdict's watch item): a wrong assertion here
+    * produces wrong answers, not an error — so under
+    * `graft.graph.debugCanonical=true` (a debug conf, never set on the
+    * bench path) the assertion is VERIFIED: an in-plan raise_error on
+    * any row violating u < v, plus a driver-side duplicate-pair probe.
+    * Cost lives only in debug mode. */
   private def canonicalFrame(edges: DataFrame, canonical: Boolean): DataFrame =
-    if (canonical)
-      edges.select(col("src").as("u"), col("dst").as("v"))
-        .localCheckpoint(false)
-    else canonicalUndirected(edges)
+    if (canonical) {
+      val f0 = edges.select(col("src").as("u"), col("dst").as("v"))
+      val debug = edges.sparkSession.conf
+        .get("graft.graph.debugCanonical", "false").toBoolean
+      val f =
+        if (!debug) f0
+        else {
+          val dups = f0.groupBy(col("u"), col("v"))
+            .agg(count(lit(1)).as("n")).filter(col("n") > 1L).count()
+          require(dups == 0L, s"canonicalFrame(canonical = true): $dups " +
+            "duplicated (u, v) pairs — the caller's canonical assertion " +
+            "is false; pass canonical = false")
+          f0.select(
+            when(col("u") < col("v"), col("u")).otherwise(raise_error(concat(
+              lit("canonicalFrame(canonical = true): row violates u < v: ("),
+              col("u").cast("string"), lit(", "), col("v").cast("string"),
+              lit(") — the caller's canonical assertion is false"))))
+              .as("u"),
+            col("v"))
+        }
+      f.localCheckpoint(false)
+    } else canonicalUndirected(edges)
 
   /** (n, d) undirected degree table of a canonical edge frame. */
   private def degreesOf(e: DataFrame): DataFrame =
@@ -582,9 +607,13 @@ object Graph {
     * contributions into already-reached nodes are non-shortest arrivals
     * and the anti-join drops them).
     *
-    * EXACTNESS: σ is integer sums only — DECIMAL(38,0), because path
-    * counts compound multiplicatively with depth (branching^rounds);
-    * past 10³⁸ the sum fails loudly under ANSI rather than wrapping.
+    * EXACTNESS: σ is integer sums only — BIGINT accumulators (round-11;
+    * primitive hash-agg buffers, half the shuffle bytes of the former
+    * DECIMAL(38,0) carriers) because path counts compound
+    * multiplicatively with depth (branching^rounds); past the 2⁶² layer
+    * guard ([[longLoud]]) or a 2⁶³ ANSI sum overflow the query fails
+    * loudly rather than wrapping — the BIGINT presentation seam capped
+    * the usable range at 2⁶³ anyway.
     * Multi-seed semantics: seeds sit at distance 0 with σ = 1; a node's
     * σ totals shortest paths from ALL nearest seeds.
     *
@@ -596,6 +625,30 @@ object Graph {
       .map(df => df.select(col("node"), col("dist"), col("sigma")))
       .reduce(_.unionByName(_))
 
+  /** 2⁶² loud ceiling for the long-typed σ/δ accumulators (round-11; the
+    * bigintLoud discipline pushed inside the operator): every layer's
+    * aggregate output is pinned ≤ 2⁶², so no single downstream add can
+    * silently pass 2⁶³ — and ANSI mode (Spark 4 default, asserted at
+    * operator entry by [[requireAnsi]]) makes the long SUM itself throw
+    * on overflow, never wrap. The operating envelope narrows from
+    * DECIMAL(38,0)'s 10³⁸ to 2⁶², which the output seam's BIGINT
+    * presentation capped at 2⁶³ anyway — in exchange the hot per-layer
+    * aggregates run on primitive long hash-agg buffers (half the
+    * shuffle bytes, no per-row Decimal allocation). */
+  private val loudCeil = 1L << 62
+  private def longLoud(c: org.apache.spark.sql.Column, what: String)
+      : org.apache.spark.sql.Column =
+    when(c > lit(loudCeil) || c < 0L,
+      raise_error(concat(
+        lit(s"$what overflows the 2^62 long-accumulator guard: "),
+        c.cast("string"))).cast("long"))
+      .otherwise(c)
+  private def requireAnsi(df: DataFrame, op: String): Unit =
+    require(df.sparkSession.conf.get("spark.sql.ansi.enabled", "true")
+        .toBoolean,
+      s"$op: long-typed sigma/delta accumulators need spark.sql.ansi." +
+        "enabled=true (loud long-sum overflow instead of a silent wrap)")
+
   /** Shared forward pass of [[bfsPathCounts]] / [[betweennessDependencies]]:
     * the checkpointed adjacency index plus one checkpointed (node, dist,
     * sigma) frame PER BFS LAYER (the backward pass needs the layer
@@ -603,6 +656,7 @@ object Graph {
   private def sigmaLayers(edges: DataFrame, seeds: DataFrame, rounds: Int,
       symmetric: Boolean): (DataFrame, Seq[DataFrame]) = {
     require(rounds >= 1, "bfsPathCounts needs at least one round")
+    requireAnsi(edges, "bfsPathCounts")
     val adj = guardDegree(edges.select(col("src"), col("dst"))
       .groupBy(col("src")).agg(collect_set(col("dst")).as("ns")),
       "src", "ns")
@@ -616,7 +670,7 @@ object Graph {
         rem(sd, adj).join(adj.select(explode(col("ns")).as("node")).distinct(),
           Seq("node"), "left_semi")))
       .withColumn("dist", lit(0L))
-      .withColumn("sigma", lit(1L).cast("decimal(38,0)"))
+      .withColumn("sigma", lit(1L))
       .localCheckpoint(false)
     val layers = scala.collection.mutable.ArrayBuffer(f0)
     var frontier = f0.select(col("node"), col("sigma"))
@@ -631,6 +685,7 @@ object Graph {
         .select(explode(col("ns")).as("node"), col("sigma"))
         .groupBy(col("node"))
         .agg(sum(col("sigma")).as("sigma"))
+        .withColumn("sigma", longLoud(col("sigma"), "sigma"))
         .join(reached, Seq("node"), "left_anti")
         .withColumn("dist", lit(r.toLong))
         .localCheckpoint(false)
@@ -656,13 +711,14 @@ object Graph {
     * the nodes most shortest-path traffic from the seed set flows
     * through — the standard graph-curation ask after PageRank.
     *
-    * EXACTNESS: δ is carried in 1e9 units as DECIMAL(38,0); each term is
-    * [[graft.functions.BrandesTerm]] — ⌊σv·(10⁹+δw_x9)/σw⌋ in unbounded
-    * integer arithmetic that fails LOUDLY past 38 digits (never a silent
-    * null/wrap) — and per-node sums are order-free integer sums,
-    * bit-identical across engines and layouts. Truncation composes
-    * deterministically layer by layer, so a SQL oracle replays the exact
-    * bits with 128-bit `//`.
+    * EXACTNESS: δ is carried in 1e9 units as BIGINT; each term is
+    * [[graft.functions.BrandesTerm]] — ⌊σv·(10⁹+δw_x9)/σw⌋ with the
+    * product in 128-bit arithmetic, failing LOUDLY past BIGINT (never a
+    * silent null/wrap; the [[longLoud]] 2⁶² layer guard keeps every
+    * input inside the safe range) — and per-node sums are order-free
+    * integer sums, bit-identical across engines and layouts. Truncation
+    * composes deterministically layer by layer, so a SQL oracle replays
+    * the exact bits with 128-bit `//`.
     *
     * Scale shape: the forward pass is [[bfsPathCounts]] (V-row adjacency
     * index, one probe per layer); the backward pass runs the SAME probe
@@ -680,7 +736,7 @@ object Graph {
   def betweennessDependencies(edges: DataFrame, seeds: DataFrame,
       rounds: Int = 4, symmetric: Boolean = false): DataFrame = {
     val (adj, layers) = sigmaLayers(edges, seeds, rounds, symmetric)
-    val zero = lit(0L).cast("decimal(38,0)")
+    val zero = lit(0L)
     // LAZY backward states (round-10 job-floor cut): each state is read
     // by the next-shallower round's successor join and by the final
     // union — both land in the single job the output action runs, so the
@@ -704,8 +760,10 @@ object Graph {
         .agg(sum(col("__t")).as("__dsum"))
       states = layers(d)
         .join(terms, Seq("node"), "left")
+        // longLoud is null-transparent (a null sum falls to the otherwise
+        // branch), so the guard composes with the left-join coalesce
         .select(col("node"), col("dist"), col("sigma"),
-          coalesce(col("__dsum").cast("decimal(38,0)"), zero).as("delta_x9"))
+          coalesce(longLoud(col("__dsum"), "delta_x9"), zero).as("delta_x9"))
         .localCheckpoint(false) :: states
     }
     states.map(_.select(col("node"), col("dist"), col("sigma"),
@@ -738,12 +796,14 @@ object Graph {
     * @param k     number of sampled sources (clamped to |V|)
     * @param rounds BFS horizon per source ([[bfsPathCounts]] contract)
     * @return (node, delta_sum_x9, bet_est_x9) for nodes reached from any
-    *         sampled source (as non-endpoint), DECIMAL(38,0) units
+    *         sampled source (as non-endpoint); delta_sum_x9 BIGINT,
+    *         bet_est_x9 DECIMAL(38,0) (the n/k blow-up can top 2⁶³)
     */
   def betweennessSampled(edges: DataFrame, k: Int, rounds: Int = 4,
       symmetric: Boolean = false): DataFrame = {
     require(k >= 1, "betweennessSampled needs at least one source")
     require(rounds >= 1, "betweennessSampled needs at least one round")
+    requireAnsi(edges, "betweennessSampled")
     val adj = guardDegree(edges.select(col("src"), col("dst"))
       .groupBy(col("src")).agg(collect_set(col("dst")).as("ns")),
       "src", "ns")
@@ -768,7 +828,7 @@ object Graph {
     // lazy checkpoint + count per layer — the bfsHops round-10 cut.
     val f0 = srcs.select(col("s"), col("s").as("node"))
       .withColumn("dist", lit(0L))
-      .withColumn("sigma", lit(1L).cast("decimal(38,0)"))
+      .withColumn("sigma", lit(1L))
       .localCheckpoint(false)
     val layers = scala.collection.mutable.ArrayBuffer(f0)
     var frontier = f0.select(col("s"), col("node"), col("sigma"))
@@ -782,6 +842,7 @@ object Graph {
         .select(col("s"), explode(col("ns")).as("node"), col("sigma"))
         .groupBy(col("s"), col("node"))
         .agg(sum(col("sigma")).as("sigma"))
+        .withColumn("sigma", longLoud(col("sigma"), "sigma"))
         .join(reached, Seq("s", "node"), "left_anti")
         .withColumn("dist", lit(r.toLong))
         .localCheckpoint(false)
@@ -795,7 +856,7 @@ object Graph {
     // batched backward pass: δ per (s, node), deepest layer first —
     // lazy states, the [[betweennessDependencies]] round-10 cut (the
     // whole backward chain runs as one job under the output action)
-    val zero = lit(0L).cast("decimal(38,0)")
+    val zero = lit(0L)
     var states = List(ls.last.withColumn("delta_x9", zero)
       .localCheckpoint(false))
     for (d <- ls.size - 2 to 0 by -1) {
@@ -815,7 +876,7 @@ object Graph {
       states = ls(d)
         .join(terms, Seq("s", "node"), "left")
         .select(col("s"), col("node"), col("dist"), col("sigma"),
-          coalesce(col("__dsum").cast("decimal(38,0)"), zero).as("delta_x9"))
+          coalesce(longLoud(col("__dsum"), "delta_x9"), zero).as("delta_x9"))
         .localCheckpoint(false) :: states
     }
     val all = states.map(_.select(col("s"), col("node"), col("delta_x9")))
@@ -823,6 +884,7 @@ object Graph {
     all.filter(col("node") =!= col("s")) // endpoints excluded (Brandes)
       .groupBy(col("node"))
       .agg(sum(col("delta_x9")).as("delta_sum_x9"))
+      .withColumn("delta_sum_x9", longLoud(col("delta_sum_x9"), "delta_sum_x9"))
       // integer (n/kEff) estimator: `div` is integral division (Spark
       // returns LONG for it — quotients past 2⁶³ are out of the
       // presentation contract anyway; queries re-cast and guard at the
@@ -1096,10 +1158,12 @@ object Graph {
     *
     * EXACTNESS: labels are ids, updates are integer counts + an ordered
     * argmax — bit-identical across engines and partition layouts. The
-    * argmax is one aggregate, not a per-node window: min over
-    * (−count, label) structs picks max-count-then-min-label for any id
-    * sign, so the plan stays two map-side-combinable exchanges per round
-    * (counts to the (node, label) axis, then the struct-min to nodes).
+    * argmax is one aggregate, not a per-node window: min over the packed
+    * (−count, label) atom ([[ArgmaxPack]] — order-identical to the
+    * former struct-min, but hash-aggregable) picks
+    * max-count-then-min-label for any id sign, so the plan stays two
+    * map-side-combinable HASH exchanges per round (counts to the
+    * (node, label) axis, then the atom-min to nodes).
     *
     * Scale shape: the [[pageRank]] adjacency-index cost model — V-row
     * index probed by the slim (node, label) state, matched lists exploded
@@ -1133,10 +1197,14 @@ object Graph {
       val cnt = adj.join(lab.withColumnRenamed("node", "src"), "src")
         .select(explode(col("ns")).as("node"), col("label"))
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+      // packed hash argmax (round-11, [[ArgmaxPack]]): c is a physical
+      // row count — always inside the 2^61 packing guard — so min(atom)
+      // hash-aggregates where the struct-min forced SortAggregate (two
+      // sorts of the candidate frame per round)
       val best = cnt
         .groupBy(col("node"))
-        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
-        .select(col("node"), col("m.l").as("label"))
+        .agg(min(ArgmaxPack.atom(col("c"), col("label"))).as("__a"))
+        .select(col("node"), ArgmaxPack.label(col("__a")).as("label"))
       lab = (if (symmetric) best
         else lab.select(col("node"), col("label").as("__old"))
           .join(best, Seq("node"), "left")
@@ -1165,10 +1233,12 @@ object Graph {
     * EXACTNESS: the gain comparison multiplies out the 1/2m² terms —
     * score(C) = 2m·k_{i,C} − k_i·(Σtot(C) − [C = cur]·k_i), computed in
     * DECIMAL(38,0) (2m·c wraps int64 past ~10⁹ edges), argmax by
-    * (score desc, label asc) via the min-over-(−score, label) struct
-    * aggregate — one exchange, no per-node window, bit-identical across
-    * engines and layouts. Ties break to the SMALLEST community id (not
-    * "prefer staying") — a deterministic, documented choice.
+    * (score desc, label asc) via [[argmaxLabel]] — the packed
+    * hash-aggregable atom while 4m² fits the 2⁶¹ guard, the
+    * min-over-(−score, label) struct beyond — one exchange, no per-node
+    * window, bit-identical across engines and layouts. Ties break to the
+    * SMALLEST community id (not "prefer staying") — a deterministic,
+    * documented choice.
     *
     * Scale shape: the [[pageRank]] adjacency-index cost model — the
     * V-row index is built once; per round the slim (node, label) state
@@ -1224,9 +1294,7 @@ object Graph {
             col("k").cast("decimal(38,0)") *
               (col("tot") - when(col("label") === col("__cur"), col("k"))
                 .otherwise(lit(0L)))).as("s"))
-      lab = scored.groupBy(col("node"))
-        .agg(min(struct((-col("s")).as("ns"), col("label").as("l"))).as("b"))
-        .select(col("node"), col("b.l").as("label"))
+      lab = argmaxLabel(scored, m)
       // lab feeds the probe + next round's state build — lazy barrier
       // (all consumers sit in the next round's plan; block locks
       // materialize it once)
@@ -1234,6 +1302,23 @@ object Graph {
     }
     lab
   }
+
+  /** Per-node argmax (score desc, label asc) of a scored candidate frame
+    * — the move loops' inner aggregate. Packed hash aggregate
+    * ([[ArgmaxPack]]) while the modularity score bound 4m² fits the 2⁶¹
+    * packing guard; the struct-min SortAggregate beyond it. The branch
+    * is driver-known (m is already a control-plane scalar in every
+    * caller) and both arms compute the identical argmax, so the choice
+    * changes the plan, never the result or the operating envelope. */
+  private def argmaxLabel(scored: DataFrame, m: Long): DataFrame =
+    if (m <= ArgmaxPack.maxPackedM)
+      scored.groupBy(col("node"))
+        .agg(min(ArgmaxPack.atom(col("s"), col("label"))).as("__a"))
+        .select(col("node"), ArgmaxPack.label(col("__a")).as("label"))
+    else
+      scored.groupBy(col("node"))
+        .agg(min(struct((-col("s")).as("ns"), col("label").as("l"))).as("b"))
+        .select(col("node"), col("b.l").as("label"))
 
   /** Community-graph CONTRACTION — the second phase of the Louvain
     * pipeline: communities become nodes, parallel edges aggregate into
@@ -1356,9 +1441,7 @@ object Graph {
             col("k").cast("decimal(38,0)") *
               (col("tot") - when(col("label") === col("__cur"), col("k"))
                 .otherwise(lit(0L)))).as("s"))
-      lab = scored.groupBy(col("node"))
-        .agg(min(struct((-col("s")).as("ns"), col("label").as("l"))).as("b"))
-        .select(col("node"), col("b.l").as("label"))
+      lab = argmaxLabel(scored, m)
       if (r < rounds) lab = lab.localCheckpoint(false) // lazy barrier
     }
     lab

@@ -4,17 +4,19 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling (data-quality/ingest audit): exact per-column stats —
-  * row count, non-null count, distinct count, typed min/max — in ONE scan
-  * of the table.
+  * row count, non-null count, distinct count, typed min/max — in TWO
+  * column-pruned scans of the table (one keyless streaming pass for
+  * count/min/max, one hash-aggregated Expand pass for the exact distinct
+  * counts — see the split rationale inside [[profile]]).
   *
-  * Shape: a single global aggregate computes every column's stats side by
-  * side (the multi-count-distinct plans as one Expand pass — #cols
-  * projections of each row, each carrying one column), then a `stack`
-  * unpivot turns the 1×(4·#cols) row into #cols profile rows. The
-  * alternative — one aggregate per column unioned — scans the table #cols
-  * times; at 100 TB that difference is the whole game. min/max evaluate in
-  * the column's own type (numeric order, not string order) and cast to
-  * string only for the uniform output schema.
+  * Shape: global aggregates compute every column's stats side by side
+  * (the multi-count-distinct plans as one Expand pass — #cols projections
+  * of each row, each carrying one column), then a `stack` unpivot turns
+  * the 1×(4·#cols) row into #cols profile rows. The alternative — one
+  * aggregate per column unioned — scans the table #cols times; at 100 TB
+  * that difference is the whole game. min/max evaluate in the column's
+  * own type (numeric order, not string order) and cast to string only for
+  * the uniform output schema.
   */
 object Profile {
 
@@ -33,14 +35,43 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[(String, Column)],
       approxDistinct: Boolean = false, rsd: Double = 0.01): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { case (n, c) =>
-      Seq(count(c).as(s"__nn_$n"),
-        (if (approxDistinct) approx_count_distinct(c, rsd)
-         else countDistinct(c)).as(s"__nd_$n"),
-        min(c).cast("string").as(s"__mn_$n"),
-        max(c).cast("string").as(s"__mx_$n"))
-    } :+ count(lit(1)).as("__rows")
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // Exact mode runs TWO aggregates over two column-pruned scans
+    // (round-11): ONE aggregate mixing countDistinct with typed min/max
+    // forced the whole multi-distinct Expand chain into SortAggregate —
+    // min/max over STRING columns carry non-UnsafeRow-mutable buffers, so
+    // the first-stage aggregate over the ×(cols+1) expanded row mass paid
+    // a full (gid, all values) sort. Split, Spark hashes everything it
+    // can: the regular pass (count/min/max per column + count(*)) is
+    // KEYLESS — a SortAggregate with no grouping keys needs no sort, one
+    // streaming pass, no Expand — and the distinct pass carries ONLY
+    // countDistinct (long buffers → HashAggregate over a one-column-per-
+    // branch Expand). The second pruned scan is far cheaper than the
+    // sort it replaces (plan + ABAB in plans/r11, OPTIMIZATION_r11.md);
+    // values are identical — the same aggregate functions, just split
+    // across two 1-row frames crossJoined back together. Approx mode was
+    // always one hash pass (constant HLL state per column) and keeps its
+    // single scan.
+    val one =
+      if (approxDistinct) {
+        val aggs = cols.flatMap { case (n, c) =>
+          Seq(count(c).as(s"__nn_$n"),
+            approx_count_distinct(c, rsd).as(s"__nd_$n"),
+            min(c).cast("string").as(s"__mn_$n"),
+            max(c).cast("string").as(s"__mx_$n"))
+        } :+ count(lit(1)).as("__rows")
+        df.agg(aggs.head, aggs.tail: _*)
+      } else {
+        val regular = cols.flatMap { case (n, c) =>
+          Seq(count(c).as(s"__nn_$n"),
+            min(c).cast("string").as(s"__mn_$n"),
+            max(c).cast("string").as(s"__mx_$n"))
+        } :+ count(lit(1)).as("__rows")
+        val distincts = cols.map { case (n, c) =>
+          countDistinct(c).as(s"__nd_$n")
+        }
+        df.agg(regular.head, regular.tail: _*)
+          .crossJoin(df.agg(distincts.head, distincts.tail: _*))
+      }
     val stackArgs = cols.map { case (n, _) =>
       s"'$n', `__nn_$n`, `__nd_$n`, `__mn_$n`, `__mx_$n`"
     }.mkString(", ")

@@ -207,7 +207,15 @@ object TextAnalysis {
           col("prior6")).as("score"))
       .groupBy(col("id"), col("cls"))
       // argmax score, ties to the smallest class label: min over the
-      // (−score, label) struct — one map-side-combinable aggregate
+      // (−score, label) struct — one map-side-combinable aggregate.
+      // Round-11 negative result, measured and REVERTED: a packed
+      // hash-argmax here (dense class ids via a k-row window, decimal
+      // atom, broadcast decode join — the [[graft.ops.ArgmaxPack]] move
+      // that wins on the E-row graph move loops) ABAB'd 2.49–2.64 s →
+      // 2.72–3.30 s at sf0.1: this frame is only docs × k rows (k ≈ 16
+      // classes), the struct sort is cheap at that width, and the added
+      // window + two broadcast joins + atom arithmetic cost more than
+      // the two sorts they remove. The struct-min stays.
       .agg(min(struct((-col("score")).as("ns"), col("cand").as("c"))).as("best"))
       .select(col("id"), col("cls").as("actual"),
         col("best.c").as("predicted"), (-col("best.ns")).as("score_x6"))

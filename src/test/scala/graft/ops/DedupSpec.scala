@@ -32,6 +32,44 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head._3 > 0.5 && pairs.head._3 < 1.0)
   }
 
+  test("from-sets fusion seam: band rows, verified pairs, and " +
+      "contamination hits computed from materialized shingle sets are " +
+      "bit-identical to the text-path operators (both hash families)") {
+    val nearDup = base.replace("tonight", "today")
+    val docs = Seq(
+      (1L, base),
+      (2L, nearDup),
+      (3L, "spark catalyst optimizer rewrites logical plans into physical plans with codegen stages always"),
+      (4L, "short doc"),
+      (5L, base + " with an extra clause appended for variety"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the lazy dog and runs far away today"))
+      .toDF("doc_id", "text")
+    for (family <- Seq("string", "rolling")) {
+      spark.conf.set("graft.dedup.shingleHash", family)
+      try {
+        val shs = Dedup.hashedShingleSets(docs).localCheckpoint()
+        val fromText = Dedup.minhashBandRows(docs)
+          .as[(Long, Int, Long)].collect().toSet
+        val fromSets = Dedup.minhashBandRowsFromSets(shs)
+          .as[(Long, Int, Long)].collect().toSet
+        assert(fromText == fromSets, s"band rows diverge ($family)")
+        val pairsText = Dedup.minhashPairsOnDistinct(docs, threshold = 0.5)
+          .as[(Long, Long, Double)].collect().toSet
+        val pairsSets = Dedup.minhashPairsFromSets(shs, threshold = 0.5)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(pairsText == pairsSets, s"verified pairs diverge ($family)")
+        val hitsText = Dedup.contaminationHits(docs, bench)
+          .as[(Long, Long)].collect().toSet
+        val hitsSets = Dedup.contaminationHitsFromSets(shs, bench)
+          .as[(Long, Long)].collect().toSet
+        assert(hitsText == hitsSets, s"contamination hits diverge ($family)")
+        assert(pairsText.map(p => (p._1, p._2)).contains((1L, 2L)))
+        assert(hitsText.nonEmpty)
+      } finally spark.conf.unset("graft.dedup.shingleHash")
+    }
+  }
+
   test("applyExact / applyPairsDedup shrink the corpus, keep canonical docs") {
     val docs = Seq(
       (1L, base), (2L, base.toUpperCase), (3L, "something else entirely here"),

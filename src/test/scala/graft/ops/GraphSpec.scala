@@ -706,28 +706,65 @@ class GraphSpec extends SparkSpec {
     assert(bits(edges) == bits(edges.repartition(7).orderBy($"dst")))
   }
 
-  test("brandes_term: exact integer quotient; loud failure past " +
-      "DECIMAL(38,0) instead of a silent null") {
-    val d = Seq(("7", "1500000000", "3")).toDF("sv", "dw", "sw")
-      .select($"sv".cast("decimal(38,0)").as("sv"),
-        $"dw".cast("decimal(38,0)").as("dw"),
-        $"sw".cast("decimal(38,0)").as("sw"))
+  test("brandes_term: exact integer quotient (including the 128-bit " +
+      "product path); loud failure past BIGINT instead of a silent null") {
+    val d = Seq((7L, 1500000000L, 3L)).toDF("sv", "dw", "sw")
     // 7*(1e9+1.5e9)/3 = 17500000000/3 = 5833333333 (truncated)
-    val got = d.select(graft.functions.BrandesTerm($"sv", $"dw", $"sw")
-      .cast("long")).head().getLong(0)
+    val got = d.select(graft.functions.BrandesTerm($"sv", $"dw", $"sw"))
+      .head().getLong(0)
     assert(got == 5833333333L)
+    // 128-bit product, quotient back inside BIGINT: sv*(1e9+dw) tops 2^63
+    // but /sw lands exactly — the multiplyHigh fallback must stay exact
+    val wide = Seq((1L << 62, (1L << 40) - 1000000000L, 1L << 41))
+      .toDF("sv", "dw", "sw")
+    val wideGot = wide
+      .select(graft.functions.BrandesTerm($"sv", $"dw", $"sw"))
+      .head().getLong(0)
+    // (2^62 * 2^40) / 2^41 = 2^61
+    assert(wideGot == (1L << 61))
     import org.apache.spark.sql.functions.lit
     val big = Seq(1).toDF("x").select(
-      (lit("9" * 38).cast("decimal(38,0)")).as("sv"),
-      lit(0L).cast("decimal(38,0)").as("dw"),
-      lit(1L).cast("decimal(38,0)").as("sw"))
+      lit(Long.MaxValue).as("sv"), lit(0L).as("dw"), lit(1L).as("sw"))
     val err = intercept[Exception] {
       big.select(graft.functions.BrandesTerm($"sv", $"dw", $"sw")).collect()
     }
-    assert(err.getMessage.contains("exceeds DECIMAL(38,0)") ||
+    assert(err.getMessage.contains("exceeds BIGINT") ||
       err.getCause != null &&
-        err.getCause.getMessage.contains("exceeds DECIMAL(38,0)"),
+        err.getCause.getMessage.contains("exceeds BIGINT"),
       err.getMessage)
+  }
+
+  test("canonicalFrame seal: a FALSE canonical=true assertion trips the " +
+      "debug guard (u<v violation and duplicate pair), and a genuinely " +
+      "canonical frame passes it") {
+    spark.conf.set("graft.graph.debugCanonical", "true")
+    try {
+      // mirrored (non-canonical) edges asserted canonical: u<v violated
+      val mirrored = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+      val e1 = intercept[Exception] {
+        Graph.modularityMoves(mirrored, rounds = 1, canonical = true)
+          .collect()
+      }
+      def msg(t: Throwable): String =
+        if (t == null) "" else t.getMessage + msg(t.getCause)
+      assert(msg(e1).contains("canonical assertion is false"), msg(e1))
+      // duplicated pair asserted canonical: driver-side probe trips
+      val duped = Seq((1L, 2L), (1L, 2L), (1L, 3L)).toDF("src", "dst")
+      val e2 = intercept[Exception] {
+        Graph.modularityMoves(duped, rounds = 1, canonical = true).collect()
+      }
+      assert(msg(e2).contains("canonical assertion is false"), msg(e2))
+      // a genuinely canonical frame passes the debug probes with the
+      // same labels as the unasserted path
+      val canon = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+      val sealed_ = Graph.modularityMoves(canon, rounds = 1,
+        canonical = true).as[(Long, Long)].collect().toMap
+      val plain = Graph.modularityMoves(
+        (Seq((1L, 2L), (1L, 3L), (2L, 3L)) ++
+          Seq((2L, 1L), (3L, 1L), (3L, 2L))).toDF("src", "dst"),
+        rounds = 1).as[(Long, Long)].collect().toMap
+      assert(sealed_ == plain)
+    } finally spark.conf.set("graft.graph.debugCanonical", "false")
   }
 
   test("louvain: two-level planted-community fixture recovers both " +
